@@ -1,0 +1,23 @@
+"""mettagrid_tpu — a TPU-native multi-agent gridworld RL environment framework.
+
+Re-implements the capabilities of Metta-AI/mettagrid (reference: a C++20
+simulation core behind pybind11) as a fully vectorized JAX state machine:
+env state lives in HBM as a struct-of-arrays pytree, and thousands of envs
+step in lockstep inside a single jitted function, sharded over a TPU mesh.
+
+Architecture (config -> compile -> execute):
+  - ``mettagrid_tpu.config``: Pydantic models mirroring the reference's
+    config surface (reference: python/src/mettagrid/config/).
+  - ``mettagrid_tpu.engine``: config compiler producing a static
+    ``EngineProgram`` (dispatch tables, feature ids, window offsets) plus the
+    jitted batched ``step``/``reset`` functions.
+  - ``mettagrid_tpu.maps``: host-side NumPy map builders (maps upload to
+    device at reset).
+  - ``mettagrid_tpu.parallel``: mesh/sharding utilities for multi-chip runs.
+"""
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig
+
+__all__ = ["GameConfig", "MettaGridConfig"]
+
+__version__ = "0.1.0"

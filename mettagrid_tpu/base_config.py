@@ -1,0 +1,29 @@
+"""Base pydantic Config class (reference: python/src/mettagrid/base_config.py)."""
+
+from __future__ import annotations
+
+from typing import Any, TypeVar
+
+from pydantic import BaseModel, ConfigDict
+
+T = TypeVar("T", bound="Config")
+
+
+class Config(BaseModel):
+    """Base class for all configuration models.
+
+    Strict by default: unknown fields are rejected so config typos fail fast,
+    matching the reference's pydantic usage.
+    """
+
+    model_config = ConfigDict(extra="forbid", validate_assignment=False)
+
+    @classmethod
+    def from_dict(cls: type[T], data: dict[str, Any]) -> T:
+        return cls.model_validate(data)
+
+    def to_dict(self) -> dict[str, Any]:
+        return self.model_dump()
+
+    def copy_deep(self: T) -> T:
+        return self.model_copy(deep=True)

@@ -1,0 +1,64 @@
+"""Pydantic configuration layer.
+
+Mirrors the reference config surface (reference:
+python/src/mettagrid/config/) so that users of the reference find the same
+model names, fields, and defaults here. Configs are pure data; the engine
+compiler (mettagrid_tpu.engine.program) turns them into static dispatch
+tables for the jitted step function.
+"""
+
+from mettagrid_tpu.config.action_config import (
+    ActionConfig,
+    ActionsConfig,
+    AttackActionConfig,
+    AttackOutcome,
+    ChangeVibeActionConfig,
+    MoveActionConfig,
+    NoopActionConfig,
+)
+from mettagrid_tpu.config.game_config import (
+    AgentConfig,
+    GameConfig,
+    GridObjectConfig,
+    InventoryConfig,
+    MettaGridConfig,
+    ResourceLimitsConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.game_value import (
+    ConstValue,
+    GameValue,
+    InventoryValue,
+    StatValue,
+)
+from mettagrid_tpu.config.id_map import IdMap, ObservationFeatureSpec
+from mettagrid_tpu.config.obs_config import GlobalObsConfig, ObsConfig
+from mettagrid_tpu.config.reward_config import AgentReward, inventoryReward, reward
+
+__all__ = [
+    "ActionConfig",
+    "ActionsConfig",
+    "AgentConfig",
+    "AgentReward",
+    "AttackActionConfig",
+    "AttackOutcome",
+    "ChangeVibeActionConfig",
+    "ConstValue",
+    "GameConfig",
+    "GameValue",
+    "GlobalObsConfig",
+    "GridObjectConfig",
+    "IdMap",
+    "InventoryConfig",
+    "InventoryValue",
+    "MettaGridConfig",
+    "MoveActionConfig",
+    "NoopActionConfig",
+    "ObsConfig",
+    "ObservationFeatureSpec",
+    "ResourceLimitsConfig",
+    "StatValue",
+    "WallConfig",
+    "inventoryReward",
+    "reward",
+]

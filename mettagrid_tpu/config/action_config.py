@@ -1,0 +1,142 @@
+"""Action configuration (reference: python/src/mettagrid/config/action_config.py).
+
+Actions are flattened into named variants (move_north, change_vibe_happy, ...)
+at engine-compile time; the action id space is the concatenation of each
+enabled action config's variants in the reference's fixed order
+(noop, attack, move, change_vibe — see
+cpp/src/mettagrid/actions/action_handler_factory.cpp:15-79, which registers
+noop, then attack's variants, then move's, then change_vibe's).
+"""
+
+from __future__ import annotations
+
+from abc import abstractmethod
+from itertools import chain
+from typing import Any, Literal, get_args
+
+from pydantic import Field
+
+from mettagrid_tpu.base_config import Config
+from mettagrid_tpu.config.vibes import VIBES, Vibe
+
+CHANGE_VIBE_PREFIX = "change_vibe_"
+
+Direction = Literal["north", "south", "east", "west", "northeast", "northwest", "southeast", "southwest"]
+Directions = list(get_args(Direction))
+
+# Order must match the engine's orientation encoding: north, south, west, east
+CardinalDirection = Literal["north", "south", "west", "east"]
+CardinalDirections = list(get_args(CardinalDirection))
+
+
+class Action(Config):
+    """A flattened action variant (name only; ids assigned at compile time)."""
+
+    name: str
+
+
+class ActionConfig(Config):
+    """Base action configuration."""
+
+    action_handler: str
+    enabled: bool = Field(default=True)
+    # required_resources defaults to consumed_resources; otherwise a superset of it.
+    required_resources: dict[str, int] = Field(default_factory=dict)
+    consumed_resources: dict[str, int] = Field(default_factory=dict)
+
+    def actions(self) -> list[Action]:
+        if self.enabled:
+            return self._actions()
+        return []
+
+    @abstractmethod
+    def _actions(self) -> list[Action]: ...
+
+
+class NoopActionConfig(ActionConfig):
+    """Noop action configuration."""
+
+    action_handler: str = Field(default="noop")
+
+    def _actions(self) -> list[Action]:
+        return [self.Noop()]
+
+    def Noop(self) -> Action:
+        return Action(name="noop")
+
+
+class MoveActionConfig(ActionConfig):
+    """Move action configuration.
+
+    When handlers is non-empty, the move handler chain tries these handlers
+    first; the default chain (relocate-to-empty, use-target) is always
+    appended as a fallback (reference: action_handler_factory.cpp:33-45).
+    """
+
+    action_handler: str = Field(default="move")
+    allowed_directions: list[Direction] = Field(default_factory=lambda: CardinalDirections)
+    handlers: list[Any] = Field(default_factory=list)
+
+    def _actions(self) -> list[Action]:
+        return [self.Move(direction) for direction in self.allowed_directions]
+
+    def Move(self, direction: Direction) -> Action:
+        return Action(name=f"move_{direction}")
+
+
+class ChangeVibeActionConfig(ActionConfig):
+    """Change vibe action configuration (one action per configured vibe)."""
+
+    action_handler: str = Field(default="change_vibe")
+    vibes: list[Vibe] = Field(default_factory=lambda: list(VIBES))
+
+    def _actions(self) -> list[Action]:
+        return [self.ChangeVibe(vibe) for vibe in self.vibes]
+
+    def ChangeVibe(self, vibe: Vibe) -> Action:
+        return Action(name=f"{CHANGE_VIBE_PREFIX}{vibe.name}")
+
+
+class AttackOutcome(Config):
+    """Outcome configuration for a successful attack."""
+
+    actor_inv_delta: dict[str, int] = Field(default_factory=dict, description="Inventory changes for attacker")
+    target_inv_delta: dict[str, int] = Field(default_factory=dict, description="Inventory changes for target")
+    loot: list[str] = Field(default_factory=list, description="Resources to steal from target")
+
+
+class AttackActionConfig(ActionConfig):
+    """Attack configuration — triggered by moving onto another agent while
+    vibing one of the listed vibes; no standalone attack actions exist
+    (reference: actions/attack.hpp:122-125).
+
+    weapon_power = sum(attacker_inv * weapon_weight); armor_power =
+    sum(target_inv * armor_weight) + vibe_bonus[target_vibe]; the target
+    blocks by paying defense_resources + max(weapon - armor, 0) of each
+    defense resource (consumed); otherwise `success` outcomes apply.
+    """
+
+    action_handler: str = Field(default="attack")
+    defense_resources: dict[str, int] = Field(default_factory=dict)
+    armor_resources: dict[str, int] = Field(default_factory=dict)
+    weapon_resources: dict[str, int] = Field(default_factory=dict)
+    success: AttackOutcome = Field(default_factory=AttackOutcome)
+    vibes: list[str] = Field(default_factory=list, description="Vibe names that trigger attack on move")
+    vibe_bonus: dict[str, int] = Field(default_factory=dict, description="Per-vibe armor bonus")
+
+    def _actions(self) -> list[Action]:
+        # Attack only triggers via move; no standalone actions.
+        return []
+
+
+class ActionsConfig(Config):
+    """Actions configuration; omitted actions are disabled by default."""
+
+    noop: NoopActionConfig = Field(default_factory=lambda: NoopActionConfig())
+    move: MoveActionConfig = Field(default_factory=lambda: MoveActionConfig())
+    attack: AttackActionConfig = Field(default_factory=lambda: AttackActionConfig(enabled=False))
+    change_vibe: ChangeVibeActionConfig = Field(default_factory=lambda: ChangeVibeActionConfig())
+
+    def actions(self) -> list[Action]:
+        action_configs = (self.noop, self.move, self.attack, self.change_vibe)
+        return list(chain.from_iterable(action.actions() for action in action_configs))

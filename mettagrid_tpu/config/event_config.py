@@ -1,0 +1,55 @@
+"""Timestep-triggered event configuration (reference:
+python/src/mettagrid/config/event_config.py; engine:
+cpp/include/mettagrid/handler/event_scheduler.hpp:31-62)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pydantic import Field
+
+from mettagrid_tpu.config.handler_config import Handler
+from mettagrid_tpu.config.query import AnyQuery
+
+
+def periodic(start: int, period: int, end: Optional[int] = None, end_period: Optional[int] = None) -> list[int]:
+    """Generate periodic timesteps, optionally interpolating the period
+    from `period` to `end_period` across the [start, end] range."""
+    if period <= 0:
+        raise ValueError(f"period must be positive, got {period}")
+    if end is None:
+        end = 100000
+    if end_period is not None and end_period <= 0:
+        raise ValueError(f"end_period must be positive, got {end_period}")
+
+    if end_period is None:
+        return list(range(start, end + 1, period))
+
+    timesteps = []
+    t = start
+    total_duration = end - start
+    while t <= end:
+        timesteps.append(t)
+        if total_duration == 0:
+            break
+        progress = (t - start) / total_duration
+        current_period = max(1, round(period + progress * (end_period - period)))
+        t += current_period
+    return timesteps
+
+
+def once(timestep: int) -> list[int]:
+    """A single-firing event schedule."""
+    return [timestep]
+
+
+class EventConfig(Handler):
+    """An event fires at the listed timesteps, applying its mutations to
+    query results that pass its filters (up to max_targets, shuffled when
+    over the cap); fires the fallback event when zero targets applied."""
+
+    name: str = Field(default="", description="Unique name for this event (stat: event.<name>)")
+    target_query: "str | AnyQuery" = Field(description="Tag name or query for candidate target objects")
+    timesteps: list[int] = Field(default_factory=list, description="Timesteps when this event fires")
+    max_targets: Optional[int] = Field(default=None, ge=1, description="Max targets (None = unlimited)")
+    fallback: Optional[str] = Field(default=None, description="Event name to fire if no targets match")

@@ -1,0 +1,275 @@
+"""Top-level game configuration (reference:
+python/src/mettagrid/config/mettagrid_config.py:69-386)."""
+
+from __future__ import annotations
+
+from typing import Annotated, Any, Literal, Optional, Union
+
+from pydantic import ConfigDict, Discriminator, Field, model_validator
+from pydantic import Tag as PydanticTag
+
+from mettagrid_tpu.base_config import Config
+from mettagrid_tpu.config.action_config import (
+    ActionsConfig,
+    ChangeVibeActionConfig,
+    MoveActionConfig,
+)
+from mettagrid_tpu.config.event_config import EventConfig
+from mettagrid_tpu.config.handler_config import AnyHandler, AOEConfig, Handler
+from mettagrid_tpu.config.id_map import IdMap
+from mettagrid_tpu.config.obs_config import ObsConfig
+from mettagrid_tpu.config.query import MaterializedQuery
+from mettagrid_tpu.config.render_config import RenderConfig
+from mettagrid_tpu.config.reward_config import AgentReward
+from mettagrid_tpu.config.territory_config import TerritoryConfig, TerritoryControlConfig
+from mettagrid_tpu.maps.map_builder import AnyMapBuilderConfig
+from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+
+class ResourceLimitsConfig(Config):
+    """Resource limits, optionally dynamic via modifier items.
+
+    effective = min(max, max(base, sum(modifier_bonus * quantity_held)))
+    Reference: objects/inventory.hpp:16-41.
+    """
+
+    base: int = Field(description="Base capacity (floor for effective limit, before modifiers)")
+    max: int = Field(default=65535, description="Maximum limit (cap for effective limit)")
+    resources: list[str]
+    modifiers: dict[str, int] = Field(
+        default_factory=dict,
+        description="Items that raise the limit: item name -> bonus per item held",
+    )
+
+
+class InventoryConfig(Config):
+    """Inventory configuration for agents and chests."""
+
+    default_limit: int = Field(default=65535, ge=0, description="Default resource limit")
+    limits: dict[str, ResourceLimitsConfig] = Field(default_factory=dict, description="Shared limit groups")
+    initial: dict[str, int] = Field(default_factory=dict, description="Initial inventory")
+
+    def get_limit(self, resource_name: str) -> int:
+        """Base resource limit for a resource (without modifiers)."""
+        for limit_config in self.limits.values():
+            if resource_name in limit_config.resources:
+                return limit_config.base
+        return self.default_limit
+
+
+class GridObjectConfig(Config):
+    """Base configuration for all grid objects. Python uses only names;
+    numeric type ids are assigned at engine-compile time."""
+
+    pydantic_type: Literal["object"] = "object"
+
+    name: str = Field(description="Canonical type_name (human-readable)")
+    map_name: str = Field(default="", description="Stable key used by maps to select this config")
+    tags: list[str] = Field(default_factory=list, description="Tags for this object instance")
+    vibe: int = Field(default=0, ge=0, le=255, description="Initial vibe value")
+    aoes: dict[str, AOEConfig] = Field(default_factory=dict, description="Named AOE configs this object emits")
+    territory_controls: list[TerritoryControlConfig] = Field(
+        default_factory=list, description="Territory influence controls (references game.territories keys)"
+    )
+    inventory: InventoryConfig = Field(default_factory=InventoryConfig)
+
+    handlers: dict[str, Handler] = Field(
+        default_factory=dict,
+        description="Handlers triggered when an agent moves onto this object (name -> handler)",
+    )
+    on_use_handler: Optional[AnyHandler] = Field(
+        default=None, description="Handler triggered when an agent uses/activates this object"
+    )
+    on_tag_remove: dict[str, Handler] = Field(
+        default_factory=dict,
+        description="Handlers fired when a matching tag is removed from this object (tag_prefix -> handler)",
+    )
+
+    @model_validator(mode="after")
+    def _defaults_from_name(self) -> "GridObjectConfig":
+        if not self.map_name:
+            self.map_name = self.name
+        return self
+
+
+class WallConfig(GridObjectConfig):
+    """Minimal impassable object."""
+
+    pydantic_type: Literal["wall"] = "wall"
+    name: str = Field(default="wall")
+
+
+class AgentConfig(GridObjectConfig):
+    """Agent configuration (inherits tags/vibe/inventory/handlers)."""
+
+    name: str = Field(default="agent")
+    team_id: int = Field(default=0, ge=0, description="Team id for grouping agents")
+    rewards: dict[str, AgentReward] = Field(default_factory=dict)
+    on_tick: Optional[AnyHandler] = Field(
+        default=None, description="Handler run every tick with actor=target=this agent"
+    )
+    on_after_use_handler: Optional[AnyHandler] = Field(
+        default=None, description="Handler fired after the agent successfully uses a target"
+    )
+
+
+class TalkConfig(Config):
+    enabled: bool = Field(default=False, description="Whether talk mode is enabled")
+    max_length: int = Field(default=140, ge=1, description="Max characters in a talk message")
+    cooldown_steps: int = Field(default=50, ge=0, description="Minimum resend gap in steps (0 disables)")
+
+
+def _grid_object_discriminator(v: Any) -> str:
+    if isinstance(v, dict):
+        return v.get("pydantic_type", "object")
+    return getattr(v, "pydantic_type", "object")
+
+
+AnyGridObjectConfig = Annotated[
+    Union[
+        Annotated[WallConfig, PydanticTag("wall")],
+        Annotated[GridObjectConfig, PydanticTag("object")],
+    ],
+    Discriminator(_grid_object_discriminator),
+]
+
+
+class GameConfig(Config):
+    """Game configuration; compiled by the engine into a static program."""
+
+    model_config = ConfigDict(arbitrary_types_allowed=True, extra="forbid")
+
+    resource_names: list[str] = Field(
+        default=[
+            "ore_red",
+            "ore_blue",
+            "ore_green",
+            "battery_red",
+            "battery_blue",
+            "battery_green",
+            "heart",
+            "armor",
+            "laser",
+            "blueprint",
+        ]
+    )
+
+    def add_resource(self, name: str) -> None:
+        assert name not in self.resource_names, f"Resource '{name}' already registered"
+        self.resource_names.append(name)
+
+    vibe_names: list[str] = Field(default_factory=list)
+    num_agents: int = Field(ge=1, default=24)
+    # max_steps = 0 means "no limit"
+    max_steps: int = Field(ge=0, default=10000)
+    # Default: terminate ("done") rather than truncate at max_steps
+    episode_truncates: bool = Field(default=False)
+    obs: ObsConfig = Field(default_factory=ObsConfig)
+    agent: AgentConfig = Field(default_factory=AgentConfig)
+    agents: list[AgentConfig] = Field(default_factory=list)
+    actions: ActionsConfig = Field(default_factory=lambda: ActionsConfig())
+    objects: dict[str, AnyGridObjectConfig] = Field(default_factory=dict)
+    # Unused by the engine; a scratch space for config templates.
+    params: Optional[Any] = None
+
+    territories: dict[str, TerritoryConfig] = Field(
+        default_factory=dict, description="Territory types with tag_prefix and handlers (name -> config)"
+    )
+    events: dict[str, EventConfig] = Field(
+        default_factory=dict,
+        description="Events firing at specific timesteps, applying mutations to filtered objects",
+    )
+
+    render: RenderConfig = Field(default_factory=RenderConfig, description="Rendering hints")
+
+    map_builder: AnyMapBuilderConfig = Field(default_factory=lambda: RandomMapBuilder.Config(agents=24))
+
+    protocol_details_obs: bool = Field(
+        default=True, description="Objects show their protocol inputs and outputs when observed"
+    )
+
+    reward_estimates: Optional[dict[str, float]] = Field(default=None)
+    talk: TalkConfig = Field(default_factory=TalkConfig, description="Optional talk-mode configuration")
+
+    tags: list[str] = Field(
+        default_factory=list,
+        description="Explicit tag names used in the game (beyond object/agent tags and auto type tags)",
+    )
+
+    materialize_queries: list[MaterializedQuery] = Field(
+        default_factory=list,
+        description="Queries materialized as tags, recomputed via RecomputeMaterializedQueryMutation",
+    )
+
+    on_tick: Optional[AnyHandler] = Field(
+        default=None, description="Handler run every tick at game level (actor=target=null)"
+    )
+
+    @model_validator(mode="after")
+    def _compute_vibe_names(self) -> "GameConfig":
+        self.vibe_names = [vibe.name for vibe in self.actions.change_vibe.vibes]
+        self._validate_territory_controls()
+        return self
+
+    def _validate_territory_controls(self) -> None:
+        territory_keys = set(self.territories.keys())
+        all_configs: list[tuple[str, list]] = []
+        for obj_name, obj_cfg in self.objects.items():
+            if obj_cfg.territory_controls:
+                all_configs.append((f"objects.{obj_name}", obj_cfg.territory_controls))
+        if self.agent.territory_controls:
+            all_configs.append(("agent", self.agent.territory_controls))
+        for i, agent_cfg in enumerate(self.agents):
+            if agent_cfg.territory_controls:
+                all_configs.append((f"agents[{i}]", agent_cfg.territory_controls))
+        for source, controls in all_configs:
+            for tc in controls:
+                assert tc.territory in territory_keys, (
+                    f"{source} territory_control references unknown territory '{tc.territory}'. "
+                    f"Available: {sorted(territory_keys)}"
+                )
+
+    def id_map(self) -> IdMap:
+        """Observation feature id map for this configuration."""
+        return IdMap(self)
+
+
+class MettaGridConfig(Config):
+    """Environment configuration."""
+
+    label: str = Field(default="mettagrid")
+    game: GameConfig = Field(default_factory=GameConfig)
+    desync_episodes: bool = Field(default=True)
+
+    def with_ascii_map(self, map_data: list[list[str]], char_to_map_name: dict[str, str]) -> "MettaGridConfig":
+        from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+        self.game.map_builder = AsciiMapBuilder.Config(
+            map_data=map_data,
+            char_to_map_name=char_to_map_name,
+        )
+        return self
+
+    @staticmethod
+    def EmptyRoom(
+        num_agents: int, width: int = 10, height: int = 10, border_width: int = 1, with_walls: bool = False
+    ) -> "MettaGridConfig":
+        """An empty-room environment configuration."""
+        map_builder = RandomMapBuilder.Config(
+            agents=num_agents, width=width, height=height, border_width=border_width
+        )
+        actions = ActionsConfig(move=MoveActionConfig(), change_vibe=ChangeVibeActionConfig())
+        objects: dict[str, Any] = {}
+        render = RenderConfig()
+        if border_width > 0 or with_walls:
+            objects["wall"] = WallConfig()
+            render.symbols["wall"] = "⬛"
+        return MettaGridConfig(
+            game=GameConfig(
+                map_builder=map_builder,
+                actions=actions,
+                num_agents=num_agents,
+                objects=objects,
+                render=render,
+            )
+        )

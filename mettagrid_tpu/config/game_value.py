@@ -1,0 +1,183 @@
+"""Composable scalar game-value expressions.
+
+Reference: python/src/mettagrid/config/game_value.py and
+cpp/include/mettagrid/core/game_value_config.hpp:49-77. Game values are
+resolved per-entity at engine-compile time into vectorized read functions
+over the batched env state.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Annotated, Literal, Optional, Set, Tuple, Union
+
+from pydantic import Field
+
+from mettagrid_tpu.base_config import Config
+
+
+class Scope(str, Enum):
+    AGENT = "agent"
+    GAME = "game"
+    TARGET = "target"
+
+
+_SCOPE_ALIASES = {
+    "agent": Scope.AGENT,
+    "own": Scope.AGENT,
+    "game": Scope.GAME,
+    "target": Scope.TARGET,
+}
+
+
+def _parse_scope(s: str, allowed: Set[Scope], default: Scope = Scope.AGENT) -> Tuple[Scope, str]:
+    """Parse an optional 'scope.' prefix, returning (scope, remainder)."""
+    dot = s.find(".")
+    if dot > 0:
+        prefix = s[:dot]
+        if prefix in _SCOPE_ALIASES:
+            scope = _SCOPE_ALIASES[prefix]
+            if scope not in allowed:
+                raise ValueError(f"Scope '{prefix}' not allowed here (allowed: {sorted(a.value for a in allowed)})")
+            return scope, s[dot + 1 :]
+    return default, s
+
+
+class GameValue(Config):
+    """Base class for game value expressions."""
+
+
+class InventoryValue(GameValue):
+    """Inventory item count with explicit scope."""
+
+    type: Literal["inventory"] = "inventory"
+    item: str
+    scope: Scope = Scope.AGENT
+
+
+class StatValue(GameValue):
+    """Stat value with explicit scope; delta mode reads per-step change."""
+
+    type: Literal["stat"] = "stat"
+    name: str
+    scope: Scope = Scope.AGENT
+    delta: bool = False
+
+
+class ConstValue(GameValue):
+    """Constant scalar."""
+
+    type: Literal["const"] = "const"
+    value: float = 0.0
+
+
+def val(x: int | float) -> ConstValue:
+    return ConstValue(value=float(x))
+
+
+class QueryInventoryValue(GameValue):
+    """Sum of an inventory item across a query's results."""
+
+    type: Literal["query_inventory"] = "query_inventory"
+    query: dict = Field(default_factory=dict, description="Query config selecting objects")
+    item: str = Field(description="Resource name to sum")
+
+
+class QueryCountValue(GameValue):
+    """Count of objects matching a query."""
+
+    type: Literal["query_count"] = "query_count"
+    query: dict = Field(default_factory=dict, description="Query config selecting objects")
+
+
+class SumGameValue(GameValue):
+    """Weighted sum of sub-values, optionally log1p'd and clamped."""
+
+    type: Literal["sum"] = "sum"
+    values: list[tuple[float, "AnyGameValue"]] = Field(default_factory=list)
+    log: bool = False
+    min: Optional[float] = None
+    max: Optional[float] = None
+
+
+class RatioGameValue(GameValue):
+    """Ratio numerator / denominator (0 when denominator is 0)."""
+
+    type: Literal["ratio"] = "ratio"
+    numerator: "AnyGameValue"
+    denominator: "AnyGameValue"
+
+
+class MaxGameValue(GameValue):
+    """Maximum over sub-values."""
+
+    type: Literal["max"] = "max"
+    values: list["AnyGameValue"] = Field(default_factory=list)
+
+
+class MinGameValue(GameValue):
+    """Minimum over sub-values."""
+
+    type: Literal["min"] = "min"
+    values: list["AnyGameValue"] = Field(default_factory=list)
+
+
+AnyGameValue = Annotated[
+    Union[
+        InventoryValue,
+        StatValue,
+        ConstValue,
+        QueryInventoryValue,
+        QueryCountValue,
+        SumGameValue,
+        RatioGameValue,
+        MaxGameValue,
+        MinGameValue,
+    ],
+    Field(discriminator="type"),
+]
+
+
+def inv(s: str) -> InventoryValue:
+    """Parse 'item' or 'scope.item' into an InventoryValue."""
+    scope, name = _parse_scope(s, allowed={Scope.AGENT})
+    return InventoryValue(item=name, scope=scope)
+
+
+def stat(s: str, delta: bool = False) -> StatValue:
+    """Parse 'name' or 'scope.name' into a StatValue."""
+    scope, name = _parse_scope(s, allowed={Scope.AGENT, Scope.GAME})
+    return StatValue(name=name, scope=scope, delta=delta)
+
+
+def weighted_sum(
+    values: list[tuple[float, "AnyGameValue"]],
+    *,
+    log: bool = False,
+    min: int | float | None = None,
+    max: int | float | None = None,
+) -> SumGameValue:
+    return SumGameValue(
+        values=values,
+        log=log,
+        min=None if min is None else float(min),
+        max=None if max is None else float(max),
+    )
+
+
+def GameValueRatio(num_gv: "AnyGameValue", denom_gv: "AnyGameValue") -> RatioGameValue:
+    return RatioGameValue(numerator=num_gv, denominator=denom_gv)
+
+
+def max_value(values: list["AnyGameValue"]) -> MaxGameValue:
+    return MaxGameValue(values=values)
+
+
+def min_value(values: list["AnyGameValue"]) -> MinGameValue:
+    return MinGameValue(values=values)
+
+
+SumGameValue.model_rebuild()
+RatioGameValue.model_rebuild()
+MaxGameValue.model_rebuild()
+MinGameValue.model_rebuild()

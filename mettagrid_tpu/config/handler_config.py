@@ -1,0 +1,591 @@
+"""Handler / filter / mutation configuration DSL.
+
+The handler system is the composable game-logic engine: a Handler is a filter
+chain (all must pass) plus a mutation chain (applied in order). Reference:
+cpp/include/mettagrid/handler/handler.hpp:30-55, core/filter_config.hpp:68-79
+(12 filter kinds), core/mutation_config.hpp:129-146 (18 mutation kinds), and
+the Python DSL under python/src/mettagrid/config/{filter,mutation}/.
+
+In the TPU engine these configs are compiled at config time into static
+masked-update programs — there is no runtime dispatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from enum import Enum
+from typing import Annotated, Any, Literal, Optional, Union
+
+from pydantic import Discriminator, Field
+from pydantic import Tag as PydanticTag
+
+from mettagrid_tpu.base_config import Config
+from mettagrid_tpu.config.game_value import AnyGameValue, ConstValue, InventoryValue, StatValue
+from mettagrid_tpu.config.tag import typeTag
+
+# =====================================================================
+# Enums
+# =====================================================================
+
+
+class HandlerTarget(str, Enum):
+    """Entity a filter is checked against."""
+
+    ACTOR = "actor"
+    TARGET = "target"
+
+
+class EntityTarget(str, Enum):
+    """Entity a mutation applies to."""
+
+    ACTOR = "actor"
+    TARGET = "target"
+
+
+class StatsTarget(str, Enum):
+    """Which stats tracker a StatsMutation writes to."""
+
+    GAME = "game"
+    AGENT = "agent"
+
+
+class StatsEntity(str, Enum):
+    """Which entity resolves the AGENT stats tracker."""
+
+    TARGET = "target"
+    ACTOR = "actor"
+
+
+# =====================================================================
+# Filters (reference: core/filter_config.hpp:68-79)
+# =====================================================================
+
+
+class Filter(Config):
+    """Base class for handler filters. All filters in a handler must pass."""
+
+    target: HandlerTarget = Field(description="Entity to check the filter against")
+
+
+class VibeFilter(Filter):
+    """Passes when the entity has the given vibe."""
+
+    filter_type: Literal["vibe"] = "vibe"
+    vibe: str = Field(description="Vibe name that must match")
+
+
+class ResourceFilter(Filter):
+    """Passes when the entity holds at least the given resource amounts."""
+
+    filter_type: Literal["resource"] = "resource"
+    resources: dict[str, int] = Field(default_factory=dict, description="Minimum resource amounts required")
+
+
+class TagFilter(Filter):
+    """Passes when the entity has the given tag (full name, e.g. typeTag('hub'))."""
+
+    filter_type: Literal["tag"] = "tag"
+    tag: str = Field(description="Full tag in name:value format")
+
+
+class TagPrefixFilter(Filter):
+    """Passes when the entity has at least one tag with the given prefix."""
+
+    filter_type: Literal["tag_prefix"] = "tag_prefix"
+    tag_prefix: str = Field(description="Tag prefix to match (e.g. 'team' matches 'team:red')")
+
+
+class SharedTagPrefixFilter(Config):
+    """Passes when actor and target share at least one tag with the given prefix."""
+
+    filter_type: Literal["shared_tag_prefix"] = "shared_tag_prefix"
+    tag_prefix: str = Field(description="Tag prefix to match")
+
+
+class GameValueFilter(Filter):
+    """Passes when a game value meets a minimum threshold (static or dynamic)."""
+
+    filter_type: Literal["game_value"] = "game_value"
+    value: AnyGameValue
+    min: Union[int, AnyGameValue] = Field(default=0, description="Minimum threshold")
+
+
+class NotFilter(Config):
+    """Negates an inner filter."""
+
+    filter_type: Literal["not"] = "not"
+    inner: "AnyFilter" = Field(description="The filter to negate")
+
+
+class OrFilter(Config):
+    """Passes if ANY inner filter passes."""
+
+    filter_type: Literal["or"] = "or"
+    inner: list["AnyFilter"] = Field(description="The filters to OR together")
+
+
+class MaxDistanceFilter(Filter):
+    """L2 distance check (sum of squares, no sqrt); radius=0 means unlimited.
+
+    Unary mode (query set): passes if entity is within radius of any query
+    result. Binary mode (query None): actor-to-target distance <= radius.
+    In move-handler chains this also sets the handler's line-scan max_range
+    (reference: actions/move.hpp:33-35).
+    """
+
+    filter_type: Literal["max_distance"] = "max_distance"
+    target: HandlerTarget = Field(default=HandlerTarget.TARGET)
+    query: Optional[dict] = Field(default=None, description="Query to find nearby objects (None = binary mode)")
+    radius: int = Field(default=1, description="L2 radius (compared as sum of squares); 0 = unlimited")
+
+
+class TargetLocEmptyFilter(Config):
+    """Passes when the target cell is empty (no object)."""
+
+    filter_type: Literal["target_loc_empty"] = "target_loc_empty"
+
+
+class TargetIsUsableFilter(Config):
+    """Passes when the target object has an on_use handler."""
+
+    filter_type: Literal["target_is_usable"] = "target_is_usable"
+
+
+class PeriodicFilter(Config):
+    """Passes when (timestep - start_on) % period == 0 and timestep >= start_on."""
+
+    filter_type: Literal["periodic"] = "periodic"
+    period: int = Field(ge=1, description="Number of timesteps between passes")
+    start_on: Optional[int] = Field(default=None, description="First timestep to pass on (defaults to period)")
+
+
+AnyFilter = Annotated[
+    Union[
+        VibeFilter,
+        ResourceFilter,
+        TagFilter,
+        TagPrefixFilter,
+        SharedTagPrefixFilter,
+        GameValueFilter,
+        NotFilter,
+        OrFilter,
+        MaxDistanceFilter,
+        TargetLocEmptyFilter,
+        TargetIsUsableFilter,
+        PeriodicFilter,
+    ],
+    Field(discriminator="filter_type"),
+]
+
+NotFilter.model_rebuild()
+OrFilter.model_rebuild()
+
+
+# ----- filter helpers -----
+
+
+def isNot(filter: "AnyFilter") -> NotFilter:
+    return NotFilter(inner=filter)
+
+
+def anyOf(filters: list["AnyFilter"]) -> OrFilter:
+    return OrFilter(inner=filters)
+
+
+def targetVibe(vibe: str) -> VibeFilter:
+    return VibeFilter(target=HandlerTarget.TARGET, vibe=vibe)
+
+
+def actorVibe(vibe: str) -> VibeFilter:
+    return VibeFilter(target=HandlerTarget.ACTOR, vibe=vibe)
+
+
+def actorHas(resources: dict[str, int]) -> ResourceFilter:
+    return ResourceFilter(target=HandlerTarget.ACTOR, resources=resources)
+
+
+def targetHas(resources: dict[str, int]) -> ResourceFilter:
+    return ResourceFilter(target=HandlerTarget.TARGET, resources=resources)
+
+
+def actorHasAnyOf(resources: list[str]) -> OrFilter:
+    return anyOf([actorHas({resource: 1}) for resource in resources])
+
+
+def targetHasAnyOf(resources: list[str]) -> OrFilter:
+    return anyOf([targetHas({resource: 1}) for resource in resources])
+
+
+def hasTag(tag: str) -> TagFilter:
+    return TagFilter(target=HandlerTarget.TARGET, tag=tag)
+
+
+def actorHasTag(tag: str) -> TagFilter:
+    return TagFilter(target=HandlerTarget.ACTOR, tag=tag)
+
+
+def isA(type_value: str) -> TagFilter:
+    return hasTag(typeTag(type_value))
+
+
+def hasTagPrefix(prefix: str, target: HandlerTarget = HandlerTarget.TARGET) -> TagPrefixFilter:
+    return TagPrefixFilter(target=target, tag_prefix=prefix)
+
+
+def actorHasTagPrefix(prefix: str) -> TagPrefixFilter:
+    return TagPrefixFilter(target=HandlerTarget.ACTOR, tag_prefix=prefix)
+
+
+def sharedTagPrefix(prefix: str) -> SharedTagPrefixFilter:
+    return SharedTagPrefixFilter(tag_prefix=prefix)
+
+
+def maxDistance(radius: int) -> MaxDistanceFilter:
+    return MaxDistanceFilter(radius=radius)
+
+
+# =====================================================================
+# Mutations (reference: core/mutation_config.hpp:129-146)
+# =====================================================================
+
+
+class Mutation(Config):
+    """Base class for handler mutations."""
+
+
+class ResourceDeltaMutation(Mutation):
+    """Apply resource deltas to an entity."""
+
+    mutation_type: Literal["resource_delta"] = "resource_delta"
+    target: EntityTarget = Field(description="Entity to apply deltas to")
+    deltas: dict[str, int] = Field(default_factory=dict, description="Resource changes (+gain / -lose)")
+
+
+class ResourceTransferMutation(Mutation):
+    """Transfer resources from one entity to another (-1 = all available)."""
+
+    mutation_type: Literal["resource_transfer"] = "resource_transfer"
+    from_target: EntityTarget = Field(description="Entity to take resources from")
+    to_target: EntityTarget = Field(description="Entity to give resources to")
+    resources: dict[str, int] = Field(default_factory=dict, description="Resources to transfer (-1 = all)")
+    remove_source_when_empty: bool = Field(
+        default=False, description="Remove source from grid when its inventory is fully depleted"
+    )
+
+
+class ClearInventoryMutation(Mutation):
+    """Clear all resources in a limit group from inventory (set to 0)."""
+
+    mutation_type: Literal["clear_inventory"] = "clear_inventory"
+    target: EntityTarget = Field(description="Entity to clear inventory from")
+    limit_name: str = Field(description="Resource limit group to clear")
+
+
+class AttackMutation(Mutation):
+    """Combat with weapon/armor/defense mechanics.
+
+    weapon_power = sum(attacker_inv[item] * weight); armor_power =
+    sum(target_inv[item] * weight) + vibe_bonus; cost_to_defend =
+    defense_resources + max(weapon - armor, 0). If the target can pay, the
+    defense resources are consumed and the attack is blocked; otherwise
+    on_success mutations apply. Reference: handler/mutations/attack_mutation.hpp:16-42.
+    """
+
+    mutation_type: Literal["attack"] = "attack"
+    defense_resources: dict[str, int] = Field(default_factory=dict)
+    armor_resources: dict[str, int] = Field(default_factory=dict)
+    weapon_resources: dict[str, int] = Field(default_factory=dict)
+    vibe_bonus: dict[str, int] = Field(default_factory=dict)
+    on_success: list["AnyMutation"] = Field(default_factory=list)
+
+
+class StatsMutation(Mutation):
+    """Set a stat to a computed game value."""
+
+    mutation_type: Literal["stats"] = "stats"
+    stat: str = Field(description="Name of the stat to set")
+    target: StatsTarget = Field(default=StatsTarget.GAME)
+    entity: StatsEntity = Field(default=StatsEntity.TARGET)
+    source: AnyGameValue = Field(description="Game value expression to compute the new stat value")
+
+
+class SetGameValueMutation(Mutation):
+    """Apply a delta to an inventory or stat value (delta constant or dynamic source)."""
+
+    mutation_type: Literal["set_game_value"] = "set_game_value"
+    value: Union[InventoryValue, StatValue]
+    delta: float = Field(default=0)
+    target: EntityTarget = Field(default=EntityTarget.ACTOR)
+    source: Optional[Union[InventoryValue, StatValue, ConstValue]] = Field(default=None)
+
+
+class AddTagMutation(Mutation):
+    """Add a tag to an entity (updates the tag index)."""
+
+    mutation_type: Literal["add_tag"] = "add_tag"
+    target: EntityTarget = Field(default=EntityTarget.TARGET)
+    tag: str = Field(description="Tag name to add")
+
+
+class RemoveTagMutation(Mutation):
+    """Remove a tag from an entity."""
+
+    mutation_type: Literal["remove_tag"] = "remove_tag"
+    target: EntityTarget = Field(default=EntityTarget.TARGET)
+    tag: str = Field(description="Tag name to remove")
+
+
+class RemoveTagsWithPrefixMutation(Mutation):
+    """Remove all tags with a given prefix from an entity."""
+
+    mutation_type: Literal["remove_tags_with_prefix"] = "remove_tags_with_prefix"
+    target: EntityTarget = Field(default=EntityTarget.TARGET)
+    prefix: str = Field(description="Tag prefix to remove (e.g. 'team:')")
+
+
+class RecomputeMaterializedQueryMutation(Mutation):
+    """Recompute memberships of materialized queries whose tags share a prefix."""
+
+    mutation_type: Literal["recompute_materialized_query"] = "recompute_materialized_query"
+    tag_prefix: str = Field(description="Prefix of materialized query tags to recompute")
+
+
+class QueryInventoryMutation(Mutation):
+    """Find objects via query and apply inventory deltas (optionally transfer)."""
+
+    mutation_type: Literal["query_inventory"] = "query_inventory"
+    query: dict = Field(description="Query to find objects to update")
+    deltas: dict[str, int] = Field(default_factory=dict)
+    source: EntityTarget | None = Field(default=None, description="If set, apply inverse deltas (transfer mode)")
+    transfer_stats: dict[str, str] = Field(default_factory=dict, description="resource -> game stat name")
+
+
+class RelocateMutation(Mutation):
+    """Move the actor to the target cell."""
+
+    mutation_type: Literal["relocate"] = "relocate"
+
+
+class SwapMutation(Mutation):
+    """Swap the positions of actor and target."""
+
+    mutation_type: Literal["swap"] = "swap"
+
+
+class UseTargetMutation(Mutation):
+    """Delegate to the target object's onUse handler chain."""
+
+    mutation_type: Literal["use_target"] = "use_target"
+
+
+class PushObjectMutation(Mutation):
+    """Push the target one cell further along the actor->target direction.
+
+    The direction is clamped per-axis to [-1, 1]; fails when the destination
+    is off-grid or occupied.
+    """
+
+    mutation_type: Literal["push_object"] = "push_object"
+
+
+class SpawnObjectMutation(Mutation):
+    """Spawn an object of the given type at the target cell."""
+
+    mutation_type: Literal["spawn_object"] = "spawn_object"
+    object_type: str
+
+
+class RaycastSpawnMutation(Mutation):
+    """Spawn objects at empty cells along rays from the target entity."""
+
+    mutation_type: Literal["raycast_spawn"] = "raycast_spawn"
+    object_type: str = Field(description="Object type to spawn at empty cells along the ray")
+    directions: list[str] = Field(default_factory=lambda: ["north", "south", "east", "west"])
+    max_range: Union[int, AnyGameValue] = Field(default=2)
+    blocker: Sequence["AnyFilter"] = Field(default_factory=list, description="Filters that stop the ray")
+
+
+class ChangeVibeMutation(Mutation):
+    """Set the vibe on an entity."""
+
+    mutation_type: Literal["change_vibe"] = "change_vibe"
+    target: EntityTarget = Field(default=EntityTarget.TARGET)
+    vibe_name: str = Field(default="default")
+
+
+AnyMutation = Annotated[
+    Union[
+        ResourceDeltaMutation,
+        ResourceTransferMutation,
+        ClearInventoryMutation,
+        AttackMutation,
+        StatsMutation,
+        SetGameValueMutation,
+        AddTagMutation,
+        RemoveTagMutation,
+        RemoveTagsWithPrefixMutation,
+        RecomputeMaterializedQueryMutation,
+        QueryInventoryMutation,
+        RelocateMutation,
+        SwapMutation,
+        UseTargetMutation,
+        PushObjectMutation,
+        SpawnObjectMutation,
+        RaycastSpawnMutation,
+        ChangeVibeMutation,
+    ],
+    Field(discriminator="mutation_type"),
+]
+
+AttackMutation.model_rebuild()
+RaycastSpawnMutation.model_rebuild()
+
+
+# ----- mutation helpers -----
+
+
+def withdraw(resources: dict[str, int], *, remove_when_empty: bool = False) -> ResourceTransferMutation:
+    """Transfer resources from target to actor."""
+    return ResourceTransferMutation(
+        from_target=EntityTarget.TARGET,
+        to_target=EntityTarget.ACTOR,
+        resources=resources,
+        remove_source_when_empty=remove_when_empty,
+    )
+
+
+def deposit(resources: dict[str, int]) -> ResourceTransferMutation:
+    """Transfer resources from actor to target."""
+    return ResourceTransferMutation(from_target=EntityTarget.ACTOR, to_target=EntityTarget.TARGET, resources=resources)
+
+
+def updateTarget(deltas: dict[str, int]) -> ResourceDeltaMutation:
+    return ResourceDeltaMutation(target=EntityTarget.TARGET, deltas=deltas)
+
+
+def updateActor(deltas: dict[str, int]) -> ResourceDeltaMutation:
+    return ResourceDeltaMutation(target=EntityTarget.ACTOR, deltas=deltas)
+
+
+def addTag(tag: str, target: EntityTarget = EntityTarget.TARGET) -> AddTagMutation:
+    return AddTagMutation(tag=tag, target=target)
+
+
+def removeTag(tag: str, target: EntityTarget = EntityTarget.TARGET) -> RemoveTagMutation:
+    return RemoveTagMutation(tag=tag, target=target)
+
+
+def removeTagPrefix(prefix: str, target: EntityTarget = EntityTarget.TARGET) -> RemoveTagsWithPrefixMutation:
+    return RemoveTagsWithPrefixMutation(prefix=prefix, target=target)
+
+
+def useTarget() -> UseTargetMutation:
+    return UseTargetMutation()
+
+
+def changeTargetVibe(vibe_name: str) -> ChangeVibeMutation:
+    return ChangeVibeMutation(target=EntityTarget.TARGET, vibe_name=vibe_name)
+
+
+def recomputeMaterializedQuery(tag_prefix: str) -> RecomputeMaterializedQueryMutation:
+    return RecomputeMaterializedQueryMutation(tag_prefix=tag_prefix)
+
+
+# =====================================================================
+# Handlers
+# =====================================================================
+
+
+class Handler(Config):
+    """A filter chain (all must pass) + a mutation chain (applied in order).
+
+    Used for on_use handlers, AOEs, move-handler chains, events, and on_tick.
+    Reference: handler/handler.hpp:30-55.
+    """
+
+    name: str = Field(default="", description="Handler name (used when defined in a list rather than a dict)")
+    filters: Sequence[AnyFilter] = Field(default_factory=list, description="All filters must pass")
+    mutations: list[AnyMutation] = Field(default_factory=list, description="Mutations applied in order")
+
+
+class FirstMatch(Config):
+    """Try handlers in order, stop on first success (reference: handler/multi_handler.hpp:24-49)."""
+
+    handler_type: Literal["first_match"] = "first_match"
+    handlers: list[Union["Handler", "FirstMatch", "AllOf"]] = Field(default_factory=list)
+
+
+class AllOf(Config):
+    """Apply all handlers whose filters pass."""
+
+    handler_type: Literal["all_of"] = "all_of"
+    handlers: list[Union["Handler", "FirstMatch", "AllOf"]] = Field(default_factory=list)
+
+
+FirstMatch.model_rebuild()
+AllOf.model_rebuild()
+
+
+def _handler_discriminator(v: Any) -> str:
+    if isinstance(v, dict):
+        return v.get("handler_type", "handler")
+    return getattr(v, "handler_type", "handler")
+
+
+AnyHandler = Annotated[
+    Union[
+        Annotated[Handler, PydanticTag("handler")],
+        Annotated[FirstMatch, PydanticTag("first_match")],
+        Annotated[AllOf, PydanticTag("all_of")],
+    ],
+    Discriminator(_handler_discriminator),
+]
+
+
+def firstMatch(handlers: list) -> Any:
+    """Create a FirstMatch composite, dropping Nones and flattening nested FirstMatch."""
+    flat: list[Handler | FirstMatch | AllOf] = []
+    for h in handlers:
+        if h is None:
+            continue
+        if isinstance(h, FirstMatch):
+            flat.extend(h.handlers)
+        else:
+            flat.append(h)
+    if len(flat) == 0:
+        return None
+    if len(flat) == 1:
+        return flat[0]
+    return FirstMatch(handlers=flat)
+
+
+def allOf(handlers: list) -> Any:
+    """Create an AllOf composite, dropping Nones and flattening nested AllOf."""
+    flat: list[Handler | FirstMatch | AllOf] = []
+    for h in handlers:
+        if h is None:
+            continue
+        if isinstance(h, AllOf):
+            flat.extend(h.handlers)
+        else:
+            flat.append(h)
+    if len(flat) == 0:
+        return None
+    if len(flat) == 1:
+        return flat[0]
+    return AllOf(handlers=flat)
+
+
+class AOEConfig(Handler):
+    """Area-of-effect handler: radius, static/mobile mode, presence deltas.
+
+    Reference: handler/handler_config.hpp:57-65.
+    """
+
+    radius: int = Field(default=1, ge=0, description="Radius of effect (Euclidean distance)")
+    is_static: bool = Field(default=True, description="Pre-compute affected cells (static sources)")
+    effect_self: bool = Field(default=False, description="Source is affected by its own AOE")
+    presence_deltas: dict[str, int] = Field(
+        default_factory=dict,
+        description="One-time resource changes on AOE enter (+delta) / exit (-delta)",
+    )

@@ -1,0 +1,171 @@
+"""Observation feature-id assignment (reference: python/src/mettagrid/config/id_map.py:161-235).
+
+Feature ids are part of the trained-model contract: fixed core features first
+(agent:group, episode_completion_pct, last_action, last_reward, goal, vibe,
+tag, lp:*, agent_id), then per-resource multi-token inventory ids, protocol
+input/output ids, named game-value observations, and trailing optional
+aoe_mask / last_action_move. The layout here matches the reference exactly so
+models transfer between frameworks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+from pydantic import BaseModel, ConfigDict
+
+from mettagrid_tpu.config.tag import typeTag
+
+if TYPE_CHECKING:
+    from mettagrid_tpu.config.game_config import GameConfig, GridObjectConfig
+
+
+def num_inventory_tokens_needed(max_inventory_value: int, token_value_base: int) -> int:
+    """Number of base-N tokens needed to encode max_inventory_value."""
+    if max_inventory_value == 0:
+        return 1
+    return math.ceil(math.log(max_inventory_value + 1, token_value_base))
+
+
+class ObservationFeatureSpec(BaseModel):
+    """Specification for an observation feature."""
+
+    model_config = ConfigDict(protected_namespaces=())
+
+    id: int
+    name: str
+    normalization: float
+
+
+def make_token_feature(name: str, feature_id: int, normalization: float) -> tuple[ObservationFeatureSpec, int]:
+    return ObservationFeatureSpec(id=feature_id, normalization=normalization, name=name), feature_id + 1
+
+
+def make_multi_token_features(
+    name: str, feature_id: int, normalization: float, num_tokens: int
+) -> tuple[list[ObservationFeatureSpec], int]:
+    """A multi-token feature set: base token plus :p1..:pN-1 power tokens."""
+    features = []
+    feat, feature_id = make_token_feature(name, feature_id, normalization)
+    features.append(feat)
+    for power in range(1, num_tokens):
+        feat, feature_id = make_token_feature(f"{name}:p{power}", feature_id, normalization)
+        features.append(feat)
+    return features, feature_id
+
+
+class IdMap:
+    """Manages observation feature ids and tag-name ordering for a game config."""
+
+    def __init__(self, config: "GameConfig"):
+        self._config = config
+        self._features_list: list[ObservationFeatureSpec] | None = None
+
+    def features(self) -> list[ObservationFeatureSpec]:
+        if self._features_list is None:
+            self._features_list = self._compute_features()
+        return self._features_list
+
+    def feature_id(self, name: str) -> int:
+        feature_ids = self._feature_ids_map()
+        if name not in feature_ids:
+            raise KeyError(f"Unknown observation feature: {name}")
+        return feature_ids[name]
+
+    def feature(self, name: str) -> ObservationFeatureSpec:
+        for feat in self.features():
+            if feat.name == name:
+                return feat
+        raise KeyError(f"Unknown observation feature: {name}")
+
+    def has_feature(self, name: str) -> bool:
+        return name in self._feature_ids_map()
+
+    def _feature_ids_map(self) -> dict[str, int]:
+        return {feature.name: feature.id for feature in self.features()}
+
+    def _all_grid_objects(self) -> list["GridObjectConfig"]:
+        result: list["GridObjectConfig"] = list(self._config.objects.values())
+        if self._config.agents:
+            result.extend(self._config.agents)
+        elif self._config.num_agents > 0:
+            result.append(self._config.agent)
+        return result
+
+    def tag_names(self) -> list[str]:
+        """All tag names in alphabetical order: explicit game tags, materialized
+        query output tags, object/agent tags, and auto type tags."""
+        materialized_tags: set[str] = {mq.tag for mq in self._config.materialize_queries}
+        static_tags: set[str] = set(self._config.tags)
+
+        for obj_config in self._config.objects.values():
+            static_tags.update(obj_config.tags)
+            static_tags.add(typeTag(obj_config.name))
+
+        if self._config.agents:
+            for agent in self._config.agents:
+                static_tags.update(agent.tags)
+                static_tags.add(typeTag(agent.name))
+        elif self._config.num_agents > 0:
+            static_tags.update(self._config.agent.tags)
+            static_tags.add(typeTag(self._config.agent.name))
+
+        return sorted(materialized_tags | static_tags)
+
+    def tag_id(self, name: str) -> int:
+        return self.tag_names().index(name)
+
+    def _compute_features(self) -> list[ObservationFeatureSpec]:
+        features: list[ObservationFeatureSpec] = []
+        feature_id = 0
+
+        def add_feature(name: str, normalization: float) -> None:
+            nonlocal feature_id
+            feat, feature_id = make_token_feature(name, feature_id, normalization)
+            features.append(feat)
+
+        # Fixed core features
+        add_feature("agent:group", 10.0)
+        add_feature("episode_completion_pct", 255.0)
+        add_feature("last_action", 10.0)
+        add_feature("last_reward", 100.0)
+        add_feature("goal", 100.0)
+        add_feature("vibe", 255.0)
+        add_feature("tag", 10.0)
+        add_feature("lp:east", 255.0)
+        add_feature("lp:west", 255.0)
+        add_feature("lp:north", 255.0)
+        add_feature("lp:south", 255.0)
+        add_feature("agent_id", 255.0)
+
+        # Per-resource multi-token inventory features (base + power tokens,
+        # sized to encode max uint16 = 65535)
+        token_value_base = self._config.obs.token_value_base
+        num_inv_tokens = num_inventory_tokens_needed(65535, token_value_base)
+        normalization = float(token_value_base)
+        for resource_name in self._config.resource_names:
+            token_features, feature_id = make_multi_token_features(
+                f"inv:{resource_name}", feature_id, normalization, num_inv_tokens
+            )
+            features.extend(token_features)
+
+        # Protocol details features
+        if self._config.protocol_details_obs:
+            for resource_name in self._config.resource_names:
+                add_feature(f"protocol_input:{resource_name}", 100.0)
+            for resource_name in self._config.resource_names:
+                add_feature(f"protocol_output:{resource_name}", 100.0)
+
+        # Named game value observation features (multi-token like inventory)
+        for prefix in self._config.obs.global_obs.obs:
+            token_features, feature_id = make_multi_token_features(prefix, feature_id, normalization, num_inv_tokens)
+            features.extend(token_features)
+
+        # Trailing optional features (appended last to keep earlier ids stable)
+        if self._config.obs.aoe_mask:
+            add_feature("aoe_mask", 3.0)
+        if self._config.obs.global_obs.last_action_move:
+            add_feature("last_action_move", 1.0)
+
+        return features

@@ -1,0 +1,52 @@
+"""Observation configuration (reference: python/src/mettagrid/config/obs_config.py)."""
+
+from pydantic import ConfigDict, Field
+
+from mettagrid_tpu.base_config import Config
+from mettagrid_tpu.config.game_value import AnyGameValue
+
+
+class GlobalObsConfig(Config):
+    """Global observation token configuration."""
+
+    episode_completion_pct: bool = Field(default=True)
+
+    # Controls whether the last_action global token is included
+    last_action: bool = Field(default=True)
+
+    # Optional movement result token: 1 if the agent's location changed in the
+    # last step, else 0 (can differ from action_success when a move "uses" a
+    # building successfully).
+    last_action_move: bool = Field(default=False)
+
+    last_reward: bool = Field(default=True)
+
+    # Goal tokens that indicate rewarding resources
+    goal_obs: bool = Field(default=False)
+
+    # Local position: offset from spawn as directional tokens
+    # (lp:east, lp:west, lp:north, lp:south)
+    local_position: bool = Field(default=False)
+
+    # Named game values included as global observations; keys become the
+    # observation feature name prefix.
+    obs: dict[str, AnyGameValue] = Field(default_factory=dict)
+
+
+class ObsConfig(Config):
+    """Observation window / token buffer configuration."""
+
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    width: int = Field(default=13)
+    height: int = Field(default=13)
+    token_dim: int = Field(default=3)
+    num_tokens: int = Field(default=500)
+    token_value_base: int = Field(default=256)
+    """Base for multi-token inventory encoding (value per token: 0..base-1)."""
+
+    global_obs: GlobalObsConfig = Field(default_factory=GlobalObsConfig)
+
+    # Optional per-tile AOE observability: emits `aoe_mask` tokens with
+    # 1 = friendly influence, 2 = enemy, 0/no token = neutral.
+    aoe_mask: bool = Field(default=False)

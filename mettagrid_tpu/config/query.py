@@ -1,0 +1,88 @@
+"""Declarative object query configs (reference: core/query_config.hpp:41-77 and
+python/src/mettagrid/config/query.py, raycast_query.py).
+
+Four query kinds: TagQuery (tag + filters), ClosureQuery (bounded BFS through
+candidates via binary edge filters), FilteredQuery (recursive composition),
+RaycastQuery (ray walk with blocker filters). Materialized queries cache
+results as a tag, recomputed on demand.
+"""
+
+from __future__ import annotations
+
+from typing import Annotated, Literal, Optional, Union
+
+from pydantic import Field
+
+from mettagrid_tpu.base_config import Config
+from mettagrid_tpu.config.game_value import AnyGameValue
+from mettagrid_tpu.config.handler_config import AnyFilter
+
+
+class Query(Config):
+    """Find objects by tag with optional filters."""
+
+    query_type: Literal["query"] = "query"
+    source: "str | AnyQuery" = Field(description="Tag name or sub-query for lookup via the tag index")
+    filters: list[AnyFilter] = Field(default_factory=list, description="All filters must pass")
+    max_items: Optional[Union[int, AnyGameValue]] = Field(
+        default=None, description="Max objects to return (None = unlimited)"
+    )
+    order_by: Optional[Literal["random"]] = Field(default=None, description="Order results before max_items")
+
+
+class ClosureQuery(Config):
+    """BFS from source seeds through a candidate pool connected by edge filters."""
+
+    query_type: Literal["closure"] = "closure"
+    source: "str | AnyQuery" = Field(description="Seed objects for BFS")
+    candidates: "str | AnyQuery" = Field(description="Objects that can join the network")
+    edge_filters: list[AnyFilter] = Field(
+        default_factory=list, description="Binary filters: (net_member, candidate) -> bool"
+    )
+    filters: list[AnyFilter] = Field(default_factory=list, description="Unary post-filters on the final set")
+    max_items: Optional[Union[int, AnyGameValue]] = Field(default=None)
+    order_by: Optional[Literal["random"]] = Field(default=None)
+
+
+class RaycastQuery(Config):
+    """Walk rays from source objects; blockers stop the ray."""
+
+    query_type: Literal["raycast"] = "raycast"
+    source: "str | AnyQuery" = Field(description="Query to find ray origin objects")
+    max_range: Union[int, AnyGameValue] = Field(default=2)
+    directions: list[str] = Field(default_factory=lambda: ["north", "south", "east", "west"])
+    blocker: list[AnyFilter] = Field(default_factory=list, description="Filters identifying blockers")
+    include_blocker: bool = Field(default=False, description="Include blockers in results")
+    max_items: Optional[Union[int, AnyGameValue]] = Field(default=None)
+    order_by: Optional[Literal["random"]] = Field(default=None)
+
+
+AnyQuery = Annotated[
+    Union[Query, ClosureQuery, RaycastQuery],
+    Field(discriminator="query_type"),
+]
+
+
+class MaterializedQuery(Query):
+    """A query whose results are materialized as a tag, recomputed explicitly
+    via RecomputeMaterializedQueryMutation."""
+
+    query_type: Literal["materialized"] = "materialized"
+    source: str = Field(default="", description="Unused for materialized queries")
+    tag: str = Field(description="Output tag name that matched objects receive")
+    query: "AnyQuery" = Field(description="Query that determines which objects get this tag")
+
+
+Query.model_rebuild()
+ClosureQuery.model_rebuild()
+RaycastQuery.model_rebuild()
+MaterializedQuery.model_rebuild()
+
+
+def query(source: str, filters: list | None = None) -> Query:
+    """Shorthand for a tag query with optional filters."""
+    return Query(source=source, filters=filters or [])
+
+
+def materializedQuery(tag: str, q: "AnyQuery") -> MaterializedQuery:
+    return MaterializedQuery(tag=tag, query=q)

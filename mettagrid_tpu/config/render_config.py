@@ -1,0 +1,31 @@
+"""Rendering hints (reference: python/src/mettagrid/config/render_config.py).
+
+Pure presentation metadata consumed by renderers; never affects simulation.
+"""
+
+from __future__ import annotations
+
+from pydantic import Field
+
+from mettagrid_tpu.base_config import Config
+
+
+class RenderStatusBarConfig(Config):
+    """Which per-agent status values renderers display."""
+
+    resources: list[str] = Field(default_factory=list, description="Resources to show in the status bar")
+
+
+class RenderHudConfig(Config):
+    """Heads-up display configuration."""
+
+    show_agent_panel: bool = Field(default=True)
+    show_timeline: bool = Field(default=True)
+
+
+class RenderConfig(Config):
+    """Renderer hints: symbols per map_name, status bar, HUD."""
+
+    symbols: dict[str, str] = Field(default_factory=dict, description="map_name -> display symbol")
+    status_bar: RenderStatusBarConfig = Field(default_factory=RenderStatusBarConfig)
+    hud: RenderHudConfig = Field(default_factory=RenderHudConfig)

@@ -1,0 +1,48 @@
+"""Agent reward configuration (reference: python/src/mettagrid/config/reward_config.py).
+
+Each AgentReward wraps one game-value expression; per step the engine adds
+either the value's delta vs. the previous step (default) or the raw value
+(per_tick accumulate mode). Reference: cpp/include/mettagrid/systems/reward.hpp:55-78.
+"""
+
+from __future__ import annotations
+
+from pydantic import Field
+
+from mettagrid_tpu.base_config import Config
+from mettagrid_tpu.config.game_value import AnyGameValue, InventoryValue, val, weighted_sum
+
+
+class AgentReward(Config):
+    """Reward computed from a single game value expression."""
+
+    reward: AnyGameValue = Field(default_factory=lambda: val(0.0))
+    per_tick: bool = False  # Accumulate value each tick instead of delta
+
+
+def reward(
+    value: AnyGameValue | list[AnyGameValue],
+    *,
+    weight: float = 1.0,
+    log: bool = False,
+    min: int | float | None = None,
+    max: int | float | None = None,
+    per_tick: bool = False,
+) -> AgentReward:
+    """Create an AgentReward from one or more game values."""
+    values = value if isinstance(value, list) else [value]
+    return AgentReward(
+        reward=weighted_sum([(weight, v) for v in values], log=log, min=min, max=max),
+        per_tick=per_tick,
+    )
+
+
+def inventoryReward(
+    item: str,
+    *,
+    weight: float = 1.0,
+    max: int | float | None = None,
+    per_tick: bool = False,
+) -> AgentReward:
+    """Create an AgentReward from an inventory item count."""
+    return reward(InventoryValue(item=item), weight=weight, max=max, per_tick=per_tick)

@@ -1,0 +1,10 @@
+"""Tag helper functions (reference: python/src/mettagrid/config/tag.py)."""
+
+
+def tag(name: str) -> str:
+    return name
+
+
+def typeTag(name: str) -> str:
+    """Auto-generated type tag for an object/agent name, e.g. "wall" -> "type:wall"."""
+    return f"type:{name}"

@@ -1,0 +1,33 @@
+"""Territory influence configuration (reference:
+python/src/mettagrid/config/territory_config.py; engine:
+cpp/include/mettagrid/core/territory_tracker.hpp:52-107, docs/territory.md).
+
+Sources project influence max(0, strength - decay * d_euclid) (integer math at
+1024x scaling); per-cell ownership is the arg-max tag sum, ties -> neutral.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pydantic import Field
+
+from mettagrid_tpu.base_config import Config
+from mettagrid_tpu.config.handler_config import Handler
+
+
+class TerritoryConfig(Config):
+    """Game-level territory type: tag prefix plus enter/exit/presence handlers."""
+
+    tag_prefix: str = Field(description="Tag prefix whose values compete for ownership (e.g. 'team')")
+    on_enter: Optional[Handler] = Field(default=None, description="Fires when an agent enters owned territory")
+    on_exit: Optional[Handler] = Field(default=None, description="Fires when an agent exits owned territory")
+    presence: Optional[Handler] = Field(default=None, description="Fires per tick while an agent stands in territory")
+
+
+class TerritoryControlConfig(Config):
+    """Per-object influence emission referencing a game.territories key."""
+
+    territory: str = Field(description="Territory type name (key in game.territories)")
+    strength: int = Field(default=1024, ge=0, description="Influence at the source cell (1024x integer scaling)")
+    decay: int = Field(default=256, ge=0, description="Influence lost per cell of Euclidean distance")

@@ -1,0 +1,21 @@
+"""Host-side map building.
+
+Maps are built on the host with NumPy (grids of map_name strings) and
+uploaded to the device at reset. Reference layout:
+python/src/mettagrid/map_builder/ and mapgen/.
+"""
+
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder, AsciiMapBuilderConfig
+from mettagrid_tpu.maps.map_builder import AnyMapBuilderConfig, GameMap, MapBuilder, MapBuilderConfig
+from mettagrid_tpu.maps.random_map import RandomMapBuilder, RandomMapBuilderConfig
+
+__all__ = [
+    "AnyMapBuilderConfig",
+    "AsciiMapBuilder",
+    "AsciiMapBuilderConfig",
+    "GameMap",
+    "MapBuilder",
+    "MapBuilderConfig",
+    "RandomMapBuilder",
+    "RandomMapBuilderConfig",
+]

@@ -1,0 +1,67 @@
+"""ASCII map builder (reference: python/src/mettagrid/map_builder/ascii.py)."""
+
+from __future__ import annotations
+
+from typing import Annotated, Any
+
+import numpy as np
+from pydantic import Field, StringConstraints, field_validator
+
+from mettagrid_tpu.maps.ascii_grid import merge_with_global_defaults
+from mettagrid_tpu.maps.map_builder import GameMap, MapBuilder, MapBuilderConfig
+from mettagrid_tpu.maps.types import map_grid_dtype
+
+
+class AsciiMapBuilderConfig(MapBuilderConfig["AsciiMapBuilder"]):
+    map_data: list[list[str]]
+    char_to_map_name: dict[
+        Annotated[str, StringConstraints(min_length=1, max_length=1)],
+        Annotated[str, StringConstraints(pattern=r"^[\w\.:]+$")],
+    ] = Field(default_factory=dict, validate_default=True)
+
+    @field_validator("map_data", mode="before")
+    @classmethod
+    def _coerce_map_data(cls, value: Any):
+        if isinstance(value, str):
+            return [list(line) for line in value.splitlines() if line]
+        if isinstance(value, list) and value and isinstance(value[0], str):
+            return [list(line) for line in value]
+        return value
+
+    @field_validator("map_data", mode="after")
+    @classmethod
+    def _validate_map_data_lines(cls, map_data: list[list[str]]):
+        width = len(map_data[0])
+        for i, line in enumerate(map_data):
+            assert len(line) == width, (
+                f"Line {i} has length {len(line)}, expected {width}. All lines in an ASCII map must match."
+            )
+        return map_data
+
+    @field_validator("char_to_map_name", mode="after")
+    @classmethod
+    def _merge_defaults(cls, value: dict[str, str]):
+        return merge_with_global_defaults(value)
+
+    @property
+    def width(self) -> int:
+        return len(self.map_data[0]) if self.map_data else 0
+
+    @property
+    def height(self) -> int:
+        return len(self.map_data)
+
+
+class AsciiMapBuilder(MapBuilder[AsciiMapBuilderConfig]):
+    """Builds a game map from an ASCII grid via a char -> map_name legend."""
+
+    Config = AsciiMapBuilderConfig
+
+    def build(self) -> GameMap:
+        names = [[self._char_to_name(c) for c in row] for row in self.config.map_data]
+        return GameMap(np.array(names, dtype=map_grid_dtype))
+
+    def _char_to_name(self, char: str) -> str:
+        if char not in self.config.char_to_map_name:
+            raise ValueError(f"Unknown character {char!r} in ASCII map (legend: {self.config.char_to_map_name})")
+        return self.config.char_to_map_name[char]

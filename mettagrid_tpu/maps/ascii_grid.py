@@ -1,0 +1,51 @@
+"""ASCII grid helpers (reference: python/src/mettagrid/mapgen/utils/ascii_grid.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from mettagrid_tpu.maps.types import MapGrid
+
+GLOBAL_DEFAULT_MAPPINGS: dict[str, str] = {
+    "#": "wall",
+    ".": "empty",
+    "@": "agent.agent",
+}
+
+DEFAULT_CHAR_TO_NAME: dict[str, str] = {
+    **GLOBAL_DEFAULT_MAPPINGS,
+    "p": "agent.prey",
+    "P": "agent.predator",
+    "_": "hub",
+    "c": "converter",
+    "C": "chest",
+    "Z": "hub",
+    "1": "agent.team_1",
+    "2": "agent.team_2",
+    "3": "agent.team_3",
+    "4": "agent.team_4",
+}
+
+
+def merge_with_global_defaults(char_to_name: Mapping[str, str]) -> dict[str, str]:
+    """Merge a legend with the immutable global defaults."""
+    merged: dict[str, str] = {**GLOBAL_DEFAULT_MAPPINGS}
+    for char, name in char_to_name.items():
+        default_name = GLOBAL_DEFAULT_MAPPINGS.get(char)
+        if default_name is not None and default_name != name:
+            raise ValueError(
+                f"Cannot override global default mapping for '{char}': expected '{default_name}', received '{name}'."
+            )
+        merged[char] = name
+    return merged
+
+
+def grid_to_lines(grid: MapGrid, name_to_char: dict[str, str] | None = None) -> list[str]:
+    """Convert a grid to lines of text using a name-to-char mapping."""
+    if name_to_char is None:
+        name_to_char = {name: char for char, name in DEFAULT_CHAR_TO_NAME.items()}
+    lines: list[str] = []
+    for r in range(grid.shape[0]):
+        row = [name_to_char.get(grid[r, c], grid[r, c][0] if grid[r, c] else "?") for c in range(grid.shape[1])]
+        lines.append("".join(row))
+    return lines

@@ -1,0 +1,84 @@
+"""Random map builder (reference: python/src/mettagrid/map_builder/random_map.py)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from mettagrid_tpu.maps.map_builder import GameMap, MapBuilder, MapBuilderConfig
+from mettagrid_tpu.maps.utils import create_grid, draw_border
+
+
+class RandomMapBuilderConfig(MapBuilderConfig["RandomMapBuilder"]):
+    """Uniformly shuffled placement of objects/agents within an optional border."""
+
+    seed: Optional[int] = None
+    width: int = 10
+    height: int = 10
+    objects: dict[str, int] = {}
+    agents: int | dict[str, int] = 0
+    border_width: int = 0
+    border_object: str = "wall"
+
+
+class RandomMapBuilder(MapBuilder[RandomMapBuilderConfig]):
+    Config = RandomMapBuilderConfig
+
+    def __init__(self, config: RandomMapBuilderConfig):
+        super().__init__(config)
+        self._rng = np.random.default_rng(self.config.seed)
+
+    def build(self) -> GameMap:
+        if self.config.seed is not None:
+            # Deterministic builds across multiple calls.
+            self._rng = np.random.default_rng(self.config.seed)
+
+        grid = create_grid(self.config.height, self.config.width)
+        if self.config.border_width > 0:
+            draw_border(grid, self.config.border_width, self.config.border_object)
+            inner_height = max(0, self.config.height - 2 * self.config.border_width)
+            inner_width = max(0, self.config.width - 2 * self.config.border_width)
+        else:
+            inner_height = self.config.height
+            inner_width = self.config.width
+        inner_area = inner_height * inner_width
+        if inner_area <= 0:
+            return GameMap(grid)
+
+        if isinstance(self.config.agents, int):
+            agents = ["agent.agent"] * self.config.agents
+        elif isinstance(self.config.agents, dict):
+            agents = ["agent." + agent for agent, na in self.config.agents.items() for _ in range(na)]
+        else:
+            raise ValueError(f"Invalid agents configuration: {self.config.agents}")
+
+        # Halve object counts until everything fits in the inner area.
+        objects = dict(self.config.objects)
+        total = sum(objects.values()) + len(agents)
+        while total > inner_area:
+            if all(count <= 1 for count in objects.values()) and len(agents) <= 1:
+                break
+            for obj_name in objects:
+                objects[obj_name] = max(1, objects[obj_name] // 2)
+            total = sum(objects.values()) + len(agents)
+
+        symbols: list[str] = []
+        for obj_name, count in objects.items():
+            symbols.extend([obj_name] * count)
+        symbols.extend(agents)
+        symbols.extend(["empty"] * (inner_area - len(symbols)))
+
+        symbols_arr = np.array(symbols).astype(str)
+        self._rng.shuffle(symbols_arr)
+        inner_grid = symbols_arr.reshape(inner_height, inner_width)
+
+        if self.config.border_width > 0:
+            grid[
+                self.config.border_width : self.config.border_width + inner_height,
+                self.config.border_width : self.config.border_width + inner_width,
+            ] = inner_grid
+        else:
+            grid = inner_grid
+
+        return GameMap(grid)

@@ -1,0 +1,8 @@
+"""Map grid types (reference: python/src/mettagrid/mapgen/types.py)."""
+
+import numpy as np
+import numpy.typing as npt
+
+# Two-dimensional grid of map_name strings ("wall", "empty", "agent.agent", ...).
+map_grid_dtype = np.dtype("<U50")
+MapGrid = npt.NDArray[np.str_]

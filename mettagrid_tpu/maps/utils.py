@@ -1,0 +1,22 @@
+"""Grid drawing utilities (reference: python/src/mettagrid/map_builder/utils.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mettagrid_tpu.maps.types import MapGrid, map_grid_dtype
+
+
+def create_grid(height: int, width: int, fill_value: str = "empty") -> MapGrid:
+    """A height x width grid pre-filled with fill_value."""
+    return np.full((height, width), fill_value, dtype=map_grid_dtype)
+
+
+def draw_border(grid: MapGrid, border_width: int, border_object: str) -> None:
+    """Draw a border of the given thickness in-place."""
+    if border_width == 0:
+        return
+    grid[:border_width, :] = border_object
+    grid[-border_width:, :] = border_object
+    grid[:, :border_width] = border_object
+    grid[:, -border_width:] = border_object

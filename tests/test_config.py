@@ -1,0 +1,120 @@
+"""Config-layer tests: IdMap feature layout, tag ordering, action flattening.
+
+The IdMap layout is the trained-model contract; expected values below are
+hand-derived from the reference layout
+(reference: python/src/mettagrid/config/id_map.py:161-235).
+"""
+
+import pytest
+
+from mettagrid_tpu.config.action_config import ActionsConfig, ChangeVibeActionConfig, MoveActionConfig
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.config.vibes import VIBES
+
+
+def test_id_map_core_features():
+    cfg = GameConfig(num_agents=2, resource_names=["gold"], protocol_details_obs=False)
+    feats = cfg.id_map().features()
+    names = [f.name for f in feats]
+    # Fixed core features, in order.
+    assert names[:12] == [
+        "agent:group",
+        "episode_completion_pct",
+        "last_action",
+        "last_reward",
+        "goal",
+        "vibe",
+        "tag",
+        "lp:east",
+        "lp:west",
+        "lp:north",
+        "lp:south",
+        "agent_id",
+    ]
+    # Default base-256 inventory encoding needs 2 tokens for uint16.
+    assert names[12:14] == ["inv:gold", "inv:gold:p1"]
+    assert [f.id for f in feats] == list(range(len(feats)))
+
+
+def test_id_map_protocol_and_optional_tail():
+    cfg = GameConfig(num_agents=1, resource_names=["a", "b"], protocol_details_obs=True)
+    cfg.obs.aoe_mask = True
+    cfg.obs.global_obs.last_action_move = True
+    id_map = cfg.id_map()
+    names = [f.name for f in id_map.features()]
+    assert "protocol_input:a" in names
+    assert "protocol_output:b" in names
+    # Optional features are appended at the end so earlier ids stay stable.
+    assert names[-2:] == ["aoe_mask", "last_action_move"]
+
+
+def test_id_map_token_value_base_affects_inventory_tokens():
+    cfg = GameConfig(num_agents=1, resource_names=["x"], protocol_details_obs=False)
+    cfg.obs.token_value_base = 16
+    names = [f.name for f in cfg.id_map().features()]
+    # 65535 needs 4 tokens in base 16.
+    assert [n for n in names if n.startswith("inv:x")] == ["inv:x", "inv:x:p1", "inv:x:p2", "inv:x:p3"]
+
+
+def test_tag_names_sorted_with_type_tags():
+    cfg = GameConfig(
+        num_agents=2,
+        objects={"wall": WallConfig()},
+        tags=["zeta", "alpha"],
+    )
+    tags = cfg.id_map().tag_names()
+    assert tags == sorted(tags)
+    assert "type:wall" in tags
+    assert "type:agent" in tags
+    assert "alpha" in tags and "zeta" in tags
+
+
+def test_actions_flattening_order():
+    actions = ActionsConfig()
+    names = [a.name for a in actions.actions()]
+    # noop first, then move variants, then change_vibe variants (attack
+    # disabled by default contributes no variants).
+    assert names[0] == "noop"
+    assert names[1:5] == ["move_north", "move_south", "move_west", "move_east"]
+    assert names[5] == "change_vibe_default"
+    assert len(names) == 1 + 4 + len(VIBES)
+
+
+def test_move_directions_configurable():
+    actions = ActionsConfig(
+        move=MoveActionConfig(allowed_directions=["north", "southeast"]),
+        change_vibe=ChangeVibeActionConfig(vibes=[]),
+    )
+    names = [a.name for a in actions.actions()]
+    assert names == ["noop", "move_north", "move_southeast"]
+
+
+def test_empty_room_factory():
+    cfg = MettaGridConfig.EmptyRoom(num_agents=4, width=8, height=8)
+    assert cfg.game.num_agents == 4
+    game_map = cfg.game.map_builder.create().build_for_num_agents(4)
+    assert game_map.grid.shape == (8, 8)
+    assert (game_map.grid == "agent.agent").sum() == 4
+    assert (game_map.grid[0, :] == "wall").all()
+
+
+def test_vibe_names_computed():
+    cfg = GameConfig(num_agents=1)
+    assert cfg.vibe_names == [v.name for v in VIBES]
+
+
+def test_ascii_map_builder():
+    cfg = MettaGridConfig.EmptyRoom(num_agents=1).with_ascii_map(
+        ["###", "#@#", "###"], {}
+    )
+    game_map = cfg.game.map_builder.create().build_for_num_agents(1)
+    assert game_map.grid[1, 1] == "agent.agent"
+    assert game_map.grid[0, 0] == "wall"
+
+
+def test_map_builder_spawn_trimming():
+    cfg = MettaGridConfig.EmptyRoom(num_agents=2, width=8, height=8)
+    builder = cfg.game.map_builder.create()
+    with pytest.raises(ValueError):
+        # Map has 4 spawn points? No - EmptyRoom(2) gives 2. Asking for more fails.
+        builder.build_for_num_agents(10)
