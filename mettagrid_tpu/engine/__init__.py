@@ -1,0 +1,23 @@
+"""The TPU-native simulation engine.
+
+The reference's C++ per-object interpreter (cpp/bindings/mettagrid_c.cpp)
+becomes a fully vectorized state machine: env state is a struct-of-arrays
+pytree in HBM, stepped by one jitted function over all E envs. Configs are
+compiled once (host side) into a static EngineProgram of dispatch tables;
+there is no runtime dispatch or dynamic shape anywhere in the step.
+"""
+
+from mettagrid_tpu.engine.program import EngineProgram, compile_program
+from mettagrid_tpu.engine.state import EnvState
+from mettagrid_tpu.engine.init import build_env_init, EnvInit
+from mettagrid_tpu.engine.step import make_reset, make_step
+
+__all__ = [
+    "EngineProgram",
+    "EnvInit",
+    "EnvState",
+    "build_env_init",
+    "compile_program",
+    "make_reset",
+    "make_step",
+]

@@ -1,0 +1,153 @@
+"""Action phase: sequential semantics in a parallel engine.
+
+The reference applies actions sequentially in shuffled order with immediate
+effect (cpp/bindings/mettagrid_c.cpp:957-998): later agents see earlier
+agents' moves. Here a lax.fori_loop iterates over the shuffled permutation —
+each iteration applies ONE agent's action across ALL E envs in parallel, so
+the sequential conflict semantics are exact while the batch axis stays fully
+vectorized. Priority levels run highest-to-lowest; within each level, the
+primary stream then the vibe stream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mettagrid_tpu.engine.handlers import Ctx, apply_mutations, eval_filters, gather_obj, scatter_obj
+from mettagrid_tpu.engine.program import (
+    DIR_DC,
+    DIR_DR,
+    KIND_CHANGE_VIBE,
+    KIND_MOVE,
+    KIND_NOOP,
+    EngineProgram,
+)
+from mettagrid_tpu.engine.state import EnvState
+
+
+def apply_move(program: EngineProgram, state: EnvState, agent_slot: jnp.ndarray, arg: jnp.ndarray, active: jnp.ndarray):
+    """One agent's move (per env), via the compiled move-handler chain
+    (reference: actions/move.hpp:81-115).
+
+    Per handler: line-scan in the move direction. accepts_empty handlers take
+    the first in-bounds cell (distance 1); others take the first occupied
+    cell within max_range (scanning past empties, stopping at the map edge).
+    The first handler whose filters pass and mutations apply wins.
+    """
+    E = state.grid.shape[0]
+    H, W = state.grid.shape[1], state.grid.shape[2]
+    e = jnp.arange(E, dtype=jnp.int32)
+
+    ar = gather_obj(state.obj_r, agent_slot)
+    ac = gather_obj(state.obj_c, agent_slot)
+    dr = jnp.asarray(DIR_DR)[arg]
+    dc = jnp.asarray(DIR_DC)[arg]
+
+    success = jnp.zeros(E, dtype=bool)
+    for mh in program.move_handlers:
+        # --- find the candidate cell for this handler ---
+        if mh.accepts_empty:
+            cr = ar + dr
+            cc = ac + dc
+            found = active & (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
+            cand_r, cand_c = cr, cc
+            cand_dist = jnp.ones(E, dtype=jnp.int32)
+        else:
+            found = jnp.zeros(E, dtype=bool)
+            blocked = jnp.zeros(E, dtype=bool)
+            cand_r = jnp.zeros(E, dtype=jnp.int32)
+            cand_c = jnp.zeros(E, dtype=jnp.int32)
+            cand_dist = jnp.ones(E, dtype=jnp.int32)
+            for i in range(1, mh.max_range + 1):
+                cr = ar + dr * i
+                cc = ac + dc * i
+                inb = (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
+                blocked = blocked | ~inb
+                slot_here = state.grid[e, jnp.clip(cr, 0, H - 1), jnp.clip(cc, 0, W - 1)]
+                occupied = inb & ~blocked & (slot_here >= 0)
+                newly = occupied & ~found
+                cand_r = jnp.where(newly, cr, cand_r)
+                cand_c = jnp.where(newly, cc, cand_c)
+                cand_dist = jnp.where(newly, i, cand_dist)
+                found = found | newly
+            found = found & active
+
+        target = state.grid[e, jnp.clip(cand_r, 0, H - 1), jnp.clip(cand_c, 0, W - 1)]
+        target = jnp.where(found, target, -1)
+        ctx = Ctx(
+            actor=agent_slot,
+            target=target,
+            target_r=cand_r,
+            target_c=cand_c,
+            distance=cand_dist,
+            timestep=state.step_count,
+        )
+        try_mask = found & ~success
+        passed = try_mask & eval_filters(program, state, ctx, mh.handler)
+        state, applied = apply_mutations(program, state, ctx, mh.handler, passed)
+        success = success | applied
+
+    return state, success
+
+
+def make_action_phase(program: EngineProgram):
+    """Build the full action phase (all priorities, both streams)."""
+    n_actions = len(program.action_names)
+    kind_t = jnp.asarray(program.action_kind)
+    arg_t = jnp.asarray(program.action_arg)
+    is_vibe_t = jnp.asarray(program.action_is_vibe)
+    prio_t = jnp.asarray(program.action_priority)
+    A = program.num_agents
+
+    def apply_one(state: EnvState, agent_slot: jnp.ndarray, action: jnp.ndarray, prio: int, vibe_stream: bool):
+        """Apply one (agent, action) per env (reference process_action_stream,
+        mettagrid_c.cpp:969-991)."""
+        E = state.grid.shape[0]
+        e = jnp.arange(E, dtype=jnp.int32)
+        valid = (action >= 0) & (action < n_actions)
+        a = jnp.clip(action, 0, n_actions - 1)
+        stream_ok = is_vibe_t[a] == (True if vibe_stream else False)
+        active = valid & stream_ok & (prio_t[a] == prio)
+        kind = kind_t[a]
+        arg = arg_t[a]
+
+        success = active & (kind == KIND_NOOP)
+
+        move_mask = active & (kind == KIND_MOVE)
+        state, move_succ = apply_move(program, state, agent_slot, arg, move_mask)
+        success = success | move_succ
+
+        cv_mask = active & (kind == KIND_CHANGE_VIBE)
+        state = state._replace(obj_vibe=scatter_obj(state.obj_vibe, agent_slot, arg, cv_mask))
+        # ChangeVibe always succeeds (reference: actions/change_vibe.hpp:25-60).
+        success = success | cv_mask
+
+        last = state.agent_last_action[e, agent_slot]
+        state = state._replace(
+            agent_last_action=state.agent_last_action.at[e, agent_slot].set(jnp.where(success, a, last)),
+            action_success=state.action_success.at[e, agent_slot].set(
+                state.action_success[e, agent_slot] | success
+            ),
+        )
+        return state
+
+    def action_phase(state: EnvState, actions: jnp.ndarray, vibe_actions: jnp.ndarray, perm: jnp.ndarray) -> EnvState:
+        """actions/vibe_actions: int32[E, A]; perm: int32[E, A] shuffled agent order."""
+        E = actions.shape[0]
+        e = jnp.arange(E, dtype=jnp.int32)
+
+        for prio in program.priorities_desc:
+            def primary_body(i, st):
+                agent = perm[:, i]
+                return apply_one(st, agent, actions[e, agent], prio, vibe_stream=False)
+
+            def vibe_body(i, st):
+                agent = perm[:, i]
+                return apply_one(st, agent, vibe_actions[e, agent], prio, vibe_stream=True)
+
+            state = jax.lax.fori_loop(0, A, primary_body, state)
+            state = jax.lax.fori_loop(0, A, vibe_body, state)
+        return state
+
+    return action_phase

@@ -1,0 +1,287 @@
+"""Vectorized handler execution: filters -> bool masks, mutations -> masked updates.
+
+The reference interprets handler chains per object
+(cpp/src/mettagrid/handler/handler.cpp:76-93 try_apply: all filters pass,
+then mutations apply in order until one fails). Here a handler runs for all
+E envs at once: eval_filters returns a bool[E] mask, apply_mutations scatters
+masked updates. Entity references are object-slot indices (one per env);
+slot -1 means "no entity" and fails entity filters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mettagrid_tpu.engine.program import CompiledFilter, CompiledHandler, CompiledMutation, EngineProgram
+
+
+class Ctx(NamedTuple):
+    """Execution context (reference: handler/handler_context.hpp:38-112),
+    one entry per env."""
+
+    actor: jnp.ndarray  # int32[E] slot
+    target: jnp.ndarray  # int32[E] slot, -1 = none
+    target_r: jnp.ndarray  # int32[E]
+    target_c: jnp.ndarray  # int32[E]
+    distance: jnp.ndarray  # int32[E]
+    timestep: jnp.ndarray  # int32[E]
+
+
+def _env_ids(state) -> jnp.ndarray:
+    return jnp.arange(state.grid.shape[0], dtype=jnp.int32)
+
+
+def _safe(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.clip(idx, 0, n - 1)
+
+
+def gather_obj(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """arr[e, slot[e], ...] with slot clipped (caller masks validity)."""
+    e = jnp.arange(arr.shape[0], dtype=jnp.int32)
+    return arr[e, _safe(slot, arr.shape[1])]
+
+
+def scatter_obj(arr: jnp.ndarray, slot: jnp.ndarray, value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked per-env write arr[e, slot[e]] = value[e] where mask."""
+    e = jnp.arange(arr.shape[0], dtype=jnp.int32)
+    idx = _safe(slot, arr.shape[1])
+    old = arr[e, idx]
+    mask_b = mask
+    if value.ndim > mask.ndim:
+        mask_b = mask.reshape(mask.shape + (1,) * (value.ndim - mask.ndim))
+    return arr.at[e, idx].set(jnp.where(mask_b, value, old))
+
+
+def _entity_slot(ctx: Ctx, target_is_actor: bool) -> jnp.ndarray:
+    return ctx.actor if target_is_actor else ctx.target
+
+
+# =====================================================================
+# Filters
+# =====================================================================
+
+
+def eval_filter(program: EngineProgram, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
+    kind = f.kind
+    if kind == "target_loc_empty":
+        return ctx.target < 0
+    if kind == "target_is_usable":
+        ttype = gather_obj(state.obj_type, ctx.target)
+        usable = jnp.asarray(program.type_usable)[ttype]
+        return (ctx.target >= 0) & usable
+    if kind == "vibe":
+        slot = _entity_slot(ctx, f.target_is_actor)
+        vibe = gather_obj(state.obj_vibe, slot)
+        return (slot >= 0) & (vibe == f.vibe_id)
+    if kind == "resource":
+        slot = _entity_slot(ctx, f.target_is_actor)
+        inv = gather_obj(state.obj_inv, slot)  # [E, R]
+        ok = slot >= 0
+        for rid, amount in f.resource_mins:
+            ok = ok & (inv[:, rid] >= amount)
+        return ok
+    if kind == "tag":
+        slot = _entity_slot(ctx, f.target_is_actor)
+        tags = gather_obj(state.obj_tags, slot)  # [E, n_tags]
+        return (slot >= 0) & tags[:, f.tag_id]
+    if kind == "max_distance":
+        if f.radius <= 0:
+            return jnp.ones_like(ctx.actor, dtype=bool)
+        ar = gather_obj(state.obj_r, ctx.actor)
+        ac = gather_obj(state.obj_c, ctx.actor)
+        dr = ctx.target_r - ar
+        dc = ctx.target_c - ac
+        return dr * dr + dc * dc <= f.radius * f.radius
+    if kind == "not":
+        return ~eval_filter(program, state, ctx, f.inner[0])
+    if kind == "or":
+        ok = jnp.zeros_like(ctx.actor, dtype=bool)
+        for sub in f.inner:
+            ok = ok | eval_filter(program, state, ctx, sub)
+        return ok
+    if kind == "periodic":
+        t = ctx.timestep
+        return (t >= f.start_on) & ((t - f.start_on) % f.period == 0)
+    raise NotImplementedError(f"Filter kind {kind!r}")
+
+
+def eval_filters(program: EngineProgram, state, ctx: Ctx, handler: CompiledHandler) -> jnp.ndarray:
+    ok = jnp.ones_like(ctx.actor, dtype=bool)
+    for f in handler.filters:
+        ok = ok & eval_filter(program, state, ctx, f)
+    return ok
+
+
+# =====================================================================
+# Inventory math (reference: objects/inventory.cpp:38-88)
+# =====================================================================
+
+
+def inv_limits_for(program: EngineProgram, state, slot: jnp.ndarray) -> jnp.ndarray:
+    """Per-resource effective limits for the entity at slot: int32[E, R]."""
+    tid = gather_obj(state.obj_type, slot)
+    return jnp.asarray(program.type_inv_limit)[tid]
+
+
+def inventory_update(
+    program: EngineProgram, state, slot: jnp.ndarray, rid: int, delta: jnp.ndarray, mask: jnp.ndarray
+):
+    """Clamped inventory update; returns (state, actual_delta[E])."""
+    inv = gather_obj(state.obj_inv, slot)  # [E, R]
+    limits = inv_limits_for(program, state, slot)
+    old = inv[:, rid]
+    new = jnp.clip(old + delta, 0, limits[:, rid])
+    actual = jnp.where(mask, new - old, 0)
+    new_inv = inv.at[:, rid].set(jnp.where(mask, new, old))
+    state = state._replace(obj_inv=scatter_obj(state.obj_inv, slot, new_inv, mask))
+    return state, actual
+
+
+# =====================================================================
+# Mutations
+# =====================================================================
+
+
+def apply_mutation(program: EngineProgram, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray):
+    """Apply one mutation under mask. Returns (state, ok[E]) where ok is False
+    for envs where the mutation failed (reference ctx.mutation_failed)."""
+    kind = m.kind
+    ok = jnp.ones_like(mask)
+
+    if kind == "relocate":
+        # Move actor to target cell (reference: relocate_mutation.hpp).
+        e = _env_ids(state)
+        ar = gather_obj(state.obj_r, ctx.actor)
+        ac = gather_obj(state.obj_c, ctx.actor)
+        H, W = state.grid.shape[1], state.grid.shape[2]
+        tr = _safe(ctx.target_r, H)
+        tc = _safe(ctx.target_c, W)
+        # Clear old cell, set new cell, update position.
+        grid = state.grid
+        old_cell = grid[e, ar, ac]
+        grid = grid.at[e, ar, ac].set(jnp.where(mask, -1, old_cell))
+        new_cell_old = grid[e, tr, tc]
+        grid = grid.at[e, tr, tc].set(jnp.where(mask, ctx.actor, new_cell_old))
+        state = state._replace(
+            grid=grid,
+            obj_r=scatter_obj(state.obj_r, ctx.actor, jnp.where(mask, tr, ar), mask),
+            obj_c=scatter_obj(state.obj_c, ctx.actor, jnp.where(mask, tc, ac), mask),
+        )
+        return state, ok
+
+    if kind == "swap":
+        e = _env_ids(state)
+        ar = gather_obj(state.obj_r, ctx.actor)
+        ac = gather_obj(state.obj_c, ctx.actor)
+        tr = gather_obj(state.obj_r, ctx.target)
+        tc = gather_obj(state.obj_c, ctx.target)
+        valid = mask & (ctx.target >= 0)
+        grid = state.grid
+        grid = grid.at[e, ar, ac].set(jnp.where(valid, ctx.target, grid[e, ar, ac]))
+        grid = grid.at[e, tr, tc].set(jnp.where(valid, ctx.actor, grid[e, tr, tc]))
+        state = state._replace(
+            grid=grid,
+            obj_r=scatter_obj(state.obj_r, ctx.actor, tr, valid),
+            obj_c=scatter_obj(state.obj_c, ctx.actor, tc, valid),
+        )
+        state = state._replace(
+            obj_r=scatter_obj(state.obj_r, ctx.target, ar, valid),
+            obj_c=scatter_obj(state.obj_c, ctx.target, ac, valid),
+        )
+        return state, ok & (ctx.target >= 0)
+
+    if kind == "resource_delta":
+        slot = _entity_slot(ctx, m.target_is_actor)
+        valid = mask & (slot >= 0)
+        for rid, delta in m.deltas:
+            state, _ = inventory_update(program, state, slot, rid, jnp.full_like(slot, delta), valid)
+        return state, ok
+
+    if kind == "resource_transfer":
+        src = _entity_slot(ctx, m.from_is_actor)
+        dst = _entity_slot(ctx, m.to_is_actor)
+        valid = mask & (src >= 0) & (dst >= 0)
+        for rid, amount in m.deltas:
+            src_inv = gather_obj(state.obj_inv, src)[:, rid]
+            want = jnp.where(amount < 0, src_inv, jnp.minimum(amount, src_inv))
+            # Receiver accepts up to capacity; source loses what was accepted
+            # (destroy_untransferred=false — resource_mutation.hpp:72-77).
+            state, accepted = inventory_update(program, state, dst, rid, want, valid)
+            state, _ = inventory_update(program, state, src, rid, -accepted, valid)
+        if m.remove_source_when_empty:
+            src_inv_after = gather_obj(state.obj_inv, src)
+            empty = src_inv_after.sum(axis=-1) == 0
+            rm = valid & empty
+            e = _env_ids(state)
+            sr = gather_obj(state.obj_r, src)
+            sc = gather_obj(state.obj_c, src)
+            grid = state.grid.at[e, sr, sc].set(jnp.where(rm, -1, state.grid[e, sr, sc]))
+            state = state._replace(
+                grid=grid,
+                obj_alive=scatter_obj(state.obj_alive, src, jnp.zeros_like(rm), rm),
+            )
+        return state, ok
+
+    if kind == "change_vibe":
+        slot = _entity_slot(ctx, m.target_is_actor)
+        valid = mask & (slot >= 0)
+        state = state._replace(
+            obj_vibe=scatter_obj(state.obj_vibe, slot, jnp.full_like(slot, m.vibe_id), valid)
+        )
+        return state, ok
+
+    if kind == "add_tag":
+        slot = _entity_slot(ctx, m.target_is_actor)
+        valid = mask & (slot >= 0)
+        tags = gather_obj(state.obj_tags, slot)
+        tags = tags.at[:, m.tag_id].set(jnp.where(valid, True, tags[:, m.tag_id]))
+        state = state._replace(obj_tags=scatter_obj(state.obj_tags, slot, tags, valid))
+        return state, ok
+
+    if kind == "remove_tag":
+        slot = _entity_slot(ctx, m.target_is_actor)
+        valid = mask & (slot >= 0)
+        tags = gather_obj(state.obj_tags, slot)
+        tags = tags.at[:, m.tag_id].set(jnp.where(valid, False, tags[:, m.tag_id]))
+        state = state._replace(obj_tags=scatter_obj(state.obj_tags, slot, tags, valid))
+        return state, ok
+
+    if kind == "use_target":
+        return apply_use_target(program, state, ctx, mask)
+
+    raise NotImplementedError(f"Mutation kind {kind!r}")
+
+
+def apply_use_target(program: EngineProgram, state, ctx: Ctx, mask: jnp.ndarray):
+    """Delegate to the target's per-type on_use handler chain
+    (reference: use_target_mutation.hpp + grid_object.cpp:69-77)."""
+    ttype = gather_obj(state.obj_type, ctx.target)
+    ok = jnp.zeros_like(mask)
+    for tid, handler in enumerate(program.on_use_handlers):
+        if handler is None:
+            continue
+        type_mask = mask & (ctx.target >= 0) & (ttype == tid)
+        state, applied = try_apply(program, state, ctx, handler, type_mask)
+        ok = ok | applied
+    return state, ok
+
+
+def apply_mutations(program: EngineProgram, state, ctx: Ctx, handler: CompiledHandler, mask: jnp.ndarray):
+    """Apply the mutation chain in order; a failed mutation stops later
+    mutations for that env but earlier ones stay applied (no rollback —
+    reference handler.cpp:82-89)."""
+    still_ok = mask
+    for m in handler.mutations:
+        state, ok = apply_mutation(program, state, ctx, m, still_ok)
+        still_ok = still_ok & ok
+    return state, still_ok
+
+
+def try_apply(program: EngineProgram, state, ctx: Ctx, handler: CompiledHandler, mask: jnp.ndarray):
+    """Full handler application: filters gate, then mutations. Returns
+    (state, succeeded[E])."""
+    passed = mask & eval_filters(program, state, ctx, handler)
+    state, applied = apply_mutations(program, state, ctx, handler, passed)
+    return state, applied

@@ -1,0 +1,158 @@
+"""Host-side state initialization: GameMap(s) -> EnvInit arrays.
+
+Maps are scanned row-major, matching the reference's _init_grid order
+(cpp/bindings/mettagrid_c.cpp:200-269): agents get slots/ids 0..A-1 in
+encounter order; other objects get slots A..N-1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+from mettagrid_tpu.engine.program import EngineProgram
+from mettagrid_tpu.maps.map_builder import GameMap
+
+
+@dataclass
+class EnvInit:
+    """Initial per-env object tables (numpy; device upload happens at reset).
+
+    Holds one entry per distinct map ("map pool"); envs are assigned maps
+    round-robin at reset. All arrays have a leading pool dimension P.
+    """
+
+    grid: np.ndarray  # int32[P, H, W]
+    obj_type: np.ndarray  # int32[P, N]
+    obj_r: np.ndarray  # int32[P, N]
+    obj_c: np.ndarray  # int32[P, N]
+    obj_vibe: np.ndarray  # int32[P, N]
+    obj_tags: np.ndarray  # bool[P, N, n_tags]
+    obj_inv: np.ndarray  # int32[P, N, R]
+    obj_alive: np.ndarray  # bool[P, N]
+    agent_group: np.ndarray  # int32[P, A]
+    agent_cfg: np.ndarray  # int32[P, A]
+    agent_r: np.ndarray  # int32[P, A]
+    agent_c: np.ndarray  # int32[P, A]
+
+    @property
+    def pool_size(self) -> int:
+        return self.grid.shape[0]
+
+
+def _agent_cfg_index(program: EngineProgram, cell: str, next_by_order: int) -> int:
+    """Resolve an 'agent...' map cell to an agent-config index."""
+    if cell in ("agent", "agent.agent"):
+        return 0
+    name = cell.split(".", 1)[1] if "." in cell else cell
+    for i, cfg_name in enumerate(program.agent_config_names):
+        if cfg_name == name:
+            return i
+    # Multiple per-agent configs assigned positionally (reference rewrites
+    # agent cells during conversion); fall back to encounter order.
+    if len(program.agent_config_names) > 1:
+        return min(next_by_order, len(program.agent_config_names) - 1)
+    return 0
+
+
+def build_env_init(
+    program: EngineProgram,
+    game_maps: Sequence[GameMap],
+    extra_object_capacity: int = 0,
+) -> EnvInit:
+    """Build the initial object tables from one or more GameMaps.
+
+    All maps in the pool must share dimensions (static shapes). Binds
+    program.height/width/num_objects as a side effect (they are map
+    properties, not config properties).
+    """
+    assert game_maps, "need at least one map"
+    H, W = game_maps[0].grid.shape
+    for gm in game_maps:
+        assert gm.grid.shape == (H, W), "all maps in a pool must share dimensions"
+
+    A = program.num_agents
+    # Slot capacity: agents + max object count over the pool + headroom.
+    max_objects = 0
+    parsed = []
+    for gm in game_maps:
+        cells = []
+        for r in range(H):
+            for c in range(W):
+                name = str(gm.grid[r, c])
+                if name == "empty" or name == "":
+                    continue
+                cells.append((r, c, name))
+        n_obj = sum(1 for _, _, n in cells if not n.startswith("agent"))
+        max_objects = max(max_objects, n_obj)
+        parsed.append(cells)
+
+    N = A + max_objects + extra_object_capacity
+    P = len(game_maps)
+    R = program.num_resources
+
+    program.height = H
+    program.width = W
+    program.num_objects = N
+
+    grid = np.full((P, H, W), -1, dtype=np.int32)
+    obj_type = np.zeros((P, N), dtype=np.int32)
+    obj_r = np.zeros((P, N), dtype=np.int32)
+    obj_c = np.zeros((P, N), dtype=np.int32)
+    obj_vibe = np.zeros((P, N), dtype=np.int32)
+    obj_tags = np.zeros((P, N, program.num_tags), dtype=bool)
+    obj_inv = np.zeros((P, N, R), dtype=np.int32)
+    obj_alive = np.zeros((P, N), dtype=bool)
+    agent_group = np.zeros((P, A), dtype=np.int32)
+    agent_cfg = np.zeros((P, A), dtype=np.int32)
+    agent_r = np.zeros((P, A), dtype=np.int32)
+    agent_c = np.zeros((P, A), dtype=np.int32)
+
+    for p, cells in enumerate(parsed):
+        agent_slot = 0
+        obj_slot = A
+        for r, c, name in cells:
+            if name.startswith("agent"):
+                if agent_slot >= A:
+                    raise ValueError(f"Map {p} has more than num_agents={A} agent cells")
+                cfg_idx = _agent_cfg_index(program, name, agent_slot)
+                tid = int(program.agent_type_ids[cfg_idx])
+                slot = agent_slot
+                agent_group[p, slot] = program.agent_groups[cfg_idx]
+                agent_cfg[p, slot] = cfg_idx
+                agent_r[p, slot] = r
+                agent_c[p, slot] = c
+                agent_slot += 1
+            else:
+                if name not in program.map_name_to_type:
+                    raise ValueError(f"Map cell {name!r} has no configured object type")
+                tid = program.map_name_to_type[name]
+                slot = obj_slot
+                obj_slot += 1
+            grid[p, r, c] = slot
+            obj_type[p, slot] = tid
+            obj_r[p, slot] = r
+            obj_c[p, slot] = c
+            obj_vibe[p, slot] = program.type_initial_vibe[tid]
+            obj_tags[p, slot] = program.type_tags[tid]
+            obj_inv[p, slot] = program.type_initial_inv[tid]
+            obj_alive[p, slot] = True
+        if agent_slot != A:
+            raise ValueError(f"Map {p} has {agent_slot} agent cells, expected num_agents={A}")
+
+    return EnvInit(
+        grid=grid,
+        obj_type=obj_type,
+        obj_r=obj_r,
+        obj_c=obj_c,
+        obj_vibe=obj_vibe,
+        obj_tags=obj_tags,
+        obj_inv=obj_inv,
+        obj_alive=obj_alive,
+        agent_group=agent_group,
+        agent_cfg=agent_cfg,
+        agent_r=agent_r,
+        agent_c=agent_c,
+    )

@@ -1,0 +1,223 @@
+"""Batched token-observation extraction.
+
+The reference's hottest loop (68-89% of step time: per-agent, per-cell token
+emission with budget accounting — cpp/bindings/mettagrid_c.cpp:664-824)
+becomes one vectorized compaction: a static candidate-token layout
+[global tokens | cells in Manhattan order x per-cell slots], runtime validity
+masks, an exclusive cumsum for write positions, and a single scatter into the
+(E, A, T, 3) uint8 buffer. Attempted counts are exact even past the budget,
+matching the reference's tokens_dropped accounting.
+
+Token format (reference: core/grid_object.hpp:36-47): [packed_location,
+feature_id, value] uint8; empty = 0xFF, global location = 0xFE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mettagrid_tpu.engine.program import EMPTY_TOKEN_BYTE, GLOBAL_LOCATION, EngineProgram, pack_coordinate
+from mettagrid_tpu.engine.state import EnvState
+
+
+def make_obs_fn(program: EngineProgram):
+    A = program.num_agents
+    R = program.num_resources
+    P = program.num_inv_tokens
+    T = program.num_tokens
+    n_tags = program.num_tags
+    base = program.token_value_base
+    feat = program.feature_ids
+    H, W = program.height, program.width
+    K = len(program.window_offsets)
+    hr = program.obs_height // 2
+    wr = program.obs_width // 2
+
+    # --- static per-cell candidate layout ---
+    # Within a cell: tags (ascending id), vibe, inventory (resource-id
+    # ascending — canonical order; the reference's unordered_map order is
+    # canonicalized by its parity harness), then Group + AgentId for agents
+    # (reference: grid_object.cpp:178-203, agent.cpp:142-154).
+    C_cell = n_tags + 1 + R * P + 2
+
+    off = np.array(program.window_offsets, dtype=np.int32)  # [K, 2]
+    off_dr = jnp.asarray(off[:, 0])
+    off_dc = jnp.asarray(off[:, 1])
+    # Packed in-window location per cell (static)
+    loc_k = np.array(
+        [pack_coordinate(dr + hr, dc + wr) for dr, dc in program.window_offsets], dtype=np.uint8
+    )
+
+    # Static feature ids per cell-candidate slot
+    cell_feat = np.empty(C_cell, dtype=np.uint8)
+    cell_feat[:n_tags] = feat.tag
+    cell_feat[n_tags] = feat.vibe
+    for r in range(R):
+        for p in range(P):
+            cell_feat[n_tags + 1 + r * P + p] = feat.inv[r][p]
+    cell_feat[n_tags + 1 + R * P] = feat.group
+    cell_feat[n_tags + 1 + R * P + 1] = feat.agent_id
+
+    # --- global candidate slots (order matches mettagrid_c.cpp:700-742) ---
+    g = program.global_obs
+    global_slots: list[str] = []
+    if g.episode_completion_pct:
+        global_slots.append("epct")
+    if g.last_action:
+        global_slots.append("last_action")
+    if g.last_action_move:
+        global_slots.append("last_action_move")
+    if g.last_reward:
+        global_slots.append("last_reward")
+    if g.local_position:
+        global_slots.append("lp_ew")
+        global_slots.append("lp_ns")
+    G = len(global_slots)
+
+    C = G + K * C_cell
+
+    # Full static loc / feat vectors (feat for lp slots is runtime)
+    loc_full = np.concatenate(
+        [np.full(G, GLOBAL_LOCATION, dtype=np.uint8), np.repeat(loc_k, C_cell)]
+    )
+    loc_full_t = jnp.asarray(loc_full)
+
+    type_is_agent_t = jnp.asarray(program.type_is_agent)
+
+    inv_thresholds = np.array([base**p for p in range(P)], dtype=np.int32)  # [P]
+    inv_divisors = jnp.asarray(inv_thresholds)
+
+    def compute_obs(state: EnvState):
+        E = state.grid.shape[0]
+        e3 = jnp.arange(E, dtype=jnp.int32)[:, None, None]
+
+        agent_r = state.obj_r[:, :A]  # [E, A]
+        agent_c = state.obj_c[:, :A]
+
+        # ---------- global token values ----------
+        g_feats = []
+        g_vals = []
+        g_valid = []
+        step = state.step_count[:, None]  # [E, 1]
+        zero_a = jnp.zeros((1, A), dtype=jnp.int32)
+        for slot in global_slots:
+            if slot == "epct":
+                if program.max_steps > 0:
+                    pct = jnp.where(
+                        step >= program.max_steps,
+                        255,
+                        (256 * step) // program.max_steps,
+                    )
+                else:
+                    pct = jnp.zeros_like(step)
+                val = (pct + zero_a).astype(jnp.uint8)
+                fid = jnp.full((E, A), feat.episode_completion_pct, dtype=jnp.uint8)
+                ok = jnp.ones((E, A), dtype=bool)
+            elif slot == "last_action":
+                val = state.agent_last_action.astype(jnp.uint8)
+                fid = jnp.full((E, A), feat.last_action, dtype=jnp.uint8)
+                ok = jnp.ones((E, A), dtype=bool)
+            elif slot == "last_action_move":
+                moved = (agent_r != state.agent_prev_r) | (agent_c != state.agent_prev_c)
+                val = moved.astype(jnp.uint8)
+                fid = jnp.full((E, A), feat.last_action_move, dtype=jnp.uint8)
+                ok = jnp.ones((E, A), dtype=bool)
+            elif slot == "last_reward":
+                val = jnp.round(state.rewards * 100.0).astype(jnp.int32).astype(jnp.uint8)
+                fid = jnp.full((E, A), feat.last_reward, dtype=jnp.uint8)
+                ok = jnp.ones((E, A), dtype=bool)
+            elif slot == "lp_ew":
+                dc = agent_c - state.agent_spawn_c
+                val = jnp.minimum(jnp.abs(dc), 255).astype(jnp.uint8)
+                fid = jnp.where(dc > 0, feat.lp_east, feat.lp_west).astype(jnp.uint8)
+                ok = dc != 0
+            elif slot == "lp_ns":
+                dr = state.agent_spawn_r - agent_r
+                val = jnp.minimum(jnp.abs(dr), 255).astype(jnp.uint8)
+                fid = jnp.where(dr > 0, feat.lp_north, feat.lp_south).astype(jnp.uint8)
+                ok = dr != 0
+            else:  # pragma: no cover
+                raise AssertionError(slot)
+            g_feats.append(fid)
+            g_vals.append(val)
+            g_valid.append(ok)
+
+        if G:
+            gf = jnp.stack(g_feats, axis=-1)  # [E, A, G]
+            gv = jnp.stack(g_vals, axis=-1)
+            gok = jnp.stack(g_valid, axis=-1)
+        else:
+            gf = jnp.zeros((E, A, 0), dtype=jnp.uint8)
+            gv = jnp.zeros((E, A, 0), dtype=jnp.uint8)
+            gok = jnp.zeros((E, A, 0), dtype=bool)
+
+        # ---------- window cells ----------
+        r = agent_r[:, :, None] + off_dr[None, None, :]  # [E, A, K]
+        c = agent_c[:, :, None] + off_dc[None, None, :]
+        inb = (r >= 0) & (r < H) & (c >= 0) & (c < W)
+        rs = jnp.clip(r, 0, H - 1)
+        cs = jnp.clip(c, 0, W - 1)
+        slot = state.grid[e3, rs, cs]  # [E, A, K]
+        has_obj = inb & (slot >= 0)
+        slot_s = jnp.clip(slot, 0, state.obj_type.shape[1] - 1)
+
+        tid = state.obj_type[e3, slot_s]  # [E, A, K]
+        tags = state.obj_tags[e3, slot_s]  # [E, A, K, n_tags]
+        vibe = state.obj_vibe[e3, slot_s]  # [E, A, K]
+        inv = state.obj_inv[e3, slot_s]  # [E, A, K, R]
+        is_agent = type_is_agent_t[tid] & (slot_s < A)
+
+        parts_val = []
+        parts_ok = []
+        # tags: value = tag id
+        tag_vals = jnp.broadcast_to(
+            jnp.arange(n_tags, dtype=jnp.uint8)[None, None, None, :], (E, A, K, n_tags)
+        )
+        parts_val.append(tag_vals)
+        parts_ok.append(tags & has_obj[..., None])
+        # vibe
+        parts_val.append(vibe.astype(jnp.uint8)[..., None])
+        parts_ok.append((has_obj & (vibe != 0))[..., None])
+        # inventory digits: [E, A, K, R, P]
+        digits = (inv[..., None] // inv_divisors[None, None, None, None, :]) % base
+        emit = inv[..., None] >= jnp.maximum(inv_divisors, 1)[None, None, None, None, :]
+        # base token (p=0) is emitted iff amount > 0; power p iff amount >= base^p
+        parts_val.append(digits.astype(jnp.uint8).reshape(E, A, K, R * P))
+        parts_ok.append((emit & has_obj[..., None, None]).reshape(E, A, K, R * P))
+        # group + agent_id
+        group = state.agent_group[e3, jnp.clip(slot_s, 0, A - 1)]
+        parts_val.append(group.astype(jnp.uint8)[..., None])
+        parts_ok.append((has_obj & is_agent)[..., None])
+        parts_val.append(slot_s.astype(jnp.uint8)[..., None])
+        parts_ok.append((has_obj & is_agent)[..., None])
+
+        cell_vals = jnp.concatenate(parts_val, axis=-1)  # [E, A, K, C_cell]
+        cell_ok = jnp.concatenate(parts_ok, axis=-1)
+
+        cell_feat_t = jnp.broadcast_to(
+            jnp.asarray(cell_feat)[None, None, None, :], (E, A, K, C_cell)
+        )
+
+        # ---------- assemble candidate axis and compact ----------
+        vals = jnp.concatenate([gv, cell_vals.reshape(E, A, K * C_cell)], axis=-1)  # [E, A, C]
+        feats = jnp.concatenate([gf, cell_feat_t.reshape(E, A, K * C_cell)], axis=-1)
+        ok = jnp.concatenate([gok, cell_ok.reshape(E, A, K * C_cell)], axis=-1)
+        locs = jnp.broadcast_to(loc_full_t[None, None, :], (E, A, C))
+
+        counts = ok.astype(jnp.int32)
+        pos = jnp.cumsum(counts, axis=-1) - counts  # exclusive prefix sum
+        attempted = pos[..., -1] + counts[..., -1]  # [E, A]
+
+        write = ok & (pos < T)
+        pos = jnp.where(write, pos, T)  # out-of-range -> dropped by scatter
+
+        tokens = jnp.stack([locs, feats, vals], axis=-1)  # [E, A, C, 3]
+        out = jnp.full((E * A, T, 3), EMPTY_TOKEN_BYTE, dtype=jnp.uint8)
+        rows = jnp.broadcast_to(jnp.arange(E * A, dtype=jnp.int32)[:, None], (E * A, C))
+        out = out.at[rows, pos.reshape(E * A, C)].set(
+            tokens.reshape(E * A, C, 3), mode="drop"
+        )
+        return out.reshape(E, A, T, 3), attempted
+
+    return compute_obs

@@ -1,0 +1,637 @@
+"""Config compiler: MettaGridConfig -> EngineProgram.
+
+The EngineProgram is the static half of the simulation: numeric dispatch
+tables, feature ids, window offsets, compiled handler programs. The jitted
+step function closes over it, so every table below is baked into the XLA
+executable as a constant — the variant types of the reference
+(core/filter_config.hpp:68-79, core/mutation_config.hpp:129-146) become
+switch-free masked updates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import AgentConfig, GameConfig, GridObjectConfig, MettaGridConfig
+from mettagrid_tpu.config.game_value import (
+    ConstValue,
+    InventoryValue,
+    SumGameValue,
+)
+from mettagrid_tpu.config.handler_config import (
+    EntityTarget,
+    Handler,
+    HandlerTarget,
+    MaxDistanceFilter,
+    RelocateMutation,
+    ResourceDeltaMutation,
+    ResourceTransferMutation,
+    TargetIsUsableFilter,
+    TargetLocEmptyFilter,
+    UseTargetMutation,
+    VibeFilter,
+    ResourceFilter,
+    TagFilter,
+    ChangeVibeMutation,
+    SwapMutation,
+    AttackMutation,
+)
+from mettagrid_tpu.config.tag import typeTag
+
+# Action kinds (engine-internal dispatch codes)
+KIND_NOOP = 0
+KIND_MOVE = 1
+KIND_CHANGE_VIBE = 2
+
+# Orientation deltas, indexed by direction id 0..7
+# (N, S, W, E, NW, NE, SW, SE) — reference: actions/orientation.hpp:28-45.
+DIRECTION_NAMES = ("north", "south", "west", "east", "northwest", "northeast", "southwest", "southeast")
+DIR_DR = np.array([-1, 1, 0, 0, -1, -1, 1, 1], dtype=np.int32)
+DIR_DC = np.array([0, 0, -1, 1, -1, 1, -1, 1], dtype=np.int32)
+
+# Observation token location bytes (reference: systems/packed_coordinate.hpp)
+EMPTY_TOKEN_BYTE = 0xFF
+GLOBAL_LOCATION = 0xFE
+
+
+def pack_coordinate(row: int, col: int) -> int:
+    """Pack 4-bit row/col into one byte (coords 0-14)."""
+    assert 0 <= row <= 14 and 0 <= col <= 14, f"coords must be <= 14, got ({row},{col})"
+    return (row << 4) | col
+
+
+def manhattan_window_offsets(height: int, width: int) -> list[tuple[int, int]]:
+    """Window offsets in increasing Manhattan-distance order.
+
+    Reproduces the reference iteration order exactly
+    (systems/packed_coordinate.hpp:87-156 ObservationPattern): for each
+    distance d, rows dr ascending (0 only for d=0, then -d..d), and for each
+    dr the -dc column before +dc.
+    """
+    row_min, row_max = -(height // 2), height // 2
+    col_min, col_max = -(width // 2), width // 2
+    out: list[tuple[int, int]] = []
+    max_emitted = height * width
+    d = 0
+    dr_start = 0  # first shell starts at dr=0, later shells at -d
+    while len(out) < max_emitted:
+        for dr in range(dr_start, d + 1):
+            dc = d - abs(dr)
+            for c in ([0] if dc == 0 else [-dc, dc]):
+                if row_min <= dr <= row_max and col_min <= c <= col_max:
+                    out.append((dr, c))
+        d += 1
+        dr_start = -d
+    return out
+
+
+# =====================================================================
+# Compiled handler IR
+# =====================================================================
+
+
+@dataclass(frozen=True)
+class CompiledFilter:
+    """One filter, flattened to numeric ids. kind is the config filter_type."""
+
+    kind: str
+    target_is_actor: bool = False
+    vibe_id: int = 0
+    tag_id: int = -1
+    resource_mins: tuple[tuple[int, int], ...] = ()  # (resource_id, min_amount)
+    radius: int = 0
+    negate: bool = False
+    inner: tuple["CompiledFilter", ...] = ()  # for or-filters
+    period: int = 1
+    start_on: int = 0
+
+
+@dataclass(frozen=True)
+class CompiledMutation:
+    """One mutation, flattened to numeric ids. kind is the config mutation_type."""
+
+    kind: str
+    target_is_actor: bool = False
+    from_is_actor: bool = False
+    to_is_actor: bool = False
+    deltas: tuple[tuple[int, int], ...] = ()  # (resource_id, delta); -1 amount = all
+    vibe_id: int = 0
+    tag_id: int = -1
+    remove_source_when_empty: bool = False
+
+
+@dataclass(frozen=True)
+class CompiledHandler:
+    """Filter chain + mutation chain (reference: handler/handler.hpp:30-55)."""
+
+    name: str
+    filters: tuple[CompiledFilter, ...]
+    mutations: tuple[CompiledMutation, ...]
+
+
+@dataclass(frozen=True)
+class CompiledMoveHandler:
+    """A handler in the move chain plus its line-scan parameters
+    (reference: actions/move.hpp:26-46)."""
+
+    handler: CompiledHandler
+    max_range: int = 1
+    accepts_empty: bool = False
+
+
+@dataclass(frozen=True)
+class CompiledRewardEntry:
+    """One reward entry: weighted inventory/const sum with optional clamp.
+
+    Round-1 game-value coverage: InventoryValue (agent scope), ConstValue,
+    and SumGameValue over those. accumulate=True adds the raw value per tick,
+    else the delta vs. the previous step (reference: systems/reward.hpp:55-78).
+    """
+
+    inv_weights: tuple[tuple[int, float], ...]  # (resource_id, weight)
+    const: float
+    log: bool
+    clamp_min: Optional[float]
+    clamp_max: Optional[float]
+    accumulate: bool
+
+
+@dataclass(frozen=True)
+class FeatureIds:
+    group: int
+    episode_completion_pct: int
+    last_action: int
+    last_reward: int
+    goal: int
+    vibe: int
+    tag: int
+    lp_east: int
+    lp_west: int
+    lp_north: int
+    lp_south: int
+    agent_id: int
+    last_action_move: int  # 0 if absent
+    aoe_mask: int  # 0 if absent
+    # inv_feature_ids[r][p]: feature id of resource r's p-th power token
+    inv: tuple[tuple[int, ...], ...]
+
+
+@dataclass(frozen=True)
+class GlobalObsFlags:
+    episode_completion_pct: bool
+    last_action: bool
+    last_action_move: bool
+    last_reward: bool
+    local_position: bool
+
+
+@dataclass
+class EngineProgram:
+    """Everything static about one game configuration."""
+
+    # --- dimensions ---
+    height: int
+    width: int
+    num_agents: int
+    num_objects: int  # N: object slot capacity per env (agents occupy slots 0..A-1)
+    num_resources: int
+    num_tags: int
+    num_types: int
+    obs_height: int
+    obs_width: int
+    num_tokens: int
+    token_value_base: int
+    num_inv_tokens: int
+    max_steps: int
+    episode_truncates: bool
+
+    # --- names (host-side maps) ---
+    resource_names: tuple[str, ...]
+    vibe_names: tuple[str, ...]
+    tag_names: tuple[str, ...]
+    type_names: tuple[str, ...]
+    map_name_to_type: dict[str, int]
+    action_names: tuple[str, ...]
+
+    # --- observation layout ---
+    feature_ids: FeatureIds
+    global_obs: GlobalObsFlags
+    window_offsets: tuple[tuple[int, int], ...]  # Manhattan order
+
+    # --- action tables (numpy, baked as constants) ---
+    action_kind: np.ndarray  # int32[n_actions]
+    action_arg: np.ndarray  # int32[n_actions]
+    action_is_vibe: np.ndarray  # bool[n_actions]
+    action_priority: np.ndarray  # int32[n_actions]
+    priorities_desc: tuple[int, ...]
+
+    # --- per-type tables ---
+    type_tags: np.ndarray  # bool[n_types, n_tags]
+    type_initial_vibe: np.ndarray  # int32[n_types]
+    type_initial_inv: np.ndarray  # int32[n_types, R]
+    type_is_agent: np.ndarray  # bool[n_types]
+    type_usable: np.ndarray  # bool[n_types]
+    type_inv_limit: np.ndarray  # int32[n_types, R] per-resource base limits
+    type_swappable: np.ndarray  # bool[n_types]
+
+    # --- compiled programs ---
+    move_handlers: tuple[CompiledMoveHandler, ...]
+    on_use_handlers: tuple[Optional[CompiledHandler], ...]  # per type id
+    # reward entries per agent-config index (agent slot -> config idx in EnvInit)
+    reward_programs: tuple[tuple[CompiledRewardEntry, ...], ...]
+    num_reward_entries: int  # max entries over agent configs (padded)
+
+    # --- agent config table ---
+    agent_config_names: tuple[str, ...]
+    agent_groups: np.ndarray  # int32[n_agent_configs]
+    agent_type_ids: np.ndarray  # int32[n_agent_configs] (type id per agent config)
+
+    label: str = "mettagrid"
+
+
+# =====================================================================
+# Compilation
+# =====================================================================
+
+
+def _compile_filter(f: Any, *, resource_ids: dict[str, int], tag_ids: dict[str, int], vibe_ids: dict[str, int]) -> CompiledFilter:
+    kind = f.filter_type
+    if kind == "target_loc_empty":
+        return CompiledFilter(kind=kind)
+    if kind == "target_is_usable":
+        return CompiledFilter(kind=kind)
+    if kind == "vibe":
+        return CompiledFilter(
+            kind=kind,
+            target_is_actor=(f.target == HandlerTarget.ACTOR),
+            vibe_id=vibe_ids[f.vibe],
+        )
+    if kind == "resource":
+        mins = tuple(sorted((resource_ids[name], amount) for name, amount in f.resources.items()))
+        return CompiledFilter(kind=kind, target_is_actor=(f.target == HandlerTarget.ACTOR), resource_mins=mins)
+    if kind == "tag":
+        return CompiledFilter(kind=kind, target_is_actor=(f.target == HandlerTarget.ACTOR), tag_id=tag_ids[f.tag])
+    if kind == "max_distance":
+        if f.query is not None:
+            raise NotImplementedError("max_distance filter with query not yet supported")
+        return CompiledFilter(kind=kind, radius=f.radius)
+    if kind == "not":
+        inner = _compile_filter(f.inner, resource_ids=resource_ids, tag_ids=tag_ids, vibe_ids=vibe_ids)
+        return CompiledFilter(kind="not", inner=(inner,))
+    if kind == "or":
+        inner = tuple(_compile_filter(x, resource_ids=resource_ids, tag_ids=tag_ids, vibe_ids=vibe_ids) for x in f.inner)
+        return CompiledFilter(kind="or", inner=inner)
+    if kind == "periodic":
+        start = f.start_on if f.start_on is not None else f.period
+        return CompiledFilter(kind=kind, period=f.period, start_on=start)
+    raise NotImplementedError(f"Filter type {kind!r} not yet compiled in the TPU engine")
+
+
+def _compile_mutation(m: Any, *, resource_ids: dict[str, int], tag_ids: dict[str, int], vibe_ids: dict[str, int]) -> CompiledMutation:
+    kind = m.mutation_type
+    if kind == "relocate":
+        return CompiledMutation(kind=kind)
+    if kind == "use_target":
+        return CompiledMutation(kind=kind)
+    if kind == "swap":
+        return CompiledMutation(kind=kind)
+    if kind == "resource_delta":
+        deltas = tuple(sorted((resource_ids[name], d) for name, d in m.deltas.items()))
+        return CompiledMutation(kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), deltas=deltas)
+    if kind == "resource_transfer":
+        deltas = tuple(sorted((resource_ids[name], d) for name, d in m.resources.items()))
+        return CompiledMutation(
+            kind=kind,
+            from_is_actor=(m.from_target == EntityTarget.ACTOR),
+            to_is_actor=(m.to_target == EntityTarget.ACTOR),
+            deltas=deltas,
+            remove_source_when_empty=m.remove_source_when_empty,
+        )
+    if kind == "change_vibe":
+        return CompiledMutation(
+            kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), vibe_id=vibe_ids[m.vibe_name]
+        )
+    if kind == "add_tag":
+        return CompiledMutation(kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), tag_id=tag_ids[m.tag])
+    if kind == "remove_tag":
+        return CompiledMutation(kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), tag_id=tag_ids[m.tag])
+    raise NotImplementedError(f"Mutation type {kind!r} not yet compiled in the TPU engine")
+
+
+def _compile_handler(h: Handler, name: str, **maps: Any) -> CompiledHandler:
+    return CompiledHandler(
+        name=name or h.name,
+        filters=tuple(_compile_filter(f, **maps) for f in h.filters),
+        mutations=tuple(_compile_mutation(m, **maps) for m in h.mutations),
+    )
+
+
+def _compile_move_handler(h: Handler, name: str, **maps: Any) -> CompiledMoveHandler:
+    """Extract line-scan parameters the way the reference MoveHandler ctor does
+    (actions/move.hpp:31-40): MaxDistance filter sets max_range, presence of
+    TargetLocEmpty sets accepts_empty."""
+    max_range = 1
+    accepts_empty = False
+    for f in h.filters:
+        if isinstance(f, MaxDistanceFilter):
+            max_range = f.radius if f.radius > 0 else 1
+        if isinstance(f, TargetLocEmptyFilter):
+            accepts_empty = True
+    return CompiledMoveHandler(
+        handler=_compile_handler(h, name, **maps), max_range=max_range, accepts_empty=accepts_empty
+    )
+
+
+def _compile_reward_entry(gv: Any, accumulate: bool, resource_ids: dict[str, int]) -> CompiledRewardEntry:
+    """Flatten a game value into (weighted inventory sum + const). Raises on
+    expressions beyond round-1 coverage."""
+    inv_weights: list[tuple[int, float]] = []
+    const = 0.0
+    log = False
+    clamp_min = clamp_max = None
+
+    def add(g: Any, weight: float) -> float:
+        nonlocal const
+        if isinstance(g, InventoryValue):
+            inv_weights.append((resource_ids[g.item], weight))
+            return 0.0
+        if isinstance(g, ConstValue):
+            const += weight * g.value
+            return 0.0
+        raise NotImplementedError(f"Game value {type(g).__name__} not yet compiled for rewards")
+
+    if isinstance(gv, SumGameValue):
+        log = gv.log
+        clamp_min, clamp_max = gv.min, gv.max
+        for weight, sub in gv.values:
+            add(sub, weight)
+    else:
+        add(gv, 1.0)
+
+    return CompiledRewardEntry(
+        inv_weights=tuple(inv_weights),
+        const=const,
+        log=log,
+        clamp_min=clamp_min,
+        clamp_max=clamp_max,
+        accumulate=accumulate,
+    )
+
+
+def _object_tags(obj: GridObjectConfig) -> list[str]:
+    return sorted(set(obj.tags) | {typeTag(obj.name)})
+
+
+def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
+    """Compile a config into the static engine program."""
+    if isinstance(cfg, MettaGridConfig):
+        label = cfg.label
+        game = cfg.game
+    else:
+        label = "mettagrid"
+        game = cfg
+
+    id_map = game.id_map()
+    resource_names = tuple(game.resource_names)
+    resource_ids = {name: i for i, name in enumerate(resource_names)}
+    vibe_names = tuple(game.vibe_names)
+    vibe_ids = {name: i for i, name in enumerate(vibe_names)}
+    tag_names = tuple(id_map.tag_names())
+    tag_ids = {name: i for i, name in enumerate(tag_names)}
+    maps = dict(resource_ids=resource_ids, tag_ids=tag_ids, vibe_ids=vibe_ids)
+
+    # ---- object types: non-agent objects first, then agent configs ----
+    object_cfgs: list[GridObjectConfig] = list(game.objects.values())
+    agent_cfgs: list[AgentConfig] = list(game.agents) if game.agents else [game.agent]
+
+    type_names: list[str] = []
+    map_name_to_type: dict[str, int] = {}
+    type_rows: list[dict[str, Any]] = []
+
+    def add_type(obj: GridObjectConfig, is_agent: bool) -> int:
+        type_id = len(type_names)
+        type_names.append(obj.name)
+        row = {
+            "tags": [tag_ids[t] for t in _object_tags(obj)],
+            "vibe": obj.vibe,
+            "inv": {resource_ids[k]: v for k, v in obj.inventory.initial.items()},
+            "is_agent": is_agent,
+            "usable": obj.on_use_handler is not None or bool(obj.handlers),
+            "limits": {resource_ids[k]: obj.inventory.get_limit(k) for k in resource_names},
+            "default_limit": obj.inventory.default_limit,
+        }
+        type_rows.append(row)
+        return type_id
+
+    for obj in object_cfgs:
+        tid = add_type(obj, is_agent=False)
+        map_name_to_type[obj.map_name] = tid
+
+    agent_type_ids = []
+    agent_groups = []
+    agent_config_names = []
+    for acfg in agent_cfgs:
+        tid = add_type(acfg, is_agent=True)
+        agent_type_ids.append(tid)
+        agent_groups.append(acfg.team_id)
+        agent_config_names.append(acfg.name)
+        map_name_to_type[f"agent.{acfg.map_name}"] = tid
+    # Bare "agent" cells map to the first/default agent config.
+    map_name_to_type.setdefault("agent", agent_type_ids[0])
+    map_name_to_type.setdefault("agent.agent", agent_type_ids[0])
+
+    n_types = len(type_names)
+    R = len(resource_names)
+    n_tags = len(tag_names)
+
+    type_tags = np.zeros((n_types, n_tags), dtype=bool)
+    type_initial_vibe = np.zeros(n_types, dtype=np.int32)
+    type_initial_inv = np.zeros((n_types, R), dtype=np.int32)
+    type_is_agent = np.zeros(n_types, dtype=bool)
+    type_usable = np.zeros(n_types, dtype=bool)
+    type_inv_limit = np.full((n_types, R), 65535, dtype=np.int32)
+    for tid, row in enumerate(type_rows):
+        for t in row["tags"]:
+            type_tags[tid, t] = True
+        type_initial_vibe[tid] = row["vibe"]
+        for rid, amount in row["inv"].items():
+            type_initial_inv[tid, rid] = amount
+        type_is_agent[tid] = row["is_agent"]
+        type_usable[tid] = row["usable"]
+        for rid in range(R):
+            type_inv_limit[tid, rid] = row["limits"].get(rid, row["default_limit"])
+    # Agents can swap with... (round 1: nothing is swappable by default)
+    type_swappable = np.zeros(n_types, dtype=bool)
+
+    # ---- actions ----
+    # Flattened variant order matches the reference factory: noop, attack
+    # (none), move variants, change_vibe variants
+    # (actions/action_handler_factory.cpp:15-79).
+    action_names: list[str] = []
+    action_kind: list[int] = []
+    action_arg: list[int] = []
+    action_priority: list[int] = []
+
+    actions_cfg = game.actions
+    if actions_cfg.noop.enabled:
+        action_names.append("noop")
+        action_kind.append(KIND_NOOP)
+        action_arg.append(0)
+        action_priority.append(0)
+    # (attack contributes no standalone variants)
+    if actions_cfg.move.enabled:
+        dir_index = {name: i for i, name in enumerate(DIRECTION_NAMES)}
+        for direction in actions_cfg.move.allowed_directions:
+            action_names.append(f"move_{direction}")
+            action_kind.append(KIND_MOVE)
+            action_arg.append(dir_index[direction])
+            action_priority.append(0)
+    if actions_cfg.change_vibe.enabled:
+        for vibe in actions_cfg.change_vibe.vibes:
+            action_names.append(f"change_vibe_{vibe.name}")
+            action_kind.append(KIND_CHANGE_VIBE)
+            action_arg.append(vibe_ids[vibe.name])
+            action_priority.append(0)
+
+    action_is_vibe = np.array([n.startswith("change_vibe_") for n in action_names], dtype=bool)
+    priorities_desc = tuple(sorted(set(action_priority), reverse=True))
+
+    # ---- move handler chain: configured handlers + default fallbacks ----
+    # (reference: action_handler_factory.cpp:33-45)
+    move_handlers: list[CompiledMoveHandler] = []
+    for h in actions_cfg.move.handlers:
+        if isinstance(h, dict):
+            h = Handler.model_validate(h)
+        move_handlers.append(_compile_move_handler(h, h.name or "move_custom", **maps))
+    move_handlers.append(
+        _compile_move_handler(
+            Handler(name="move", filters=[TargetLocEmptyFilter()], mutations=[RelocateMutation()]), "move", **maps
+        )
+    )
+    move_handlers.append(
+        _compile_move_handler(
+            Handler(name="use_target", filters=[TargetIsUsableFilter()], mutations=[UseTargetMutation()]),
+            "use_target",
+            **maps,
+        )
+    )
+
+    # ---- per-type on_use handlers ----
+    on_use_handlers: list[Optional[CompiledHandler]] = []
+    all_type_cfgs: list[GridObjectConfig] = object_cfgs + agent_cfgs
+    for obj in all_type_cfgs:
+        h = obj.on_use_handler
+        if h is None and obj.handlers:
+            # Legacy dict-of-handlers: first one wins in round 1.
+            h = next(iter(obj.handlers.values()))
+        if h is None:
+            on_use_handlers.append(None)
+        elif isinstance(h, Handler):
+            on_use_handlers.append(_compile_handler(h, getattr(h, "name", "") or "on_use", **maps))
+        else:
+            raise NotImplementedError("FirstMatch/AllOf on_use handlers not yet compiled")
+
+    # ---- rewards ----
+    reward_programs: list[tuple[CompiledRewardEntry, ...]] = []
+    for acfg in agent_cfgs:
+        entries = tuple(
+            _compile_reward_entry(r.reward, r.per_tick, resource_ids) for r in acfg.rewards.values()
+        )
+        reward_programs.append(entries)
+    num_reward_entries = max((len(p) for p in reward_programs), default=0)
+
+    # ---- observation layout ----
+    feat = {f.name: f.id for f in id_map.features()}
+    num_inv_tokens = len([n for n in feat if n == "inv:" + resource_names[0] or n.startswith("inv:" + resource_names[0] + ":p")]) if R else 1
+    inv_ids = tuple(
+        tuple(
+            feat[f"inv:{name}"] if p == 0 else feat[f"inv:{name}:p{p}"]
+            for p in range(num_inv_tokens)
+        )
+        for name in resource_names
+    )
+    feature_ids = FeatureIds(
+        group=feat["agent:group"],
+        episode_completion_pct=feat["episode_completion_pct"],
+        last_action=feat["last_action"],
+        last_reward=feat["last_reward"],
+        goal=feat["goal"],
+        vibe=feat["vibe"],
+        tag=feat["tag"],
+        lp_east=feat["lp:east"],
+        lp_west=feat["lp:west"],
+        lp_north=feat["lp:north"],
+        lp_south=feat["lp:south"],
+        agent_id=feat["agent_id"],
+        last_action_move=feat.get("last_action_move", 0),
+        aoe_mask=feat.get("aoe_mask", 0),
+        inv=inv_ids,
+    )
+    gobs = game.obs.global_obs
+    global_obs = GlobalObsFlags(
+        episode_completion_pct=gobs.episode_completion_pct,
+        last_action=gobs.last_action,
+        last_action_move=gobs.last_action_move and feature_ids.last_action_move != 0,
+        last_reward=gobs.last_reward,
+        local_position=gobs.local_position,
+    )
+    if gobs.obs:
+        raise NotImplementedError("Named game-value global observations not yet compiled")
+    if game.obs.aoe_mask:
+        raise NotImplementedError("aoe_mask observations not yet compiled")
+
+    window_offsets = tuple(manhattan_window_offsets(game.obs.height, game.obs.width))
+
+    # Object-slot capacity: agents + every possible non-agent object. The map
+    # determines the actual count; EnvInit may request more headroom for
+    # spawn mutations. Default: computed at init time; here we only record a
+    # placeholder (init fills it in via `with_capacity`).
+    program = EngineProgram(
+        height=0,  # set by bind_map_dims
+        width=0,
+        num_agents=game.num_agents,
+        num_objects=0,
+        num_resources=R,
+        num_tags=n_tags,
+        num_types=n_types,
+        obs_height=game.obs.height,
+        obs_width=game.obs.width,
+        num_tokens=game.obs.num_tokens,
+        token_value_base=game.obs.token_value_base,
+        num_inv_tokens=num_inv_tokens,
+        max_steps=game.max_steps,
+        episode_truncates=game.episode_truncates,
+        resource_names=resource_names,
+        vibe_names=vibe_names,
+        tag_names=tag_names,
+        type_names=tuple(type_names),
+        map_name_to_type=map_name_to_type,
+        action_names=tuple(action_names),
+        feature_ids=feature_ids,
+        global_obs=global_obs,
+        window_offsets=window_offsets,
+        action_kind=np.array(action_kind, dtype=np.int32),
+        action_arg=np.array(action_arg, dtype=np.int32),
+        action_is_vibe=action_is_vibe,
+        action_priority=np.array(action_priority, dtype=np.int32),
+        priorities_desc=priorities_desc,
+        type_tags=type_tags,
+        type_initial_vibe=type_initial_vibe,
+        type_initial_inv=type_initial_inv,
+        type_is_agent=type_is_agent,
+        type_usable=type_usable,
+        type_inv_limit=type_inv_limit,
+        type_swappable=type_swappable,
+        move_handlers=tuple(move_handlers),
+        on_use_handlers=tuple(on_use_handlers),
+        reward_programs=tuple(reward_programs),
+        num_reward_entries=num_reward_entries,
+        agent_config_names=tuple(agent_config_names),
+        agent_groups=np.array(agent_groups, dtype=np.int32),
+        agent_type_ids=np.array(agent_type_ids, dtype=np.int32),
+        label=label,
+    )
+    return program

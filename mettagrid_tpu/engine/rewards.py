@@ -1,0 +1,51 @@
+"""Reward phase (reference: systems/reward.hpp:55-78).
+
+Each agent has a static list of compiled reward entries; per step the engine
+adds value - prev (default) or the raw value (accumulate / per_tick mode) to
+the shared rewards array, then accumulates episode rewards.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mettagrid_tpu.engine.program import EngineProgram
+from mettagrid_tpu.engine.state import EnvState
+
+
+def make_reward_phase(program: EngineProgram):
+    A = program.num_agents
+
+    def reward_phase(state: EnvState) -> EnvState:
+        if program.num_reward_entries == 0:
+            return state._replace(episode_rewards=state.episode_rewards + state.rewards)
+
+        agent_inv = state.obj_inv[:, :A, :].astype(jnp.float32)  # [E, A, R]
+        total = jnp.zeros_like(state.rewards)
+        new_prev = state.reward_prev
+
+        for cfg_idx, entries in enumerate(program.reward_programs):
+            cfg_mask = state.agent_cfg == cfg_idx  # [E, A]
+            for j, entry in enumerate(entries):
+                val = jnp.full_like(total, entry.const)
+                for rid, weight in entry.inv_weights:
+                    val = val + weight * agent_inv[:, :, rid]
+                if entry.log:
+                    val = jnp.log1p(jnp.maximum(val, 0.0))
+                if entry.clamp_min is not None:
+                    val = jnp.maximum(val, entry.clamp_min)
+                if entry.clamp_max is not None:
+                    val = jnp.minimum(val, entry.clamp_max)
+                prev = state.reward_prev[:, :, j]
+                delta = val if entry.accumulate else val - prev
+                total = total + jnp.where(cfg_mask, delta, 0.0)
+                new_prev = new_prev.at[:, :, j].set(jnp.where(cfg_mask, val, prev))
+
+        rewards = state.rewards + total
+        return state._replace(
+            rewards=rewards,
+            reward_prev=new_prev,
+            episode_rewards=state.episode_rewards + rewards,
+        )
+
+    return reward_phase

@@ -1,0 +1,63 @@
+"""Batched env state: a struct-of-arrays pytree.
+
+The reference keeps one pointer-rich object graph per env
+(cpp/include/mettagrid/core/grid.hpp, grid_object.hpp); here every field is a
+dense array with a leading env-batch dimension E, resident in HBM and sharded
+over the mesh's env axis. Object slots: agents occupy slots 0..A-1 (agent_id
+== slot), other objects A..N-1; grid cells store slot index or -1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class EnvState(NamedTuple):
+    # --- world ---
+    grid: jnp.ndarray  # int32[E, H, W]: object slot at cell, -1 = empty
+    obj_type: jnp.ndarray  # int32[E, N]
+    obj_r: jnp.ndarray  # int32[E, N]
+    obj_c: jnp.ndarray  # int32[E, N]
+    obj_vibe: jnp.ndarray  # int32[E, N]
+    obj_tags: jnp.ndarray  # bool[E, N, n_tags]
+    obj_inv: jnp.ndarray  # int32[E, N, R] (uint16 semantics, clamped)
+    obj_alive: jnp.ndarray  # bool[E, N]
+
+    # --- agent extras (slots 0..A-1) ---
+    agent_group: jnp.ndarray  # int32[E, A]
+    agent_cfg: jnp.ndarray  # int32[E, A]: index into program.reward_programs
+    agent_spawn_r: jnp.ndarray  # int32[E, A]
+    agent_spawn_c: jnp.ndarray  # int32[E, A]
+    agent_prev_r: jnp.ndarray  # int32[E, A]: location snapshot at step start
+    agent_prev_c: jnp.ndarray  # int32[E, A]
+    agent_last_action: jnp.ndarray  # int32[E, A]: executed action (noop if failed)
+    action_success: jnp.ndarray  # bool[E, A]
+
+    # --- rewards / episode ---
+    rewards: jnp.ndarray  # f32[E, A]: this step's rewards
+    episode_rewards: jnp.ndarray  # f32[E, A]
+    reward_prev: jnp.ndarray  # f32[E, A, n_entries]: previous entry values
+    terminals: jnp.ndarray  # bool[E, A]
+    truncations: jnp.ndarray  # bool[E, A]
+    step_count: jnp.ndarray  # int32[E]
+
+    # --- rng ---
+    rng: jnp.ndarray  # uint32[E, 2]: per-env PRNG key
+
+    @property
+    def num_envs(self) -> int:
+        return self.grid.shape[0]
+
+
+class StepOutputs(NamedTuple):
+    """Per-step outputs matching the reference buffer contract
+    (cpp/include/mettagrid/core/types.hpp:8-44)."""
+
+    observations: jnp.ndarray  # uint8[E, A, T, 3]
+    rewards: jnp.ndarray  # f32[E, A]
+    terminals: jnp.ndarray  # bool[E, A]
+    truncations: jnp.ndarray  # bool[E, A]
+    action_success: jnp.ndarray  # bool[E, A]
+    tokens_attempted: jnp.ndarray  # int32[E, A]: tokens the encoder tried to write

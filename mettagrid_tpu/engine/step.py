@@ -1,0 +1,176 @@
+"""The jitted step/reset: 4096 envs stepping in lockstep on device.
+
+Phase order is faithful to the reference MettaGrid::_step
+(cpp/bindings/mettagrid_c.cpp:921-1102): auto-reset (PufferEnv level) ->
+snapshot prev locations -> zero rewards/success -> step++ -> shuffled action
+streams by priority -> [events/on_tick/AOE: later stages] -> observations ->
+rewards -> truncation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.engine.actions import make_action_phase
+from mettagrid_tpu.engine.init import EnvInit
+from mettagrid_tpu.engine.obs import make_obs_fn
+from mettagrid_tpu.engine.program import EngineProgram
+from mettagrid_tpu.engine.rewards import make_reward_phase
+from mettagrid_tpu.engine.state import EnvState, StepOutputs
+
+
+def _device_init(init: EnvInit):
+    """Upload the map pool to device once (small: P maps)."""
+    return jax.tree_util.tree_map(jnp.asarray, init.__dict__)
+
+
+def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndarray, rng: jnp.ndarray) -> EnvState:
+    """Gather per-env initial state from the map pool (map_idx: int32[E])."""
+    E = map_idx.shape[0]
+    A = program.num_agents
+
+    def pick(name):
+        return jnp.take(pool[name], map_idx, axis=0)
+
+    agent_r = pick("agent_r")
+    agent_c = pick("agent_c")
+    return EnvState(
+        grid=pick("grid"),
+        obj_type=pick("obj_type"),
+        obj_r=pick("obj_r"),
+        obj_c=pick("obj_c"),
+        obj_vibe=pick("obj_vibe"),
+        obj_tags=pick("obj_tags"),
+        obj_inv=pick("obj_inv"),
+        obj_alive=pick("obj_alive"),
+        agent_group=pick("agent_group"),
+        agent_cfg=pick("agent_cfg"),
+        agent_spawn_r=agent_r,
+        agent_spawn_c=agent_c,
+        agent_prev_r=agent_r,
+        agent_prev_c=agent_c,
+        agent_last_action=jnp.zeros((E, A), dtype=jnp.int32),
+        action_success=jnp.zeros((E, A), dtype=bool),
+        rewards=jnp.zeros((E, A), dtype=jnp.float32),
+        episode_rewards=jnp.zeros((E, A), dtype=jnp.float32),
+        reward_prev=jnp.zeros((E, A, max(program.num_reward_entries, 1)), dtype=jnp.float32),
+        terminals=jnp.zeros((E, A), dtype=bool),
+        truncations=jnp.zeros((E, A), dtype=bool),
+        step_count=jnp.zeros((E,), dtype=jnp.int32),
+        rng=rng,
+    )
+
+
+def make_reset(program: EngineProgram, init: EnvInit, num_envs: int):
+    """Returns reset(seed) -> (state, StepOutputs) with initial observations.
+
+    Envs are assigned maps from the pool round-robin; per-env PRNG streams are
+    derived from the seed (counter-based, unlike the reference's single
+    MT19937 — parity mode reproduces MT19937 separately).
+    """
+    pool = _device_init(init)
+    P = init.pool_size
+    obs_fn = make_obs_fn(program)
+
+    def reset(seed: int | jnp.ndarray):
+        key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
+        keys = jax.random.split(key, num_envs)
+        map_idx = jnp.arange(num_envs, dtype=jnp.int32) % P
+        state = _fresh_state_from_pool(program, pool, map_idx, keys)
+        obs, attempted = obs_fn(state)
+        out = StepOutputs(
+            observations=obs,
+            rewards=state.rewards,
+            terminals=state.terminals,
+            truncations=state.truncations,
+            action_success=state.action_success,
+            tokens_attempted=attempted,
+        )
+        return state, out
+
+    return jax.jit(reset)
+
+
+def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, donate: bool = True):
+    """Returns step(state, actions, vibe_actions) -> (state, StepOutputs).
+
+    actions/vibe_actions: int32[E, A] indices into the flattened action space
+    (the dual-buffer transport of the reference —
+    envs/mettagrid_puffer_env.py:304-371).
+    """
+    pool = _device_init(init)
+    P = init.pool_size
+    A = program.num_agents
+    action_phase = make_action_phase(program)
+    obs_fn = make_obs_fn(program)
+    reward_phase = make_reward_phase(program)
+
+    def step(state: EnvState, actions: jnp.ndarray, vibe_actions: jnp.ndarray):
+        E = actions.shape[0]
+
+        # --- auto-reset envs whose episode ended last step (PufferEnv
+        # semantics: a fresh sim is built, then this step's actions apply to
+        # it — envs/mettagrid_puffer_env.py:296-302) ---
+        if auto_reset:
+            done = jnp.any(state.terminals | state.truncations, axis=1)  # [E]
+            keys = jax.vmap(jax.random.split, in_axes=0)(state.rng)
+            rng_next, k_map = keys[:, 0], keys[:, 1]
+            map_idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
+            fresh = _fresh_state_from_pool(program, pool, map_idx, rng_next)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    done.reshape((E,) + (1,) * (old.ndim - 1)), new, old
+                ),
+                fresh,
+                state,
+            )
+
+        # --- per-step RNG: agent order shuffle ---
+        keys = jax.vmap(jax.random.split, in_axes=0)(state.rng)
+        rng_next, k_perm = keys[:, 0], keys[:, 1]
+        perm = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)
+
+        # --- reset phase (mettagrid_c.cpp:929-952) ---
+        state = state._replace(
+            rng=rng_next,
+            agent_prev_r=state.obj_r[:, :A],
+            agent_prev_c=state.obj_c[:, :A],
+            rewards=jnp.zeros_like(state.rewards),
+            action_success=jnp.zeros_like(state.action_success),
+            agent_last_action=jnp.zeros_like(state.agent_last_action),
+            step_count=state.step_count + 1,
+        )
+
+        # --- actions (shuffled, priority-ordered, dual streams) ---
+        state = action_phase(state, actions, vibe_actions, perm)
+
+        # --- observations (before rewards, like the reference) ---
+        obs, attempted = obs_fn(state)
+
+        # --- rewards ---
+        state = reward_phase(state)
+
+        # --- truncation (mettagrid_c.cpp:1086-1096) ---
+        if program.max_steps > 0:
+            over = state.step_count >= program.max_steps  # [E]
+            fill = jnp.broadcast_to(over[:, None], state.terminals.shape)
+            if program.episode_truncates:
+                state = state._replace(truncations=state.truncations | fill)
+            else:
+                state = state._replace(terminals=state.terminals | fill)
+
+        out = StepOutputs(
+            observations=obs,
+            rewards=state.rewards,
+            terminals=state.terminals,
+            truncations=state.truncations,
+            action_success=state.action_success,
+            tokens_attempted=attempted,
+        )
+        return state, out
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,77 @@
+"""Test helpers: tiny inline envs driven directly (modeled on the reference's
+test_support — python/src/mettagrid/test_support/actions.py)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+
+class TinyEnv:
+    """One-config, E-env harness around compile/reset/step."""
+
+    def __init__(self, cfg: MettaGridConfig, num_envs: int = 1, seed: int = 0, auto_reset: bool = True):
+        self.cfg = cfg
+        self.program = compile_program(cfg)
+        game_map = cfg.game.map_builder.create().build_for_num_agents(cfg.game.num_agents)
+        self.init = build_env_init(self.program, [game_map])
+        self.num_envs = num_envs
+        self.A = cfg.game.num_agents
+        self._reset = make_reset(self.program, self.init, num_envs)
+        self._step = make_step(self.program, self.init, auto_reset=auto_reset, donate=False)
+        self.state, self.last = self._reset(seed)
+
+    def action_id(self, name: str) -> int:
+        return self.program.action_names.index(name)
+
+    def step(self, actions=None, vibe_actions=None, **named):
+        """actions: dict agent_idx -> action name, or array."""
+        E, A = self.num_envs, self.A
+        if actions is None:
+            acts = np.zeros((E, A), dtype=np.int32)
+        elif isinstance(actions, dict):
+            acts = np.zeros((E, A), dtype=np.int32)
+            for idx, name in actions.items():
+                acts[:, idx] = self.action_id(name)
+        else:
+            acts = np.asarray(actions, dtype=np.int32)
+        if vibe_actions is None:
+            vibes = np.zeros((E, A), dtype=np.int32)  # noop in vibe stream = no-op
+        elif isinstance(vibe_actions, dict):
+            vibes = np.zeros((E, A), dtype=np.int32)
+            for idx, name in vibe_actions.items():
+                vibes[:, idx] = self.action_id(name)
+        else:
+            vibes = np.asarray(vibe_actions, dtype=np.int32)
+        self.state, self.last = self._step(self.state, jnp.asarray(acts), jnp.asarray(vibes))
+        return self.last
+
+    # --- inspection ---
+    def agent_pos(self, env: int = 0) -> list[tuple[int, int]]:
+        r = np.asarray(self.state.obj_r[env, : self.A])
+        c = np.asarray(self.state.obj_c[env, : self.A])
+        return list(zip(r.tolist(), c.tolist()))
+
+    def tokens(self, env: int = 0, agent: int = 0) -> list[tuple[int, int, int]]:
+        obs = np.asarray(self.last.observations[env, agent])
+        return [tuple(t) for t in obs.tolist() if t[0] != 0xFF]
+
+    def find_tokens(self, feature_id: int, env: int = 0, agent: int = 0) -> list[tuple[int, int, int]]:
+        return [t for t in self.tokens(env, agent) if t[1] == feature_id]
+
+
+def ascii_env(map_lines: list[str], num_agents: int, num_envs: int = 1, max_steps: int = 100, **game_kwargs) -> TinyEnv:
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=num_agents,
+            max_steps=max_steps,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=map_lines),
+            **game_kwargs,
+        )
+    )
+    return TinyEnv(cfg, num_envs=num_envs)

@@ -1,0 +1,191 @@
+"""Behavior tests for the jitted step: movement, conflicts, truncation,
+auto-reset, determinism. Modeled on the reference behavior tests
+(reference: tests/test_actions.py, tests/test_move.py)."""
+
+import numpy as np
+import pytest
+
+from tests.helpers import TinyEnv, ascii_env
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.config.reward_config import inventoryReward
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+
+def test_move_into_empty_cell():
+    env = ascii_env(["#####", "#@..#", "#####"], num_agents=1)
+    assert env.agent_pos() == [(1, 1)]
+    out = env.step({0: "move_east"})
+    assert env.agent_pos() == [(1, 2)]
+    assert bool(out.action_success[0, 0])
+
+
+def test_move_blocked_by_wall():
+    env = ascii_env(["#####", "#@..#", "#####"], num_agents=1)
+    out = env.step({0: "move_north"})
+    assert env.agent_pos() == [(1, 1)]
+    assert not bool(out.action_success[0, 0])
+
+
+def test_move_blocked_by_agent():
+    env = ascii_env(["#####", "#@@.#", "#####"], num_agents=2)
+    # Agent 0 at (1,1), agent 1 at (1,2): 0 moves east into 1 -> blocked
+    # (agents aren't usable, relocate filter fails on occupied cell).
+    out = env.step({0: "move_east"})
+    assert env.agent_pos()[0] == (1, 1)
+    assert not bool(out.action_success[0, 0])
+
+
+def test_sequential_conflict_exactly_one_wins():
+    # Two agents race for the middle cell; the shuffled order decides, and
+    # the loser must be blocked (sequential semantics, not simultaneous).
+    env = ascii_env(["#####", "#@.@#", "#####"], num_agents=2, num_envs=32)
+    env.step({0: "move_east", 1: "move_west"})
+    pos = np.stack(
+        [np.asarray(env.state.obj_r[:, :2]), np.asarray(env.state.obj_c[:, :2])], axis=-1
+    )  # [E, A, 2]
+    for e in range(32):
+        p0, p1 = tuple(pos[e, 0]), tuple(pos[e, 1])
+        assert p0 != p1, f"env {e}: agents overlap at {p0}"
+        # Exactly one of them reached the middle (1, 2)
+        assert ((p0 == (1, 2)) != (p1 == (1, 2))), f"env {e}: {p0} {p1}"
+    # Both orders occur across 32 envs (probabilistic but near-certain).
+    winners = {tuple(pos[e, 0]) for e in range(32)}
+    assert len(winners) == 2
+
+
+def test_chain_following_moves():
+    # Agent 1 vacates a cell and agent 0 moves into it in the same step iff
+    # agent 1 acted first in the shuffle. Both outcomes must be consistent.
+    env = ascii_env(["#####", "#@@.#", "#####"], num_agents=2, num_envs=64)
+    out = env.step({0: "move_east", 1: "move_east"})
+    succ = np.asarray(out.action_success)
+    pos = [env.agent_pos(e) for e in range(64)]
+    for e in range(64):
+        # Agent 1 always succeeds (its target was empty).
+        assert succ[e, 1]
+        assert pos[e][1] == (1, 3)
+        # Agent 0 succeeds iff it saw the vacated cell (order-dependent).
+        assert pos[e][0] == ((1, 2) if succ[e, 0] else (1, 1))
+    assert succ[:, 0].any() and (~succ[:, 0]).any()
+
+
+def test_diagonal_move():
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["#####", "#@..#", "#...#", "#####"]),
+        )
+    )
+    cfg.game.actions.move.allowed_directions = ["southeast"]
+    env = TinyEnv(cfg)
+    env.step({0: "move_southeast"})
+    assert env.agent_pos() == [(2, 2)]
+
+
+def test_change_vibe_stream():
+    env = ascii_env(["#####", "#@..#", "#####"], num_agents=1)
+    vibe_action = env.action_id("change_vibe_gear")
+    out = env.step(vibe_actions={0: "change_vibe_gear"})
+    vibe_id = env.program.vibe_names.index("gear")
+    assert int(env.state.obj_vibe[0, 0]) == vibe_id
+    assert bool(out.action_success[0, 0])
+    # Executed action (last_action) records the vibe action.
+    assert int(env.state.agent_last_action[0, 0]) == vibe_action
+
+
+def test_vibe_action_in_primary_stream_is_skipped():
+    env = ascii_env(["#####", "#@..#", "#####"], num_agents=1)
+    out = env.step({0: "change_vibe_gear"})  # sent on the primary stream
+    assert int(env.state.obj_vibe[0, 0]) == 0
+    assert not bool(out.action_success[0, 0])
+
+
+def test_invalid_action_index():
+    env = ascii_env(["#####", "#@..#", "#####"], num_agents=1)
+    out = env.step(np.full((1, 1), 9999, dtype=np.int32))
+    assert not bool(out.action_success[0, 0])
+    assert env.agent_pos() == [(1, 1)]
+
+
+def test_truncation_vs_termination():
+    env = ascii_env(["####", "#@.#", "####"], num_agents=1, max_steps=3)
+    for _ in range(2):
+        out = env.step()
+        assert not out.terminals.any() and not out.truncations.any()
+    out = env.step()
+    # Default episode_truncates=False -> terminals fill.
+    assert out.terminals.all() and not out.truncations.any()
+
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=2,
+            episode_truncates=True,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["####", "#@.#", "####"]),
+        )
+    )
+    env2 = TinyEnv(cfg)
+    env2.step()
+    out = env2.step()
+    assert out.truncations.all() and not out.terminals.any()
+
+
+def test_auto_reset_restores_state():
+    env = ascii_env(["#####", "#@..#", "#####"], num_agents=1, max_steps=2)
+    env.step({0: "move_east"})
+    out = env.step({0: "move_east"})
+    assert out.terminals.all()
+    assert env.agent_pos() == [(1, 3)]
+    # Next step auto-resets: agent back at spawn, then the action applies.
+    env.step()
+    assert env.agent_pos() == [(1, 1)]
+    assert int(env.state.step_count[0]) == 1
+    assert not env.state.terminals.any()
+
+
+def test_inventory_reward_delta():
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=10,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["####", "#@.#", "####"]),
+            resource_names=["heart"],
+        )
+    )
+    cfg.game.agent.rewards = {"heart": inventoryReward("heart")}
+    cfg.game.agent.inventory.initial = {"heart": 3}
+    env = TinyEnv(cfg)
+    out = env.step()
+    # First step: value 3, prev 0 -> delta reward 3.
+    assert out.rewards[0, 0] == pytest.approx(3.0)
+    out = env.step()
+    # No change -> zero delta.
+    assert out.rewards[0, 0] == pytest.approx(0.0)
+    assert np.asarray(env.state.episode_rewards)[0, 0] == pytest.approx(3.0)
+
+
+def test_determinism_same_seed():
+    outs = []
+    for _ in range(2):
+        env = ascii_env(["######", "#@.@.#", "#....#", "######"], num_agents=2, num_envs=4)
+        acc = []
+        for t in range(10):
+            out = env.step({0: "move_east", 1: "move_west"})
+            acc.append(np.asarray(out.observations))
+        outs.append(np.stack(acc))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_obs_dtypes_and_shapes():
+    env = ascii_env(["#####", "#@.@#", "#####"], num_agents=2, num_envs=3)
+    out = env.last
+    T = env.cfg.game.obs.num_tokens
+    assert out.observations.shape == (3, 2, T, 3)
+    assert out.observations.dtype == np.uint8
+    assert out.rewards.dtype == np.float32
+    assert out.terminals.dtype == bool
+    assert out.truncations.dtype == bool
