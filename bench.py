@@ -1,0 +1,118 @@
+"""Headline benchmark: env-steps/s/chip at 4096 envs x 24 agents.
+
+Runs the flagship arena config (24 agents, walls, heart rewards) with E=4096
+envs stepping in lockstep in a single jitted lax.scan chunk. Observations are
+folded into a checksum carried through the scan so XLA cannot dead-code the
+obs phase (the reference's hottest — 68-89% of step time,
+cpp/bindings/mettagrid_c.cpp:826).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 10M env-steps/s (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+
+BASELINE_STEPS_PER_S = 10_000_000.0
+
+
+def build_bench(num_envs: int = 4096, num_agents: int = 24, pool: int = 64, chunk: int = 64):
+    cfg = make_arena(num_agents, combat=False)
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    rng = np.random.default_rng(0)
+    maps = []
+    for _ in range(pool):
+        builder.config.seed = int(rng.integers(0, 2**31 - 1))
+        maps.append(builder.build_for_num_agents(num_agents))
+    init = build_env_init(program, maps)
+
+    reset = make_reset(program, init, num_envs)
+    step = make_step(program, init, auto_reset=True, donate=False)
+    n_actions = len(program.action_names)
+    A = program.num_agents
+
+    def chunk_body(carry, key):
+        state, checksum = carry
+        k1, k2 = jax.random.split(key)
+        actions = jax.random.randint(k1, (num_envs, A), 0, n_actions, dtype=jnp.int32)
+        vibes = jnp.zeros((num_envs, A), dtype=jnp.int32)
+        state, out = step(state, actions, vibes)
+        # Fold a cheap reduction of every output into the carry so nothing is DCE'd.
+        checksum = (
+            checksum
+            + jnp.sum(out.observations.astype(jnp.uint32))
+            + jnp.sum(out.rewards).astype(jnp.uint32)
+            + jnp.sum(out.terminals).astype(jnp.uint32)
+        )
+        return (state, checksum), None
+
+    @jax.jit
+    def run_chunk(state, checksum, key):
+        keys = jax.random.split(key, chunk)
+        (state, checksum), _ = jax.lax.scan(chunk_body, (state, checksum), keys)
+        return state, checksum
+
+    return reset, run_chunk
+
+
+def main() -> None:
+    num_envs = 4096
+    num_agents = 24
+    chunk = 64
+    warmup_chunks = 2
+    bench_chunks = 8
+    for arg in sys.argv[1:]:
+        k, _, v = arg.partition("=")
+        if k == "--envs":
+            num_envs = int(v)
+        elif k == "--agents":
+            num_agents = int(v)
+        elif k == "--chunk":
+            chunk = int(v)
+        elif k == "--chunks":
+            bench_chunks = int(v)
+
+    reset, run_chunk = build_bench(num_envs=num_envs, num_agents=num_agents, chunk=chunk)
+    state, _ = reset(0)
+    checksum = jnp.zeros((), dtype=jnp.uint32)
+    key = jax.random.PRNGKey(1)
+
+    for i in range(warmup_chunks):
+        key, sub = jax.random.split(key)
+        state, checksum = run_chunk(state, checksum, sub)
+    checksum.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(bench_chunks):
+        key, sub = jax.random.split(key)
+        state, checksum = run_chunk(state, checksum, sub)
+    checksum.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    env_steps = num_envs * chunk * bench_chunks
+    sps = env_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"env_steps_per_s ({num_envs} envs x {num_agents} agents)",
+                "value": round(sps, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+"""Prebuilt environment configurations (reference: python/src/mettagrid/builder/)."""
+
+from mettagrid_tpu.builder.envs import make_arena, make_navigation
+
+__all__ = ["make_arena", "make_navigation"]

@@ -1,0 +1,13 @@
+"""Multi-chip scaling (the reference has no distributed stack — SURVEY.md §2.4).
+
+The env batch axis shards over the mesh's "data" axis (per-env state is
+independent, so env stepping needs zero communication); the learner reduces
+gradients with psum over "data" and may shard wide layers over "model". All
+collectives are XLA-inserted from sharding annotations — no NCCL/MPI
+equivalent exists or is needed.
+"""
+
+from mettagrid_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from mettagrid_tpu.parallel.train import make_train_step, TrainState
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "make_train_step", "TrainState"]

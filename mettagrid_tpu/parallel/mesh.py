@@ -1,0 +1,49 @@
+"""Mesh/sharding helpers.
+
+Layout: a 2-D ("data", "model") mesh. Env state and rollout tensors shard
+their leading env axis over "data" (rides ICI within a slice, DCN across
+hosts); policy params are replicated (or wide layers sharded over "model").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a ("data", "model") mesh over the first n_devices devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, f"{n} devices not divisible by model_parallel={model_parallel}"
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Shard every leaf's leading (env-batch) axis over the "data" axis."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    del sharding
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate every leaf across the whole mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )

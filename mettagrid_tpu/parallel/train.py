@@ -1,0 +1,80 @@
+"""Sharded training step: rollout + actor-critic update in one jit.
+
+The env batch axis is sharded over the mesh "data" axis (env stepping needs
+no communication); the loss mean over envs makes XLA insert the gradient
+psum across "data". Wide embedding tables may shard over "model". This
+replaces the reference's external-trainer story (PufferLib vecenv
+multiprocessing) with an on-device learner.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mettagrid_tpu.engine.state import EnvState
+from mettagrid_tpu.policy.lstm import LSTMPolicy, LSTMState
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    obs: jnp.ndarray  # uint8[E, A, T, 3]: observations of env_state
+    lstm_state: LSTMState
+    key: jax.Array
+
+
+def make_train_step(
+    program,
+    step_fn: Callable,
+    policy: LSTMPolicy,
+    optimizer: optax.GradientTransformation,
+    *,
+    value_coef: float = 0.5,
+    entropy_coef: float = 0.01,
+):
+    """Returns train_step(ts) -> (ts, metrics): one env step + A2C update.
+
+    step_fn(state, actions, vibe_actions) -> (state, StepOutputs). The
+    observations for the current state are carried in TrainState (produced by
+    the previous step/reset), so obs are computed exactly once per step.
+    """
+
+    def loss_fn(params, obs, lstm_state, actions, rewards):
+        logits, values, new_lstm = policy.apply(params, obs, lstm_state)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        taken = jnp.take_along_axis(logp, actions[..., None], axis=-1)[..., 0]
+        adv = jax.lax.stop_gradient(rewards - values)
+        pg_loss = -(taken * adv).mean()
+        v_loss = ((values - rewards) ** 2).mean()
+        entropy = -(jnp.exp(logp) * logp).sum(axis=-1).mean()
+        loss = pg_loss + value_coef * v_loss - entropy_coef * entropy
+        return loss, (new_lstm, entropy)
+
+    def train_step(ts: TrainState):
+        key, k_act = jax.random.split(ts.key)
+
+        logits, _, _ = policy.apply(ts.params, ts.obs, ts.lstm_state)
+        actions = jax.random.categorical(k_act, logits).astype(jnp.int32)
+        vibes = jnp.zeros_like(actions)
+
+        env_state, out = step_fn(ts.env_state, actions, vibes)
+
+        (loss, (new_lstm, entropy)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, ts.obs, ts.lstm_state, actions, out.rewards
+        )
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+
+        metrics = {
+            "loss": loss,
+            "entropy": entropy,
+            "reward_mean": out.rewards.mean(),
+        }
+        return TrainState(params, opt_state, env_state, out.observations, new_lstm, key), metrics
+
+    return train_step

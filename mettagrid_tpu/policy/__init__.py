@@ -1,0 +1,12 @@
+"""TPU-native policy layer (reference: python/src/mettagrid/policy/).
+
+The reference policies are torch nets driven per-agent through a buffer
+protocol; here policies are flax modules operating on the batched token
+observations directly on device — (E, A, T, 3) in, (E, A, n_actions) logits
+out — so rollout and learning stay inside one jit.
+"""
+
+from mettagrid_tpu.policy.lstm import LSTMPolicy, LSTMState, init_policy, unroll
+from mettagrid_tpu.policy.token_encoder import TokenEncoder
+
+__all__ = ["LSTMPolicy", "LSTMState", "TokenEncoder", "init_policy", "unroll"]

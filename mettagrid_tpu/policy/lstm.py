@@ -1,0 +1,82 @@
+"""LSTM policy: TokenEncoder -> MLP -> LSTMCell -> action/value heads.
+
+TPU-native re-design of the reference LSTMPolicy (policy/lstm.py:24-270,
+torch MLP -> LSTM(128) -> heads). State is an explicit (h, c) pytree carried
+by the caller (functional, jit/scan-friendly); BPTT unrolls are a lax.scan
+over the time axis rather than cuDNN-style packed sequences.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mettagrid_tpu.policy.token_encoder import TokenEncoder
+
+
+class LSTMState(NamedTuple):
+    h: jnp.ndarray  # f32[..., hidden]
+    c: jnp.ndarray  # f32[..., hidden]
+
+
+class LSTMPolicy(nn.Module):
+    """Recurrent actor-critic over token observations."""
+
+    num_actions: int
+    hidden_size: int = 128
+    encoder_hidden: int = 192
+    feature_norms: tuple[float, ...] = ()
+
+    def setup(self):
+        self.encoder = TokenEncoder(hidden_size=self.encoder_hidden, feature_norms=self.feature_norms)
+        self.pre = nn.Dense(self.hidden_size)
+        self.cell = nn.OptimizedLSTMCell(self.hidden_size)
+        self.action_head = nn.Dense(self.num_actions)
+        self.value_head = nn.Dense(1)
+
+    def initial_state(self, batch_shape: tuple[int, ...]) -> LSTMState:
+        shape = batch_shape + (self.hidden_size,)
+        return LSTMState(h=jnp.zeros(shape, jnp.float32), c=jnp.zeros(shape, jnp.float32))
+
+    def __call__(self, tokens: jnp.ndarray, state: LSTMState) -> tuple[jnp.ndarray, jnp.ndarray, LSTMState]:
+        """One step. tokens: uint8[..., T, 3]; state: (h, c)[..., hidden].
+
+        Returns (logits[..., n_actions], value[...], new_state).
+        """
+        x = self.encoder(tokens)
+        x = nn.relu(self.pre(x))
+        (c, h), y = self.cell((state.c, state.h), x)
+        logits = self.action_head(y)
+        value = self.value_head(y)[..., 0]
+        return logits, value, LSTMState(h=h, c=c)
+
+def unroll(
+    policy: LSTMPolicy, params, tokens: jnp.ndarray, state: LSTMState
+) -> tuple[jnp.ndarray, jnp.ndarray, LSTMState]:
+    """BPTT unroll. tokens: uint8[T_time, ..., T_tok, 3] (time leading).
+
+    Returns (logits[T_time, ..., n_actions], values[T_time, ...], final state).
+    """
+
+    def body(carry, tok_t):
+        logits, value, new_state = policy.apply(params, tok_t, carry)
+        return new_state, (logits, value)
+
+    final, (logits, values) = jax.lax.scan(body, state, tokens)
+    return logits, values, final
+
+
+def init_policy(
+    policy: LSTMPolicy, rng: jax.Array, example_tokens: jnp.ndarray
+) -> tuple[dict, LSTMState]:
+    """Initialize parameters + zero state for a batch shaped like example_tokens[:-2]."""
+    batch_shape = example_tokens.shape[:-2]
+    state = LSTMState(
+        h=jnp.zeros(batch_shape + (policy.hidden_size,), jnp.float32),
+        c=jnp.zeros(batch_shape + (policy.hidden_size,), jnp.float32),
+    )
+    params = policy.init(rng, example_tokens, state)
+    return params, state

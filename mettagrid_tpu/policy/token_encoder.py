@@ -1,0 +1,54 @@
+"""Token observation encoder (reference: policy/token_encoder.py TokenPolicyNet).
+
+Encodes the raw token stream (T, 3) uint8 = [packed_location, feature_id,
+value] into a fixed-size embedding: per-token sum of position-x, position-y
+and feature embeddings scaled by the normalized value, masked-mean-pooled
+over valid tokens. All gathers/segment-sums — MXU/VPU friendly, no host round
+trips.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+EMPTY_TOKEN_BYTE = 0xFF
+
+
+class TokenEncoder(nn.Module):
+    hidden_size: int = 192
+    num_features: int = 256
+    # feature_norms[fid] = normalization divisor for that feature's value
+    feature_norms: tuple[float, ...] = ()
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens: uint8[..., T, 3] -> float32[..., hidden_size]."""
+        loc = tokens[..., 0].astype(jnp.int32)
+        fid = tokens[..., 1].astype(jnp.int32)
+        val = tokens[..., 2].astype(jnp.float32)
+        valid = loc != EMPTY_TOKEN_BYTE
+
+        row = (loc >> 4) & 0x0F
+        col = loc & 0x0F
+
+        if self.feature_norms:
+            norms = jnp.asarray(self.feature_norms, dtype=jnp.float32)
+            norms = jnp.pad(norms, (0, max(0, self.num_features - norms.shape[0])), constant_values=1.0)
+        else:
+            norms = jnp.full((self.num_features,), 255.0, dtype=jnp.float32)
+        scale = val / jnp.maximum(norms[jnp.clip(fid, 0, self.num_features - 1)], 1.0)
+
+        pos_x = nn.Embed(16, self.hidden_size, name="pos_x_embed")(col)
+        pos_y = nn.Embed(16, self.hidden_size, name="pos_y_embed")(row)
+        feat = nn.Embed(self.num_features, self.hidden_size, name="feature_embed")(fid)
+
+        tok = (pos_x + pos_y + feat) * scale[..., None]
+        tok = jnp.where(valid[..., None], tok, 0.0)
+        denom = jnp.maximum(valid.sum(axis=-1, keepdims=True).astype(jnp.float32), 1.0)
+        pooled = tok.sum(axis=-2) / denom
+
+        h = nn.Dense(self.hidden_size)(pooled)
+        h = nn.relu(h)
+        h = nn.LayerNorm()(h)
+        return h

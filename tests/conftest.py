@@ -1,15 +1,21 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip hardware isn't available in CI; sharding correctness is validated
-on host-platform virtual devices instead.
+on host-platform virtual devices instead. The host image pre-registers a
+remote TPU backend and forces it via jax.config (which beats the
+JAX_PLATFORMS env var), so tests must override the config value itself.
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the host env pre-sets a TPU platform; tests must not tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
