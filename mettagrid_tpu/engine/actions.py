@@ -14,7 +14,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mettagrid_tpu.engine.handlers import Ctx, apply_mutations, eval_filters, gather_obj, scatter_obj
+from mettagrid_tpu.engine.exec import Ctx, eval_filters, gather, scatter
+from mettagrid_tpu.engine.handlers import (
+    apply_mutations,
+    incr_agent_stat,
+    set_agent_stat,
+)
 from mettagrid_tpu.engine.program import (
     DIR_DC,
     DIR_DR,
@@ -39,8 +44,8 @@ def apply_move(program: EngineProgram, state: EnvState, agent_slot: jnp.ndarray,
     H, W = state.grid.shape[1], state.grid.shape[2]
     e = jnp.arange(E, dtype=jnp.int32)
 
-    ar = gather_obj(state.obj_r, agent_slot)
-    ac = gather_obj(state.obj_c, agent_slot)
+    ar = gather(state.obj_r, agent_slot)
+    ac = gather(state.obj_c, agent_slot)
     dr = jnp.asarray(DIR_DR)[arg]
     dc = jnp.asarray(DIR_DC)[arg]
 
@@ -84,7 +89,7 @@ def apply_move(program: EngineProgram, state: EnvState, agent_slot: jnp.ndarray,
             timestep=state.step_count,
         )
         try_mask = found & ~success
-        passed = try_mask & eval_filters(program, state, ctx, mh.handler)
+        passed = try_mask & eval_filters(program, state, ctx, mh.handler.filters)
         state, applied = apply_mutations(program, state, ctx, mh.handler, passed)
         success = success | applied
 
@@ -98,7 +103,10 @@ def make_action_phase(program: EngineProgram):
     arg_t = jnp.asarray(program.action_arg)
     is_vibe_t = jnp.asarray(program.action_is_vibe)
     prio_t = jnp.asarray(program.action_priority)
+    succ_stat_t = jnp.asarray(program.action_success_stat)
+    fail_stat_t = jnp.asarray(program.action_fail_stat)
     A = program.num_agents
+    Sa = max(len(program.agent_stat_names), 1)
 
     def apply_one(state: EnvState, agent_slot: jnp.ndarray, action: jnp.ndarray, prio: int, vibe_stream: bool):
         """Apply one (agent, action) per env (reference process_action_stream,
@@ -109,6 +117,9 @@ def make_action_phase(program: EngineProgram):
         a = jnp.clip(action, 0, n_actions - 1)
         stream_ok = is_vibe_t[a] == (True if vibe_stream else False)
         active = valid & stream_ok & (prio_t[a] == prio)
+        # Invalid action index: noop + stat (mettagrid_c.cpp _handle_invalid_action)
+        invalid = ~valid & stream_ok & (prio == program.priorities_desc[-1])
+        state = incr_agent_stat(state, agent_slot, program.stat_action_invalid, invalid)
         kind = kind_t[a]
         arg = arg_t[a]
 
@@ -119,15 +130,50 @@ def make_action_phase(program: EngineProgram):
         success = success | move_succ
 
         cv_mask = active & (kind == KIND_CHANGE_VIBE)
-        state = state._replace(obj_vibe=scatter_obj(state.obj_vibe, agent_slot, arg, cv_mask))
+        state = state._replace(obj_vibe=scatter(state.obj_vibe, agent_slot, arg, cv_mask))
         # ChangeVibe always succeeds (reference: actions/change_vibe.hpp:25-60).
         success = success | cv_mask
 
-        last = state.agent_last_action[e, agent_slot]
+        # --- per-invocation bookkeeping (action_handler.hpp:78-105) ---
+        # success/fail stats (indexed per action base name)
+        stats = gather(state.agent_stats, agent_slot)  # [E, Sa]
+        sid = jnp.where(success, succ_stat_t[a], fail_stat_t[a])
+        onehot = jax.nn.one_hot(sid, Sa, dtype=stats.dtype)
+        stats = stats + jnp.where(active[:, None], onehot, 0.0)
+        failed_oh = jax.nn.one_hot(
+            jnp.full_like(a, program.stat_action_failed), Sa, dtype=stats.dtype
+        )
+        stats = stats + jnp.where((active & ~success)[:, None], failed_oh, 0.0)
+
+        # steps_without_motion tracking
+        ar = gather(state.obj_r, agent_slot)
+        ac = gather(state.obj_c, agent_slot)
+        pr = gather(state.agent_action_prev_r, agent_slot)
+        pc = gather(state.agent_action_prev_c, agent_slot)
+        swm = gather(state.agent_swm, agent_slot)
+        same = (ar == pr) & (ac == pc)
+        new_swm = jnp.where(same, swm + 1, 0)
+        max_swm = stats[:, program.stat_max_swm]
+        stats = stats.at[:, program.stat_max_swm].set(
+            jnp.where(active & same & (new_swm > max_swm), new_swm.astype(stats.dtype), max_swm)
+        )
         state = state._replace(
-            agent_last_action=state.agent_last_action.at[e, agent_slot].set(jnp.where(success, a, last)),
-            action_success=state.action_success.at[e, agent_slot].set(
-                state.action_success[e, agent_slot] | success
+            agent_stats=scatter(state.agent_stats, agent_slot, stats, active),
+            agent_swm=scatter(state.agent_swm, agent_slot, new_swm, active),
+            agent_action_prev_r=scatter(state.agent_action_prev_r, agent_slot, ar, active),
+            agent_action_prev_c=scatter(state.agent_action_prev_c, agent_slot, ac, active),
+        )
+
+        last = gather(state.agent_last_action, agent_slot)
+        state = state._replace(
+            agent_last_action=scatter(
+                state.agent_last_action, agent_slot, jnp.where(success, a, last), active
+            ),
+            action_success=scatter(
+                state.action_success,
+                agent_slot,
+                gather(state.action_success, agent_slot) | success,
+                active,
             ),
         )
         return state

@@ -1,0 +1,98 @@
+"""Timestep-triggered events (reference: handler/event_scheduler.hpp:31-62,
+src/.../handler/event.cpp:34-96).
+
+The reference pre-sorts (timestep, event) pairs and walks them per tick;
+here each event's firing schedule is a static boolean table indexed by
+step_count, and the event applies to all query targets at once: a [E, N]
+target mask, filters evaluated with actor=target=obj, mutations applied
+densely. max_targets caps via a random ranking among filter-passing targets
+(the reference shuffles with its MT19937; here per-env counter-based keys).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.engine.exec import Ctx, eval_filters, eval_query_mask
+from mettagrid_tpu.engine.handlers import apply_mutation, set_game_stat
+from mettagrid_tpu.engine.program import EngineProgram
+from mettagrid_tpu.engine.state import EnvState
+
+
+def _fire_table(program: EngineProgram, timesteps: tuple[int, ...]) -> np.ndarray:
+    """Static bool[max_steps+2] table: does this event fire at step t?"""
+    horizon = (program.max_steps if program.max_steps > 0 else 100000) + 2
+    table = np.zeros(horizon, dtype=bool)
+    for t in timesteps:
+        if 0 <= t < horizon:
+            table[t] = True
+    return table
+
+
+def _apply_event(program, state: EnvState, ev, key: jnp.ndarray, env_fire: jnp.ndarray):
+    """Apply one event where env_fire[e]. Returns (state, applied_count[E])."""
+    E, N = state.obj_type.shape
+    targets = eval_query_mask(program, state, ev.target_query)  # [E, N]
+
+    slots = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (E, N))
+    ctx = Ctx(
+        actor=slots,
+        target=slots,
+        target_r=state.obj_r,
+        target_c=state.obj_c,
+        distance=jnp.zeros((E, N), dtype=jnp.int32),
+        timestep=state.step_count,
+    )
+    passed = targets & env_fire[:, None] & eval_filters(program, state, ctx, ev.handler.filters)
+
+    if ev.max_targets > 0:
+        # Random ranking among passing targets; keep the max_targets smallest.
+        ranks = jax.random.uniform(key, (E, N))
+        ranks = jnp.where(passed, ranks, jnp.inf)
+        before = (ranks[:, :, None] > ranks[:, None, :]).sum(axis=-1)  # [E, N]
+        passed = passed & (before < ev.max_targets)
+
+    # Mutations applied to every selected target (event.cpp:65-84 applies all
+    # mutations without failure checks).
+    for m in ev.handler.mutations:
+        state, _ = apply_mutation(program, state, ctx, m, passed)
+
+    applied = passed.sum(axis=1)
+    return state, applied
+
+
+def make_event_phase(program: EngineProgram):
+    """Returns event_phase(state, key) -> state, or None when no events."""
+    if not program.events:
+        return None
+
+    tables = [jnp.asarray(_fire_table(program, ev.timesteps)) for ev in program.events]
+    horizon = tables[0].shape[0]
+
+    def event_phase(state: EnvState, key: jnp.ndarray) -> EnvState:
+        E = state.grid.shape[0]
+        t = jnp.clip(state.step_count, 0, horizon - 1)
+        keys = jax.random.split(key, len(program.events) * 2)
+        fallback_pending = [jnp.zeros(E, dtype=bool) for _ in program.events]
+
+        for i, ev in enumerate(program.events):
+            fire = tables[i][t]  # [E]
+            state, applied = _apply_event(program, state, ev, keys[2 * i], fire)
+            state = set_game_stat(state, fire, ev.stat_id, applied.astype(jnp.float32), mode="add")
+            if ev.fallback >= 0:
+                fallback_pending[ev.fallback] = fallback_pending[ev.fallback] | (
+                    fire & (applied == 0)
+                )
+
+        # One level of fallback (event.cpp:91-93 recurses; chains beyond one
+        # level are rare — compile could unroll deeper if configs need it).
+        for i, ev in enumerate(program.events):
+            pend = fallback_pending[i]
+            state, applied = _apply_event(program, state, ev, keys[2 * i + 1], pend)
+            state = set_game_stat(state, pend, ev.stat_id, applied.astype(jnp.float32), mode="add")
+
+        return state
+
+    return event_phase

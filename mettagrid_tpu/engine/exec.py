@@ -1,0 +1,400 @@
+"""Vectorized evaluation of the compiled IR: filters, game values, queries.
+
+Batch convention: every context field has shape B = (E, ...) — (E,) for
+per-env handler application (actions), (E, A) for per-agent phases, (E, N)
+for per-object phases (events, queries). State arrays are [E, N, ...]; slot
+-1 means "no entity" and fails entity reads (gathers return slot-0 data but
+callers mask on slot >= 0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.engine.ir import CompiledFilter, CompiledQuery, CompiledValue
+
+
+class Ctx(NamedTuple):
+    """Execution context (reference: handler/handler_context.hpp:38-112)."""
+
+    actor: jnp.ndarray  # int32[B] slot (-1 = none)
+    target: jnp.ndarray  # int32[B] slot (-1 = none)
+    target_r: jnp.ndarray  # int32[B]
+    target_c: jnp.ndarray  # int32[B]
+    distance: jnp.ndarray  # int32[B]
+    timestep: jnp.ndarray  # int32[E] (broadcasts over the rest of B)
+
+    def bcast_timestep(self) -> jnp.ndarray:
+        t = self.timestep
+        while t.ndim < self.actor.ndim:
+            t = t[..., None]
+        return jnp.broadcast_to(t, self.actor.shape)
+
+
+def gather(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """arr[e, slot[e, ...], ...]: arr [E, N, *rest], slot [E, *B2] -> [E, *B2, *rest]."""
+    E, N = arr.shape[0], arr.shape[1]
+    rest = arr.shape[2:]
+    flat = jnp.clip(slot.reshape(E, -1), 0, N - 1)  # [E, M]
+    M = flat.shape[1]
+    a2 = arr.reshape(E, N, -1)
+    out = jnp.take_along_axis(a2, flat[..., None], axis=1)  # [E, M, prod(rest)]
+    return out.reshape(slot.shape + rest)
+
+
+def scatter(arr: jnp.ndarray, slot: jnp.ndarray, value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked write arr[e, slot] = value. Duplicate slots within an env must
+    not both be masked-on (callers guarantee distinctness)."""
+    E, N = arr.shape[0], arr.shape[1]
+    rest = arr.shape[2:]
+    flat = jnp.clip(slot.reshape(E, -1), 0, N - 1)  # [E, M]
+    M = flat.shape[1]
+    e = jnp.arange(E, dtype=jnp.int32)[:, None]
+    v = jnp.broadcast_to(value, slot.shape + rest).reshape((E, M) + rest)
+    m = mask.reshape(E, M)
+    mb = m.reshape((E, M) + (1,) * len(rest))
+    old = arr[e, flat]
+    return arr.at[e, flat].set(jnp.where(mb, v, old))
+
+
+def agent_slot_ok(slot: jnp.ndarray, num_agents: int) -> jnp.ndarray:
+    return (slot >= 0) & (slot < num_agents)
+
+
+# =====================================================================
+# Inventory math (reference: objects/inventory.cpp:38-88, inventory.hpp:16-41)
+# =====================================================================
+
+
+def _group_tables(program, tid):
+    """Gather per-type limit-group tables for tid [...]. Returns
+    (gid_per_resource [..., R], member [..., G, R], modw [..., G, R],
+    gmin [..., G], gmax [..., G])."""
+    lg = jnp.asarray(program.type_limit_group)[tid]
+    member = jnp.asarray(program.type_group_member)[tid]
+    modw = jnp.asarray(program.type_group_modw)[tid]
+    gmin = jnp.asarray(program.type_group_min)[tid]
+    gmax = jnp.asarray(program.type_group_max)[tid]
+    return lg, member, modw, gmin, gmax
+
+
+def inv_update(program, tid, inv, rid: int, delta, mask):
+    """Clamped shared-limit inventory update for one (static) resource id.
+
+    tid: int32[B]; inv: int32[B, R]; delta, mask: [B].
+    Returns (new_inv, actual_delta). effective limit =
+    clamp(min(max, max(min, sum(modifier*qty))), 0, 65535); capacity for this
+    item = effective - used_by_other_group_members (inventory.cpp:46-57).
+    """
+    lg, member, modw, gmin, gmax = _group_tables(program, tid)
+    gid = lg[..., rid]  # [B]
+    has_group = gid >= 0
+    gsel = jnp.clip(gid, 0, member.shape[-2] - 1)
+
+    # Select this resource's group row: [B, R]
+    mem = jnp.take_along_axis(member, gsel[..., None, None], axis=-2)[..., 0, :]
+    mw = jnp.take_along_axis(modw, gsel[..., None, None], axis=-2)[..., 0, :]
+    g_min = jnp.take_along_axis(gmin, gsel[..., None], axis=-1)[..., 0]
+    g_max = jnp.take_along_axis(gmax, gsel[..., None], axis=-1)[..., 0]
+
+    mod_sum = (inv * mw).sum(axis=-1)
+    effective = jnp.clip(jnp.minimum(g_max, jnp.maximum(g_min, mod_sum)), 0, 65535)
+    used = (inv * mem).sum(axis=-1)
+    used_by_others = jnp.maximum(used - inv[..., rid], 0)
+    cap = jnp.where(has_group, jnp.maximum(effective - used_by_others, 0), 65535)
+
+    old = inv[..., rid]
+    new = jnp.clip(old + delta, 0, cap)
+    actual = jnp.where(mask, new - old, 0)
+    new_inv = inv.at[..., rid].set(jnp.where(mask, new, old))
+    return new_inv, actual
+
+
+def inv_enforce_limits(program, tid, inv, mask):
+    """Drop excess when effective limits shrank (inventory.cpp enforce_all_limits).
+
+    One pass over groups, dropping from resources in ascending id order
+    (the reference iterates unordered_map order; ascending is our canonical
+    order). Returns new_inv.
+    """
+    lg, member, modw, gmin, gmax = _group_tables(program, tid)
+    G = member.shape[-2]
+    for g in range(G):
+        mem = member[..., g, :]  # [B, R]
+        mw = modw[..., g, :]
+        mod_sum = (inv * mw).sum(axis=-1)
+        effective = jnp.clip(
+            jnp.minimum(gmax[..., g], jnp.maximum(gmin[..., g], mod_sum)), 0, 65535
+        )
+        used = (inv * mem).sum(axis=-1)
+        excess = jnp.maximum(used - effective, 0)  # [B]
+        R = inv.shape[-1]
+        for rid in range(R):
+            drop = jnp.minimum(inv[..., rid], excess) * mem[..., rid].astype(inv.dtype)
+            drop = jnp.where(mask, drop, 0)
+            inv = inv.at[..., rid].add(-drop)
+            excess = excess - drop
+    return inv
+
+
+def effective_limits(program, tid, inv) -> jnp.ndarray:
+    """Per-resource effective limits [B, R] (65535 where unlimited)."""
+    lg, member, modw, gmin, gmax = _group_tables(program, tid)
+    mod_sum = (inv[..., None, :] * modw).sum(axis=-1)  # [B, G]
+    eff_g = jnp.clip(jnp.minimum(gmax, jnp.maximum(gmin, mod_sum)), 0, 65535)  # [B, G]
+    G = eff_g.shape[-1]
+    gsel = jnp.clip(lg, 0, max(G - 1, 0))  # [B, R]
+    eff = jnp.take_along_axis(eff_g, gsel.reshape(gsel.shape[:-1] + (-1,)), axis=-1)
+    return jnp.where(lg >= 0, eff, 65535)
+
+
+# =====================================================================
+# Game values (reference: core/game_value.cpp:14-120)
+# =====================================================================
+
+
+def eval_value(program, state, cv: CompiledValue, slots: jnp.ndarray, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+    """Evaluate a game value with the given entity binding. Returns f32[B]."""
+    B = slots.shape
+    A = program.num_agents
+
+    if cv.kind == "const":
+        return jnp.full(B, cv.value, dtype=jnp.float32)
+
+    if cv.kind == "inventory":
+        inv = gather(state.obj_inv, slots)  # [B, R]
+        val = inv[..., cv.rid].astype(jnp.float32)
+        return jnp.where(slots >= 0, val, 0.0)
+
+    if cv.kind == "stat":
+        if cv.stat_is_game:
+            cur = state.game_stats[:, cv.stat_id]
+            prev = state.game_stats_prev[:, cv.stat_id]
+            cur = cur.reshape((B[0],) + (1,) * (len(B) - 1))
+            prev = prev.reshape((B[0],) + (1,) * (len(B) - 1))
+            out = cur - prev if cv.delta else cur
+            return jnp.broadcast_to(out, B)
+        # agent scope: entity must be an agent slot
+        ok = agent_slot_ok(slots, A)
+        cur = gather(state.agent_stats, jnp.clip(slots, 0, A - 1))[..., cv.stat_id]
+        if cv.delta:
+            prev = gather(state.agent_stats_prev, jnp.clip(slots, 0, A - 1))[..., cv.stat_id]
+            cur = cur - prev
+        return jnp.where(ok, cur, 0.0)
+
+    if cv.kind == "sum":
+        total = jnp.zeros(B, dtype=jnp.float32)
+        for i, child in enumerate(cv.children):
+            term = eval_value(program, state, child, slots, ctx)
+            if cv.log:
+                term = jnp.log(term + 1.0)
+            w = cv.weights[i] if cv.weights else 1.0
+            total = total + w * term
+        if cv.clamp_min is not None:
+            total = jnp.maximum(total, cv.clamp_min)
+        if cv.clamp_max is not None:
+            total = jnp.minimum(total, cv.clamp_max)
+        return total
+
+    if cv.kind == "ratio":
+        num = eval_value(program, state, cv.children[0], slots, ctx)
+        den = eval_value(program, state, cv.children[1], slots, ctx)
+        # den > 0 ? num/den : num (game_value.cpp RatioValueConfig)
+        return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), num)
+
+    if cv.kind == "max":
+        out = jnp.full(B, -jnp.inf, dtype=jnp.float32)
+        for child in cv.children:
+            out = jnp.maximum(out, eval_value(program, state, child, slots, ctx))
+        return jnp.where(jnp.isfinite(out), out, 0.0) if not cv.children else out
+
+    if cv.kind == "min":
+        out = jnp.full(B, jnp.inf, dtype=jnp.float32)
+        for child in cv.children:
+            out = jnp.minimum(out, eval_value(program, state, child, slots, ctx))
+        return jnp.where(jnp.isfinite(out), out, 0.0) if not cv.children else out
+
+    if cv.kind in ("query_inventory", "query_count"):
+        mask = eval_query_mask(program, state, cv.query, ctx)  # [E, N]
+        if cv.kind == "query_count":
+            per_env = mask.sum(axis=-1).astype(jnp.float32)  # [E]
+        else:
+            per_env = (state.obj_inv[..., cv.rid] * mask).sum(axis=-1).astype(jnp.float32)
+        per_env = per_env.reshape((B[0],) + (1,) * (len(B) - 1))
+        return jnp.broadcast_to(per_env, B)
+
+    raise NotImplementedError(f"Game value kind {cv.kind!r}")
+
+
+# =====================================================================
+# Filters (reference: handler/filters/)
+# =====================================================================
+
+
+def _entity_slot(ctx: Ctx, target_is_actor: bool) -> jnp.ndarray:
+    return ctx.actor if target_is_actor else ctx.target
+
+
+def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
+    kind = f.kind
+    B = ctx.actor.shape
+
+    if kind == "target_loc_empty":
+        return ctx.target < 0
+    if kind == "target_is_usable":
+        ttype = gather(state.obj_type, ctx.target)
+        usable = jnp.asarray(program.type_usable)[ttype]
+        return (ctx.target >= 0) & usable
+    if kind == "vibe":
+        slot = _entity_slot(ctx, f.target_is_actor)
+        vibe = gather(state.obj_vibe, slot)
+        return (slot >= 0) & (vibe == f.vibe_id)
+    if kind == "resource":
+        slot = _entity_slot(ctx, f.target_is_actor)
+        inv = gather(state.obj_inv, slot)  # [B, R]
+        ok = slot >= 0
+        for rid, amount in f.resource_mins:
+            ok = ok & (inv[..., rid] >= amount)
+        return ok
+    if kind == "tag":
+        slot = _entity_slot(ctx, f.target_is_actor)
+        tags = gather(state.obj_tags, slot)  # [B, n_tags]
+        return (slot >= 0) & tags[..., f.tag_id]
+    if kind == "tag_prefix":
+        slot = _entity_slot(ctx, f.target_is_actor)
+        tags = gather(state.obj_tags, slot)
+        pm = jnp.asarray(f.tag_mask)
+        return (slot >= 0) & (tags & pm).any(axis=-1)
+    if kind == "shared_tag_prefix":
+        at = gather(state.obj_tags, ctx.actor)
+        tt = gather(state.obj_tags, ctx.target)
+        pm = jnp.asarray(f.tag_mask)
+        return (ctx.actor >= 0) & (ctx.target >= 0) & (at & tt & pm).any(axis=-1)
+    if kind == "game_value":
+        slot = _entity_slot(ctx, f.target_is_actor)
+        value = eval_value(program, state, f.value, slot, ctx)
+        threshold = eval_value(program, state, f.threshold, slot, ctx)
+        return value >= threshold
+    if kind == "max_distance":
+        if f.query is not None:
+            # Unary mode: entity within radius of ANY query result.
+            slot = _entity_slot(ctx, f.target_is_actor)
+            er = gather(state.obj_r, slot)
+            ec = gather(state.obj_c, slot)
+            qmask = eval_query_mask(program, state, f.query, ctx)  # [E, N]
+            extra = len(B) - 1
+            qm = qmask.reshape((B[0],) + (1,) * extra + qmask.shape[1:])
+            orr = state.obj_r.reshape((B[0],) + (1,) * extra + (state.obj_r.shape[1],))
+            occ = state.obj_c.reshape((B[0],) + (1,) * extra + (state.obj_c.shape[1],))
+            dr = orr - er[..., None]
+            dc = occ - ec[..., None]
+            within = (dr * dr + dc * dc) <= f.radius * f.radius
+            return (slot >= 0) & (within & qm).any(axis=-1)
+        if f.radius <= 0:
+            return jnp.ones(B, dtype=bool)
+        ar = gather(state.obj_r, ctx.actor)
+        ac = gather(state.obj_c, ctx.actor)
+        dr = ctx.target_r - ar
+        dc = ctx.target_c - ac
+        return dr * dr + dc * dc <= f.radius * f.radius
+    if kind == "not":
+        return ~eval_filter(program, state, ctx, f.inner[0])
+    if kind == "or":
+        ok = jnp.zeros(B, dtype=bool)
+        for sub in f.inner:
+            ok = ok | eval_filter(program, state, ctx, sub)
+        return ok
+    if kind == "periodic":
+        t = ctx.bcast_timestep()
+        return (t >= f.start_on) & ((t - f.start_on) % f.period == 0)
+    raise NotImplementedError(f"Filter kind {kind!r}")
+
+
+def eval_filters(program, state, ctx: Ctx, filters) -> jnp.ndarray:
+    ok = jnp.ones(ctx.actor.shape, dtype=bool)
+    for f in filters:
+        ok = ok & eval_filter(program, state, ctx, f)
+    return ok
+
+
+# =====================================================================
+# Queries (reference: core/query_system.cpp:177-280)
+# =====================================================================
+
+
+def _object_ctx(program, state, ctx: Optional[Ctx]) -> Ctx:
+    """A per-object context [E, N] with target = each object (query filter
+    semantics: ctx.target = candidate, actor inherited — query_system.cpp:41-42)."""
+    E, N = state.obj_type.shape
+    slots = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (E, N))
+    if ctx is not None and ctx.actor.ndim == 1:
+        actor = jnp.broadcast_to(ctx.actor[:, None], (E, N))
+    else:
+        actor = jnp.full((E, N), -1, dtype=jnp.int32)
+    return Ctx(
+        actor=actor,
+        target=slots,
+        target_r=state.obj_r,
+        target_c=state.obj_c,
+        distance=jnp.zeros((E, N), dtype=jnp.int32),
+        timestep=state.step_count,
+    )
+
+
+def eval_query_mask(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+    """Evaluate a query to a bool[E, N] object mask. max_items/order_random
+    are NOT applied here (callers that cap use the mask plus RNG)."""
+    E, N = state.obj_type.shape
+
+    if q.kind == "tag":
+        mask = state.obj_alive & state.obj_tags[..., q.tag_id]
+        if q.filters:
+            octx = _object_ctx(program, state, ctx)
+            mask = mask & eval_filters(program, state, octx, q.filters)
+        return mask
+
+    if q.kind == "filtered":
+        mask = eval_query_mask(program, state, q.source, ctx)
+        if q.filters:
+            octx = _object_ctx(program, state, ctx)
+            mask = mask & eval_filters(program, state, octx, q.filters)
+        return mask
+
+    if q.kind == "closure":
+        roots = eval_query_mask(program, state, q.source, ctx)
+        if q.candidates is None:
+            return roots
+        pool = eval_query_mask(program, state, q.candidates, ctx)
+        # Adjacency: squared distance <= max_distance2 plus edge filters.
+        dr = state.obj_r[:, :, None] - state.obj_r[:, None, :]
+        dc = state.obj_c[:, :, None] - state.obj_c[:, None, :]
+        adj = (dr * dr + dc * dc) <= q.max_distance2  # [E, N, N] src x cand
+        if q.edge_filters:
+            # Edge ctx: actor = source, target = candidate ([E, N, N]).
+            src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None], (E, N, N))
+            cand = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, None, :], (E, N, N))
+            ectx = Ctx(
+                actor=src,
+                target=cand,
+                target_r=jnp.broadcast_to(state.obj_r[:, None, :], (E, N, N)),
+                target_c=jnp.broadcast_to(state.obj_c[:, None, :], (E, N, N)),
+                distance=jnp.zeros((E, N, N), dtype=jnp.int32),
+                timestep=state.step_count,
+            )
+            adj = adj & eval_filters(program, state, ectx, q.edge_filters)
+        adj = adj & pool[:, None, :] & state.obj_alive[:, None, :]
+        # Bounded BFS: reach = roots; expand max_hops times (static).
+        reach = roots
+        for _ in range(q.max_hops):
+            step_ = (reach[:, :, None] & adj).any(axis=1)
+            new = reach | step_
+            reach = new
+        if q.filters:  # result filters
+            octx = _object_ctx(program, state, ctx)
+            reach = reach & eval_filters(program, state, octx, q.filters)
+        return reach & state.obj_alive
+
+    raise NotImplementedError(f"Query kind {q.kind!r}")

@@ -2,141 +2,89 @@
 
 The reference interprets handler chains per object
 (cpp/src/mettagrid/handler/handler.cpp:76-93 try_apply: all filters pass,
-then mutations apply in order until one fails). Here a handler runs for all
-E envs at once: eval_filters returns a bool[E] mask, apply_mutations scatters
-masked updates. Entity references are object-slot indices (one per env);
-slot -1 means "no entity" and fails entity filters.
+then mutations apply in order until one fails). Here a handler runs for a
+whole batch at once: eval_filters returns a bool[B] mask, apply_mutations
+scatters masked updates. Mutations that can fail (use_target, push_object,
+spawn_object — the only failing kinds, per grep of ctx.mutation_failed)
+return per-env ok masks.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax.numpy as jnp
+import numpy as np
 
-from mettagrid_tpu.engine.program import CompiledFilter, CompiledHandler, CompiledMutation, EngineProgram
+from mettagrid_tpu.engine.exec import (
+    Ctx,
+    agent_slot_ok,
+    eval_filter,
+    eval_filters,
+    eval_query_mask,
+    eval_value,
+    gather,
+    inv_enforce_limits,
+    inv_update,
+    scatter,
+)
+from mettagrid_tpu.engine.ir import (
+    CompiledHandler,
+    CompiledMultiHandler,
+    CompiledMutation,
+)
 
-
-class Ctx(NamedTuple):
-    """Execution context (reference: handler/handler_context.hpp:38-112),
-    one entry per env."""
-
-    actor: jnp.ndarray  # int32[E] slot
-    target: jnp.ndarray  # int32[E] slot, -1 = none
-    target_r: jnp.ndarray  # int32[E]
-    target_c: jnp.ndarray  # int32[E]
-    distance: jnp.ndarray  # int32[E]
-    timestep: jnp.ndarray  # int32[E]
+# Re-exports kept for engine-internal users (actions.py, obs.py, tests).
+gather_obj = gather
+scatter_obj = scatter
 
 
 def _env_ids(state) -> jnp.ndarray:
     return jnp.arange(state.grid.shape[0], dtype=jnp.int32)
 
 
-def _safe(idx: jnp.ndarray, n: int) -> jnp.ndarray:
-    return jnp.clip(idx, 0, n - 1)
-
-
-def gather_obj(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
-    """arr[e, slot[e], ...] with slot clipped (caller masks validity)."""
-    e = jnp.arange(arr.shape[0], dtype=jnp.int32)
-    return arr[e, _safe(slot, arr.shape[1])]
-
-
-def scatter_obj(arr: jnp.ndarray, slot: jnp.ndarray, value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked per-env write arr[e, slot[e]] = value[e] where mask."""
-    e = jnp.arange(arr.shape[0], dtype=jnp.int32)
-    idx = _safe(slot, arr.shape[1])
-    old = arr[e, idx]
-    mask_b = mask
-    if value.ndim > mask.ndim:
-        mask_b = mask.reshape(mask.shape + (1,) * (value.ndim - mask.ndim))
-    return arr.at[e, idx].set(jnp.where(mask_b, value, old))
-
-
 def _entity_slot(ctx: Ctx, target_is_actor: bool) -> jnp.ndarray:
     return ctx.actor if target_is_actor else ctx.target
 
 
-# =====================================================================
-# Filters
-# =====================================================================
+def entity_inv_update(program, state, slot, rid: int, delta, mask):
+    """Per-slot clamped inventory update; returns (state, actual_delta[B]).
 
-
-def eval_filter(program: EngineProgram, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
-    kind = f.kind
-    if kind == "target_loc_empty":
-        return ctx.target < 0
-    if kind == "target_is_usable":
-        ttype = gather_obj(state.obj_type, ctx.target)
-        usable = jnp.asarray(program.type_usable)[ttype]
-        return (ctx.target >= 0) & usable
-    if kind == "vibe":
-        slot = _entity_slot(ctx, f.target_is_actor)
-        vibe = gather_obj(state.obj_vibe, slot)
-        return (slot >= 0) & (vibe == f.vibe_id)
-    if kind == "resource":
-        slot = _entity_slot(ctx, f.target_is_actor)
-        inv = gather_obj(state.obj_inv, slot)  # [E, R]
-        ok = slot >= 0
-        for rid, amount in f.resource_mins:
-            ok = ok & (inv[:, rid] >= amount)
-        return ok
-    if kind == "tag":
-        slot = _entity_slot(ctx, f.target_is_actor)
-        tags = gather_obj(state.obj_tags, slot)  # [E, n_tags]
-        return (slot >= 0) & tags[:, f.tag_id]
-    if kind == "max_distance":
-        if f.radius <= 0:
-            return jnp.ones_like(ctx.actor, dtype=bool)
-        ar = gather_obj(state.obj_r, ctx.actor)
-        ac = gather_obj(state.obj_c, ctx.actor)
-        dr = ctx.target_r - ar
-        dc = ctx.target_c - ac
-        return dr * dr + dc * dc <= f.radius * f.radius
-    if kind == "not":
-        return ~eval_filter(program, state, ctx, f.inner[0])
-    if kind == "or":
-        ok = jnp.zeros_like(ctx.actor, dtype=bool)
-        for sub in f.inner:
-            ok = ok | eval_filter(program, state, ctx, sub)
-        return ok
-    if kind == "periodic":
-        t = ctx.timestep
-        return (t >= f.start_on) & ((t - f.start_on) % f.period == 0)
-    raise NotImplementedError(f"Filter kind {kind!r}")
-
-
-def eval_filters(program: EngineProgram, state, ctx: Ctx, handler: CompiledHandler) -> jnp.ndarray:
-    ok = jnp.ones_like(ctx.actor, dtype=bool)
-    for f in handler.filters:
-        ok = ok & eval_filter(program, state, ctx, f)
-    return ok
-
-
-# =====================================================================
-# Inventory math (reference: objects/inventory.cpp:38-88)
-# =====================================================================
-
-
-def inv_limits_for(program: EngineProgram, state, slot: jnp.ndarray) -> jnp.ndarray:
-    """Per-resource effective limits for the entity at slot: int32[E, R]."""
-    tid = gather_obj(state.obj_type, slot)
-    return jnp.asarray(program.type_inv_limit)[tid]
-
-
-def inventory_update(
-    program: EngineProgram, state, slot: jnp.ndarray, rid: int, delta: jnp.ndarray, mask: jnp.ndarray
-):
-    """Clamped inventory update; returns (state, actual_delta[E])."""
-    inv = gather_obj(state.obj_inv, slot)  # [E, R]
-    limits = inv_limits_for(program, state, slot)
-    old = inv[:, rid]
-    new = jnp.clip(old + delta, 0, limits[:, rid])
-    actual = jnp.where(mask, new - old, 0)
-    new_inv = inv.at[:, rid].set(jnp.where(mask, new, old))
-    state = state._replace(obj_inv=scatter_obj(state.obj_inv, slot, new_inv, mask))
+    Applies the shared-limit math (inventory.cpp:38-88) and the
+    enforce-on-modifier-removal pass."""
+    inv = gather(state.obj_inv, slot)  # [B, R]
+    tid = gather(state.obj_type, slot)
+    new_inv, actual = inv_update(program, tid, inv, rid, delta, mask)
+    if program.resource_is_modifier[rid]:
+        shrink = mask & (actual < 0)
+        new_inv = jnp.where(
+            shrink[..., None], inv_enforce_limits(program, tid, new_inv, shrink), new_inv
+        )
+    state = state._replace(obj_inv=scatter(state.obj_inv, slot, new_inv, mask))
     return state, actual
+
+
+def set_agent_stat(state, slot, stat_id: int, value, mask, *, mode: str = "set"):
+    """Write an agent stat (slot must be an agent slot; others are no-ops)."""
+    A = state.agent_stats.shape[1]
+    ok = mask & agent_slot_ok(slot, A)
+    cur = gather(state.agent_stats, jnp.clip(slot, 0, A - 1))  # [B, Sa]
+    v = value if mode == "set" else cur[..., stat_id] + value
+    new = cur.at[..., stat_id].set(jnp.where(ok, v, cur[..., stat_id]))
+    return state._replace(
+        agent_stats=scatter(state.agent_stats, jnp.clip(slot, 0, A - 1), new, ok)
+    )
+
+
+def set_game_stat(state, env_mask, stat_id: int, value, *, mode: str = "set"):
+    """Write a game stat under a per-env mask. value: [E] or scalar."""
+    cur = state.game_stats[:, stat_id]
+    v = value if mode == "set" else cur + value
+    return state._replace(
+        game_stats=state.game_stats.at[:, stat_id].set(jnp.where(env_mask, v, cur))
+    )
+
+
+def incr_agent_stat(state, slot, stat_id: int, mask):
+    return set_agent_stat(state, slot, stat_id, 1.0, mask, mode="add")
 
 
 # =====================================================================
@@ -144,21 +92,20 @@ def inventory_update(
 # =====================================================================
 
 
-def apply_mutation(program: EngineProgram, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray):
-    """Apply one mutation under mask. Returns (state, ok[E]) where ok is False
-    for envs where the mutation failed (reference ctx.mutation_failed)."""
+def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray):
+    """Apply one mutation under mask. Returns (state, ok[B]) where ok is False
+    for entries where the mutation failed (reference ctx.mutation_failed —
+    only use_target / push_object / spawn kinds can fail)."""
     kind = m.kind
     ok = jnp.ones_like(mask)
 
     if kind == "relocate":
-        # Move actor to target cell (reference: relocate_mutation.hpp).
         e = _env_ids(state)
-        ar = gather_obj(state.obj_r, ctx.actor)
-        ac = gather_obj(state.obj_c, ctx.actor)
+        ar = gather(state.obj_r, ctx.actor)
+        ac = gather(state.obj_c, ctx.actor)
         H, W = state.grid.shape[1], state.grid.shape[2]
-        tr = _safe(ctx.target_r, H)
-        tc = _safe(ctx.target_c, W)
-        # Clear old cell, set new cell, update position.
+        tr = jnp.clip(ctx.target_r, 0, H - 1)
+        tc = jnp.clip(ctx.target_c, 0, W - 1)
         grid = state.grid
         old_cell = grid[e, ar, ac]
         grid = grid.at[e, ar, ac].set(jnp.where(mask, -1, old_cell))
@@ -166,37 +113,37 @@ def apply_mutation(program: EngineProgram, state, ctx: Ctx, m: CompiledMutation,
         grid = grid.at[e, tr, tc].set(jnp.where(mask, ctx.actor, new_cell_old))
         state = state._replace(
             grid=grid,
-            obj_r=scatter_obj(state.obj_r, ctx.actor, jnp.where(mask, tr, ar), mask),
-            obj_c=scatter_obj(state.obj_c, ctx.actor, jnp.where(mask, tc, ac), mask),
+            obj_r=scatter(state.obj_r, ctx.actor, jnp.where(mask, tr, ar), mask),
+            obj_c=scatter(state.obj_c, ctx.actor, jnp.where(mask, tc, ac), mask),
         )
         return state, ok
 
     if kind == "swap":
         e = _env_ids(state)
-        ar = gather_obj(state.obj_r, ctx.actor)
-        ac = gather_obj(state.obj_c, ctx.actor)
-        tr = gather_obj(state.obj_r, ctx.target)
-        tc = gather_obj(state.obj_c, ctx.target)
+        ar = gather(state.obj_r, ctx.actor)
+        ac = gather(state.obj_c, ctx.actor)
+        tr = gather(state.obj_r, ctx.target)
+        tc = gather(state.obj_c, ctx.target)
         valid = mask & (ctx.target >= 0)
         grid = state.grid
         grid = grid.at[e, ar, ac].set(jnp.where(valid, ctx.target, grid[e, ar, ac]))
         grid = grid.at[e, tr, tc].set(jnp.where(valid, ctx.actor, grid[e, tr, tc]))
         state = state._replace(
             grid=grid,
-            obj_r=scatter_obj(state.obj_r, ctx.actor, tr, valid),
-            obj_c=scatter_obj(state.obj_c, ctx.actor, tc, valid),
+            obj_r=scatter(state.obj_r, ctx.actor, tr, valid),
+            obj_c=scatter(state.obj_c, ctx.actor, tc, valid),
         )
         state = state._replace(
-            obj_r=scatter_obj(state.obj_r, ctx.target, ar, valid),
-            obj_c=scatter_obj(state.obj_c, ctx.target, ac, valid),
+            obj_r=scatter(state.obj_r, ctx.target, ar, valid),
+            obj_c=scatter(state.obj_c, ctx.target, ac, valid),
         )
-        return state, ok & (ctx.target >= 0)
+        return state, ok
 
     if kind == "resource_delta":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
         for rid, delta in m.deltas:
-            state, _ = inventory_update(program, state, slot, rid, jnp.full_like(slot, delta), valid)
+            state, _ = entity_inv_update(program, state, slot, rid, jnp.full_like(slot, delta), valid)
         return state, ok
 
     if kind == "resource_transfer":
@@ -204,60 +151,224 @@ def apply_mutation(program: EngineProgram, state, ctx: Ctx, m: CompiledMutation,
         dst = _entity_slot(ctx, m.to_is_actor)
         valid = mask & (src >= 0) & (dst >= 0)
         for rid, amount in m.deltas:
-            src_inv = gather_obj(state.obj_inv, src)[:, rid]
+            src_inv = gather(state.obj_inv, src)[..., rid]
             want = jnp.where(amount < 0, src_inv, jnp.minimum(amount, src_inv))
             # Receiver accepts up to capacity; source loses what was accepted
             # (destroy_untransferred=false — resource_mutation.hpp:72-77).
-            state, accepted = inventory_update(program, state, dst, rid, want, valid)
-            state, _ = inventory_update(program, state, src, rid, -accepted, valid)
+            state, accepted = entity_inv_update(program, state, dst, rid, want, valid)
+            state, _ = entity_inv_update(program, state, src, rid, -accepted, valid)
         if m.remove_source_when_empty:
-            src_inv_after = gather_obj(state.obj_inv, src)
+            src_inv_after = gather(state.obj_inv, src)
             empty = src_inv_after.sum(axis=-1) == 0
             rm = valid & empty
             e = _env_ids(state)
-            sr = gather_obj(state.obj_r, src)
-            sc = gather_obj(state.obj_c, src)
+            sr = gather(state.obj_r, src)
+            sc = gather(state.obj_c, src)
             grid = state.grid.at[e, sr, sc].set(jnp.where(rm, -1, state.grid[e, sr, sc]))
             state = state._replace(
                 grid=grid,
-                obj_alive=scatter_obj(state.obj_alive, src, jnp.zeros_like(rm), rm),
+                obj_alive=scatter(state.obj_alive, src, jnp.zeros_like(rm), rm),
             )
         return state, ok
+
+    if kind == "clear_inventory":
+        slot = _entity_slot(ctx, m.target_is_actor)
+        valid = mask & (slot >= 0)
+        tid = gather(state.obj_type, slot)
+        rmask = jnp.asarray(m.clear_mask)[tid]  # [B, R]
+        inv = gather(state.obj_inv, slot)
+        new_inv = jnp.where(rmask & valid[..., None], 0, inv)
+        state = state._replace(obj_inv=scatter(state.obj_inv, slot, new_inv, valid))
+        return state, ok
+
+    if kind == "attack":
+        return apply_attack(program, state, ctx, m, mask)
 
     if kind == "change_vibe":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
         state = state._replace(
-            obj_vibe=scatter_obj(state.obj_vibe, slot, jnp.full_like(slot, m.vibe_id), valid)
+            obj_vibe=scatter(state.obj_vibe, slot, jnp.full_like(slot, m.vibe_id), valid)
         )
         return state, ok
 
-    if kind == "add_tag":
+    if kind == "add_tag" or kind == "remove_tag":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
-        tags = gather_obj(state.obj_tags, slot)
-        tags = tags.at[:, m.tag_id].set(jnp.where(valid, True, tags[:, m.tag_id]))
-        state = state._replace(obj_tags=scatter_obj(state.obj_tags, slot, tags, valid))
+        tags = gather(state.obj_tags, slot)
+        bit = kind == "add_tag"
+        tags = tags.at[..., m.tag_id].set(jnp.where(valid, bit, tags[..., m.tag_id]))
+        state = state._replace(obj_tags=scatter(state.obj_tags, slot, tags, valid))
         return state, ok
 
-    if kind == "remove_tag":
+    if kind == "remove_tags_with_prefix":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
-        tags = gather_obj(state.obj_tags, slot)
-        tags = tags.at[:, m.tag_id].set(jnp.where(valid, False, tags[:, m.tag_id]))
-        state = state._replace(obj_tags=scatter_obj(state.obj_tags, slot, tags, valid))
+        tags = gather(state.obj_tags, slot)
+        pm = jnp.asarray(m.tag_mask)
+        tags = jnp.where(valid[..., None] & pm, False, tags)
+        state = state._replace(obj_tags=scatter(state.obj_tags, slot, tags, valid))
+        return state, ok
+
+    if kind == "stats":
+        slot = ctx.actor if m.entity_is_actor else ctx.target
+        value = eval_value(program, state, m.source, slot, ctx)
+        if m.stat_is_game:
+            # Reduce over any extra batch dims is ill-defined; stats mutations
+            # in per-env contexts write per env. For [E]-shaped ctx this is a
+            # plain masked set.
+            assert mask.ndim == 1, "game stats mutation requires per-env context"
+            state = set_game_stat(state, mask, m.stat_id, value)
+        else:
+            state = set_agent_stat(state, slot, m.stat_id, value, mask)
+        return state, ok
+
+    if kind == "set_game_value":
+        slot = _entity_slot(ctx, m.target_is_actor)
+        valid = mask & (slot >= 0)
+        if m.source is not None:
+            delta = eval_value(program, state, m.source, slot, ctx)
+        else:
+            delta = jnp.full(mask.shape, m.delta_const, dtype=jnp.float32)
+        if m.write_rid >= 0:
+            state, _ = entity_inv_update(
+                program, state, slot, m.write_rid, delta.astype(jnp.int32), valid
+            )
+        else:
+            if m.stat_is_game:
+                assert mask.ndim == 1
+                state = set_game_stat(state, valid, m.stat_id, delta, mode="add")
+            else:
+                state = set_agent_stat(state, slot, m.stat_id, delta, valid, mode="add")
         return state, ok
 
     if kind == "use_target":
         return apply_use_target(program, state, ctx, mask)
 
+    if kind == "push_object":
+        # Push target one cell along the clamped actor->target direction
+        # (push_object_mutation.hpp); fails if off-grid or occupied.
+        e = _env_ids(state)
+        H, W = state.grid.shape[1], state.grid.shape[2]
+        ar = gather(state.obj_r, ctx.actor)
+        ac = gather(state.obj_c, ctx.actor)
+        tr = gather(state.obj_r, ctx.target)
+        tc = gather(state.obj_c, ctx.target)
+        dr = jnp.clip(tr - ar, -1, 1)
+        dc = jnp.clip(tc - ac, -1, 1)
+        nr, nc = tr + dr, tc + dc
+        inb = (nr >= 0) & (nr < H) & (nc >= 0) & (nc < W)
+        dest_empty = state.grid[e, jnp.clip(nr, 0, H - 1), jnp.clip(nc, 0, W - 1)] < 0
+        can = mask & (ctx.target >= 0) & inb & dest_empty
+        grid = state.grid
+        grid = grid.at[e, tr, tc].set(jnp.where(can, -1, grid[e, tr, tc]))
+        nr_s, nc_s = jnp.clip(nr, 0, H - 1), jnp.clip(nc, 0, W - 1)
+        grid = grid.at[e, nr_s, nc_s].set(jnp.where(can, ctx.target, grid[e, nr_s, nc_s]))
+        state = state._replace(
+            grid=grid,
+            obj_r=scatter(state.obj_r, ctx.target, nr_s, can),
+            obj_c=scatter(state.obj_c, ctx.target, nc_s, can),
+        )
+        return state, jnp.where(mask, can, ok)
+
+    if kind == "spawn_object":
+        return apply_spawn(program, state, ctx, m, mask)
+
     raise NotImplementedError(f"Mutation kind {kind!r}")
 
 
-def apply_use_target(program: EngineProgram, state, ctx: Ctx, mask: jnp.ndarray):
+def apply_attack(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray):
+    """DSL attack semantics (config/mutation/attack_mutation.py; legacy twin
+    actions/attack.hpp:146-237): weapon/armor powers, defense consumption on
+    block, on_success mutations otherwise."""
+    actor, target = ctx.actor, ctx.target
+    valid = mask & (actor >= 0) & (target >= 0)
+
+    a_inv = gather(state.obj_inv, actor)  # [B, R]
+    t_inv = gather(state.obj_inv, target)
+    t_vibe = gather(state.obj_vibe, target)
+
+    weapon = jnp.zeros(mask.shape, dtype=jnp.int32)
+    for rid, w in m.weapon:
+        weapon = weapon + a_inv[..., rid] * w
+    armor = jnp.zeros(mask.shape, dtype=jnp.int32)
+    vb = jnp.asarray(m.vibe_bonus) if m.vibe_bonus is not None else None
+    vm = jnp.asarray(m.vibe_matches_resource) if m.vibe_matches_resource is not None else None
+    for rid, w in m.armor:
+        amount = t_inv[..., rid]
+        if vb is not None and vm is not None:
+            bonus = jnp.where(vm[t_vibe, rid], vb[t_vibe], 0)
+            amount = amount + bonus
+        armor = armor + amount * w
+    damage_bonus = jnp.maximum(weapon - armor, 0)
+
+    if m.defense:
+        can_defend = valid
+        for rid, amount in m.defense:
+            can_defend = can_defend & (t_inv[..., rid] >= amount + damage_bonus)
+        # Blocked: consume defense resources from the target.
+        for rid, amount in m.defense:
+            state, _ = entity_inv_update(
+                program, state, target, rid, -(amount + damage_bonus), can_defend
+            )
+    else:
+        can_defend = jnp.zeros_like(valid)
+
+    hit = valid & ~can_defend
+    for sub in m.on_success:
+        state, _ = apply_mutation(program, state, ctx, sub, hit)
+    return state, jnp.ones_like(mask)
+
+
+def apply_spawn(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray):
+    """Spawn an object of a configured type at the target cell. Requires a
+    free object slot; allocates the lowest dead slot >= num_agents."""
+    assert mask.ndim == 1, "spawn_object requires per-env context"
+    e = _env_ids(state)
+    H, W = state.grid.shape[1], state.grid.shape[2]
+    tr = jnp.clip(ctx.target_r, 0, H - 1)
+    tc = jnp.clip(ctx.target_c, 0, W - 1)
+    cell_empty = state.grid[e, tr, tc] < 0
+    # Lowest free (dead) non-agent slot per env.
+    N = state.obj_alive.shape[1]
+    A = program.num_agents
+    free = ~state.obj_alive & (jnp.arange(N)[None, :] >= A)
+    slot = jnp.argmax(free, axis=1).astype(jnp.int32)
+    has_free = jnp.take_along_axis(free, slot[:, None], axis=1)[:, 0]
+    can = mask & cell_empty & has_free
+
+    tid = m.spawn_type_id
+    state = state._replace(
+        grid=state.grid.at[e, tr, tc].set(jnp.where(can, slot, state.grid[e, tr, tc])),
+        obj_type=scatter(state.obj_type, slot, jnp.full_like(slot, tid), can),
+        obj_r=scatter(state.obj_r, slot, tr, can),
+        obj_c=scatter(state.obj_c, slot, tc, can),
+        obj_vibe=scatter(
+            state.obj_vibe, slot, jnp.full_like(slot, int(program.type_initial_vibe[tid])), can
+        ),
+        obj_tags=scatter(
+            state.obj_tags,
+            slot,
+            jnp.broadcast_to(jnp.asarray(program.type_tags[tid]), can.shape + (program.num_tags,)),
+            can,
+        ),
+        obj_inv=scatter(
+            state.obj_inv,
+            slot,
+            jnp.broadcast_to(
+                jnp.asarray(program.type_initial_inv[tid]), can.shape + (program.num_resources,)
+            ),
+            can,
+        ),
+        obj_alive=scatter(state.obj_alive, slot, jnp.ones_like(can), can),
+    )
+    return state, jnp.where(mask, can, jnp.ones_like(mask))
+
+
+def apply_use_target(program, state, ctx: Ctx, mask: jnp.ndarray):
     """Delegate to the target's per-type on_use handler chain
-    (reference: use_target_mutation.hpp + grid_object.cpp:69-77)."""
-    ttype = gather_obj(state.obj_type, ctx.target)
+    (reference: use_target_mutation.hpp + grid_object.cpp onUse)."""
+    ttype = gather(state.obj_type, ctx.target)
     ok = jnp.zeros_like(mask)
     for tid, handler in enumerate(program.on_use_handlers):
         if handler is None:
@@ -265,10 +376,18 @@ def apply_use_target(program: EngineProgram, state, ctx: Ctx, mask: jnp.ndarray)
         type_mask = mask & (ctx.target >= 0) & (ttype == tid)
         state, applied = try_apply(program, state, ctx, handler, type_mask)
         ok = ok | applied
+    # on_after_use: agent hook fired after a successful use
+    # (objects/agent.hpp on_after_use; use_target_mutation.hpp:27-29).
+    for cfg_idx, hooks in enumerate(program.on_after_use_handlers):
+        if hooks is None:
+            continue
+        acfg = gather(state.agent_cfg, jnp.clip(ctx.actor, 0, program.num_agents - 1))
+        amask = ok & agent_slot_ok(ctx.actor, program.num_agents) & (acfg == cfg_idx)
+        state, _ = try_apply(program, state, ctx, hooks, amask)
     return state, ok
 
 
-def apply_mutations(program: EngineProgram, state, ctx: Ctx, handler: CompiledHandler, mask: jnp.ndarray):
+def apply_mutations(program, state, ctx: Ctx, handler: CompiledHandler, mask: jnp.ndarray):
     """Apply the mutation chain in order; a failed mutation stops later
     mutations for that env but earlier ones stay applied (no rollback —
     reference handler.cpp:82-89)."""
@@ -279,9 +398,23 @@ def apply_mutations(program: EngineProgram, state, ctx: Ctx, handler: CompiledHa
     return state, still_ok
 
 
-def try_apply(program: EngineProgram, state, ctx: Ctx, handler: CompiledHandler, mask: jnp.ndarray):
+def try_apply(program, state, ctx: Ctx, handler, mask: jnp.ndarray):
     """Full handler application: filters gate, then mutations. Returns
-    (state, succeeded[E])."""
-    passed = mask & eval_filters(program, state, ctx, handler)
+    (state, succeeded[B]). MultiHandler dispatches FirstMatch or All
+    (reference: handler/multi_handler.hpp:24-49)."""
+    if isinstance(handler, CompiledMultiHandler):
+        if handler.first_match:
+            done = jnp.zeros_like(mask)
+            for h in handler.handlers:
+                state, applied = try_apply(program, state, ctx, h, mask & ~done)
+                done = done | applied
+            return state, done
+        any_applied = jnp.zeros_like(mask)
+        for h in handler.handlers:
+            state, applied = try_apply(program, state, ctx, h, mask)
+            any_applied = any_applied | applied
+        return state, any_applied
+
+    passed = mask & eval_filters(program, state, ctx, handler.filters)
     state, applied = apply_mutations(program, state, ctx, handler, passed)
     return state, applied

@@ -156,3 +156,8 @@ def build_env_init(
         agent_r=agent_r,
         agent_c=agent_c,
     )
+
+
+def stat_dims(program: EngineProgram) -> tuple[int, int]:
+    """(num_agent_stats, num_game_stats), padded to at least 1."""
+    return max(len(program.agent_stat_names), 1), max(len(program.game_stat_names), 1)

@@ -19,27 +19,40 @@ from mettagrid_tpu.config.game_config import AgentConfig, GameConfig, GridObject
 from mettagrid_tpu.config.game_value import (
     ConstValue,
     InventoryValue,
+    MaxGameValue,
+    MinGameValue,
+    QueryCountValue,
+    QueryInventoryValue,
+    RatioGameValue,
+    StatValue,
     SumGameValue,
 )
 from mettagrid_tpu.config.handler_config import (
+    AllOf,
     EntityTarget,
+    FirstMatch,
     Handler,
     HandlerTarget,
     MaxDistanceFilter,
     RelocateMutation,
-    ResourceDeltaMutation,
-    ResourceTransferMutation,
+    StatsTarget,
+    StatsEntity,
     TargetIsUsableFilter,
     TargetLocEmptyFilter,
     UseTargetMutation,
-    VibeFilter,
-    ResourceFilter,
-    TagFilter,
-    ChangeVibeMutation,
-    SwapMutation,
-    AttackMutation,
 )
 from mettagrid_tpu.config.tag import typeTag
+from mettagrid_tpu.engine.ir import (
+    CompiledEvent,
+    CompiledFilter,
+    CompiledHandler,
+    CompiledMoveHandler,
+    CompiledMultiHandler,
+    CompiledMutation,
+    CompiledQuery,
+    CompiledRewardEntry,
+    CompiledValue,
+)
 
 # Action kinds (engine-internal dispatch codes)
 KIND_NOOP = 0
@@ -86,77 +99,6 @@ def manhattan_window_offsets(height: int, width: int) -> list[tuple[int, int]]:
         d += 1
         dr_start = -d
     return out
-
-
-# =====================================================================
-# Compiled handler IR
-# =====================================================================
-
-
-@dataclass(frozen=True)
-class CompiledFilter:
-    """One filter, flattened to numeric ids. kind is the config filter_type."""
-
-    kind: str
-    target_is_actor: bool = False
-    vibe_id: int = 0
-    tag_id: int = -1
-    resource_mins: tuple[tuple[int, int], ...] = ()  # (resource_id, min_amount)
-    radius: int = 0
-    negate: bool = False
-    inner: tuple["CompiledFilter", ...] = ()  # for or-filters
-    period: int = 1
-    start_on: int = 0
-
-
-@dataclass(frozen=True)
-class CompiledMutation:
-    """One mutation, flattened to numeric ids. kind is the config mutation_type."""
-
-    kind: str
-    target_is_actor: bool = False
-    from_is_actor: bool = False
-    to_is_actor: bool = False
-    deltas: tuple[tuple[int, int], ...] = ()  # (resource_id, delta); -1 amount = all
-    vibe_id: int = 0
-    tag_id: int = -1
-    remove_source_when_empty: bool = False
-
-
-@dataclass(frozen=True)
-class CompiledHandler:
-    """Filter chain + mutation chain (reference: handler/handler.hpp:30-55)."""
-
-    name: str
-    filters: tuple[CompiledFilter, ...]
-    mutations: tuple[CompiledMutation, ...]
-
-
-@dataclass(frozen=True)
-class CompiledMoveHandler:
-    """A handler in the move chain plus its line-scan parameters
-    (reference: actions/move.hpp:26-46)."""
-
-    handler: CompiledHandler
-    max_range: int = 1
-    accepts_empty: bool = False
-
-
-@dataclass(frozen=True)
-class CompiledRewardEntry:
-    """One reward entry: weighted inventory/const sum with optional clamp.
-
-    Round-1 game-value coverage: InventoryValue (agent scope), ConstValue,
-    and SumGameValue over those. accumulate=True adds the raw value per tick,
-    else the delta vs. the previous step (reference: systems/reward.hpp:55-78).
-    """
-
-    inv_weights: tuple[tuple[int, float], ...]  # (resource_id, weight)
-    const: float
-    log: bool
-    clamp_min: Optional[float]
-    clamp_max: Optional[float]
-    accumulate: bool
 
 
 @dataclass(frozen=True)
@@ -227,6 +169,8 @@ class EngineProgram:
     action_is_vibe: np.ndarray  # bool[n_actions]
     action_priority: np.ndarray  # int32[n_actions]
     priorities_desc: tuple[int, ...]
+    action_success_stat: np.ndarray  # int32[n_actions] agent-stat id of action.<base>.success
+    action_fail_stat: np.ndarray  # int32[n_actions] agent-stat id of action.<base>.failed
 
     # --- per-type tables ---
     type_tags: np.ndarray  # bool[n_types, n_tags]
@@ -234,13 +178,30 @@ class EngineProgram:
     type_initial_inv: np.ndarray  # int32[n_types, R]
     type_is_agent: np.ndarray  # bool[n_types]
     type_usable: np.ndarray  # bool[n_types]
-    type_inv_limit: np.ndarray  # int32[n_types, R] per-resource base limits
     type_swappable: np.ndarray  # bool[n_types]
+
+    # --- inventory limit groups (reference: objects/inventory.hpp:16-41) ---
+    type_limit_group: np.ndarray  # int32[n_types, R]: group id per resource, -1 = none
+    type_group_member: np.ndarray  # bool[n_types, G, R]
+    type_group_modw: np.ndarray  # int32[n_types, G, R] modifier weights
+    type_group_min: np.ndarray  # int32[n_types, G]
+    type_group_max: np.ndarray  # int32[n_types, G]
+    resource_is_modifier: np.ndarray  # bool[R]: item is a modifier for ANY type's limit
+
+    # --- stats (reference: systems/stats_tracker.hpp:25-147) ---
+    agent_stat_names: tuple[str, ...]
+    game_stat_names: tuple[str, ...]
+    stat_action_failed: int  # agent stat id of "action.failed"
+    stat_action_invalid: int  # agent stat id of "action.invalid_index"
+    stat_max_swm: int  # agent stat id of "status.max_steps_without_motion"
 
     # --- compiled programs ---
     move_handlers: tuple[CompiledMoveHandler, ...]
-    on_use_handlers: tuple[Optional[CompiledHandler], ...]  # per type id
-    # reward entries per agent-config index (agent slot -> config idx in EnvInit)
+    on_use_handlers: tuple[Optional[Any], ...]  # per type id (handler or multi)
+    on_tick_handlers: tuple[Optional[Any], ...]  # per agent-config index
+    on_after_use_handlers: tuple[Optional[Any], ...]  # per agent-config index
+    game_on_tick: Optional[Any]
+    events: tuple[CompiledEvent, ...]
     reward_programs: tuple[tuple[CompiledRewardEntry, ...], ...]
     num_reward_entries: int  # max entries over agent configs (padded)
 
@@ -253,132 +214,329 @@ class EngineProgram:
 
 
 # =====================================================================
-# Compilation
+# Compiler
 # =====================================================================
 
 
-def _compile_filter(f: Any, *, resource_ids: dict[str, int], tag_ids: dict[str, int], vibe_ids: dict[str, int]) -> CompiledFilter:
-    kind = f.filter_type
-    if kind == "target_loc_empty":
-        return CompiledFilter(kind=kind)
-    if kind == "target_is_usable":
-        return CompiledFilter(kind=kind)
-    if kind == "vibe":
-        return CompiledFilter(
-            kind=kind,
-            target_is_actor=(f.target == HandlerTarget.ACTOR),
-            vibe_id=vibe_ids[f.vibe],
+class _Compiler:
+    """Holds the name->id maps plus the stat interner during compilation."""
+
+    def __init__(self, game: GameConfig):
+        self.game = game
+        self.id_map = game.id_map()
+        self.resource_names = tuple(game.resource_names)
+        self.resource_ids = {name: i for i, name in enumerate(self.resource_names)}
+        self.vibe_names = tuple(game.vibe_names)
+        self.vibe_ids = {name: i for i, name in enumerate(self.vibe_names)}
+        self.tag_names = tuple(self.id_map.tag_names())
+        self.tag_ids = {name: i for i, name in enumerate(self.tag_names)}
+        self.agent_stats: dict[str, int] = {}
+        self.game_stats: dict[str, int] = {}
+        self.type_names: list[str] = []
+        self.event_index: dict[str, int] = {}
+
+    def intern_stat(self, name: str, *, game_scope: bool) -> int:
+        table = self.game_stats if game_scope else self.agent_stats
+        if name not in table:
+            table[name] = len(table)
+        return table[name]
+
+    def tag_prefix_mask(self, prefix: str) -> np.ndarray:
+        mask = np.zeros(len(self.tag_names), dtype=bool)
+        for i, name in enumerate(self.tag_names):
+            if name.startswith(prefix):
+                mask[i] = True
+        return mask
+
+    # ---------------- game values ----------------
+
+    def compile_value(self, gv: Any) -> CompiledValue:
+        if isinstance(gv, InventoryValue):
+            return CompiledValue(kind="inventory", rid=self.resource_ids[gv.item])
+        if isinstance(gv, StatValue):
+            game_scope = gv.scope.value == "game"
+            sid = self.intern_stat(gv.name, game_scope=game_scope)
+            return CompiledValue(kind="stat", stat_id=sid, stat_is_game=game_scope, delta=gv.delta)
+        if isinstance(gv, ConstValue):
+            return CompiledValue(kind="const", value=gv.value)
+        if isinstance(gv, SumGameValue):
+            weights = tuple(w for w, _ in gv.values)
+            children = tuple(self.compile_value(v) for _, v in gv.values)
+            return CompiledValue(
+                kind="sum",
+                weights=weights,
+                children=children,
+                log=gv.log,
+                clamp_min=gv.min,
+                clamp_max=gv.max,
+            )
+        if isinstance(gv, RatioGameValue):
+            return CompiledValue(
+                kind="ratio", children=(self.compile_value(gv.numerator), self.compile_value(gv.denominator))
+            )
+        if isinstance(gv, MaxGameValue):
+            return CompiledValue(kind="max", children=tuple(self.compile_value(v) for v in gv.values))
+        if isinstance(gv, MinGameValue):
+            return CompiledValue(kind="min", children=tuple(self.compile_value(v) for v in gv.values))
+        if isinstance(gv, QueryInventoryValue):
+            return CompiledValue(
+                kind="query_inventory",
+                rid=self.resource_ids[gv.item],
+                query=self.compile_query(gv.query),
+            )
+        if isinstance(gv, QueryCountValue):
+            return CompiledValue(kind="query_count", query=self.compile_query(gv.query))
+        if isinstance(gv, (int, float)):
+            return CompiledValue(kind="const", value=float(gv))
+        raise NotImplementedError(f"Game value {type(gv).__name__} not compiled")
+
+    # ---------------- queries ----------------
+
+    def compile_query(self, q: Any) -> CompiledQuery:
+        """Compile a query config (dict or model or bare tag string)."""
+        if isinstance(q, str):
+            return CompiledQuery(kind="tag", tag_id=self.tag_ids[q])
+        if hasattr(q, "model_dump"):
+            q = q.model_dump()
+        if not isinstance(q, dict):
+            raise NotImplementedError(f"Query config {type(q).__name__} not compiled")
+        kind = q.get("query_type", "tag")
+        filters = tuple(self.compile_filter_cfg(f) for f in q.get("filters", []) or [])
+        if kind == "tag":
+            return CompiledQuery(kind="tag", tag_id=self.tag_ids[q["tag"]], filters=filters)
+        if kind == "filtered":
+            return CompiledQuery(
+                kind="filtered", source=self.compile_query(q["source"]), filters=filters
+            )
+        if kind == "closure":
+            edge = tuple(self.compile_filter_cfg(f) for f in q.get("edge_filters", []) or [])
+            max_d2 = 2
+            for f in edge:
+                if f.kind == "max_distance" and f.radius > 0:
+                    max_d2 = f.radius * f.radius
+            return CompiledQuery(
+                kind="closure",
+                source=self.compile_query(q["source"]),
+                candidates=self.compile_query(q["candidates"]) if q.get("candidates") else None,
+                edge_filters=edge,
+                filters=filters,
+                max_hops=int(q.get("max_hops", 8)),
+                max_distance2=max_d2,
+            )
+        raise NotImplementedError(f"Query kind {kind!r} not compiled")
+
+    def compile_filter_cfg(self, f: Any) -> CompiledFilter:
+        """Compile a filter given as dict or pydantic model."""
+        if isinstance(f, dict):
+            from mettagrid_tpu.config.handler_config import AnyFilter
+            from pydantic import TypeAdapter
+
+            f = TypeAdapter(AnyFilter).validate_python(f)
+        return self.compile_filter(f)
+
+    # ---------------- filters ----------------
+
+    def compile_filter(self, f: Any) -> CompiledFilter:
+        kind = f.filter_type
+        if kind == "target_loc_empty":
+            return CompiledFilter(kind=kind)
+        if kind == "target_is_usable":
+            return CompiledFilter(kind=kind)
+        if kind == "vibe":
+            return CompiledFilter(
+                kind=kind,
+                target_is_actor=(f.target == HandlerTarget.ACTOR),
+                vibe_id=self.vibe_ids[f.vibe],
+            )
+        if kind == "resource":
+            mins = tuple(sorted((self.resource_ids[name], amount) for name, amount in f.resources.items()))
+            return CompiledFilter(kind=kind, target_is_actor=(f.target == HandlerTarget.ACTOR), resource_mins=mins)
+        if kind == "tag":
+            return CompiledFilter(
+                kind=kind, target_is_actor=(f.target == HandlerTarget.ACTOR), tag_id=self.tag_ids[f.tag]
+            )
+        if kind == "tag_prefix":
+            return CompiledFilter(
+                kind=kind,
+                target_is_actor=(f.target == HandlerTarget.ACTOR),
+                tag_mask=self.tag_prefix_mask(f.tag_prefix),
+            )
+        if kind == "shared_tag_prefix":
+            return CompiledFilter(kind=kind, tag_mask=self.tag_prefix_mask(f.tag_prefix))
+        if kind == "game_value":
+            threshold = f.min if not isinstance(f.min, (int, float)) else ConstValue(value=float(f.min))
+            return CompiledFilter(
+                kind=kind,
+                target_is_actor=(f.target == HandlerTarget.ACTOR),
+                value=self.compile_value(f.value),
+                threshold=self.compile_value(threshold),
+            )
+        if kind == "max_distance":
+            query = self.compile_query(f.query) if f.query is not None else None
+            return CompiledFilter(
+                kind=kind,
+                target_is_actor=(f.target == HandlerTarget.ACTOR),
+                radius=f.radius,
+                query=query,
+            )
+        if kind == "not":
+            return CompiledFilter(kind="not", inner=(self.compile_filter(f.inner),))
+        if kind == "or":
+            return CompiledFilter(kind="or", inner=tuple(self.compile_filter(x) for x in f.inner))
+        if kind == "periodic":
+            start = f.start_on if f.start_on is not None else f.period
+            return CompiledFilter(kind=kind, period=f.period, start_on=start)
+        raise NotImplementedError(f"Filter type {kind!r} not yet compiled in the TPU engine")
+
+    # ---------------- mutations ----------------
+
+    def compile_mutation(self, m: Any, type_limit_masks: dict[str, np.ndarray]) -> CompiledMutation:
+        kind = m.mutation_type
+        rids = self.resource_ids
+        if kind == "relocate":
+            return CompiledMutation(kind=kind)
+        if kind == "use_target":
+            return CompiledMutation(kind=kind)
+        if kind == "swap":
+            return CompiledMutation(kind=kind)
+        if kind == "push_object":
+            return CompiledMutation(kind=kind)
+        if kind == "resource_delta":
+            deltas = tuple(sorted((rids[name], d) for name, d in m.deltas.items()))
+            return CompiledMutation(kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), deltas=deltas)
+        if kind == "resource_transfer":
+            deltas = tuple(sorted((rids[name], d) for name, d in m.resources.items()))
+            return CompiledMutation(
+                kind=kind,
+                from_is_actor=(m.from_target == EntityTarget.ACTOR),
+                to_is_actor=(m.to_target == EntityTarget.ACTOR),
+                deltas=deltas,
+                remove_source_when_empty=m.remove_source_when_empty,
+            )
+        if kind == "clear_inventory":
+            mask = type_limit_masks.get(m.limit_name)
+            if mask is None:
+                raise ValueError(f"clear_inventory references unknown limit group {m.limit_name!r}")
+            return CompiledMutation(
+                kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), clear_mask=mask
+            )
+        if kind == "attack":
+            n_vibes = max(len(self.vibe_names), 1)
+            R = len(self.resource_names)
+            vibe_bonus = np.zeros(n_vibes, dtype=np.int32)
+            for vibe_name, bonus in m.vibe_bonus.items():
+                vibe_bonus[self.vibe_ids[vibe_name]] = bonus
+            # vibing a matching resource: vibe name == resource name, vibe != 0
+            # (attack.hpp:163-170)
+            vibe_matches = np.zeros((n_vibes, R), dtype=bool)
+            for vid, vname in enumerate(self.vibe_names):
+                if vid == 0:
+                    continue
+                if vname in self.resource_ids:
+                    vibe_matches[vid, self.resource_ids[vname]] = True
+            return CompiledMutation(
+                kind=kind,
+                defense=tuple(sorted((rids[k], v) for k, v in m.defense_resources.items())),
+                armor=tuple(sorted((rids[k], v) for k, v in m.armor_resources.items())),
+                weapon=tuple(sorted((rids[k], v) for k, v in m.weapon_resources.items())),
+                vibe_bonus=vibe_bonus,
+                vibe_matches_resource=vibe_matches,
+                on_success=tuple(self.compile_mutation(s, type_limit_masks) for s in m.on_success),
+            )
+        if kind == "stats":
+            game_scope = m.target == StatsTarget.GAME
+            return CompiledMutation(
+                kind=kind,
+                stat_id=self.intern_stat(m.stat, game_scope=game_scope),
+                stat_is_game=game_scope,
+                entity_is_actor=(m.entity == StatsEntity.ACTOR),
+                source=self.compile_value(m.source),
+            )
+        if kind == "set_game_value":
+            v = m.value
+            source = self.compile_value(m.source) if m.source is not None else None
+            if isinstance(v, InventoryValue):
+                return CompiledMutation(
+                    kind=kind,
+                    target_is_actor=(m.target == EntityTarget.ACTOR),
+                    write_rid=self.resource_ids[v.item],
+                    delta_const=m.delta,
+                    source=source,
+                )
+            game_scope = v.scope.value == "game"
+            return CompiledMutation(
+                kind=kind,
+                target_is_actor=(m.target == EntityTarget.ACTOR),
+                stat_id=self.intern_stat(v.name, game_scope=game_scope),
+                stat_is_game=game_scope,
+                delta_const=m.delta,
+                source=source,
+            )
+        if kind == "change_vibe":
+            return CompiledMutation(
+                kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), vibe_id=self.vibe_ids[m.vibe_name]
+            )
+        if kind == "add_tag":
+            return CompiledMutation(
+                kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), tag_id=self.tag_ids[m.tag]
+            )
+        if kind == "remove_tag":
+            return CompiledMutation(
+                kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), tag_id=self.tag_ids[m.tag]
+            )
+        if kind == "remove_tags_with_prefix":
+            return CompiledMutation(
+                kind=kind,
+                target_is_actor=(m.target == EntityTarget.ACTOR),
+                tag_mask=self.tag_prefix_mask(m.prefix),
+            )
+        if kind == "spawn_object":
+            tid = self.type_names.index(m.object_type)
+            return CompiledMutation(kind=kind, spawn_type_id=tid)
+        raise NotImplementedError(f"Mutation type {kind!r} not yet compiled in the TPU engine")
+
+    # ---------------- handlers ----------------
+
+    def compile_handler(self, h: Any, name: str, type_limit_masks: dict[str, np.ndarray]):
+        if isinstance(h, dict):
+            h = Handler.model_validate(h)
+        if isinstance(h, FirstMatch):
+            return CompiledMultiHandler(
+                handlers=tuple(
+                    self.compile_handler(c, getattr(c, "name", "") or f"{name}[{i}]", type_limit_masks)
+                    for i, c in enumerate(h.handlers)
+                ),
+                first_match=True,
+            )
+        if isinstance(h, AllOf):
+            return CompiledMultiHandler(
+                handlers=tuple(
+                    self.compile_handler(c, getattr(c, "name", "") or f"{name}[{i}]", type_limit_masks)
+                    for i, c in enumerate(h.handlers)
+                ),
+                first_match=False,
+            )
+        return CompiledHandler(
+            name=name or h.name,
+            filters=tuple(self.compile_filter(f) for f in h.filters),
+            mutations=tuple(self.compile_mutation(m, type_limit_masks) for m in h.mutations),
         )
-    if kind == "resource":
-        mins = tuple(sorted((resource_ids[name], amount) for name, amount in f.resources.items()))
-        return CompiledFilter(kind=kind, target_is_actor=(f.target == HandlerTarget.ACTOR), resource_mins=mins)
-    if kind == "tag":
-        return CompiledFilter(kind=kind, target_is_actor=(f.target == HandlerTarget.ACTOR), tag_id=tag_ids[f.tag])
-    if kind == "max_distance":
-        if f.query is not None:
-            raise NotImplementedError("max_distance filter with query not yet supported")
-        return CompiledFilter(kind=kind, radius=f.radius)
-    if kind == "not":
-        inner = _compile_filter(f.inner, resource_ids=resource_ids, tag_ids=tag_ids, vibe_ids=vibe_ids)
-        return CompiledFilter(kind="not", inner=(inner,))
-    if kind == "or":
-        inner = tuple(_compile_filter(x, resource_ids=resource_ids, tag_ids=tag_ids, vibe_ids=vibe_ids) for x in f.inner)
-        return CompiledFilter(kind="or", inner=inner)
-    if kind == "periodic":
-        start = f.start_on if f.start_on is not None else f.period
-        return CompiledFilter(kind=kind, period=f.period, start_on=start)
-    raise NotImplementedError(f"Filter type {kind!r} not yet compiled in the TPU engine")
 
-
-def _compile_mutation(m: Any, *, resource_ids: dict[str, int], tag_ids: dict[str, int], vibe_ids: dict[str, int]) -> CompiledMutation:
-    kind = m.mutation_type
-    if kind == "relocate":
-        return CompiledMutation(kind=kind)
-    if kind == "use_target":
-        return CompiledMutation(kind=kind)
-    if kind == "swap":
-        return CompiledMutation(kind=kind)
-    if kind == "resource_delta":
-        deltas = tuple(sorted((resource_ids[name], d) for name, d in m.deltas.items()))
-        return CompiledMutation(kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), deltas=deltas)
-    if kind == "resource_transfer":
-        deltas = tuple(sorted((resource_ids[name], d) for name, d in m.resources.items()))
-        return CompiledMutation(
-            kind=kind,
-            from_is_actor=(m.from_target == EntityTarget.ACTOR),
-            to_is_actor=(m.to_target == EntityTarget.ACTOR),
-            deltas=deltas,
-            remove_source_when_empty=m.remove_source_when_empty,
-        )
-    if kind == "change_vibe":
-        return CompiledMutation(
-            kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), vibe_id=vibe_ids[m.vibe_name]
-        )
-    if kind == "add_tag":
-        return CompiledMutation(kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), tag_id=tag_ids[m.tag])
-    if kind == "remove_tag":
-        return CompiledMutation(kind=kind, target_is_actor=(m.target == EntityTarget.ACTOR), tag_id=tag_ids[m.tag])
-    raise NotImplementedError(f"Mutation type {kind!r} not yet compiled in the TPU engine")
-
-
-def _compile_handler(h: Handler, name: str, **maps: Any) -> CompiledHandler:
-    return CompiledHandler(
-        name=name or h.name,
-        filters=tuple(_compile_filter(f, **maps) for f in h.filters),
-        mutations=tuple(_compile_mutation(m, **maps) for m in h.mutations),
-    )
-
-
-def _compile_move_handler(h: Handler, name: str, **maps: Any) -> CompiledMoveHandler:
-    """Extract line-scan parameters the way the reference MoveHandler ctor does
-    (actions/move.hpp:31-40): MaxDistance filter sets max_range, presence of
-    TargetLocEmpty sets accepts_empty."""
-    max_range = 1
-    accepts_empty = False
-    for f in h.filters:
-        if isinstance(f, MaxDistanceFilter):
-            max_range = f.radius if f.radius > 0 else 1
-        if isinstance(f, TargetLocEmptyFilter):
-            accepts_empty = True
-    return CompiledMoveHandler(
-        handler=_compile_handler(h, name, **maps), max_range=max_range, accepts_empty=accepts_empty
-    )
-
-
-def _compile_reward_entry(gv: Any, accumulate: bool, resource_ids: dict[str, int]) -> CompiledRewardEntry:
-    """Flatten a game value into (weighted inventory sum + const). Raises on
-    expressions beyond round-1 coverage."""
-    inv_weights: list[tuple[int, float]] = []
-    const = 0.0
-    log = False
-    clamp_min = clamp_max = None
-
-    def add(g: Any, weight: float) -> float:
-        nonlocal const
-        if isinstance(g, InventoryValue):
-            inv_weights.append((resource_ids[g.item], weight))
-            return 0.0
-        if isinstance(g, ConstValue):
-            const += weight * g.value
-            return 0.0
-        raise NotImplementedError(f"Game value {type(g).__name__} not yet compiled for rewards")
-
-    if isinstance(gv, SumGameValue):
-        log = gv.log
-        clamp_min, clamp_max = gv.min, gv.max
-        for weight, sub in gv.values:
-            add(sub, weight)
-    else:
-        add(gv, 1.0)
-
-    return CompiledRewardEntry(
-        inv_weights=tuple(inv_weights),
-        const=const,
-        log=log,
-        clamp_min=clamp_min,
-        clamp_max=clamp_max,
-        accumulate=accumulate,
-    )
+    def compile_move_handler(self, h: Handler, name: str, type_limit_masks) -> CompiledMoveHandler:
+        """Extract line-scan parameters the way the reference MoveHandler ctor
+        does (actions/move.hpp:31-40)."""
+        if isinstance(h, dict):
+            h = Handler.model_validate(h)
+        max_range = 1
+        accepts_empty = False
+        for f in h.filters:
+            if isinstance(f, MaxDistanceFilter):
+                max_range = f.radius if f.radius > 0 else 1
+            if isinstance(f, TargetLocEmptyFilter):
+                accepts_empty = True
+        compiled = self.compile_handler(h, name, type_limit_masks)
+        assert isinstance(compiled, CompiledHandler), "move handlers cannot be FirstMatch/AllOf"
+        return CompiledMoveHandler(handler=compiled, max_range=max_range, accepts_empty=accepts_empty)
 
 
 def _object_tags(obj: GridObjectConfig) -> list[str]:
@@ -394,34 +552,29 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         label = "mettagrid"
         game = cfg
 
-    id_map = game.id_map()
-    resource_names = tuple(game.resource_names)
-    resource_ids = {name: i for i, name in enumerate(resource_names)}
-    vibe_names = tuple(game.vibe_names)
-    vibe_ids = {name: i for i, name in enumerate(vibe_names)}
-    tag_names = tuple(id_map.tag_names())
-    tag_ids = {name: i for i, name in enumerate(tag_names)}
-    maps = dict(resource_ids=resource_ids, tag_ids=tag_ids, vibe_ids=vibe_ids)
+    c = _Compiler(game)
+    resource_names = c.resource_names
+    R = len(resource_names)
+    tag_names = c.tag_names
+    n_tags = len(tag_names)
 
     # ---- object types: non-agent objects first, then agent configs ----
     object_cfgs: list[GridObjectConfig] = list(game.objects.values())
     agent_cfgs: list[AgentConfig] = list(game.agents) if game.agents else [game.agent]
 
-    type_names: list[str] = []
     map_name_to_type: dict[str, int] = {}
     type_rows: list[dict[str, Any]] = []
 
     def add_type(obj: GridObjectConfig, is_agent: bool) -> int:
-        type_id = len(type_names)
-        type_names.append(obj.name)
+        type_id = len(c.type_names)
+        c.type_names.append(obj.name)
         row = {
-            "tags": [tag_ids[t] for t in _object_tags(obj)],
+            "tags": [c.tag_ids[t] for t in _object_tags(obj)],
             "vibe": obj.vibe,
-            "inv": {resource_ids[k]: v for k, v in obj.inventory.initial.items()},
+            "inv": {c.resource_ids[k]: v for k, v in obj.inventory.initial.items()},
             "is_agent": is_agent,
             "usable": obj.on_use_handler is not None or bool(obj.handlers),
-            "limits": {resource_ids[k]: obj.inventory.get_limit(k) for k in resource_names},
-            "default_limit": obj.inventory.default_limit,
+            "inventory": obj.inventory,
         }
         type_rows.append(row)
         return type_id
@@ -439,20 +592,16 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         agent_groups.append(acfg.team_id)
         agent_config_names.append(acfg.name)
         map_name_to_type[f"agent.{acfg.map_name}"] = tid
-    # Bare "agent" cells map to the first/default agent config.
     map_name_to_type.setdefault("agent", agent_type_ids[0])
     map_name_to_type.setdefault("agent.agent", agent_type_ids[0])
 
-    n_types = len(type_names)
-    R = len(resource_names)
-    n_tags = len(tag_names)
+    n_types = len(c.type_names)
 
     type_tags = np.zeros((n_types, n_tags), dtype=bool)
     type_initial_vibe = np.zeros(n_types, dtype=np.int32)
     type_initial_inv = np.zeros((n_types, R), dtype=np.int32)
     type_is_agent = np.zeros(n_types, dtype=bool)
     type_usable = np.zeros(n_types, dtype=bool)
-    type_inv_limit = np.full((n_types, R), 65535, dtype=np.int32)
     for tid, row in enumerate(type_rows):
         for t in row["tags"]:
             type_tags[tid, t] = True
@@ -461,19 +610,68 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
             type_initial_inv[tid, rid] = amount
         type_is_agent[tid] = row["is_agent"]
         type_usable[tid] = row["usable"]
-        for rid in range(R):
-            type_inv_limit[tid, rid] = row["limits"].get(rid, row["default_limit"])
-    # Agents can swap with... (round 1: nothing is swappable by default)
     type_swappable = np.zeros(n_types, dtype=bool)
+
+    # ---- inventory limit groups ----
+    # Group ids are per-type; G = max group count over types. A resource with
+    # no group uses the type's default_limit, modeled as its own
+    # single-resource group when default_limit < 65535.
+    group_lists: list[list[dict]] = []
+    type_limit_masks: dict[str, np.ndarray] = {}
+    for tid, row in enumerate(type_rows):
+        inv_cfg = row["inventory"]
+        groups: list[dict] = []
+        grouped = set()
+        for limit_name, lim in inv_cfg.limits.items():
+            members = [c.resource_ids[r] for r in lim.resources]
+            grouped.update(members)
+            groups.append(
+                {
+                    "members": members,
+                    "min": lim.base,
+                    "max": lim.max,
+                    "modifiers": {c.resource_ids[k]: v for k, v in lim.modifiers.items()},
+                }
+            )
+            mask = type_limit_masks.setdefault(limit_name, np.zeros((n_types, R), dtype=bool))
+            for rid in members:
+                mask[tid, rid] = True
+        if inv_cfg.default_limit < 65535:
+            for rid in range(R):
+                if rid not in grouped:
+                    groups.append(
+                        {"members": [rid], "min": inv_cfg.default_limit, "max": inv_cfg.default_limit, "modifiers": {}}
+                    )
+        group_lists.append(groups)
+
+    G = max((len(g) for g in group_lists), default=0)
+    G = max(G, 1)
+    type_limit_group = np.full((n_types, R), -1, dtype=np.int32)
+    type_group_member = np.zeros((n_types, G, R), dtype=bool)
+    type_group_modw = np.zeros((n_types, G, R), dtype=np.int32)
+    type_group_min = np.zeros((n_types, G), dtype=np.int32)
+    type_group_max = np.full((n_types, G), 65535, dtype=np.int32)
+    resource_is_modifier = np.zeros(R, dtype=bool)
+    for tid, groups in enumerate(group_lists):
+        for gi, g in enumerate(groups):
+            for rid in g["members"]:
+                type_limit_group[tid, rid] = gi
+                type_group_member[tid, gi, rid] = True
+            for rid, w in g["modifiers"].items():
+                type_group_modw[tid, gi, rid] = w
+                resource_is_modifier[rid] = True
+            type_group_min[tid, gi] = g["min"]
+            type_group_max[tid, gi] = g["max"]
 
     # ---- actions ----
     # Flattened variant order matches the reference factory: noop, attack
-    # (none), move variants, change_vibe variants
+    # (no variants), move variants, change_vibe variants
     # (actions/action_handler_factory.cpp:15-79).
     action_names: list[str] = []
     action_kind: list[int] = []
     action_arg: list[int] = []
     action_priority: list[int] = []
+    action_base: list[str] = []
 
     actions_cfg = game.actions
     if actions_cfg.noop.enabled:
@@ -481,7 +679,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         action_kind.append(KIND_NOOP)
         action_arg.append(0)
         action_priority.append(0)
-    # (attack contributes no standalone variants)
+        action_base.append("noop")
     if actions_cfg.move.enabled:
         dir_index = {name: i for i, name in enumerate(DIRECTION_NAMES)}
         for direction in actions_cfg.move.allowed_directions:
@@ -489,68 +687,121 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
             action_kind.append(KIND_MOVE)
             action_arg.append(dir_index[direction])
             action_priority.append(0)
+            action_base.append("move")
     if actions_cfg.change_vibe.enabled:
         for vibe in actions_cfg.change_vibe.vibes:
             action_names.append(f"change_vibe_{vibe.name}")
             action_kind.append(KIND_CHANGE_VIBE)
-            action_arg.append(vibe_ids[vibe.name])
+            action_arg.append(c.vibe_ids[vibe.name])
             action_priority.append(0)
+            action_base.append("change_vibe")
 
     action_is_vibe = np.array([n.startswith("change_vibe_") for n in action_names], dtype=bool)
     priorities_desc = tuple(sorted(set(action_priority), reverse=True))
 
+    # Per-action success/fail stat ids (action_handler.hpp:96-103)
+    action_success_stat = np.array(
+        [c.intern_stat(f"action.{b}.success", game_scope=False) for b in action_base], dtype=np.int32
+    )
+    action_fail_stat = np.array(
+        [c.intern_stat(f"action.{b}.failed", game_scope=False) for b in action_base], dtype=np.int32
+    )
+    stat_action_failed = c.intern_stat("action.failed", game_scope=False)
+    stat_action_invalid = c.intern_stat("action.invalid_index", game_scope=False)
+    stat_max_swm = c.intern_stat("status.max_steps_without_motion", game_scope=False)
+
     # ---- move handler chain: configured handlers + default fallbacks ----
     # (reference: action_handler_factory.cpp:33-45)
     move_handlers: list[CompiledMoveHandler] = []
-    for h in actions_cfg.move.handlers:
-        if isinstance(h, dict):
-            h = Handler.model_validate(h)
-        move_handlers.append(_compile_move_handler(h, h.name or "move_custom", **maps))
+    for i, h in enumerate(actions_cfg.move.handlers):
+        nm = getattr(h, "name", "") if not isinstance(h, dict) else h.get("name", "")
+        move_handlers.append(c.compile_move_handler(h, nm or f"move_handler_{i}", type_limit_masks))
     move_handlers.append(
-        _compile_move_handler(
-            Handler(name="move", filters=[TargetLocEmptyFilter()], mutations=[RelocateMutation()]), "move", **maps
+        c.compile_move_handler(
+            Handler(name="move", filters=[TargetLocEmptyFilter()], mutations=[RelocateMutation()]),
+            "move",
+            type_limit_masks,
         )
     )
     move_handlers.append(
-        _compile_move_handler(
+        c.compile_move_handler(
             Handler(name="use_target", filters=[TargetIsUsableFilter()], mutations=[UseTargetMutation()]),
             "use_target",
-            **maps,
+            type_limit_masks,
         )
     )
 
     # ---- per-type on_use handlers ----
-    on_use_handlers: list[Optional[CompiledHandler]] = []
+    on_use_handlers: list[Optional[Any]] = []
     all_type_cfgs: list[GridObjectConfig] = object_cfgs + agent_cfgs
     for obj in all_type_cfgs:
         h = obj.on_use_handler
         if h is None and obj.handlers:
-            # Legacy dict-of-handlers: first one wins in round 1.
-            h = next(iter(obj.handlers.values()))
+            hs = list(obj.handlers.values())
+            if len(hs) == 1:
+                h = hs[0]
+            else:
+                h = FirstMatch(handlers=hs)
         if h is None:
             on_use_handlers.append(None)
-        elif isinstance(h, Handler):
-            on_use_handlers.append(_compile_handler(h, getattr(h, "name", "") or "on_use", **maps))
         else:
-            raise NotImplementedError("FirstMatch/AllOf on_use handlers not yet compiled")
+            on_use_handlers.append(c.compile_handler(h, getattr(h, "name", "") or "on_use", type_limit_masks))
+
+    # ---- per-agent-config on_tick / on_after_use ----
+    on_tick_handlers: list[Optional[Any]] = []
+    on_after_use_handlers: list[Optional[Any]] = []
+    for acfg in agent_cfgs:
+        on_tick_handlers.append(
+            c.compile_handler(acfg.on_tick, "on_tick", type_limit_masks) if acfg.on_tick else None
+        )
+        on_after_use_handlers.append(
+            c.compile_handler(acfg.on_after_use_handler, "on_after_use", type_limit_masks)
+            if acfg.on_after_use_handler
+            else None
+        )
+    game_on_tick = c.compile_handler(game.on_tick, "game_on_tick", type_limit_masks) if game.on_tick else None
+
+    # ---- events ----
+    event_names = list(game.events.keys())
+    c.event_index = {name: i for i, name in enumerate(event_names)}
+    events: list[CompiledEvent] = []
+    for name, ev in game.events.items():
+        handler = CompiledHandler(
+            name=name,
+            filters=tuple(c.compile_filter(f) for f in ev.filters),
+            mutations=tuple(c.compile_mutation(m, type_limit_masks) for m in ev.mutations),
+        )
+        events.append(
+            CompiledEvent(
+                name=name,
+                handler=handler,
+                target_query=c.compile_query(ev.target_query),
+                timesteps=tuple(sorted(set(ev.timesteps))),
+                max_targets=ev.max_targets or 0,
+                fallback=c.event_index.get(ev.fallback, -1) if ev.fallback else -1,
+                stat_id=c.intern_stat(f"event.{name}", game_scope=True),
+            )
+        )
 
     # ---- rewards ----
     reward_programs: list[tuple[CompiledRewardEntry, ...]] = []
     for acfg in agent_cfgs:
         entries = tuple(
-            _compile_reward_entry(r.reward, r.per_tick, resource_ids) for r in acfg.rewards.values()
+            CompiledRewardEntry(value=c.compile_value(r.reward), accumulate=r.per_tick)
+            for r in acfg.rewards.values()
         )
         reward_programs.append(entries)
     num_reward_entries = max((len(p) for p in reward_programs), default=0)
 
     # ---- observation layout ----
-    feat = {f.name: f.id for f in id_map.features()}
-    num_inv_tokens = len([n for n in feat if n == "inv:" + resource_names[0] or n.startswith("inv:" + resource_names[0] + ":p")]) if R else 1
+    feat = {f.name: f.id for f in c.id_map.features()}
+    num_inv_tokens = (
+        len([n for n in feat if n == "inv:" + resource_names[0] or n.startswith("inv:" + resource_names[0] + ":p")])
+        if R
+        else 1
+    )
     inv_ids = tuple(
-        tuple(
-            feat[f"inv:{name}"] if p == 0 else feat[f"inv:{name}:p{p}"]
-            for p in range(num_inv_tokens)
-        )
+        tuple(feat[f"inv:{name}"] if p == 0 else feat[f"inv:{name}:p{p}"] for p in range(num_inv_tokens))
         for name in resource_names
     )
     feature_ids = FeatureIds(
@@ -585,12 +836,8 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
 
     window_offsets = tuple(manhattan_window_offsets(game.obs.height, game.obs.width))
 
-    # Object-slot capacity: agents + every possible non-agent object. The map
-    # determines the actual count; EnvInit may request more headroom for
-    # spawn mutations. Default: computed at init time; here we only record a
-    # placeholder (init fills it in via `with_capacity`).
     program = EngineProgram(
-        height=0,  # set by bind_map_dims
+        height=0,  # set by build_env_init
         width=0,
         num_agents=game.num_agents,
         num_objects=0,
@@ -605,9 +852,9 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         max_steps=game.max_steps,
         episode_truncates=game.episode_truncates,
         resource_names=resource_names,
-        vibe_names=vibe_names,
+        vibe_names=c.vibe_names,
         tag_names=tag_names,
-        type_names=tuple(type_names),
+        type_names=tuple(c.type_names),
         map_name_to_type=map_name_to_type,
         action_names=tuple(action_names),
         feature_ids=feature_ids,
@@ -618,15 +865,31 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         action_is_vibe=action_is_vibe,
         action_priority=np.array(action_priority, dtype=np.int32),
         priorities_desc=priorities_desc,
+        action_success_stat=action_success_stat,
+        action_fail_stat=action_fail_stat,
         type_tags=type_tags,
         type_initial_vibe=type_initial_vibe,
         type_initial_inv=type_initial_inv,
         type_is_agent=type_is_agent,
         type_usable=type_usable,
-        type_inv_limit=type_inv_limit,
         type_swappable=type_swappable,
+        type_limit_group=type_limit_group,
+        type_group_member=type_group_member,
+        type_group_modw=type_group_modw,
+        type_group_min=type_group_min,
+        type_group_max=type_group_max,
+        resource_is_modifier=resource_is_modifier,
+        agent_stat_names=tuple(c.agent_stats.keys()),
+        game_stat_names=tuple(c.game_stats.keys()),
+        stat_action_failed=stat_action_failed,
+        stat_action_invalid=stat_action_invalid,
+        stat_max_swm=stat_max_swm,
         move_handlers=tuple(move_handlers),
         on_use_handlers=tuple(on_use_handlers),
+        on_tick_handlers=tuple(on_tick_handlers),
+        on_after_use_handlers=tuple(on_after_use_handlers),
+        game_on_tick=game_on_tick,
+        events=tuple(events),
         reward_programs=tuple(reward_programs),
         num_reward_entries=num_reward_entries,
         agent_config_names=tuple(agent_config_names),

@@ -1,14 +1,16 @@
 """Reward phase (reference: systems/reward.hpp:55-78).
 
-Each agent has a static list of compiled reward entries; per step the engine
-adds value - prev (default) or the raw value (accumulate / per_tick mode) to
-the shared rewards array, then accumulates episode rewards.
+Each agent has a static list of compiled reward entries (game-value
+expressions); per step the engine adds value - prev (default) or the raw
+value (accumulate / per_tick mode) to the shared rewards array, then
+accumulates episode rewards.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mettagrid_tpu.engine.exec import eval_value
 from mettagrid_tpu.engine.program import EngineProgram
 from mettagrid_tpu.engine.state import EnvState
 
@@ -20,22 +22,15 @@ def make_reward_phase(program: EngineProgram):
         if program.num_reward_entries == 0:
             return state._replace(episode_rewards=state.episode_rewards + state.rewards)
 
-        agent_inv = state.obj_inv[:, :A, :].astype(jnp.float32)  # [E, A, R]
+        E = state.grid.shape[0]
+        agent_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
         total = jnp.zeros_like(state.rewards)
         new_prev = state.reward_prev
 
         for cfg_idx, entries in enumerate(program.reward_programs):
             cfg_mask = state.agent_cfg == cfg_idx  # [E, A]
             for j, entry in enumerate(entries):
-                val = jnp.full_like(total, entry.const)
-                for rid, weight in entry.inv_weights:
-                    val = val + weight * agent_inv[:, :, rid]
-                if entry.log:
-                    val = jnp.log1p(jnp.maximum(val, 0.0))
-                if entry.clamp_min is not None:
-                    val = jnp.maximum(val, entry.clamp_min)
-                if entry.clamp_max is not None:
-                    val = jnp.minimum(val, entry.clamp_max)
+                val = eval_value(program, state, entry.value, agent_slots)
                 prev = state.reward_prev[:, :, j]
                 delta = val if entry.accumulate else val - prev
                 total = total + jnp.where(cfg_mask, delta, 0.0)

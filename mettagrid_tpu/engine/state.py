@@ -34,6 +34,17 @@ class EnvState(NamedTuple):
     agent_prev_c: jnp.ndarray  # int32[E, A]
     agent_last_action: jnp.ndarray  # int32[E, A]: executed action (noop if failed)
     action_success: jnp.ndarray  # bool[E, A]
+    # per-action-invocation motion tracking (action_handler.hpp:81-94)
+    agent_action_prev_r: jnp.ndarray  # int32[E, A]
+    agent_action_prev_c: jnp.ndarray  # int32[E, A]
+    agent_swm: jnp.ndarray  # int32[E, A]: steps_without_motion
+
+    # --- stats (reference: systems/stats_tracker.hpp; gameplay state, not
+    # telemetry: values feed back into rewards/filters via GameValues) ---
+    game_stats: jnp.ndarray  # f32[E, Sg]
+    agent_stats: jnp.ndarray  # f32[E, A, Sa]
+    game_stats_prev: jnp.ndarray  # f32[E, Sg]: snapshot at step start (delta stats)
+    agent_stats_prev: jnp.ndarray  # f32[E, A, Sa]
 
     # --- rewards / episode ---
     rewards: jnp.ndarray  # f32[E, A]: this step's rewards

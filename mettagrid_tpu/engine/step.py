@@ -1,10 +1,10 @@
-"""The jitted step/reset: 4096 envs stepping in lockstep on device.
+"""The jitted step/reset: thousands of envs stepping in lockstep on device.
 
 Phase order is faithful to the reference MettaGrid::_step
 (cpp/bindings/mettagrid_c.cpp:921-1102): auto-reset (PufferEnv level) ->
 snapshot prev locations -> zero rewards/success -> step++ -> shuffled action
-streams by priority -> [events/on_tick/AOE: later stages] -> observations ->
-rewards -> truncation.
+streams by priority -> events -> on_tick -> [AOE/territory: see aoe.py] ->
+observations -> rewards -> truncation.
 """
 
 from __future__ import annotations
@@ -16,7 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mettagrid_tpu.engine.actions import make_action_phase
-from mettagrid_tpu.engine.init import EnvInit
+from mettagrid_tpu.engine.events import make_event_phase
+from mettagrid_tpu.engine.exec import Ctx
+from mettagrid_tpu.engine.handlers import try_apply
+from mettagrid_tpu.engine.init import EnvInit, stat_dims
 from mettagrid_tpu.engine.obs import make_obs_fn
 from mettagrid_tpu.engine.program import EngineProgram
 from mettagrid_tpu.engine.rewards import make_reward_phase
@@ -25,13 +28,16 @@ from mettagrid_tpu.engine.state import EnvState, StepOutputs
 
 def _device_init(init: EnvInit):
     """Upload the map pool to device once (small: P maps)."""
-    return jax.tree_util.tree_map(jnp.asarray, init.__dict__)
+    return {
+        k: jnp.asarray(v) for k, v in init.__dict__.items() if isinstance(v, np.ndarray)
+    }
 
 
 def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndarray, rng: jnp.ndarray) -> EnvState:
     """Gather per-env initial state from the map pool (map_idx: int32[E])."""
     E = map_idx.shape[0]
     A = program.num_agents
+    Sa, Sg = stat_dims(program)
 
     def pick(name):
         return jnp.take(pool[name], map_idx, axis=0)
@@ -55,6 +61,13 @@ def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndar
         agent_prev_c=agent_c,
         agent_last_action=jnp.zeros((E, A), dtype=jnp.int32),
         action_success=jnp.zeros((E, A), dtype=bool),
+        agent_action_prev_r=agent_r,
+        agent_action_prev_c=agent_c,
+        agent_swm=jnp.zeros((E, A), dtype=jnp.int32),
+        game_stats=jnp.zeros((E, Sg), dtype=jnp.float32),
+        agent_stats=jnp.zeros((E, A, Sa), dtype=jnp.float32),
+        game_stats_prev=jnp.zeros((E, Sg), dtype=jnp.float32),
+        agent_stats_prev=jnp.zeros((E, A, Sa), dtype=jnp.float32),
         rewards=jnp.zeros((E, A), dtype=jnp.float32),
         episode_rewards=jnp.zeros((E, A), dtype=jnp.float32),
         reward_prev=jnp.zeros((E, A, max(program.num_reward_entries, 1)), dtype=jnp.float32),
@@ -95,6 +108,45 @@ def make_reset(program: EngineProgram, init: EnvInit, num_envs: int):
     return jax.jit(reset)
 
 
+def make_on_tick_phase(program: EngineProgram):
+    """Per-agent on_tick handlers + game on_tick (mettagrid_c.cpp:1018-1056)."""
+    has_agent_ticks = any(h is not None for h in program.on_tick_handlers)
+    if not has_agent_ticks and program.game_on_tick is None:
+        return None
+    A = program.num_agents
+
+    def on_tick_phase(state: EnvState) -> EnvState:
+        E = state.grid.shape[0]
+        if has_agent_ticks:
+            slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+            ctx = Ctx(
+                actor=slots,
+                target=slots,
+                target_r=state.obj_r[:, :A],
+                target_c=state.obj_c[:, :A],
+                distance=jnp.zeros((E, A), dtype=jnp.int32),
+                timestep=state.step_count,
+            )
+            for cfg_idx, handler in enumerate(program.on_tick_handlers):
+                if handler is None:
+                    continue
+                mask = state.agent_cfg == cfg_idx  # [E, A]
+                state, _ = try_apply(program, state, ctx, handler, mask)
+        if program.game_on_tick is not None:
+            none = jnp.full((E,), -1, dtype=jnp.int32)
+            zeros = jnp.zeros((E,), dtype=jnp.int32)
+            gctx = Ctx(
+                actor=none, target=none, target_r=zeros, target_c=zeros,
+                distance=zeros, timestep=state.step_count,
+            )
+            state, _ = try_apply(
+                program, state, gctx, program.game_on_tick, jnp.ones((E,), dtype=bool)
+            )
+        return state
+
+    return on_tick_phase
+
+
 def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, donate: bool = True):
     """Returns step(state, actions, vibe_actions) -> (state, StepOutputs).
 
@@ -106,6 +158,8 @@ def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, do
     P = init.pool_size
     A = program.num_agents
     action_phase = make_action_phase(program)
+    event_phase = make_event_phase(program)
+    on_tick_phase = make_on_tick_phase(program)
     obs_fn = make_obs_fn(program)
     reward_phase = make_reward_phase(program)
 
@@ -129,9 +183,9 @@ def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, do
                 state,
             )
 
-        # --- per-step RNG: agent order shuffle ---
-        keys = jax.vmap(jax.random.split, in_axes=0)(state.rng)
-        rng_next, k_perm = keys[:, 0], keys[:, 1]
+        # --- per-step RNG: agent order shuffle + event shuffles ---
+        keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(state.rng)
+        rng_next, k_perm, k_event = keys[:, 0], keys[:, 1], keys[:, 2]
         perm = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)
 
         # --- reset phase (mettagrid_c.cpp:929-952) ---
@@ -142,11 +196,22 @@ def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, do
             rewards=jnp.zeros_like(state.rewards),
             action_success=jnp.zeros_like(state.action_success),
             agent_last_action=jnp.zeros_like(state.agent_last_action),
+            game_stats_prev=state.game_stats,
+            agent_stats_prev=state.agent_stats,
             step_count=state.step_count + 1,
         )
 
         # --- actions (shuffled, priority-ordered, dual streams) ---
         state = action_phase(state, actions, vibe_actions, perm)
+
+        # --- events (mettagrid_c.cpp:1008-1011) ---
+        if event_phase is not None:
+            # Event shuffles draw from env 0's stream (shapes are global).
+            state = event_phase(state, k_event[0])
+
+        # --- on_tick handlers (mettagrid_c.cpp:1018-1024, 1050) ---
+        if on_tick_phase is not None:
+            state = on_tick_phase(state)
 
         # --- observations (before rewards, like the reference) ---
         obs, attempted = obs_fn(state)

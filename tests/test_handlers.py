@@ -1,0 +1,412 @@
+"""Behavior tests for the full handler stack: on_use handlers, shared
+inventory limits, attack, events, on_tick, stats (modeled on the reference's
+tests/test_chest.py, test_rewards.py, test_events_config.py)."""
+
+import numpy as np
+import pytest
+
+from tests.helpers import TinyEnv
+
+from mettagrid_tpu.config.event_config import EventConfig, once
+from mettagrid_tpu.config.game_config import (
+    AgentConfig,
+    GameConfig,
+    GridObjectConfig,
+    InventoryConfig,
+    MettaGridConfig,
+    ResourceLimitsConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.game_value import InventoryValue, stat, val
+from mettagrid_tpu.config.handler_config import (
+    AttackMutation,
+    ClearInventoryMutation,
+    EntityTarget,
+    Handler,
+    HandlerTarget,
+    ResourceDeltaMutation,
+    ResourceFilter,
+    ResourceTransferMutation,
+    StatsEntity,
+    StatsMutation,
+    StatsTarget,
+    VibeFilter,
+    targetHas,
+    updateActor,
+    updateTarget,
+    withdraw,
+)
+from mettagrid_tpu.config.action_config import (
+    ActionsConfig,
+    ChangeVibeActionConfig,
+    MoveActionConfig,
+    NoopActionConfig,
+)
+from mettagrid_tpu.config.reward_config import inventoryReward
+from mettagrid_tpu.config.tag import typeTag
+from mettagrid_tpu.config.vibes import Vibe
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+
+def make_env(map_lines, objects=None, agent=None, num_agents=1, num_envs=1, **game_kwargs):
+    # char_to_map_name merges with the global defaults ('#'/'@'/'.') in the
+    # builder's validator, so only custom object chars need listing.
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=num_agents,
+            max_steps=game_kwargs.pop("max_steps", 100),
+            objects={"wall": WallConfig(), **(objects or {})},
+            agent=agent or AgentConfig(),
+            map_builder=AsciiMapBuilder.Config(
+                map_data=map_lines, char_to_map_name=game_kwargs.pop("char_map", {})
+            ),
+            **game_kwargs,
+        )
+    )
+    return TinyEnv(cfg, num_envs=num_envs)
+
+
+def agent_inv(env, rid_name, agent=0, e=0):
+    rid = env.program.resource_names.index(rid_name)
+    return int(env.state.obj_inv[e, agent, rid])
+
+
+# ---------------------------------------------------------------------
+# on_use handlers (generator-style objects)
+# ---------------------------------------------------------------------
+
+
+def test_generator_gives_resource_on_use():
+    mine = GridObjectConfig(
+        name="mine",
+        map_name="mine",
+        on_use_handler=Handler(
+            name="harvest",
+            filters=[],
+            mutations=[ResourceDeltaMutation(target=EntityTarget.ACTOR, deltas={"ore_red": 1})],
+        ),
+    )
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "m": "mine"}
+    env = make_env(["#####", "#@m.#", "#####"], objects={"mine": mine}, char_map=char_map)
+    out = env.step({0: "move_east"})
+    # Agent bumps the mine: use_target fires harvest, agent stays put.
+    assert env.agent_pos() == [(1, 1)]
+    assert bool(out.action_success[0, 0])
+    assert agent_inv(env, "ore_red") == 1
+    env.step({0: "move_east"})
+    assert agent_inv(env, "ore_red") == 2
+
+
+def test_chest_withdraw_transfer():
+    chest = GridObjectConfig(
+        name="chest",
+        map_name="chest",
+        inventory=InventoryConfig(initial={"heart": 3}),
+        on_use_handler=Handler(
+            name="withdraw",
+            filters=[],
+            mutations=[withdraw({"heart": -1})],  # -1 = all available
+        ),
+    )
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "c": "chest"}
+    env = make_env(["#####", "#@c.#", "#####"], objects={"chest": chest}, char_map=char_map)
+    env.step({0: "move_east"})
+    assert agent_inv(env, "heart") == 3
+    chest_slot = 1 * env.cfg.game.num_agents  # first non-agent slot... compute directly
+    # chest inventory drained
+    rid = env.program.resource_names.index("heart")
+    obj_inv = np.asarray(env.state.obj_inv[0, :, rid])
+    assert obj_inv.sum() == 3  # all hearts now on the agent
+
+
+def test_use_filter_gates_handler():
+    shrine = GridObjectConfig(
+        name="shrine",
+        map_name="s",
+        on_use_handler=Handler(
+            name="blessing",
+            filters=[ResourceFilter(target=HandlerTarget.ACTOR, resources={"ore_red": 2})],
+            mutations=[ResourceDeltaMutation(target=EntityTarget.ACTOR, deltas={"heart": 1})],
+        ),
+    )
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "s": "s"}
+    env = make_env(["#####", "#@s.#", "#####"], objects={"shrine": shrine}, char_map=char_map)
+    out = env.step({0: "move_east"})
+    # Handler filter fails (no ore) -> use_target mutation fails -> move fails.
+    assert agent_inv(env, "heart") == 0
+    assert not bool(out.action_success[0, 0])
+
+
+# ---------------------------------------------------------------------
+# Inventory shared limits (reference: objects/inventory.cpp:38-88)
+# ---------------------------------------------------------------------
+
+
+def test_inventory_limit_clamps():
+    agent = AgentConfig(
+        inventory=InventoryConfig(limits={"ore": ResourceLimitsConfig(base=2, resources=["ore_red"])})
+    )
+    mine = GridObjectConfig(
+        name="mine",
+        map_name="m",
+        on_use_handler=Handler(
+            name="harvest", mutations=[updateActor({"ore_red": 5})]
+        ),
+    )
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "m": "m"}
+    env = make_env(["#####", "#@m.#", "#####"], objects={"mine": mine}, agent=agent, char_map=char_map)
+    env.step({0: "move_east"})
+    assert agent_inv(env, "ore_red") == 2  # clamped at base limit
+
+
+def test_shared_limit_group_spans_resources():
+    agent = AgentConfig(
+        inventory=InventoryConfig(
+            limits={"ore": ResourceLimitsConfig(base=3, resources=["ore_red", "ore_blue"])}
+        )
+    )
+    mine = GridObjectConfig(
+        name="mine",
+        map_name="m",
+        on_use_handler=Handler(
+            name="harvest", mutations=[updateActor({"ore_red": 2, "ore_blue": 2})]
+        ),
+    )
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "m": "m"}
+    env = make_env(["#####", "#@m.#", "#####"], objects={"mine": mine}, agent=agent, char_map=char_map)
+    env.step({0: "move_east"})
+    # Group capacity 3 shared: red fills 2, blue only 1.
+    assert agent_inv(env, "ore_red") == 2
+    assert agent_inv(env, "ore_blue") == 1
+
+
+def test_modifier_raises_limit():
+    agent = AgentConfig(
+        inventory=InventoryConfig(
+            limits={
+                "ore": ResourceLimitsConfig(
+                    base=1, max=10, resources=["ore_red"], modifiers={"blueprint": 3}
+                )
+            }
+        )
+    )
+    mine = GridObjectConfig(
+        name="mine",
+        map_name="m",
+        on_use_handler=Handler(name="harvest", mutations=[updateActor({"ore_red": 9})]),
+    )
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "m": "m"}
+    env = make_env(["#####", "#@m.#", "#####"], objects={"mine": mine}, agent=agent, char_map=char_map)
+    env.step({0: "move_east"})
+    assert agent_inv(env, "ore_red") == 1  # base limit without modifiers
+    # Give 2 blueprints -> effective = min(10, max(1, 2*3)) = 6
+    rid_bp = env.program.resource_names.index("blueprint")
+    env.state = env.state._replace(obj_inv=env.state.obj_inv.at[0, 0, rid_bp].set(2))
+    env.step({0: "move_east"})
+    assert agent_inv(env, "ore_red") == 6
+
+
+def test_clear_inventory_mutation():
+    agent = AgentConfig(
+        inventory=InventoryConfig(
+            initial={"ore_red": 4, "heart": 2},
+            limits={"ore": ResourceLimitsConfig(base=10, resources=["ore_red"])},
+        )
+    )
+    altar = GridObjectConfig(
+        name="altar",
+        map_name="a",
+        on_use_handler=Handler(
+            name="sacrifice",
+            mutations=[ClearInventoryMutation(target=EntityTarget.ACTOR, limit_name="ore")],
+        ),
+    )
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "a": "a"}
+    env = make_env(["#####", "#@a.#", "#####"], objects={"altar": altar}, agent=agent, char_map=char_map)
+    env.step({0: "move_east"})
+    assert agent_inv(env, "ore_red") == 0
+    assert agent_inv(env, "heart") == 2  # not in the cleared group
+
+
+# ---------------------------------------------------------------------
+# Attack (vibe-gated move handler with AttackMutation)
+# ---------------------------------------------------------------------
+
+
+def _combat_cfg(attacker_inv, defender_inv, num_envs=1):
+    """Two agents side by side; moving onto the other triggers attack while
+    vibing 'angry' (the current reference combat pattern: a vibe-gated move
+    handler with AttackMutation — SURVEY.md §2.1 Attack row)."""
+    attack_handler = Handler(
+        name="attack",
+        filters=[VibeFilter(target=HandlerTarget.ACTOR, vibe="angry")],
+        mutations=[
+            AttackMutation(
+                defense_resources={"armor": 1},
+                weapon_resources={"laser": 1},
+                armor_resources={},
+                on_success=[
+                    ResourceTransferMutation(
+                        from_target=EntityTarget.TARGET,
+                        to_target=EntityTarget.ACTOR,
+                        resources={"heart": -1},
+                    ),
+                ],
+            )
+        ],
+    )
+    agents = [
+        AgentConfig(name="red", team_id=0, inventory=InventoryConfig(initial=attacker_inv)),
+        AgentConfig(name="blue", team_id=1, inventory=InventoryConfig(initial=defender_inv)),
+    ]
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=2,
+            max_steps=100,
+            objects={"wall": WallConfig()},
+            agents=agents,
+            actions=ActionsConfig(
+                noop=NoopActionConfig(),
+                move=MoveActionConfig(handlers=[attack_handler]),
+                change_vibe=ChangeVibeActionConfig(
+                    vibes=[Vibe(name="default", symbol="."), Vibe(name="angry", symbol="!")]
+                ),
+            ),
+            map_builder=AsciiMapBuilder.Config(
+                map_data=["#####", "#12.#", "#####"],
+                char_to_map_name={"#": "wall", ".": "empty", "1": "agent.red", "2": "agent.blue"},
+            ),
+        )
+    )
+    return TinyEnv(cfg, num_envs=num_envs)
+
+
+def test_attack_steals_loot_when_undefended():
+    env = _combat_cfg({"laser": 5}, {"heart": 2})
+    env.step({0: "change_vibe_angry"})  # via primary? vibe actions ride the vibe stream
+    env.step(vibe_actions={0: "change_vibe_angry"})
+    env.step({0: "move_east"})
+    assert agent_inv(env, "heart", agent=0) == 2
+    assert agent_inv(env, "heart", agent=1) == 0
+
+
+def test_attack_blocked_by_defense():
+    env = _combat_cfg({"laser": 1}, {"heart": 2, "armor": 3})
+    env.step(vibe_actions={0: "change_vibe_angry"})
+    env.step({0: "move_east"})
+    # Defender pays defense cost (1 + max(1-0,0) = 2 armor), keeps hearts.
+    assert agent_inv(env, "heart", agent=0) == 0
+    assert agent_inv(env, "heart", agent=1) == 2
+    assert agent_inv(env, "armor", agent=1) == 1
+
+
+def test_attack_requires_vibe():
+    env = _combat_cfg({"laser": 5}, {"heart": 2})
+    out = env.step({0: "move_east"})  # not vibing angry -> attack filter fails
+    assert agent_inv(env, "heart", agent=0) == 0
+    assert agent_inv(env, "heart", agent=1) == 2
+
+
+# ---------------------------------------------------------------------
+# Events
+# ---------------------------------------------------------------------
+
+
+def test_event_fires_at_timestep():
+    mine = GridObjectConfig(name="mine", map_name="m", tags=["refill"])
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "m": "m"}
+    env = make_env(
+        ["#####", "#@m.#", "#####"],
+        objects={"mine": mine},
+        char_map=char_map,
+        events={
+            "refill": EventConfig(
+                name="refill",
+                target_query="refill",
+                timesteps=[2],
+                mutations=[updateTarget({"ore_red": 7})],
+            )
+        },
+    )
+    rid = env.program.resource_names.index("ore_red")
+    env.step()  # t=1
+    assert int(np.asarray(env.state.obj_inv[0, :, rid]).sum()) == 0
+    env.step()  # t=2 -> event fires
+    assert int(np.asarray(env.state.obj_inv[0, :, rid]).sum()) == 7
+    env.step()  # t=3 -> no refire
+    assert int(np.asarray(env.state.obj_inv[0, :, rid]).sum()) == 7
+
+
+def test_event_max_targets():
+    mine = GridObjectConfig(name="mine", map_name="m", tags=["refill"])
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "m": "m"}
+    env = make_env(
+        ["#######", "#@mmm.#", "#######"],
+        objects={"mine": mine},
+        char_map=char_map,
+        events={
+            "refill": EventConfig(
+                name="refill",
+                target_query="refill",
+                timesteps=[1],
+                max_targets=2,
+                mutations=[updateTarget({"ore_red": 1})],
+            )
+        },
+    )
+    rid = env.program.resource_names.index("ore_red")
+    env.step()
+    assert int(np.asarray(env.state.obj_inv[0, :, rid]).sum()) == 2
+
+
+# ---------------------------------------------------------------------
+# on_tick + stats
+# ---------------------------------------------------------------------
+
+
+def test_agent_on_tick_income():
+    agent = AgentConfig(
+        on_tick=Handler(name="income", mutations=[updateActor({"ore_red": 1})])
+    )
+    env = make_env(["####", "#@.#", "####"], agent=agent)
+    env.step()
+    env.step()
+    assert agent_inv(env, "ore_red") == 2
+
+
+def test_action_stats_tracked():
+    env = make_env(["#####", "#@..#", "#####"])
+    env.step({0: "move_east"})  # success
+    env.step({0: "move_north"})  # blocked by wall
+    names = env.program.agent_stat_names
+    stats = np.asarray(env.state.agent_stats[0, 0])
+    assert stats[names.index("action.move.success")] == 1
+    assert stats[names.index("action.move.failed")] == 1
+    assert stats[names.index("action.failed")] == 1
+
+
+def test_stats_mutation_and_stat_reward():
+    counter = GridObjectConfig(
+        name="bell",
+        map_name="b",
+        on_use_handler=Handler(
+            name="ring",
+            mutations=[
+                StatsMutation(
+                    stat="rings",
+                    target=StatsTarget.AGENT,
+                    entity=StatsEntity.ACTOR,
+                    source=val(5.0),
+                )
+            ],
+        ),
+    )
+    from mettagrid_tpu.config.reward_config import reward
+
+    agent = AgentConfig(rewards={"rings": reward(stat("rings"))})
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "b": "b"}
+    env = make_env(["#####", "#@b.#", "#####"], objects={"bell": counter}, agent=agent, char_map=char_map)
+    out = env.step({0: "move_east"})
+    names = env.program.agent_stat_names
+    assert np.asarray(env.state.agent_stats[0, 0])[names.index("rings")] == 5.0
+    assert float(out.rewards[0, 0]) == 5.0
