@@ -1,0 +1,21 @@
+"""Simulation orchestration (reference: python/src/mettagrid/simulator/)."""
+
+from mettagrid_tpu.simulator.interface import (
+    AgentObservation,
+    Location,
+    ObservationToken,
+    SimulatorEventHandler,
+)
+from mettagrid_tpu.simulator.simulator import Simulation, SimulationAgent, Simulator
+from mettagrid_tpu.simulator.stats import episode_stats
+
+__all__ = [
+    "AgentObservation",
+    "Location",
+    "ObservationToken",
+    "Simulation",
+    "SimulationAgent",
+    "Simulator",
+    "SimulatorEventHandler",
+    "episode_stats",
+]

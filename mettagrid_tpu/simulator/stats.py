@@ -1,0 +1,31 @@
+"""Episode stats export: state arrays -> string-keyed dicts
+(reference: MettaGrid::get_episode_stats, cpp/bindings/mettagrid_py.cpp:161-179).
+
+The reference keeps string->float unordered maps; the TPU engine interns the
+stat names at compile time into fixed arrays, so export is a zip."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def episode_stats(program, state, env: int = 0) -> dict[str, Any]:
+    """{"game": {...}, "agent": [{...} per agent]} for one env."""
+    game = {
+        name: float(v)
+        for name, v in zip(program.game_stat_names, np.asarray(state.game_stats[env]))
+        if v != 0.0
+    }
+    agents = []
+    agent_stats = np.asarray(state.agent_stats[env])  # [A, Sa]
+    for a in range(program.num_agents):
+        agents.append(
+            {
+                name: float(v)
+                for name, v in zip(program.agent_stat_names, agent_stats[a])
+                if v != 0.0
+            }
+        )
+    return {"game": game, "agent": agents}

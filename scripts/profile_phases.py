@@ -1,0 +1,83 @@
+"""Phase-level profiling of the batched step on the live JAX backend.
+
+Times each phase (obs, actions, rewards, full step) as separately jitted
+functions. The reference's twin is the 8-phase StepTimingStats breakdown
+(cpp/include/mettagrid/profiling.hpp:6-16).
+
+Usage: python scripts/profile_phases.py [--envs=1024] [--agents=24]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.engine.actions import make_action_phase
+from mettagrid_tpu.engine.obs import make_obs_fn
+from mettagrid_tpu.engine.rewards import make_reward_phase
+
+
+def timeit(fn, *args, n=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    num_envs, num_agents = 1024, 24
+    for arg in sys.argv[1:]:
+        k, _, v = arg.partition("=")
+        if k == "--envs":
+            num_envs = int(v)
+        elif k == "--agents":
+            num_agents = int(v)
+
+    cfg = make_arena(num_agents, combat=False)
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    maps = [builder.build_for_num_agents(num_agents) for _ in range(4)]
+    init = build_env_init(program, maps)
+    reset = make_reset(program, init, num_envs)
+    step = make_step(program, init, auto_reset=False, donate=False)
+
+    state, _ = reset(0)
+
+    obs_fn = jax.jit(make_obs_fn(program))
+    action_phase = make_action_phase(program)
+    reward_phase = jax.jit(make_reward_phase(program))
+
+    A = program.num_agents
+    actions = jnp.zeros((num_envs, A), dtype=jnp.int32) + 1  # move_north
+    vibes = jnp.zeros((num_envs, A), dtype=jnp.int32)
+    perm = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (num_envs, A))
+
+    @jax.jit
+    def actions_only(state):
+        return action_phase(state, actions, vibes, perm)
+
+    print(f"platform={jax.devices()[0].platform} envs={num_envs} agents={num_agents}")
+    t = timeit(obs_fn, state)
+    print(f"obs:      {t*1e3:8.2f} ms  ({num_envs/t:,.0f} env-steps/s if obs-only)")
+    t = timeit(actions_only, state)
+    print(f"actions:  {t*1e3:8.2f} ms")
+    t = timeit(reward_phase, state)
+    print(f"rewards:  {t*1e3:8.2f} ms")
+    t = timeit(step, state, actions, vibes)
+    print(f"step:     {t*1e3:8.2f} ms  ({num_envs/t:,.0f} env-steps/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Simulation/Simulator orchestration tests (modeled on the reference's
+tests/simulator/)."""
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import (
+    AgentConfig,
+    GameConfig,
+    GridObjectConfig,
+    MettaGridConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.handler_config import EntityTarget, Handler, ResourceDeltaMutation
+from mettagrid_tpu.config.reward_config import inventoryReward
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.simulator import Simulation, Simulator, SimulatorEventHandler
+
+
+def nav_config(max_steps=10) -> MettaGridConfig:
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=max_steps,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["#####", "#@..#", "#####"]),
+        )
+    )
+
+
+def test_simulation_step_and_views():
+    sim = Simulation(nav_config())
+    agent = sim.agent(0)
+    assert agent.location == (1, 1)
+    agent.set_action("move_east")
+    sim.step()
+    assert agent.location == (1, 2)
+    assert agent.last_action_success
+    assert sim.current_step == 1
+    assert sim.action_names[0] == "noop"
+    assert not sim.is_done
+
+
+def test_simulation_observation_tokens():
+    sim = Simulation(nav_config())
+    obs = sim.agent(0).observation
+    assert obs.tokens, "expected non-empty observation"
+    names = {t.feature_name for t in obs.tokens}
+    assert "tag" in names
+    global_feats = sim.agent(0).global_observations
+    assert "episode_completion_pct" in global_feats
+
+
+def test_simulation_runs_to_done():
+    sim = Simulation(nav_config(max_steps=3))
+    hooks = []
+
+    class Recorder(SimulatorEventHandler):
+        def on_episode_start(self):
+            hooks.append("start")
+
+        def on_step(self):
+            hooks.append("step")
+
+        def on_episode_end(self):
+            hooks.append("end")
+
+    sim2 = Simulation(nav_config(max_steps=3), event_handlers=[Recorder()])
+    while not sim2.is_done:
+        sim2.step()
+    assert hooks == ["start", "step", "step", "step", "end"]
+
+
+def test_grid_objects_table():
+    sim = Simulation(nav_config())
+    objs = sim.grid_objects()
+    type_names = {o["type_name"] for o in objs.values()}
+    assert type_names == {"wall", "agent"}
+    agents = [o for o in objs.values() if "agent_id" in o]
+    assert len(agents) == 1 and agents[0]["r"] == 1 and agents[0]["c"] == 1
+
+
+def test_simulator_invariant_enforcement():
+    simr = Simulator()
+    simr.new_simulation(nav_config(), seed=1)
+    simr.new_simulation(nav_config(), seed=2)  # same invariants OK
+    cfg2 = nav_config()
+    cfg2.game.num_agents = 2
+    cfg2.game.map_builder = AsciiMapBuilder.Config(map_data=["#####", "#@@.#", "#####"])
+    try:
+        simr.new_simulation(cfg2)
+        raise AssertionError("expected invariant violation")
+    except ValueError:
+        pass
+
+
+def test_episode_stats_export():
+    sim = Simulation(nav_config())
+    sim.agent(0).set_action("move_east")
+    sim.step()
+    stats = sim.episode_stats
+    assert stats["agent"][0].get("action.move.success") == 1.0
