@@ -1,0 +1,14 @@
+"""Framework adapters (reference: python/src/mettagrid/envs/)."""
+
+from mettagrid_tpu.envs.grid_obs_wrapper import GridObsWrapper
+from mettagrid_tpu.envs.pettingzoo_env import MettaGridPettingZooEnv
+from mettagrid_tpu.envs.puffer_env import MettaGridPufferEnv
+from mettagrid_tpu.envs.vector_env import Buffers, MettaGridVectorEnv
+
+__all__ = [
+    "Buffers",
+    "GridObsWrapper",
+    "MettaGridPettingZooEnv",
+    "MettaGridPufferEnv",
+    "MettaGridVectorEnv",
+]

@@ -1,0 +1,70 @@
+"""Adapter tests: vector env buffers, PettingZoo parallel API, grid obs
+wrapper (reference: tests/test_mettagrid_puffer_env.py, test_pettingzoo_env.py)."""
+
+import numpy as np
+
+from mettagrid_tpu.builder import make_navigation
+from mettagrid_tpu.envs import (
+    GridObsWrapper,
+    MettaGridPettingZooEnv,
+    MettaGridPufferEnv,
+    MettaGridVectorEnv,
+)
+
+
+def small_cfg(num_agents=2):
+    cfg = make_navigation(num_agents)
+    cfg.game.max_steps = 20
+    cfg.game.map_builder.width = 8
+    cfg.game.map_builder.height = 8
+    return cfg
+
+
+def test_vector_env_shapes_and_dtypes():
+    env = MettaGridVectorEnv(small_cfg(), num_envs=3, seed=0)
+    obs, _ = env.reset()
+    EA = env.num_agents
+    T = env.program.num_tokens
+    assert obs.shape == (EA, T, 3) and obs.dtype == np.uint8
+    acts = np.zeros(EA, dtype=np.int32)
+    obs, rew, term, trunc, _ = env.step(acts)
+    assert rew.shape == (EA,) and rew.dtype == np.float32
+    assert term.dtype == np.bool_ and trunc.dtype == np.bool_
+
+
+def test_vector_env_auto_reset_runs_past_episode_end():
+    env = MettaGridVectorEnv(small_cfg(), num_envs=2, seed=0)
+    env.reset()
+    for _ in range(25):  # runs past max_steps=20 thanks to auto-reset
+        obs, rew, term, trunc, _ = env.step(np.zeros(env.num_agents, dtype=np.int32))
+    assert not np.any(term), "auto-reset env should have restarted"
+
+
+def test_puffer_env_2d_action_transport():
+    env = MettaGridPufferEnv(small_cfg(), num_envs=2)
+    env.reset()
+    EA = env.num_agents
+    acts = np.zeros((EA, 2), dtype=np.int32)
+    move_east = env.program.action_names.index("move_east")
+    acts[:, 0] = move_east
+    obs, rew, term, trunc, _ = env.step(acts)
+    assert obs.shape[0] == EA
+
+
+def test_pettingzoo_parallel_api():
+    env = MettaGridPettingZooEnv(small_cfg())
+    observations, infos = env.reset(seed=0)
+    assert set(observations) == {"agent_0", "agent_1"}
+    actions = {name: 0 for name in env.agents}
+    observations, rewards, terms, truncs, infos = env.step(actions)
+    assert set(rewards) == {"agent_0", "agent_1"}
+    assert all(isinstance(v, float) for v in rewards.values())
+
+
+def test_grid_obs_wrapper_dense_conversion():
+    env = GridObsWrapper(MettaGridVectorEnv(small_cfg(), num_envs=1))
+    obs, _ = env.reset()
+    C, H, W = env.single_observation_space.shape
+    assert obs.shape == (env.num_agents, C, H, W)
+    assert obs.dtype == np.float32
+    assert obs.sum() > 0  # something was scattered
