@@ -1,0 +1,138 @@
+"""MapGen: the scene-graph map builder with multi-instance layout
+(reference: python/src/mettagrid/mapgen/mapgen.py:19-130).
+
+Renders one instance scene per compute-derived instance count, laid out in a
+near-square grid separated by instance borders, wrapped in an outer border.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Union
+
+import numpy as np
+from pydantic import Field, field_validator
+
+from mettagrid_tpu.maps.map_builder import (
+    AnyMapBuilderConfig,
+    GameMap,
+    MapBuilder,
+    MapBuilderConfig,
+)
+from mettagrid_tpu.maps.utils import create_grid
+from mettagrid_tpu.mapgen.area import Area
+from mettagrid_tpu.mapgen.scene import AnySceneConfig, SceneConfig, load_symbol
+
+
+class MapGenConfig(MapBuilderConfig["MapGen"]):
+    # Outer border guarantees agents can't see beyond the map.
+    border_width: int = Field(default=5, ge=0)
+    seed: Optional[int] = Field(default=None, ge=0)
+
+    # The per-instance scene (or nested MapBuilder config).
+    instance: Any = Field(default=None)
+    width: Optional[int] = Field(default=None, ge=0)
+    height: Optional[int] = Field(default=None, ge=0)
+
+    # Multi-instance: explicit count, or derived from num_agents.
+    instances: Optional[int] = Field(default=None, ge=1)
+    num_agents: Optional[int] = Field(default=None, ge=0)
+    instance_border_width: int = Field(default=5, ge=0)
+    instance_border_object: str = Field(default="wall")
+    set_team_by_instance: bool = Field(default=False)
+
+    @field_validator("instance", mode="before")
+    @classmethod
+    def _validate_instance(cls, v: Any):
+        if v is None or isinstance(v, (SceneConfig, MapBuilderConfig)):
+            return v
+        if isinstance(v, dict):
+            t = v.get("type")
+            if t is None:
+                raise ValueError("instance dict requires a 'type' field")
+            target = load_symbol(t) if isinstance(t, str) else t
+            if isinstance(target, type) and issubclass(target, SceneConfig):
+                return SceneConfig.model_validate(v)
+            if isinstance(target, type) and issubclass(target, MapBuilderConfig):
+                return MapBuilderConfig.model_validate(v)
+            raise ValueError(f"Invalid instance type: {target!r}")
+        raise ValueError(f"Invalid instance configuration: {v!r}")
+
+
+class MapGen(MapBuilder[MapGenConfig]):
+    Config = MapGenConfig
+
+    def __init__(self, config: MapGenConfig):
+        super().__init__(config)
+        assert self.config.instance is not None, "instance is required"
+        self._rng = np.random.default_rng(self.config.seed)
+
+    def _instance_size(self) -> tuple[int, int]:
+        cfg = self.config
+        if isinstance(cfg.instance, MapBuilderConfig):
+            probe = cfg.instance.create().build()
+            return probe.grid.shape
+        assert cfg.width and cfg.height, "width/height required for scene instances"
+        return (cfg.height, cfg.width)
+
+    def _count_agents_in_instance(self) -> int:
+        grid = self._render_one_instance()
+        return int(np.char.startswith(grid.astype(str), "agent").sum())
+
+    def _render_one_instance(self) -> np.ndarray:
+        cfg = self.config
+        if isinstance(cfg.instance, MapBuilderConfig):
+            return cfg.instance.create().build().grid
+        h, w = self._instance_size()
+        grid = create_grid(h, w)
+        area = Area.root_area_from_grid(grid)
+        scene = cfg.instance.create_root(area, rng=np.random.default_rng(self._rng.integers(2**31)))
+        scene.render_with_children()
+        return grid
+
+    def build(self) -> GameMap:
+        cfg = self.config
+        ih, iw = self._instance_size()
+
+        instances = cfg.instances
+        if instances is None and cfg.num_agents:
+            per = self._count_agents_in_instance()
+            if per <= 0:
+                raise ValueError("num_agents set but the instance scene places no agents")
+            if cfg.num_agents % per != 0:
+                raise ValueError(f"num_agents={cfg.num_agents} not divisible by per-instance agents={per}")
+            instances = cfg.num_agents // per
+        instances = instances or 1
+
+        cols = math.ceil(math.sqrt(instances))
+        rows = math.ceil(instances / cols)
+        ibw = cfg.instance_border_width if instances > 1 else 0
+        inner_h = rows * ih + (rows - 1) * ibw
+        inner_w = cols * iw + (cols - 1) * ibw
+        bw = cfg.border_width
+        grid = create_grid(inner_h + 2 * bw, inner_w + 2 * bw, fill_value=cfg.instance_border_object)
+        grid[bw : bw + inner_h, bw : bw + inner_w] = cfg.instance_border_object
+
+        for k in range(instances):
+            r, c = divmod(k, cols)
+            y = bw + r * (ih + ibw)
+            x = bw + c * (iw + ibw)
+            inst = self._render_one_instance()
+            if cfg.set_team_by_instance:
+                inst = inst.copy()
+                mask = np.char.startswith(inst.astype(str), "agent")
+                inst[mask] = f"agent.team_{k}"
+            grid[y : y + ih, x : x + iw] = inst
+
+        # Outer border walls
+        if bw > 0:
+            grid[:bw, :] = "wall"
+            grid[-bw:, :] = "wall"
+            grid[:, :bw] = "wall"
+            grid[:, -bw:] = "wall"
+        return GameMap(grid)
+
+    def build_for_num_agents(self, num_agents: int) -> GameMap:
+        if self.config.instances is None and self.config.num_agents is None:
+            self.config.num_agents = num_agents
+        return self.build()

@@ -1,0 +1,27 @@
+"""Scene implementations (reference: python/src/mettagrid/mapgen/scenes/)."""
+
+from mettagrid_tpu.mapgen.scenes.bsp import BSP, BSPLayout
+from mettagrid_tpu.mapgen.scenes.inline_ascii import InlineAscii
+from mettagrid_tpu.mapgen.scenes.layout import Layout
+from mettagrid_tpu.mapgen.scenes.make_connected import MakeConnected
+from mettagrid_tpu.mapgen.scenes.maze import Maze, MazeKruskal
+from mettagrid_tpu.mapgen.scenes.mirror import Mirror
+from mettagrid_tpu.mapgen.scenes.nop import Nop
+from mettagrid_tpu.mapgen.scenes.random import Random
+from mettagrid_tpu.mapgen.scenes.random_scene import RandomScene
+from mettagrid_tpu.mapgen.scenes.room_grid import RoomGrid
+
+__all__ = [
+    "BSP",
+    "BSPLayout",
+    "InlineAscii",
+    "Layout",
+    "MakeConnected",
+    "Maze",
+    "MazeKruskal",
+    "Mirror",
+    "Nop",
+    "Random",
+    "RandomScene",
+    "RoomGrid",
+]

@@ -1,0 +1,99 @@
+"""Micro-benchmarks for token-compaction strategies on the live backend.
+
+Compares: XLA scatter (current), sort-based, searchsorted+gather,
+one-hot matmul, and the raw cumsum/mask cost.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROWS = 1024 * 24  # E*A at E=1024
+C = 2539  # candidate axis
+T = 500  # output tokens
+
+
+def timeit(fn, *args, n=5, warmup=2):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    ok = jax.random.uniform(key, (ROWS, C)) < 0.05  # ~127 valid/row
+    tok = jax.random.randint(key, (ROWS, C), 0, 255, dtype=jnp.int32)
+
+    def cumsum_only(ok, tok):
+        pos = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+        return pos[:, -1].sum() + tok[:, 0].sum()
+
+    def scatter_based(ok, tok):
+        cnt = ok.astype(jnp.int32)
+        pos = jnp.cumsum(cnt, axis=-1) - cnt
+        write = ok & (pos < T)
+        pos = jnp.where(write, pos, T)
+        out = jnp.zeros((ROWS, T), dtype=jnp.int32)
+        rows = jnp.broadcast_to(jnp.arange(ROWS)[:, None], (ROWS, C))
+        return out.at[rows, pos].set(tok, mode="drop")
+
+    def sort_based(ok, tok):
+        key_ = jnp.where(ok, jnp.arange(C, dtype=jnp.int32)[None, :], jnp.int32(1 << 30))
+        sk, st = jax.lax.sort((key_, tok), dimension=-1, num_keys=1)
+        return st[:, :T]
+
+    def searchsorted_based(ok, tok):
+        s = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # inclusive
+        targets = jnp.arange(1, T + 1, dtype=jnp.int32)
+        idx = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="left"))(s)
+        out = jnp.take_along_axis(tok, jnp.clip(idx, 0, C - 1), axis=-1)
+        valid = idx < C
+        return jnp.where(valid, out, 0xFF)
+
+    def manual_binsearch(ok, tok):
+        s = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # [R, C] inclusive
+        targets = jnp.arange(1, T + 1, dtype=jnp.int32)[None, :]  # [1, T]
+        lo = jnp.zeros((ROWS, T), dtype=jnp.int32)
+        hi = jnp.full((ROWS, T), C, dtype=jnp.int32)
+        for _ in range(12):  # ceil(log2(C))
+            mid = (lo + hi) // 2
+            v = jnp.take_along_axis(s, jnp.clip(mid, 0, C - 1), axis=-1)
+            go_right = v < targets
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        out = jnp.take_along_axis(tok, jnp.clip(lo, 0, C - 1), axis=-1)
+        return jnp.where(lo < C, out, 0xFF)
+
+    def gather_cost(ok, tok):
+        idx = (jnp.cumsum(ok.astype(jnp.int32), axis=-1) * 7) % C
+        return jnp.take_along_axis(tok, idx[:, :T], axis=-1)
+
+    print(f"rows={ROWS} C={C} T={T} platform={jax.devices()[0].platform}")
+    for name, fn in [
+        ("cumsum_only", cumsum_only),
+        ("sort_based", sort_based),
+        ("manual_binsearch", manual_binsearch),
+        ("gather[T from C]", gather_cost),
+        ("searchsorted", searchsorted_based),
+        ("scatter (current)", scatter_based),
+    ]:
+        try:
+            t = timeit(fn, ok, tok)
+            print(f"{name:20s} {t*1e3:9.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:20s} FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Bisect the real obs pipeline on the live backend: which stage is slow?"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.engine.program import EMPTY_TOKEN_BYTE, pack_coordinate
+
+
+def timeit(fn, *args, n=5, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    num_envs = 1024
+    cfg = make_arena(24, combat=False)
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    maps = [builder.build_for_num_agents(24) for _ in range(2)]
+    init = build_env_init(program, maps)
+    reset = make_reset(program, init, num_envs)
+    state, _ = reset(0)
+
+    A = program.num_agents
+    H, W = program.height, program.width
+    K = len(program.window_offsets)
+    off = np.array(program.window_offsets, dtype=np.int32)
+    off_dr = jnp.asarray(off[:, 0])
+    off_dc = jnp.asarray(off[:, 1])
+    n_tags = program.num_tags
+    R = program.num_resources
+    P = program.num_inv_tokens
+    E = num_envs
+
+    def window_slot_gather(state):
+        agent_r = state.obj_r[:, :A]
+        agent_c = state.obj_c[:, :A]
+        e3 = jnp.arange(E, dtype=jnp.int32)[:, None, None]
+        r = agent_r[:, :, None] + off_dr[None, None, :]
+        c = agent_c[:, :, None] + off_dc[None, None, :]
+        rs = jnp.clip(r, 0, H - 1)
+        cs = jnp.clip(c, 0, W - 1)
+        slot = state.grid[e3, rs, cs]
+        return slot.sum()
+
+    def window_plus_obj_gather(state):
+        agent_r = state.obj_r[:, :A]
+        agent_c = state.obj_c[:, :A]
+        e3 = jnp.arange(E, dtype=jnp.int32)[:, None, None]
+        r = agent_r[:, :, None] + off_dr[None, None, :]
+        c = agent_c[:, :, None] + off_dc[None, None, :]
+        rs = jnp.clip(r, 0, H - 1)
+        cs = jnp.clip(c, 0, W - 1)
+        slot = state.grid[e3, rs, cs]
+        slot_s = jnp.clip(slot, 0, state.obj_type.shape[1] - 1)
+        tid = state.obj_type[e3, slot_s]
+        tags = state.obj_tags[e3, slot_s]
+        vibe = state.obj_vibe[e3, slot_s]
+        inv = state.obj_inv[e3, slot_s]
+        return tid.sum() + tags.sum() + vibe.sum() + inv.sum()
+
+    from mettagrid_tpu.engine.obs import make_obs_fn
+
+    obs_fn = make_obs_fn(program)
+
+    def obs_no_scatter(state):
+        # Same as compute_obs but returns reductions instead of scattering.
+        obs, attempted = obs_fn(state)
+        return attempted.sum()
+
+    def obs_full(state):
+        obs, attempted = obs_fn(state)
+        return obs.sum(dtype=jnp.uint32) + attempted.sum().astype(jnp.uint32)
+
+    print(f"platform={jax.devices()[0].platform} E={E} A={A} K={K} n_tags={n_tags} R={R} P={P}")
+    print(f"window_slot_gather      {timeit(window_slot_gather, state)*1e3:9.2f} ms")
+    print(f"window_plus_obj_gather  {timeit(window_plus_obj_gather, state)*1e3:9.2f} ms")
+    print(f"obs_full                {timeit(obs_full, state)*1e3:9.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
