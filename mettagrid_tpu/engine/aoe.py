@@ -1,0 +1,111 @@
+"""Per-tick area effects (reference: core/aoe_tracker.{hpp,cpp}).
+
+The reference splits fixed sources (pre-registered per-cell lists) from
+mobile sources (O(sources x agents) scans); vectorized on device the two
+collapse into one [E, N, A] distance-mask computation per AOE spec — the
+pre-registration was a CPU optimization, not a semantic difference. Presence
+deltas are edge-triggered on an `inside` bitmask carried in EnvState;
+per-tick resource deltas net across sources before clamping (matching the
+reference's deferred-delta batching, aoe_tracker.cpp:282-361).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.engine.exec import Ctx, eval_filters, inv_update
+from mettagrid_tpu.engine.program import EngineProgram
+from mettagrid_tpu.engine.state import EnvState
+
+
+def make_aoe_phase(program: EngineProgram):
+    """Returns aoe_phase(state) -> state, or None when no AOE specs."""
+    specs = program.aoe_specs
+    if not specs:
+        return None
+    A = program.num_agents
+
+    def aoe_phase(state: EnvState) -> EnvState:
+        E, N = state.obj_type.shape
+        src_slots = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None], (E, N, A))
+        agt_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, None, :], (E, N, A))
+
+        # Pairwise source->agent squared distances [E, N, A]
+        dr = state.obj_r[:, :, None] - state.obj_r[:, None, :A]
+        dc = state.obj_c[:, :, None] - state.obj_c[:, None, :A]
+        d2 = dr * dr + dc * dc
+
+        new_inside = state.aoe_inside
+        agent_tid = state.obj_type[:, :A]
+
+        for k, spec in enumerate(specs):
+            source_mask = state.obj_alive & (state.obj_type == spec.type_id)  # [E, N]
+            in_range = d2 <= spec.radius * spec.radius
+            cand = source_mask[:, :, None] & in_range
+            if not spec.effect_self:
+                cand = cand & (src_slots != agt_slots)
+
+            ctx = Ctx(
+                actor=src_slots,
+                target=agt_slots,
+                target_r=jnp.broadcast_to(state.obj_r[:, None, :A], (E, N, A)),
+                target_c=jnp.broadcast_to(state.obj_c[:, None, :A], (E, N, A)),
+                distance=jnp.zeros((E, N, A), dtype=jnp.int32),
+                timestep=state.step_count,
+            )
+            passes = cand & eval_filters(program, state, ctx, spec.filters)
+
+            was_inside = state.aoe_inside[:, k]  # [E, N, A]
+            enter = passes & ~was_inside
+            exit_ = was_inside & ~passes
+            new_inside = new_inside.at[:, k].set(passes)
+
+            # Presence deltas: net (enter - exit) count per agent
+            # (reference applies per-source; netting differs only at clamp
+            # boundaries when one agent enters and exits different sources in
+            # the same tick).
+            if spec.presence:
+                edge = (enter.astype(jnp.int32) - exit_.astype(jnp.int32)).sum(axis=1)  # [E, A]
+                agent_inv = state.obj_inv[:, :A, :]
+                for rid, delta in spec.presence:
+                    agent_inv, _ = inv_update(
+                        program, agent_tid, agent_inv, rid, delta * edge, edge != 0
+                    )
+                state = state._replace(
+                    obj_inv=state.obj_inv.at[:, :A, :].set(agent_inv)
+                )
+
+            # Per-tick mutations: resource deltas scale with the number of
+            # passing sources (the reference nets them via the deferred-delta
+            # accumulator); other supported kinds apply once when any source
+            # passes.
+            n_pass = passes.sum(axis=1)  # [E, A]
+            any_pass = n_pass > 0
+            for m in spec.mutations:
+                if m.kind == "resource_delta":
+                    if m.target_is_actor:
+                        raise NotImplementedError("AOE resource_delta targeting the source")
+                    agent_inv = state.obj_inv[:, :A, :]
+                    for rid, delta in m.deltas:
+                        agent_inv, _ = inv_update(
+                            program, agent_tid, agent_inv, rid, delta * n_pass, any_pass
+                        )
+                    state = state._replace(obj_inv=state.obj_inv.at[:, :A, :].set(agent_inv))
+                elif m.kind == "change_vibe":
+                    agent_vibe = state.obj_vibe[:, :A]
+                    agent_vibe = jnp.where(any_pass, m.vibe_id, agent_vibe)
+                    state = state._replace(obj_vibe=state.obj_vibe.at[:, :A].set(agent_vibe))
+                elif m.kind in ("add_tag", "remove_tag"):
+                    bit = m.kind == "add_tag"
+                    tags = state.obj_tags[:, :A, m.tag_id]
+                    tags = jnp.where(any_pass, bit, tags)
+                    state = state._replace(
+                        obj_tags=state.obj_tags.at[:, :A, m.tag_id].set(tags)
+                    )
+                else:
+                    raise NotImplementedError(f"AOE mutation kind {m.kind!r} not supported yet")
+
+        return state._replace(aoe_inside=new_inside)
+
+    return aoe_phase

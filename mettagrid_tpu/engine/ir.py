@@ -168,6 +168,21 @@ class CompiledMoveHandler:
 
 
 @dataclass(frozen=True)
+class CompiledAOE:
+    """One (object type, AOE config) pair
+    (reference: handler/handler_config.hpp:57-65 AOEConfig)."""
+
+    name: str
+    type_id: int
+    radius: int
+    is_static: bool
+    effect_self: bool
+    presence: tuple[tuple[int, int], ...]  # (rid, delta) on enter/exit
+    filters: tuple[CompiledFilter, ...]
+    mutations: tuple[CompiledMutation, ...]
+
+
+@dataclass(frozen=True)
 class CompiledEvent:
     """Clock-triggered handler (reference: handler/event_scheduler.hpp:31-62,
     src/.../handler/event.cpp:34-63)."""

@@ -43,6 +43,7 @@ from mettagrid_tpu.config.handler_config import (
 )
 from mettagrid_tpu.config.tag import typeTag
 from mettagrid_tpu.engine.ir import (
+    CompiledAOE,
     CompiledEvent,
     CompiledFilter,
     CompiledHandler,
@@ -202,6 +203,7 @@ class EngineProgram:
     on_after_use_handlers: tuple[Optional[Any], ...]  # per agent-config index
     game_on_tick: Optional[Any]
     events: tuple[CompiledEvent, ...]
+    aoe_specs: tuple[CompiledAOE, ...]
     reward_programs: tuple[tuple[CompiledRewardEntry, ...], ...]
     num_reward_entries: int  # max entries over agent configs (padded)
 
@@ -783,6 +785,25 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
             )
         )
 
+    # ---- AOE specs: one per (type, aoe config) pair ----
+    aoe_specs: list[CompiledAOE] = []
+    for tid, obj in enumerate(all_type_cfgs):
+        for aoe_name, aoe in obj.aoes.items():
+            aoe_specs.append(
+                CompiledAOE(
+                    name=aoe_name,
+                    type_id=tid,
+                    radius=aoe.radius,
+                    is_static=aoe.is_static,
+                    effect_self=aoe.effect_self,
+                    presence=tuple(
+                        sorted((c.resource_ids[k], v) for k, v in aoe.presence_deltas.items())
+                    ),
+                    filters=tuple(c.compile_filter(f) for f in aoe.filters),
+                    mutations=tuple(c.compile_mutation(m, type_limit_masks) for m in aoe.mutations),
+                )
+            )
+
     # ---- rewards ----
     reward_programs: list[tuple[CompiledRewardEntry, ...]] = []
     for acfg in agent_cfgs:
@@ -890,6 +911,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         on_after_use_handlers=tuple(on_after_use_handlers),
         game_on_tick=game_on_tick,
         events=tuple(events),
+        aoe_specs=tuple(aoe_specs),
         reward_programs=tuple(reward_programs),
         num_reward_entries=num_reward_entries,
         agent_config_names=tuple(agent_config_names),

@@ -39,6 +39,9 @@ class EnvState(NamedTuple):
     agent_action_prev_c: jnp.ndarray  # int32[E, A]
     agent_swm: jnp.ndarray  # int32[E, A]: steps_without_motion
 
+    # --- AOE enter/exit tracking (reference: aoe_tracker.hpp _inside) ---
+    aoe_inside: jnp.ndarray  # bool[E, n_aoe, N, A] (dummy [E,1,1,1] when unused)
+
     # --- stats (reference: systems/stats_tracker.hpp; gameplay state, not
     # telemetry: values feed back into rewards/filters via GameValues) ---
     game_stats: jnp.ndarray  # f32[E, Sg]

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mettagrid_tpu.engine.actions import make_action_phase
+from mettagrid_tpu.engine.aoe import make_aoe_phase
 from mettagrid_tpu.engine.events import make_event_phase
 from mettagrid_tpu.engine.exec import Ctx
 from mettagrid_tpu.engine.handlers import try_apply
@@ -64,6 +65,11 @@ def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndar
         agent_action_prev_r=agent_r,
         agent_action_prev_c=agent_c,
         agent_swm=jnp.zeros((E, A), dtype=jnp.int32),
+        aoe_inside=(
+            jnp.zeros((E, len(program.aoe_specs), pool["obj_type"].shape[1], A), dtype=bool)
+            if program.aoe_specs
+            else jnp.zeros((E, 1, 1, 1), dtype=bool)
+        ),
         game_stats=jnp.zeros((E, Sg), dtype=jnp.float32),
         agent_stats=jnp.zeros((E, A, Sa), dtype=jnp.float32),
         game_stats_prev=jnp.zeros((E, Sg), dtype=jnp.float32),
@@ -108,43 +114,52 @@ def make_reset(program: EngineProgram, init: EnvInit, num_envs: int):
     return jax.jit(reset)
 
 
-def make_on_tick_phase(program: EngineProgram):
-    """Per-agent on_tick handlers + game on_tick (mettagrid_c.cpp:1018-1056)."""
-    has_agent_ticks = any(h is not None for h in program.on_tick_handlers)
-    if not has_agent_ticks and program.game_on_tick is None:
+def make_agent_tick_phase(program: EngineProgram):
+    """Per-agent on_tick handlers (mettagrid_c.cpp:1018-1024)."""
+    if not any(h is not None for h in program.on_tick_handlers):
         return None
     A = program.num_agents
 
-    def on_tick_phase(state: EnvState) -> EnvState:
+    def agent_tick_phase(state: EnvState) -> EnvState:
         E = state.grid.shape[0]
-        if has_agent_ticks:
-            slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
-            ctx = Ctx(
-                actor=slots,
-                target=slots,
-                target_r=state.obj_r[:, :A],
-                target_c=state.obj_c[:, :A],
-                distance=jnp.zeros((E, A), dtype=jnp.int32),
-                timestep=state.step_count,
-            )
-            for cfg_idx, handler in enumerate(program.on_tick_handlers):
-                if handler is None:
-                    continue
-                mask = state.agent_cfg == cfg_idx  # [E, A]
-                state, _ = try_apply(program, state, ctx, handler, mask)
-        if program.game_on_tick is not None:
-            none = jnp.full((E,), -1, dtype=jnp.int32)
-            zeros = jnp.zeros((E,), dtype=jnp.int32)
-            gctx = Ctx(
-                actor=none, target=none, target_r=zeros, target_c=zeros,
-                distance=zeros, timestep=state.step_count,
-            )
-            state, _ = try_apply(
-                program, state, gctx, program.game_on_tick, jnp.ones((E,), dtype=bool)
-            )
+        slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+        ctx = Ctx(
+            actor=slots,
+            target=slots,
+            target_r=state.obj_r[:, :A],
+            target_c=state.obj_c[:, :A],
+            distance=jnp.zeros((E, A), dtype=jnp.int32),
+            timestep=state.step_count,
+        )
+        for cfg_idx, handler in enumerate(program.on_tick_handlers):
+            if handler is None:
+                continue
+            mask = state.agent_cfg == cfg_idx  # [E, A]
+            state, _ = try_apply(program, state, ctx, handler, mask)
         return state
 
-    return on_tick_phase
+    return agent_tick_phase
+
+
+def make_game_tick_phase(program: EngineProgram):
+    """Game-level on_tick handler (mettagrid_c.cpp:1050-1056)."""
+    if program.game_on_tick is None:
+        return None
+
+    def game_tick_phase(state: EnvState) -> EnvState:
+        E = state.grid.shape[0]
+        none = jnp.full((E,), -1, dtype=jnp.int32)
+        zeros = jnp.zeros((E,), dtype=jnp.int32)
+        gctx = Ctx(
+            actor=none, target=none, target_r=zeros, target_c=zeros,
+            distance=zeros, timestep=state.step_count,
+        )
+        state, _ = try_apply(
+            program, state, gctx, program.game_on_tick, jnp.ones((E,), dtype=bool)
+        )
+        return state
+
+    return game_tick_phase
 
 
 def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, donate: bool = True):
@@ -159,7 +174,9 @@ def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, do
     A = program.num_agents
     action_phase = make_action_phase(program)
     event_phase = make_event_phase(program)
-    on_tick_phase = make_on_tick_phase(program)
+    agent_tick_phase = make_agent_tick_phase(program)
+    game_tick_phase = make_game_tick_phase(program)
+    aoe_phase = make_aoe_phase(program)
     obs_fn = make_obs_fn(program)
     reward_phase = make_reward_phase(program)
 
@@ -209,9 +226,17 @@ def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, do
             # Event shuffles draw from env 0's stream (shapes are global).
             state = event_phase(state, k_event[0])
 
-        # --- on_tick handlers (mettagrid_c.cpp:1018-1024, 1050) ---
-        if on_tick_phase is not None:
-            state = on_tick_phase(state)
+        # --- per-agent on_tick (mettagrid_c.cpp:1018-1024) ---
+        if agent_tick_phase is not None:
+            state = agent_tick_phase(state)
+
+        # --- AOE effects (mettagrid_c.cpp:1031-1042) ---
+        if aoe_phase is not None:
+            state = aoe_phase(state)
+
+        # --- game on_tick (mettagrid_c.cpp:1050-1056) ---
+        if game_tick_phase is not None:
+            state = game_tick_phase(state)
 
         # --- observations (before rewards, like the reference) ---
         obs, attempted = obs_fn(state)

@@ -1,0 +1,83 @@
+"""AOE tracker tests (modeled on the reference's tests/test_aoe_tracker.cpp)."""
+
+import numpy as np
+
+from tests.helpers import TinyEnv
+
+from mettagrid_tpu.config.game_config import (
+    AgentConfig,
+    GameConfig,
+    GridObjectConfig,
+    MettaGridConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.handler_config import AOEConfig, EntityTarget, ResourceDeltaMutation
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+
+def aoe_env(map_lines, aoes, char_map=None, num_agents=1, agent=None):
+    beacon = GridObjectConfig(name="beacon", map_name="b", aoes=aoes)
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=num_agents,
+            max_steps=100,
+            objects={"wall": WallConfig(), "beacon": beacon},
+            agent=agent or AgentConfig(),
+            map_builder=AsciiMapBuilder.Config(
+                map_data=map_lines, char_to_map_name=char_map or {"b": "b"}
+            ),
+        )
+    )
+    return TinyEnv(cfg, num_envs=1)
+
+
+def heal_aoe(radius=2):
+    return {
+        "heal": AOEConfig(
+            name="heal",
+            radius=radius,
+            mutations=[ResourceDeltaMutation(target=EntityTarget.TARGET, deltas={"heart": 1})],
+        )
+    }
+
+
+def inv(env, name, agent=0):
+    rid = env.program.resource_names.index(name)
+    return int(env.state.obj_inv[0, agent, rid])
+
+
+def test_aoe_ticks_in_range():
+    env = aoe_env(["#####", "#@b.#", "#####"], heal_aoe(radius=2))
+    env.step()
+    assert inv(env, "heart") == 1
+    env.step()
+    assert inv(env, "heart") == 2
+
+
+def test_aoe_out_of_range_no_effect():
+    env = aoe_env(["#######", "#@..b.#", "#######"], heal_aoe(radius=2))
+    env.step()
+    assert inv(env, "heart") == 0  # distance 3 > radius 2
+    env.step({0: "move_east"})  # distance 2 -> in range
+    assert inv(env, "heart") == 1
+
+
+def test_aoe_presence_deltas_enter_exit():
+    aoes = {
+        "buff": AOEConfig(name="buff", radius=1, presence_deltas={"armor": 5})
+    }
+    env = aoe_env(["######", "#@.b.#", "######"], aoes)
+    env.step()  # distance 2: outside
+    assert inv(env, "armor") == 0
+    env.step({0: "move_east"})  # distance 1: enter -> +5
+    assert inv(env, "armor") == 5
+    env.step()  # still inside: no re-grant
+    assert inv(env, "armor") == 5
+    env.step({0: "move_west"})  # exit -> -5
+    assert inv(env, "armor") == 0
+
+
+def test_two_sources_stack():
+    env = aoe_env(["#####", "#b@b#", "#####"], heal_aoe(radius=1))
+    env.step()
+    assert inv(env, "heart") == 2  # both beacons tick
