@@ -26,6 +26,9 @@ class Ctx(NamedTuple):
     target_c: jnp.ndarray  # int32[B]
     distance: jnp.ndarray  # int32[B]
     timestep: jnp.ndarray  # int32[E] (broadcasts over the rest of B)
+    # Territory proxy-cell actor: overrides the actor's tag bits when set
+    # (reference: territory_tracker.cpp:293-311 proxy cells).
+    actor_tags: Optional[jnp.ndarray] = None  # bool[B, n_tags]
 
     def bcast_timestep(self) -> jnp.ndarray:
         t = self.timestep
@@ -261,18 +264,27 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
         return ok
     if kind == "tag":
         slot = _entity_slot(ctx, f.target_is_actor)
+        if f.target_is_actor and ctx.actor_tags is not None:
+            return ctx.actor_tags[..., f.tag_id]
         tags = gather(state.obj_tags, slot)  # [B, n_tags]
         return (slot >= 0) & tags[..., f.tag_id]
     if kind == "tag_prefix":
         slot = _entity_slot(ctx, f.target_is_actor)
-        tags = gather(state.obj_tags, slot)
         pm = jnp.asarray(f.tag_mask)
+        if f.target_is_actor and ctx.actor_tags is not None:
+            return (ctx.actor_tags & pm).any(axis=-1)
+        tags = gather(state.obj_tags, slot)
         return (slot >= 0) & (tags & pm).any(axis=-1)
     if kind == "shared_tag_prefix":
-        at = gather(state.obj_tags, ctx.actor)
+        if ctx.actor_tags is not None:
+            at = ctx.actor_tags
+            actor_ok = at.any(axis=-1)
+        else:
+            at = gather(state.obj_tags, ctx.actor)
+            actor_ok = ctx.actor >= 0
         tt = gather(state.obj_tags, ctx.target)
         pm = jnp.asarray(f.tag_mask)
-        return (ctx.actor >= 0) & (ctx.target >= 0) & (at & tt & pm).any(axis=-1)
+        return actor_ok & (ctx.target >= 0) & (at & tt & pm).any(axis=-1)
     if kind == "game_value":
         slot = _entity_slot(ctx, f.target_is_actor)
         value = eval_value(program, state, f.value, slot, ctx)

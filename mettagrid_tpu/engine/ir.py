@@ -183,6 +183,20 @@ class CompiledAOE:
 
 
 @dataclass(frozen=True)
+class CompiledTerritory:
+    """One game-level territory type
+    (reference: handler/territory_config.hpp:10-22)."""
+
+    name: str
+    prefix_tag_ids: tuple[int, ...]  # tag ids under the prefix, ascending
+    type_strength: np.ndarray  # int32[n_types] influence strength (0 = no control)
+    type_decay: np.ndarray  # int32[n_types]
+    on_enter: Optional[CompiledHandler] = None
+    on_exit: Optional[CompiledHandler] = None
+    presence: Optional[CompiledHandler] = None
+
+
+@dataclass(frozen=True)
 class CompiledEvent:
     """Clock-triggered handler (reference: handler/event_scheduler.hpp:31-62,
     src/.../handler/event.cpp:34-63)."""

@@ -35,11 +35,15 @@ def make_obs_fn(program: EngineProgram):
     wr = program.obs_width // 2
 
     # --- static per-cell candidate layout ---
-    # Within a cell: tags (ascending id), vibe, inventory (resource-id
-    # ascending — canonical order; the reference's unordered_map order is
-    # canonicalized by its parity harness), then Group + AgentId for agents
-    # (reference: grid_object.cpp:178-203, agent.cpp:142-154).
-    C_cell = n_tags + 1 + R * P + 2
+    # Within a cell: optional aoe_mask (territory observability, emitted
+    # before object tokens — mettagrid_c.cpp:337-362), then tags (ascending
+    # id), vibe, inventory (resource-id ascending — canonical order; the
+    # reference's unordered_map order is canonicalized by its parity
+    # harness), then Group + AgentId for agents
+    # (reference: grid_object.cpp:178-203, agent.cpp:142-155).
+    has_aoe_mask = feat.aoe_mask != 0 and bool(program.territories)
+    M = 1 if has_aoe_mask else 0
+    C_cell = M + n_tags + 1 + R * P + 2
 
     off = np.array(program.window_offsets, dtype=np.int32)  # [K, 2]
     off_dr = jnp.asarray(off[:, 0])
@@ -51,13 +55,15 @@ def make_obs_fn(program: EngineProgram):
 
     # Static feature ids per cell-candidate slot
     cell_feat = np.empty(C_cell, dtype=np.uint8)
-    cell_feat[:n_tags] = feat.tag
-    cell_feat[n_tags] = feat.vibe
+    if has_aoe_mask:
+        cell_feat[0] = feat.aoe_mask
+    cell_feat[M : M + n_tags] = feat.tag
+    cell_feat[M + n_tags] = feat.vibe
     for r in range(R):
         for p in range(P):
-            cell_feat[n_tags + 1 + r * P + p] = feat.inv[r][p]
-    cell_feat[n_tags + 1 + R * P] = feat.group
-    cell_feat[n_tags + 1 + R * P + 1] = feat.agent_id
+            cell_feat[M + n_tags + 1 + r * P + p] = feat.inv[r][p]
+    cell_feat[M + n_tags + 1 + R * P] = feat.group
+    cell_feat[M + n_tags + 1 + R * P + 1] = feat.agent_id
 
     # --- global candidate slots (order matches mettagrid_c.cpp:700-742) ---
     g = program.global_obs
@@ -170,6 +176,14 @@ def make_obs_fn(program: EngineProgram):
 
         parts_val = []
         parts_ok = []
+        # territory aoe_mask (emitted when != 0, before object tokens)
+        if has_aoe_mask:
+            from mettagrid_tpu.engine.territory import territory_obs_mask
+
+            agent_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :, None], (E, A, K))
+            tmask = territory_obs_mask(program, state, rs, cs, agent_slots)  # [E, A, K]
+            parts_val.append(tmask.astype(jnp.uint8)[..., None])
+            parts_ok.append((inb & (tmask != 0))[..., None])
         # tags: value = tag id
         tag_vals = jnp.broadcast_to(
             jnp.arange(n_tags, dtype=jnp.uint8)[None, None, None, :], (E, A, K, n_tags)

@@ -45,6 +45,7 @@ from mettagrid_tpu.config.tag import typeTag
 from mettagrid_tpu.engine.ir import (
     CompiledAOE,
     CompiledEvent,
+    CompiledTerritory,
     CompiledFilter,
     CompiledHandler,
     CompiledMoveHandler,
@@ -204,6 +205,7 @@ class EngineProgram:
     game_on_tick: Optional[Any]
     events: tuple[CompiledEvent, ...]
     aoe_specs: tuple[CompiledAOE, ...]
+    territories: tuple[CompiledTerritory, ...]
     reward_programs: tuple[tuple[CompiledRewardEntry, ...], ...]
     num_reward_entries: int  # max entries over agent configs (padded)
 
@@ -804,6 +806,44 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
                 )
             )
 
+    # ---- territories ----
+    territories: list[CompiledTerritory] = []
+    for tname, tcfg in game.territories.items():
+        prefix = tcfg.tag_prefix + ":" if not tcfg.tag_prefix.endswith(":") else tcfg.tag_prefix
+        prefix_ids = tuple(
+            i for i, name in enumerate(tag_names) if name.startswith(prefix) or name == tcfg.tag_prefix
+        )
+        type_strength = np.zeros(n_types, dtype=np.int32)
+        type_decay = np.ones(n_types, dtype=np.int32)
+        for tid, obj in enumerate(all_type_cfgs):
+            for tc in obj.territory_controls:
+                if tc.territory == tname:
+                    type_strength[tid] = tc.strength
+                    type_decay[tid] = tc.decay
+        territories.append(
+            CompiledTerritory(
+                name=tname,
+                prefix_tag_ids=prefix_ids,
+                type_strength=type_strength,
+                type_decay=type_decay,
+                on_enter=(
+                    c.compile_handler(tcfg.on_enter, f"{tname}.on_enter", type_limit_masks)
+                    if tcfg.on_enter
+                    else None
+                ),
+                on_exit=(
+                    c.compile_handler(tcfg.on_exit, f"{tname}.on_exit", type_limit_masks)
+                    if tcfg.on_exit
+                    else None
+                ),
+                presence=(
+                    c.compile_handler(tcfg.presence, f"{tname}.presence", type_limit_masks)
+                    if tcfg.presence
+                    else None
+                ),
+            )
+        )
+
     # ---- rewards ----
     reward_programs: list[tuple[CompiledRewardEntry, ...]] = []
     for acfg in agent_cfgs:
@@ -852,8 +892,8 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
     )
     if gobs.obs:
         raise NotImplementedError("Named game-value global observations not yet compiled")
-    if game.obs.aoe_mask:
-        raise NotImplementedError("aoe_mask observations not yet compiled")
+    if game.obs.aoe_mask and not territories:
+        raise ValueError("obs.aoe_mask requires game.territories to be configured")
 
     window_offsets = tuple(manhattan_window_offsets(game.obs.height, game.obs.width))
 
@@ -912,6 +952,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         game_on_tick=game_on_tick,
         events=tuple(events),
         aoe_specs=tuple(aoe_specs),
+        territories=tuple(territories),
         reward_programs=tuple(reward_programs),
         num_reward_entries=num_reward_entries,
         agent_config_names=tuple(agent_config_names),

@@ -42,6 +42,10 @@ class EnvState(NamedTuple):
     # --- AOE enter/exit tracking (reference: aoe_tracker.hpp _inside) ---
     aoe_inside: jnp.ndarray  # bool[E, n_aoe, N, A] (dummy [E,1,1,1] when unused)
 
+    # --- territory tracking (reference: territory_tracker.hpp _inside_tag):
+    # the winning tag id each agent is inside, per territory (-1 = none) ---
+    territory_inside: jnp.ndarray  # int32[E, n_territories, A] (dummy [E,1,1])
+
     # --- stats (reference: systems/stats_tracker.hpp; gameplay state, not
     # telemetry: values feed back into rewards/filters via GameValues) ---
     game_stats: jnp.ndarray  # f32[E, Sg]

@@ -18,6 +18,7 @@ import numpy as np
 from mettagrid_tpu.engine.actions import make_action_phase
 from mettagrid_tpu.engine.aoe import make_aoe_phase
 from mettagrid_tpu.engine.events import make_event_phase
+from mettagrid_tpu.engine.territory import make_territory_phase
 from mettagrid_tpu.engine.exec import Ctx
 from mettagrid_tpu.engine.handlers import try_apply
 from mettagrid_tpu.engine.init import EnvInit, stat_dims
@@ -69,6 +70,11 @@ def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndar
             jnp.zeros((E, len(program.aoe_specs), pool["obj_type"].shape[1], A), dtype=bool)
             if program.aoe_specs
             else jnp.zeros((E, 1, 1, 1), dtype=bool)
+        ),
+        territory_inside=(
+            jnp.full((E, len(program.territories), A), -1, dtype=jnp.int32)
+            if program.territories
+            else jnp.full((E, 1, 1), -1, dtype=jnp.int32)
         ),
         game_stats=jnp.zeros((E, Sg), dtype=jnp.float32),
         agent_stats=jnp.zeros((E, A, Sa), dtype=jnp.float32),
@@ -177,6 +183,7 @@ def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, do
     agent_tick_phase = make_agent_tick_phase(program)
     game_tick_phase = make_game_tick_phase(program)
     aoe_phase = make_aoe_phase(program)
+    territory_phase = make_territory_phase(program)
     obs_fn = make_obs_fn(program)
     reward_phase = make_reward_phase(program)
 
@@ -230,9 +237,11 @@ def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, do
         if agent_tick_phase is not None:
             state = agent_tick_phase(state)
 
-        # --- AOE effects (mettagrid_c.cpp:1031-1042) ---
+        # --- AOE effects + territory effects (mettagrid_c.cpp:1031-1042) ---
         if aoe_phase is not None:
             state = aoe_phase(state)
+        if territory_phase is not None:
+            state = territory_phase(state)
 
         # --- game on_tick (mettagrid_c.cpp:1050-1056) ---
         if game_tick_phase is not None:

@@ -1,0 +1,178 @@
+"""Territory influence zones (reference: core/territory_tracker.{hpp,cpp},
+docs/territory.md:74-88).
+
+Sources project integer influence 1024*strength_units decayed by Euclidean
+distance; per-cell per-territory ownership = arg-max of per-tag score sums,
+ties -> neutral. Enter/exit/presence handlers fire with the actor replaced
+by a proxy carrying only the winning tag (here: a Ctx.actor_tags override).
+
+Note on integer math: the reference computes floor(sqrt(d2 * 1024^2)) in
+int64; here the sqrt runs in f32 with a one-step integer fix-up, exact for
+perfect squares and within 1 ulp otherwise (parity risk only when a score
+difference is exactly at a tie boundary).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.engine.exec import Ctx, eval_filters
+from mettagrid_tpu.engine.handlers import apply_mutations
+from mettagrid_tpu.engine.program import EngineProgram
+from mettagrid_tpu.engine.state import EnvState
+
+INFLUENCE_SCALE = 1024
+
+
+def _scaled_distance(d2: jnp.ndarray) -> jnp.ndarray:
+    """floor(1024 * sqrt(d2)) with an integer fix-up pass."""
+    s = jnp.floor(INFLUENCE_SCALE * jnp.sqrt(d2.astype(jnp.float32))).astype(jnp.int32)
+    # fix-up: the f32 estimate can be off by one near exact integers
+    f = s.astype(jnp.float32)
+    d2f = d2.astype(jnp.float32) * (INFLUENCE_SCALE * INFLUENCE_SCALE)
+    s = jnp.where((f + 1.0) * (f + 1.0) <= d2f, s + 1, s)
+    s = jnp.where(f * f > d2f, s - 1, s)
+    return s
+
+
+def territory_scores(program: EngineProgram, state: EnvState, ti: int, pr: jnp.ndarray, pc: jnp.ndarray):
+    """Per-point per-prefix-tag influence scores.
+
+    pr, pc: int32[E, P] points. Returns (scores int64-ish int32[E, P, Tt],
+    prefix_tag_ids tuple) where Tt = number of tags under the prefix.
+    """
+    spec = program.territories[ti]
+    tag_ids = spec.prefix_tag_ids  # static tuple of tag ids under the prefix
+    Tt = len(tag_ids)
+    E, N = state.obj_type.shape
+
+    # Which sources emit this territory: type-level controls.
+    strength = jnp.asarray(spec.type_strength)[state.obj_type]  # [E, N]
+    decay = jnp.asarray(spec.type_decay)[state.obj_type]
+    emits = state.obj_alive & (strength > 0)
+
+    # Source's matching tag: FIRST prefix tag the source has
+    # (territory_tracker.cpp:208-213).
+    src_tag_idx = jnp.full((E, N), -1, dtype=jnp.int32)
+    for i in reversed(range(Tt)):
+        has = state.obj_tags[:, :, tag_ids[i]]
+        src_tag_idx = jnp.where(has, i, src_tag_idx)
+    emits = emits & (src_tag_idx >= 0)
+
+    dr = state.obj_r[:, :, None] - pr[:, None, :]  # [E, N, P]
+    dc = state.obj_c[:, :, None] - pc[:, None, :]
+    d2 = dr * dr + dc * dc
+    sd = _scaled_distance(d2)
+    # score = max(0, strength*1024 - decay*floor(1024*sqrt(d2)))
+    # (territory_tracker.cpp:40-50)
+    score = strength[:, :, None] * INFLUENCE_SCALE - decay[:, :, None] * sd
+    score = jnp.maximum(score, 0) * emits[:, :, None]
+
+    oh = jax.nn.one_hot(jnp.clip(src_tag_idx, 0, max(Tt - 1, 0)), max(Tt, 1), dtype=score.dtype)
+    oh = oh * (src_tag_idx >= 0)[..., None]
+    scores = jnp.einsum("enp,ent->ept", score, oh)
+    return scores, tag_ids
+
+
+def cell_ownership(program: EngineProgram, state: EnvState, ti: int, pr: jnp.ndarray, pc: jnp.ndarray):
+    """Winning prefix-tag index per point ([E, P], -1 = neutral/tied)."""
+    scores, tag_ids = territory_scores(program, state, ti, pr, pc)
+    Tt = scores.shape[-1]
+    best = jnp.max(scores, axis=-1)
+    winner = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    tied = (scores == best[..., None]).sum(axis=-1) > 1
+    return jnp.where((best > 0) & ~tied, winner, -1), tag_ids
+
+
+def territory_obs_mask(program: EngineProgram, state: EnvState, pr: jnp.ndarray, pc: jnp.ndarray, observer_slot: jnp.ndarray):
+    """aoe_mask token value per point: 0 neutral, 1 friendly, 2 enemy
+    (territory_tracker.cpp:254-273 — first territory with an owner wins)."""
+    E = state.obj_type.shape[0]
+    out = jnp.zeros(pr.shape, dtype=jnp.int32)
+    decided = jnp.zeros(pr.shape, dtype=bool)
+    from mettagrid_tpu.engine.exec import gather
+
+    obs_tags = gather(state.obj_tags, observer_slot)  # [E, P(broadcast?), n_tags]
+    for ti in range(len(program.territories)):
+        winner, tag_ids = cell_ownership(program, state, ti, pr.reshape(E, -1), pc.reshape(E, -1))
+        winner = winner.reshape(pr.shape)
+        owned = winner >= 0
+        tag_table = jnp.asarray(np.array(tag_ids, dtype=np.int32)) if tag_ids else jnp.zeros(1, jnp.int32)
+        win_tag = tag_table[jnp.clip(winner, 0, max(len(tag_ids) - 1, 0))]
+        # observer has the winning tag?
+        friendly = jnp.take_along_axis(
+            obs_tags.reshape(pr.shape + (obs_tags.shape[-1],)),
+            win_tag[..., None],
+            axis=-1,
+        )[..., 0]
+        val = jnp.where(friendly, 1, 2)
+        out = jnp.where(owned & ~decided, val, out)
+        decided = decided | owned
+    return out
+
+
+def make_territory_phase(program: EngineProgram):
+    """Enter/exit/presence handler firing per agent per territory."""
+    if not program.territories:
+        return None
+    A = program.num_agents
+
+    def territory_phase(state: EnvState) -> EnvState:
+        E = state.obj_type.shape[0]
+        agent_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+        pr = state.obj_r[:, :A]
+        pc = state.obj_c[:, :A]
+        new_inside = state.territory_inside
+
+        for ti, spec in enumerate(program.territories):
+            winner, tag_ids = cell_ownership(program, state, ti, pr, pc)  # [E, A] idx
+            tag_table = jnp.asarray(np.array(tag_ids, dtype=np.int32))
+            cur_tag = jnp.where(winner >= 0, tag_table[jnp.clip(winner, 0, len(tag_ids) - 1)], -1)
+            prev_tag = state.territory_inside[:, ti]  # [E, A]
+            changed = cur_tag != prev_tag
+
+            n_tags = program.num_tags
+
+            def proxy_ctx(tag: jnp.ndarray):
+                actor_tags = jax_one_hot_bool(tag, n_tags)
+                return Ctx(
+                    actor=jnp.full((E, A), -1, dtype=jnp.int32),
+                    target=agent_slots,
+                    target_r=pr,
+                    target_c=pc,
+                    distance=jnp.zeros((E, A), dtype=jnp.int32),
+                    timestep=state.step_count,
+                    actor_tags=actor_tags,
+                )
+
+            exit_mask = changed & (prev_tag >= 0)
+            if spec.on_exit is not None:
+                ctx = proxy_ctx(prev_tag)
+                passed = exit_mask & eval_filters(program, state, ctx, spec.on_exit.filters)
+                state, _ = apply_mutations(program, state, ctx, spec.on_exit, passed)
+
+            enter_mask = changed & (cur_tag >= 0)
+            if spec.on_enter is not None:
+                ctx = proxy_ctx(cur_tag)
+                passed = enter_mask & eval_filters(program, state, ctx, spec.on_enter.filters)
+                state, _ = apply_mutations(program, state, ctx, spec.on_enter, passed)
+
+            if spec.presence is not None:
+                ctx = proxy_ctx(cur_tag)
+                pres_mask = cur_tag >= 0
+                passed = pres_mask & eval_filters(program, state, ctx, spec.presence.filters)
+                state, _ = apply_mutations(program, state, ctx, spec.presence, passed)
+
+            new_inside = new_inside.at[:, ti].set(cur_tag)
+
+        return state._replace(territory_inside=new_inside)
+
+    return territory_phase
+
+
+def jax_one_hot_bool(tag: jnp.ndarray, n_tags: int) -> jnp.ndarray:
+    """bool one-hot of tag ids (-1 -> all False)."""
+    oh = jax.nn.one_hot(jnp.clip(tag, 0, n_tags - 1), n_tags, dtype=jnp.float32) > 0
+    return oh & (tag >= 0)[..., None]

@@ -1,0 +1,93 @@
+"""Pin down the slow op in the real obs: exact-shape scatter variants."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROWS = 1024 * 24
+C = 4233  # real candidate count for arena (P=2)
+T = 500
+
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    ok = jax.random.uniform(key, (ROWS, C)) < 0.02
+    tok3 = jax.random.randint(key, (ROWS, C, 3), 0, 255, dtype=jnp.int32).astype(jnp.uint8)
+
+    def scatter_u8x3(ok, tok3):
+        cnt = ok.astype(jnp.int32)
+        pos = jnp.cumsum(cnt, axis=-1) - cnt
+        write = ok & (pos < T)
+        pos = jnp.where(write, pos, T)
+        out = jnp.full((ROWS, T, 3), 0xFF, dtype=jnp.uint8)
+        rows = jnp.broadcast_to(jnp.arange(ROWS)[:, None], (ROWS, C))
+        return out.at[rows, pos].set(tok3, mode="drop")
+
+    def scatter_packed_i32(ok, tok3):
+        packed = (
+            tok3[..., 0].astype(jnp.int32)
+            | (tok3[..., 1].astype(jnp.int32) << 8)
+            | (tok3[..., 2].astype(jnp.int32) << 16)
+        )
+        cnt = ok.astype(jnp.int32)
+        pos = jnp.cumsum(cnt, axis=-1) - cnt
+        write = ok & (pos < T)
+        pos = jnp.where(write, pos, T)
+        out = jnp.full((ROWS, T), 0x00FFFFFF, dtype=jnp.int32)
+        rows = jnp.broadcast_to(jnp.arange(ROWS)[:, None], (ROWS, C))
+        out = out.at[rows, pos].set(packed, mode="drop")
+        return jnp.stack(
+            [(out & 0xFF), (out >> 8) & 0xFF, (out >> 16) & 0xFF], axis=-1
+        ).astype(jnp.uint8)
+
+    def binsearch_packed(ok, tok3):
+        packed = (
+            tok3[..., 0].astype(jnp.int32)
+            | (tok3[..., 1].astype(jnp.int32) << 8)
+            | (tok3[..., 2].astype(jnp.int32) << 16)
+        )
+        s = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+        targets = jnp.arange(1, T + 1, dtype=jnp.int32)[None, :]
+        lo = jnp.zeros((ROWS, T), dtype=jnp.int32)
+        hi = jnp.full((ROWS, T), C, dtype=jnp.int32)
+        for _ in range(13):
+            mid = (lo + hi) // 2
+            v = jnp.take_along_axis(s, jnp.clip(mid, 0, C - 1), axis=-1)
+            go_right = v < targets
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        out = jnp.take_along_axis(packed, jnp.clip(lo, 0, C - 1), axis=-1)
+        out = jnp.where(lo < C, out, 0x00FFFFFF)
+        return jnp.stack(
+            [(out & 0xFF), (out >> 8) & 0xFF, (out >> 16) & 0xFF], axis=-1
+        ).astype(jnp.uint8)
+
+    print(f"rows={ROWS} C={C} T={T} platform={jax.devices()[0].platform}")
+    for name, fn in [
+        ("scatter_u8x3 (real)", scatter_u8x3),
+        ("scatter_packed_i32", scatter_packed_i32),
+        ("binsearch_packed", binsearch_packed),
+    ]:
+        t = timeit(fn, ok, tok3)
+        print(f"{name:22s} {t*1e3:9.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

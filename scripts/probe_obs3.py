@@ -1,0 +1,129 @@
+"""Stage-by-stage bisection of the real obs function (copied stages)."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.engine.program import EMPTY_TOKEN_BYTE, GLOBAL_LOCATION, pack_coordinate
+
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    num_envs = 1024
+    cfg = make_arena(24, combat=False)
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    maps = [builder.build_for_num_agents(24) for _ in range(2)]
+    init = build_env_init(program, maps)
+    reset = make_reset(program, init, num_envs)
+    state, _ = reset(0)
+
+    A = program.num_agents
+    R = program.num_resources
+    P = program.num_inv_tokens
+    T = program.num_tokens
+    n_tags = program.num_tags
+    base = program.token_value_base
+    feat = program.feature_ids
+    H, W = program.height, program.width
+    K = len(program.window_offsets)
+    E = num_envs
+
+    C_cell = n_tags + 1 + R * P + 2
+    off = np.array(program.window_offsets, dtype=np.int32)
+    off_dr = jnp.asarray(off[:, 0])
+    off_dc = jnp.asarray(off[:, 1])
+    inv_divisors = jnp.asarray(np.array([base**p for p in range(P)], dtype=np.int32))
+
+    def stage_candidates(state):
+        agent_r = state.obj_r[:, :A]
+        agent_c = state.obj_c[:, :A]
+        e3 = jnp.arange(E, dtype=jnp.int32)[:, None, None]
+        r = agent_r[:, :, None] + off_dr[None, None, :]
+        c = agent_c[:, :, None] + off_dc[None, None, :]
+        inb = (r >= 0) & (r < H) & (c >= 0) & (c < W)
+        rs = jnp.clip(r, 0, H - 1)
+        cs = jnp.clip(c, 0, W - 1)
+        slot = state.grid[e3, rs, cs]
+        has_obj = inb & (slot >= 0)
+        slot_s = jnp.clip(slot, 0, state.obj_type.shape[1] - 1)
+        tid = state.obj_type[e3, slot_s]
+        tags = state.obj_tags[e3, slot_s]
+        vibe = state.obj_vibe[e3, slot_s]
+        inv = state.obj_inv[e3, slot_s]
+        is_agent = jnp.asarray(program.type_is_agent)[tid] & (slot_s < A)
+
+        parts_val = []
+        parts_ok = []
+        tag_vals = jnp.broadcast_to(
+            jnp.arange(n_tags, dtype=jnp.uint8)[None, None, None, :], (E, A, K, n_tags)
+        )
+        parts_val.append(tag_vals)
+        parts_ok.append(tags & has_obj[..., None])
+        parts_val.append(vibe.astype(jnp.uint8)[..., None])
+        parts_ok.append((has_obj & (vibe != 0))[..., None])
+        digits = (inv[..., None] // inv_divisors[None, None, None, None, :]) % base
+        emit = inv[..., None] >= jnp.maximum(inv_divisors, 1)[None, None, None, None, :]
+        parts_val.append(digits.astype(jnp.uint8).reshape(E, A, K, R * P))
+        parts_ok.append((emit & has_obj[..., None, None]).reshape(E, A, K, R * P))
+        group = state.agent_group[e3, jnp.clip(slot_s, 0, A - 1)]
+        parts_val.append(group.astype(jnp.uint8)[..., None])
+        parts_ok.append((has_obj & is_agent)[..., None])
+        parts_val.append(slot_s.astype(jnp.uint8)[..., None])
+        parts_ok.append((has_obj & is_agent)[..., None])
+
+        cell_vals = jnp.concatenate(parts_val, axis=-1)
+        cell_ok = jnp.concatenate(parts_ok, axis=-1)
+        return cell_vals, cell_ok
+
+    def t_candidates(state):
+        cell_vals, cell_ok = stage_candidates(state)
+        return cell_vals.sum(dtype=jnp.uint32) + cell_ok.sum()
+
+    def t_reshape_cumsum(state):
+        cell_vals, cell_ok = stage_candidates(state)
+        ok = cell_ok.reshape(E, A, K * C_cell)
+        counts = ok.astype(jnp.int32)
+        pos = jnp.cumsum(counts, axis=-1) - counts
+        return pos[..., -1].sum() + cell_vals.sum(dtype=jnp.uint32)
+
+    def t_full_scatter(state):
+        cell_vals, cell_ok = stage_candidates(state)
+        C = K * C_cell
+        vals = cell_vals.reshape(E, A, C)
+        ok = cell_ok.reshape(E, A, C)
+        counts = ok.astype(jnp.int32)
+        pos = jnp.cumsum(counts, axis=-1) - counts
+        write = ok & (pos < T)
+        pos = jnp.where(write, pos, T)
+        out = jnp.full((E * A, T), EMPTY_TOKEN_BYTE, dtype=jnp.uint8)
+        rows = jnp.broadcast_to(jnp.arange(E * A, dtype=jnp.int32)[:, None], (E * A, C))
+        out = out.at[rows, pos.reshape(E * A, C)].set(vals.reshape(E * A, C), mode="drop")
+        return out.sum(dtype=jnp.uint32)
+
+    print(f"platform={jax.devices()[0].platform} E={E} C_cell={C_cell} K={K}")
+    print(f"candidates only       {timeit(t_candidates, state)*1e3:9.2f} ms")
+    print(f"+ reshape + cumsum    {timeit(t_reshape_cumsum, state)*1e3:9.2f} ms")
+    print(f"+ scatter             {timeit(t_full_scatter, state)*1e3:9.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

