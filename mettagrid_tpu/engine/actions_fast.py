@@ -1,0 +1,277 @@
+"""Wave-based parallel action resolution — sequential-equivalent, vectorized.
+
+The reference applies actions sequentially in shuffled order with immediate
+effect (mettagrid_c.cpp:957-998). The fori-loop emulation (actions.py) is
+exact but serializes A iterations of tiny kernels. This module resolves the
+same semantics in "waves": agents whose interaction zones don't overlap any
+*earlier-in-permutation unsettled* agent act simultaneously; the rest wait
+for the next wave. Within a wave all effects are provably disjoint, so the
+outcome is bit-identical to the sequential order. Termination: each wave
+settles at least the minimum-rank agent of every overlap cluster.
+
+Eligibility (checked at compile time by `fast_mode_ok`): every move handler
+must be "local" — filters/mutations that read or write only the actor, the
+target object, and the target cell. Queries, game values with queries, and
+spawn mutations fall back to the sequential phase.
+
+Interaction zone: Chebyshev ball of radius 2*max_range around the agent —
+two agents further apart than that cannot scan the same cell, target the
+same object, or land on each other's cells (move.hpp:81-115 line scan).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mettagrid_tpu.engine.exec import Ctx, eval_filters, gather, scatter
+from mettagrid_tpu.engine.handlers import apply_mutations
+from mettagrid_tpu.engine.ir import CompiledFilter, CompiledHandler, CompiledMutation
+from mettagrid_tpu.engine.program import (
+    DIR_DC,
+    DIR_DR,
+    KIND_CHANGE_VIBE,
+    KIND_MOVE,
+    KIND_NOOP,
+    EngineProgram,
+)
+from mettagrid_tpu.engine.state import EnvState
+
+_LOCAL_FILTERS = {
+    "target_loc_empty",
+    "target_is_usable",
+    "vibe",
+    "resource",
+    "tag",
+    "tag_prefix",
+    "shared_tag_prefix",
+    "max_distance",
+    "periodic",
+    "not",
+    "or",
+}
+_LOCAL_MUTATIONS = {
+    "relocate",
+    "use_target",
+    "swap",
+    "resource_delta",
+    "resource_transfer",
+    "clear_inventory",
+    "attack",
+    "change_vibe",
+    "add_tag",
+    "remove_tag",
+    "remove_tags_with_prefix",
+    "stats",
+}
+
+
+def _filter_local(f: CompiledFilter) -> bool:
+    if f.kind not in _LOCAL_FILTERS:
+        return False
+    if f.kind == "max_distance" and f.query is not None:
+        return False
+    return all(_filter_local(i) for i in f.inner)
+
+
+def _mutation_local(m: CompiledMutation) -> bool:
+    if m.kind not in _LOCAL_MUTATIONS:
+        return False
+    return all(_mutation_local(s) for s in m.on_success)
+
+
+def _handler_local(h) -> bool:
+    if isinstance(h, CompiledHandler):
+        return all(_filter_local(f) for f in h.filters) and all(
+            _mutation_local(m) for m in h.mutations
+        )
+    return all(_handler_local(c) for c in h.handlers)
+
+
+def fast_mode_ok(program: EngineProgram) -> bool:
+    """True when the wave-based phase is provably sequential-equivalent."""
+    for mh in program.move_handlers:
+        if not _handler_local(mh.handler):
+            return False
+    for h in program.on_use_handlers:
+        if h is not None and not _handler_local(h):
+            return False
+    for h in program.on_after_use_handlers:
+        if h is not None and not _handler_local(h):
+            return False
+    return True
+
+
+def apply_move_batch(program: EngineProgram, state: EnvState, active: jnp.ndarray, arg: jnp.ndarray):
+    """Vectorized move for a set of agents at once. active: bool[E, A];
+    arg: int32[E, A] direction ids. Active agents are guaranteed pairwise
+    non-interacting, so all grid writes within the call are disjoint.
+
+    Returns (state, success[E, A])."""
+    E, A = active.shape
+    H, W = state.grid.shape[1], state.grid.shape[2]
+    slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+
+    ar = state.obj_r[:, :A]
+    ac = state.obj_c[:, :A]
+    dr = jnp.asarray(DIR_DR)[arg]
+    dc = jnp.asarray(DIR_DC)[arg]
+    e2 = jnp.arange(E, dtype=jnp.int32)[:, None]
+
+    success = jnp.zeros((E, A), dtype=bool)
+    for mh in program.move_handlers:
+        if mh.accepts_empty:
+            cr = ar + dr
+            cc = ac + dc
+            found = active & (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
+            cand_r, cand_c = cr, cc
+            cand_dist = jnp.ones((E, A), dtype=jnp.int32)
+        else:
+            found = jnp.zeros((E, A), dtype=bool)
+            blocked = jnp.zeros((E, A), dtype=bool)
+            cand_r = jnp.zeros((E, A), dtype=jnp.int32)
+            cand_c = jnp.zeros((E, A), dtype=jnp.int32)
+            cand_dist = jnp.ones((E, A), dtype=jnp.int32)
+            for i in range(1, mh.max_range + 1):
+                cr = ar + dr * i
+                cc = ac + dc * i
+                inb = (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
+                blocked = blocked | ~inb
+                slot_here = state.grid[e2, jnp.clip(cr, 0, H - 1), jnp.clip(cc, 0, W - 1)]
+                occupied = inb & ~blocked & (slot_here >= 0)
+                newly = occupied & ~found
+                cand_r = jnp.where(newly, cr, cand_r)
+                cand_c = jnp.where(newly, cc, cand_c)
+                cand_dist = jnp.where(newly, i, cand_dist)
+                found = found | newly
+            found = found & active
+
+        target = state.grid[e2, jnp.clip(cand_r, 0, H - 1), jnp.clip(cand_c, 0, W - 1)]
+        target = jnp.where(found, target, -1)
+        ctx = Ctx(
+            actor=slots,
+            target=target,
+            target_r=cand_r,
+            target_c=cand_c,
+            distance=cand_dist,
+            timestep=state.step_count,
+        )
+        try_mask = found & ~success
+        passed = try_mask & eval_filters(program, state, ctx, mh.handler.filters)
+        state, applied = apply_mutations(program, state, ctx, mh.handler, passed)
+        success = success | applied
+
+    return state, success
+
+
+def make_action_phase_fast(program: EngineProgram):
+    """Wave-parallel action phase. Requires fast_mode_ok(program)."""
+    n_actions = len(program.action_names)
+    kind_t = jnp.asarray(program.action_kind)
+    arg_t = jnp.asarray(program.action_arg)
+    is_vibe_t = jnp.asarray(program.action_is_vibe)
+    prio_t = jnp.asarray(program.action_priority)
+    succ_stat_t = jnp.asarray(program.action_success_stat)
+    fail_stat_t = jnp.asarray(program.action_fail_stat)
+    A = program.num_agents
+    Sa = max(len(program.agent_stat_names), 1)
+    max_range = max((mh.max_range for mh in program.move_handlers), default=1)
+    # Chebyshev interaction radius: two agents farther apart cannot touch
+    # the same cell/object during their line scans + relocations.
+    r_int = 2 * max_range
+
+    def bookkeeping(state: EnvState, active, a, success):
+        """Per-invocation stats + last-action updates for a batch of agents
+        (action_handler.hpp:78-105). active/a/success: [E, A]."""
+        E = active.shape[0]
+        stats = state.agent_stats  # [E, A, Sa]
+        sid = jnp.where(success, succ_stat_t[a], fail_stat_t[a])
+        onehot = jax.nn.one_hot(sid, Sa, dtype=stats.dtype)
+        stats = stats + jnp.where(active[..., None], onehot, 0.0)
+        failed_oh = jax.nn.one_hot(
+            jnp.full_like(a, program.stat_action_failed), Sa, dtype=stats.dtype
+        )
+        stats = stats + jnp.where((active & ~success)[..., None], failed_oh, 0.0)
+
+        ar = state.obj_r[:, :A]
+        ac = state.obj_c[:, :A]
+        same = (ar == state.agent_action_prev_r) & (ac == state.agent_action_prev_c)
+        new_swm = jnp.where(same, state.agent_swm + 1, 0)
+        max_swm = stats[..., program.stat_max_swm]
+        stats = stats.at[..., program.stat_max_swm].set(
+            jnp.where(active & same & (new_swm > max_swm), new_swm.astype(stats.dtype), max_swm)
+        )
+        state = state._replace(
+            agent_stats=stats,
+            agent_swm=jnp.where(active, new_swm, state.agent_swm),
+            agent_action_prev_r=jnp.where(active, ar, state.agent_action_prev_r),
+            agent_action_prev_c=jnp.where(active, ac, state.agent_action_prev_c),
+            agent_last_action=jnp.where(active & success, a, state.agent_last_action),
+            action_success=state.action_success | (active & success),
+        )
+        return state
+
+    def action_phase(state: EnvState, actions: jnp.ndarray, vibe_actions: jnp.ndarray, perm: jnp.ndarray) -> EnvState:
+        E = actions.shape[0]
+        # rank[e, agent] = position of agent in the shuffled order
+        rank = jnp.zeros((E, A), dtype=jnp.int32)
+        rank = rank.at[jnp.arange(E)[:, None], perm].set(
+            jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+        )
+
+        for prio in program.priorities_desc:
+            for vibe_stream, acts in ((False, actions), (True, vibe_actions)):
+                valid = (acts >= 0) & (acts < n_actions)
+                a = jnp.clip(acts, 0, n_actions - 1)
+                stream_ok = is_vibe_t[a] == vibe_stream
+                active = valid & stream_ok & (prio_t[a] == prio)
+                if not vibe_stream:
+                    invalid = ~valid & (prio == program.priorities_desc[-1])
+                    inv_oh = jax.nn.one_hot(
+                        jnp.full_like(a, program.stat_action_invalid), Sa,
+                        dtype=state.agent_stats.dtype,
+                    )
+                    state = state._replace(
+                        agent_stats=state.agent_stats + jnp.where(invalid[..., None], inv_oh, 0.0)
+                    )
+                kind = kind_t[a]
+                arg = arg_t[a]
+
+                # --- non-interacting kinds settle immediately ---
+                noop_mask = active & (kind == KIND_NOOP)
+                cv_mask = active & (kind == KIND_CHANGE_VIBE)
+                agent_vibe = state.obj_vibe[:, :A]
+                state = state._replace(
+                    obj_vibe=state.obj_vibe.at[:, :A].set(jnp.where(cv_mask, arg, agent_vibe))
+                )
+                state = bookkeeping(state, noop_mask | cv_mask, a, noop_mask | cv_mask)
+
+                # --- moves: wave resolution ---
+                move_mask = active & (kind == KIND_MOVE)
+
+                def wave_cond(carry):
+                    state, unsettled, _ = carry
+                    return jnp.any(unsettled)
+
+                def wave_body(carry):
+                    state, unsettled, success = carry
+                    ar = state.obj_r[:, :A]
+                    ac = state.obj_c[:, :A]
+                    # pairwise Chebyshev distance [E, A, A]
+                    ddr = jnp.abs(ar[:, :, None] - ar[:, None, :])
+                    ddc = jnp.abs(ac[:, :, None] - ac[:, None, :])
+                    near = jnp.maximum(ddr, ddc) <= r_int
+                    earlier = rank[:, None, :] < rank[:, :, None]  # j earlier than i
+                    dep = (near & earlier & unsettled[:, None, :]).any(axis=-1)
+                    settle = unsettled & ~dep  # non-empty while any unsettled
+                    state, succ = apply_move_batch(program, state, settle, arg)
+                    state = bookkeeping(state, settle, a, succ)
+                    return state, unsettled & ~settle, success | succ
+
+                if program.move_handlers:
+                    state, _, _ = jax.lax.while_loop(
+                        wave_cond, wave_body, (state, move_mask, jnp.zeros_like(move_mask))
+                    )
+        return state
+
+    return action_phase

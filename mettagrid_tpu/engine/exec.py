@@ -49,18 +49,42 @@ def gather(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
 
 
 def scatter(arr: jnp.ndarray, slot: jnp.ndarray, value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked write arr[e, slot] = value. Duplicate slots within an env must
-    not both be masked-on (callers guarantee distinctness)."""
+    """Masked write arr[e, slot] = value. Masked-off entries are routed to an
+    out-of-bounds index and dropped (never a stale write-back, so a
+    masked-off duplicate cannot clobber a masked-on write). Masked-ON slots
+    within an env must be distinct (callers guarantee it)."""
     E, N = arr.shape[0], arr.shape[1]
     rest = arr.shape[2:]
-    flat = jnp.clip(slot.reshape(E, -1), 0, N - 1)  # [E, M]
+    flat = slot.reshape(E, -1)  # [E, M]
     M = flat.shape[1]
+    m = mask.reshape(E, M)
+    idx = jnp.where(m, jnp.clip(flat, 0, N - 1), N)  # N = OOB -> dropped
     e = jnp.arange(E, dtype=jnp.int32)[:, None]
     v = jnp.broadcast_to(value, slot.shape + rest).reshape((E, M) + rest)
-    m = mask.reshape(E, M)
-    mb = m.reshape((E, M) + (1,) * len(rest))
-    old = arr[e, flat]
-    return arr.at[e, flat].set(jnp.where(mb, v, old))
+    return arr.at[e, idx].set(v, mode="drop")
+
+
+def grid_write(grid: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray, value, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked drop-mode write grid[e, r, c] = value for [E, *B2]-shaped
+    coordinates. Masked-off entries are dropped (no stale write-backs)."""
+    E, H, W = grid.shape
+    rf = r.reshape(E, -1)
+    cf = c.reshape(E, -1)
+    m = mask.reshape(E, -1)
+    rr = jnp.where(m, jnp.clip(rf, 0, H - 1), H)  # OOB row -> dropped
+    cc = jnp.clip(cf, 0, W - 1)
+    e = jnp.arange(E, dtype=jnp.int32)[:, None]
+    v = jnp.broadcast_to(value, mask.shape).reshape(E, -1)
+    return grid.at[e, rr, cc].set(v, mode="drop")
+
+
+def grid_read(grid: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """grid[e, r, c] for [E, *B2]-shaped coordinates (clipped)."""
+    E, H, W = grid.shape
+    rf = jnp.clip(r.reshape(E, -1), 0, H - 1)
+    cf = jnp.clip(c.reshape(E, -1), 0, W - 1)
+    e = jnp.arange(E, dtype=jnp.int32)[:, None]
+    return grid[e, rf, cf].reshape(r.shape)
 
 
 def agent_slot_ok(slot: jnp.ndarray, num_agents: int) -> jnp.ndarray:

@@ -22,6 +22,8 @@ from mettagrid_tpu.engine.exec import (
     eval_query_mask,
     eval_value,
     gather,
+    grid_read,
+    grid_write,
     inv_enforce_limits,
     inv_update,
     scatter,
@@ -100,34 +102,28 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     ok = jnp.ones_like(mask)
 
     if kind == "relocate":
-        e = _env_ids(state)
         ar = gather(state.obj_r, ctx.actor)
         ac = gather(state.obj_c, ctx.actor)
         H, W = state.grid.shape[1], state.grid.shape[2]
         tr = jnp.clip(ctx.target_r, 0, H - 1)
         tc = jnp.clip(ctx.target_c, 0, W - 1)
-        grid = state.grid
-        old_cell = grid[e, ar, ac]
-        grid = grid.at[e, ar, ac].set(jnp.where(mask, -1, old_cell))
-        new_cell_old = grid[e, tr, tc]
-        grid = grid.at[e, tr, tc].set(jnp.where(mask, ctx.actor, new_cell_old))
+        grid = grid_write(state.grid, ar, ac, -1, mask)
+        grid = grid_write(grid, tr, tc, ctx.actor, mask)
         state = state._replace(
             grid=grid,
-            obj_r=scatter(state.obj_r, ctx.actor, jnp.where(mask, tr, ar), mask),
-            obj_c=scatter(state.obj_c, ctx.actor, jnp.where(mask, tc, ac), mask),
+            obj_r=scatter(state.obj_r, ctx.actor, tr, mask),
+            obj_c=scatter(state.obj_c, ctx.actor, tc, mask),
         )
         return state, ok
 
     if kind == "swap":
-        e = _env_ids(state)
         ar = gather(state.obj_r, ctx.actor)
         ac = gather(state.obj_c, ctx.actor)
         tr = gather(state.obj_r, ctx.target)
         tc = gather(state.obj_c, ctx.target)
         valid = mask & (ctx.target >= 0)
-        grid = state.grid
-        grid = grid.at[e, ar, ac].set(jnp.where(valid, ctx.target, grid[e, ar, ac]))
-        grid = grid.at[e, tr, tc].set(jnp.where(valid, ctx.actor, grid[e, tr, tc]))
+        grid = grid_write(state.grid, ar, ac, ctx.target, valid)
+        grid = grid_write(grid, tr, tc, ctx.actor, valid)
         state = state._replace(
             grid=grid,
             obj_r=scatter(state.obj_r, ctx.actor, tr, valid),
@@ -161,12 +157,10 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
             src_inv_after = gather(state.obj_inv, src)
             empty = src_inv_after.sum(axis=-1) == 0
             rm = valid & empty
-            e = _env_ids(state)
             sr = gather(state.obj_r, src)
             sc = gather(state.obj_c, src)
-            grid = state.grid.at[e, sr, sc].set(jnp.where(rm, -1, state.grid[e, sr, sc]))
             state = state._replace(
-                grid=grid,
+                grid=grid_write(state.grid, sr, sc, -1, rm),
                 obj_alive=scatter(state.obj_alive, src, jnp.zeros_like(rm), rm),
             )
         return state, ok
@@ -248,7 +242,6 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     if kind == "push_object":
         # Push target one cell along the clamped actor->target direction
         # (push_object_mutation.hpp); fails if off-grid or occupied.
-        e = _env_ids(state)
         H, W = state.grid.shape[1], state.grid.shape[2]
         ar = gather(state.obj_r, ctx.actor)
         ac = gather(state.obj_c, ctx.actor)
@@ -258,12 +251,11 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         dc = jnp.clip(tc - ac, -1, 1)
         nr, nc = tr + dr, tc + dc
         inb = (nr >= 0) & (nr < H) & (nc >= 0) & (nc < W)
-        dest_empty = state.grid[e, jnp.clip(nr, 0, H - 1), jnp.clip(nc, 0, W - 1)] < 0
+        dest_empty = grid_read(state.grid, nr, nc) < 0
         can = mask & (ctx.target >= 0) & inb & dest_empty
-        grid = state.grid
-        grid = grid.at[e, tr, tc].set(jnp.where(can, -1, grid[e, tr, tc]))
         nr_s, nc_s = jnp.clip(nr, 0, H - 1), jnp.clip(nc, 0, W - 1)
-        grid = grid.at[e, nr_s, nc_s].set(jnp.where(can, ctx.target, grid[e, nr_s, nc_s]))
+        grid = grid_write(state.grid, tr, tc, -1, can)
+        grid = grid_write(grid, nr_s, nc_s, ctx.target, can)
         state = state._replace(
             grid=grid,
             obj_r=scatter(state.obj_r, ctx.target, nr_s, can),
@@ -328,7 +320,7 @@ def apply_spawn(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray
     H, W = state.grid.shape[1], state.grid.shape[2]
     tr = jnp.clip(ctx.target_r, 0, H - 1)
     tc = jnp.clip(ctx.target_c, 0, W - 1)
-    cell_empty = state.grid[e, tr, tc] < 0
+    cell_empty = grid_read(state.grid, tr, tc) < 0
     # Lowest free (dead) non-agent slot per env.
     N = state.obj_alive.shape[1]
     A = program.num_agents
@@ -339,7 +331,7 @@ def apply_spawn(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray
 
     tid = m.spawn_type_id
     state = state._replace(
-        grid=state.grid.at[e, tr, tc].set(jnp.where(can, slot, state.grid[e, tr, tc])),
+        grid=grid_write(state.grid, tr, tc, slot, can),
         obj_type=scatter(state.obj_type, slot, jnp.full_like(slot, tid), can),
         obj_r=scatter(state.obj_r, slot, tr, can),
         obj_c=scatter(state.obj_c, slot, tc, can),

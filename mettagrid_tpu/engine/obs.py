@@ -1,21 +1,35 @@
-"""Batched token-observation extraction.
+"""Batched token-observation extraction, TPU-first.
 
 The reference's hottest loop (68-89% of step time: per-agent, per-cell token
-emission with budget accounting — cpp/bindings/mettagrid_c.cpp:664-824)
-becomes one vectorized compaction: a static candidate-token layout
-[global tokens | cells in Manhattan order x per-cell slots], runtime validity
-masks, an exclusive cumsum for write positions, and a single scatter into the
-(E, A, T, 3) uint8 buffer. Attempted counts are exact even past the budget,
-matching the reference's tokens_dropped accounting.
+emission with budget accounting — cpp/bindings/mettagrid_c.cpp:664-824) is
+re-architected for the MXU instead of translated:
+
+  1. Per-OBJECT token lists: each of the N object slots compacts its
+     candidate tokens (tags, vibe, inventory digits, group/agent_id) into a
+     fixed [S] list + count. N ~ 130 << A*K ~ 4000, so this does the
+     token-generation math once per object, not once per observing agent.
+  2. Tokens scatter to a per-env cell image [E, H+1, W, S+...] (one object
+     per cell; dead objects park on a padding row).
+  3. Per-agent windows extract via TWO ONE-HOT MATMULS (row-select x cell
+     image x col-select) — the MXU does the gather work; no
+     arbitrary-index gathers on the [E, A, K] axis at all.
+  4. Candidates assemble in Manhattan order (static permutation) and
+     compact to the [T] token budget with a vectorized binary search over
+     the position prefix-sum (pure take_along_axis — no scatter).
 
 Token format (reference: core/grid_object.hpp:36-47): [packed_location,
-feature_id, value] uint8; empty = 0xFF, global location = 0xFE.
+feature_id, value] uint8; empty = 0xFF, global = 0xFE. Candidate order
+within a cell: aoe_mask (mettagrid_c.cpp:337-362), tags ascending, vibe,
+inventory digits (canonical resource-id order; the reference's
+unordered_map order is canonicalized by its parity harness), Group,
+AgentId (grid_object.cpp write_obs_features, objects/agent.cpp:142-155).
 """
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mettagrid_tpu.engine.program import EMPTY_TOKEN_BYTE, GLOBAL_LOCATION, EngineProgram, pack_coordinate
 from mettagrid_tpu.engine.state import EnvState
@@ -30,42 +44,36 @@ def make_obs_fn(program: EngineProgram):
     base = program.token_value_base
     feat = program.feature_ids
     H, W = program.height, program.width
+    OH, OW = program.obs_height, program.obs_width
     K = len(program.window_offsets)
-    hr = program.obs_height // 2
-    wr = program.obs_width // 2
+    hr, wr = OH // 2, OW // 2
 
-    # --- static per-cell candidate layout ---
-    # Within a cell: optional aoe_mask (territory observability, emitted
-    # before object tokens — mettagrid_c.cpp:337-362), then tags (ascending
-    # id), vibe, inventory (resource-id ascending — canonical order; the
-    # reference's unordered_map order is canonicalized by its parity
-    # harness), then Group + AgentId for agents
-    # (reference: grid_object.cpp:178-203, agent.cpp:142-155).
     has_aoe_mask = feat.aoe_mask != 0 and bool(program.territories)
-    M = 1 if has_aoe_mask else 0
-    C_cell = M + n_tags + 1 + R * P + 2
 
-    off = np.array(program.window_offsets, dtype=np.int32)  # [K, 2]
-    off_dr = jnp.asarray(off[:, 0])
-    off_dc = jnp.asarray(off[:, 1])
-    # Packed in-window location per cell (static)
-    loc_k = np.array(
-        [pack_coordinate(dr + hr, dc + wr) for dr, dc in program.window_offsets], dtype=np.uint8
-    )
-
-    # Static feature ids per cell-candidate slot
-    cell_feat = np.empty(C_cell, dtype=np.uint8)
-    if has_aoe_mask:
-        cell_feat[0] = feat.aoe_mask
-    cell_feat[M : M + n_tags] = feat.tag
-    cell_feat[M + n_tags] = feat.vibe
+    # ---- static: per-object candidate layout ----
+    S = n_tags + 1 + R * P + 2  # max tokens one object can emit
+    cell_feat = np.empty(S, dtype=np.int32)
+    cell_feat[:n_tags] = feat.tag
+    cell_feat[n_tags] = feat.vibe
     for r in range(R):
         for p in range(P):
-            cell_feat[M + n_tags + 1 + r * P + p] = feat.inv[r][p]
-    cell_feat[M + n_tags + 1 + R * P] = feat.group
-    cell_feat[M + n_tags + 1 + R * P + 1] = feat.agent_id
+            cell_feat[n_tags + 1 + r * P + p] = feat.inv[r][p]
+    cell_feat[n_tags + 1 + R * P] = feat.group
+    cell_feat[n_tags + 1 + R * P + 1] = feat.agent_id
+    cell_feat_t = jnp.asarray(cell_feat)
 
-    # --- global candidate slots (order matches mettagrid_c.cpp:700-742) ---
+    inv_divisors = jnp.asarray(np.array([base**p for p in range(P)], dtype=np.int32))
+
+    # ---- static: window geometry ----
+    # Manhattan-order offsets -> (u, v) window coordinates
+    off = np.array(program.window_offsets, dtype=np.int32)  # [K, 2] (dr, dc)
+    uv_of_k = np.stack([off[:, 0] + hr, off[:, 1] + wr], axis=1)  # [K, 2]
+    k_flat = uv_of_k[:, 0] * OW + uv_of_k[:, 1]  # index into the [OH*OW] window
+    k_flat_t = jnp.asarray(k_flat)
+    loc_k = np.array([pack_coordinate(u, v) for u, v in uv_of_k], dtype=np.int32)
+    loc_k_t = jnp.asarray(loc_k)
+
+    # ---- static: global slots ----
     g = program.global_obs
     global_slots: list[str] = []
     if g.episode_completion_pct:
@@ -81,157 +89,237 @@ def make_obs_fn(program: EngineProgram):
         global_slots.append("lp_ns")
     G = len(global_slots)
 
-    C = G + K * C_cell
+    M = 1 if has_aoe_mask else 0
+    SLOTS = M + S  # candidate slots per window cell
+    C = G + K * SLOTS
 
-    # Full static loc / feat vectors (feat for lp slots is runtime)
+    # Static per-candidate location bytes
     loc_full = np.concatenate(
-        [np.full(G, GLOBAL_LOCATION, dtype=np.uint8), np.repeat(loc_k, C_cell)]
+        [np.full(G, GLOBAL_LOCATION, dtype=np.int32), np.repeat(loc_k, SLOTS)]
     )
     loc_full_t = jnp.asarray(loc_full)
 
     type_is_agent_t = jnp.asarray(program.type_is_agent)
 
-    inv_thresholds = np.array([base**p for p in range(P)], dtype=np.int32)  # [P]
-    inv_divisors = jnp.asarray(inv_thresholds)
+    n_binsearch = int(np.ceil(np.log2(C + 1)))
 
     def compute_obs(state: EnvState):
-        E = state.grid.shape[0]
-        e3 = jnp.arange(E, dtype=jnp.int32)[:, None, None]
+        E, N = state.obj_type.shape
 
+        # ============ stage 1: per-object token lists [E, N, S] ============
+        tid = state.obj_type
+        tags = state.obj_tags  # [E, N, n_tags]
+        vibe = state.obj_vibe
+        inv = state.obj_inv  # [E, N, R]
+        is_agent = type_is_agent_t[tid] & (
+            jnp.arange(N, dtype=jnp.int32)[None, :] < A
+        )
+
+        # candidate values + validity, in canonical cell order
+        vals = []
+        oks = []
+        vals.append(
+            jnp.broadcast_to(jnp.arange(n_tags, dtype=jnp.int32)[None, None, :], (E, N, n_tags))
+        )
+        oks.append(tags)
+        vals.append(vibe[..., None])
+        oks.append((vibe != 0)[..., None])
+        digits = (inv[..., None] // inv_divisors[None, None, None, :]) % base  # [E,N,R,P]
+        emit = inv[..., None] >= jnp.maximum(inv_divisors, 1)[None, None, None, :]
+        vals.append(digits.reshape(E, N, R * P))
+        oks.append(emit.reshape(E, N, R * P))
+        group_pad = jnp.pad(state.agent_group, ((0, 0), (0, N - A)))
+        vals.append(group_pad[..., None])
+        oks.append(is_agent[..., None])
+        vals.append(jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None], (E, N, 1)))
+        oks.append(is_agent[..., None])
+
+        cand_val = jnp.concatenate(vals, axis=-1)  # [E, N, S] int32
+        cand_ok = jnp.concatenate(oks, axis=-1) & state.obj_alive[..., None]
+
+        # packed 16-bit word: feat<<8 | value
+        packed = (cell_feat_t[None, None, :] << 8) | (cand_val & 0xFF)
+
+        # compact to the first-cnt slots via small one-hot matmul (S x S)
+        cnt_ = cand_ok.astype(jnp.int32)
+        pos = jnp.cumsum(cnt_, axis=-1) - cnt_  # [E, N, S] exclusive
+        onehot = (pos[..., None] == jnp.arange(S)[None, None, None, :]) & cand_ok[..., None]
+        obj_tok = jnp.einsum(
+            "ens,enst->ent", packed.astype(jnp.float32), onehot.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [E, N, S] f32 (exact: 16-bit payloads)
+        obj_cnt = cnt_.sum(axis=-1)  # [E, N]
+
+        # ============ stage 2: scatter to cell image [E, H+1, W, Ch] ============
+        # channels: [S tokens] + [cnt] (+ [wintag+1] appended below)
+        cell_src = jnp.concatenate(
+            [obj_tok, obj_cnt[..., None].astype(jnp.float32)], axis=-1
+        )  # [E, N, S+1]
+        Ch = cell_src.shape[-1]
+
+        rr = jnp.where(state.obj_alive, state.obj_r, H)  # dead -> padding row
+        cc = jnp.where(state.obj_alive, state.obj_c, 0)
+        e_idx = jnp.arange(E, dtype=jnp.int32)[:, None]
+        cell_img = jnp.zeros((E, H + 1, W, Ch), dtype=jnp.float32)
+        cell_img = cell_img.at[e_idx, rr, cc].set(cell_src)
+
+        if has_aoe_mask:
+            from mettagrid_tpu.engine.territory import cell_ownership
+
+            gr = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None], (H, W)).reshape(-1)
+            gc = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W)).reshape(-1)
+            gr = jnp.broadcast_to(gr[None, :], (E, H * W))
+            gc = jnp.broadcast_to(gc[None, :], (E, H * W))
+            # first territory with an owner wins (territory_tracker.cpp:262-272)
+            win_tag = jnp.full((E, H * W), -1, dtype=jnp.int32)
+            for ti in range(len(program.territories)):
+                w_idx, tag_ids = cell_ownership(program, state, ti, gr, gc)
+                tag_table = jnp.asarray(np.array(tag_ids, dtype=np.int32))
+                wt = jnp.where(
+                    w_idx >= 0, tag_table[jnp.clip(w_idx, 0, max(len(tag_ids) - 1, 0))], -1
+                )
+                win_tag = jnp.where(win_tag < 0, wt, win_tag)
+            wt_img = jnp.zeros((E, H + 1, W, 1), dtype=jnp.float32)
+            wt_img = wt_img.at[:, :H, :, 0].set((win_tag + 1).reshape(E, H, W).astype(jnp.float32))
+            cell_img = jnp.concatenate([cell_img, wt_img], axis=-1)
+            Ch += 1
+
+        # ============ stage 3: window extraction via one-hot matmuls ============
         agent_r = state.obj_r[:, :A]  # [E, A]
         agent_c = state.obj_c[:, :A]
+        rows = agent_r[:, :, None] + jnp.arange(-hr, hr + 1, dtype=jnp.int32)[None, None, :]
+        cols = agent_c[:, :, None] + jnp.arange(-wr, wr + 1, dtype=jnp.int32)[None, None, :]
+        rows = jnp.where((rows >= 0) & (rows < H), rows, H)  # out-of-bounds -> padding row
+        cols_valid = (cols >= 0) & (cols < W)
+        cols = jnp.clip(cols, 0, W - 1)
 
-        # ---------- global token values ----------
-        g_feats = []
-        g_vals = []
-        g_valid = []
-        step = state.step_count[:, None]  # [E, 1]
-        zero_a = jnp.zeros((1, A), dtype=jnp.int32)
-        for slot in global_slots:
-            if slot == "epct":
-                if program.max_steps > 0:
-                    pct = jnp.where(
-                        step >= program.max_steps,
-                        255,
-                        (256 * step) // program.max_steps,
-                    )
-                else:
-                    pct = jnp.zeros_like(step)
-                val = (pct + zero_a).astype(jnp.uint8)
-                fid = jnp.full((E, A), feat.episode_completion_pct, dtype=jnp.uint8)
-                ok = jnp.ones((E, A), dtype=bool)
-            elif slot == "last_action":
-                val = state.agent_last_action.astype(jnp.uint8)
-                fid = jnp.full((E, A), feat.last_action, dtype=jnp.uint8)
-                ok = jnp.ones((E, A), dtype=bool)
-            elif slot == "last_action_move":
-                moved = (agent_r != state.agent_prev_r) | (agent_c != state.agent_prev_c)
-                val = moved.astype(jnp.uint8)
-                fid = jnp.full((E, A), feat.last_action_move, dtype=jnp.uint8)
-                ok = jnp.ones((E, A), dtype=bool)
-            elif slot == "last_reward":
-                val = jnp.round(state.rewards * 100.0).astype(jnp.int32).astype(jnp.uint8)
-                fid = jnp.full((E, A), feat.last_reward, dtype=jnp.uint8)
-                ok = jnp.ones((E, A), dtype=bool)
-            elif slot == "lp_ew":
-                dc = agent_c - state.agent_spawn_c
-                val = jnp.minimum(jnp.abs(dc), 255).astype(jnp.uint8)
-                fid = jnp.where(dc > 0, feat.lp_east, feat.lp_west).astype(jnp.uint8)
-                ok = dc != 0
-            elif slot == "lp_ns":
-                dr = state.agent_spawn_r - agent_r
-                val = jnp.minimum(jnp.abs(dr), 255).astype(jnp.uint8)
-                fid = jnp.where(dr > 0, feat.lp_north, feat.lp_south).astype(jnp.uint8)
-                ok = dr != 0
-            else:  # pragma: no cover
-                raise AssertionError(slot)
-            g_feats.append(fid)
-            g_vals.append(val)
-            g_valid.append(ok)
+        r_sel = (
+            rows[..., None] == jnp.arange(H + 1, dtype=jnp.int32)[None, None, None, :]
+        ).astype(jnp.float32)  # [E, A, OH, H+1]
+        c_sel = (
+            (cols[..., None] == jnp.arange(W, dtype=jnp.int32)[None, None, None, :])
+            & cols_valid[..., None]
+        ).astype(jnp.float32)  # [E, A, OW, W]
 
-        if G:
-            gf = jnp.stack(g_feats, axis=-1)  # [E, A, G]
-            gv = jnp.stack(g_vals, axis=-1)
-            gok = jnp.stack(g_valid, axis=-1)
-        else:
-            gf = jnp.zeros((E, A, 0), dtype=jnp.uint8)
-            gv = jnp.zeros((E, A, 0), dtype=jnp.uint8)
-            gok = jnp.zeros((E, A, 0), dtype=bool)
+        tmp = jnp.einsum(
+            "eauh,ehwc->eauwc", r_sel, cell_img, preferred_element_type=jnp.float32
+        )  # [E, A, OH, W, Ch]
+        win = jnp.einsum(
+            "eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32
+        )  # [E, A, OH, OW, Ch]
+        win = win.reshape(E, A, OH * OW, Ch)
+        win = jnp.take(win, k_flat_t, axis=2)  # Manhattan order [E, A, K, Ch]
 
-        # ---------- window cells ----------
-        r = agent_r[:, :, None] + off_dr[None, None, :]  # [E, A, K]
-        c = agent_c[:, :, None] + off_dc[None, None, :]
-        inb = (r >= 0) & (r < H) & (c >= 0) & (c < W)
-        rs = jnp.clip(r, 0, H - 1)
-        cs = jnp.clip(c, 0, W - 1)
-        slot = state.grid[e3, rs, cs]  # [E, A, K]
-        has_obj = inb & (slot >= 0)
-        slot_s = jnp.clip(slot, 0, state.obj_type.shape[1] - 1)
+        win_tok = win[..., :S].astype(jnp.int32)  # packed feat<<8|val
+        win_cnt = win[..., S].astype(jnp.int32)  # [E, A, K]
 
-        tid = state.obj_type[e3, slot_s]  # [E, A, K]
-        tags = state.obj_tags[e3, slot_s]  # [E, A, K, n_tags]
-        vibe = state.obj_vibe[e3, slot_s]  # [E, A, K]
-        inv = state.obj_inv[e3, slot_s]  # [E, A, K, R]
-        is_agent = type_is_agent_t[tid] & (slot_s < A)
+        # ============ stage 4: candidate assembly ============
+        slot_ids = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
+        tok_ok = slot_ids < win_cnt[..., None]  # [E, A, K, S]
 
-        parts_val = []
-        parts_ok = []
-        # territory aoe_mask (emitted when != 0, before object tokens)
         if has_aoe_mask:
-            from mettagrid_tpu.engine.territory import territory_obs_mask
+            wt = win[..., S + 1].astype(jnp.int32) - 1  # [E, A, K] winning tag, -1 none
+            # friendly iff the observer has the winning tag
+            agent_tags = state.obj_tags[:, :A]  # [E, A, n_tags]
+            has = jnp.take_along_axis(
+                agent_tags, jnp.clip(wt, 0, n_tags - 1), axis=-1
+            )  # agent_tags[..., wt[k]] per k (n_tags axis indexed by K values)
+            mask_val = jnp.where(wt >= 0, jnp.where(has, 1, 2), 0)  # [E, A, K]
+            aoe_word = (feat.aoe_mask << 8) | (mask_val & 0xFF)
+            aoe_ok = mask_val != 0
+            cell_words = jnp.concatenate([aoe_word[..., None], win_tok], axis=-1)
+            cell_oks = jnp.concatenate([aoe_ok[..., None], tok_ok], axis=-1)
+        else:
+            cell_words = win_tok
+            cell_oks = tok_ok
 
-            agent_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :, None], (E, A, K))
-            tmask = territory_obs_mask(program, state, rs, cs, agent_slots)  # [E, A, K]
-            parts_val.append(tmask.astype(jnp.uint8)[..., None])
-            parts_ok.append((inb & (tmask != 0))[..., None])
-        # tags: value = tag id
-        tag_vals = jnp.broadcast_to(
-            jnp.arange(n_tags, dtype=jnp.uint8)[None, None, None, :], (E, A, K, n_tags)
-        )
-        parts_val.append(tag_vals)
-        parts_ok.append(tags & has_obj[..., None])
-        # vibe
-        parts_val.append(vibe.astype(jnp.uint8)[..., None])
-        parts_ok.append((has_obj & (vibe != 0))[..., None])
-        # inventory digits: [E, A, K, R, P]
-        digits = (inv[..., None] // inv_divisors[None, None, None, None, :]) % base
-        emit = inv[..., None] >= jnp.maximum(inv_divisors, 1)[None, None, None, None, :]
-        # base token (p=0) is emitted iff amount > 0; power p iff amount >= base^p
-        parts_val.append(digits.astype(jnp.uint8).reshape(E, A, K, R * P))
-        parts_ok.append((emit & has_obj[..., None, None]).reshape(E, A, K, R * P))
-        # group + agent_id
-        group = state.agent_group[e3, jnp.clip(slot_s, 0, A - 1)]
-        parts_val.append(group.astype(jnp.uint8)[..., None])
-        parts_ok.append((has_obj & is_agent)[..., None])
-        parts_val.append(slot_s.astype(jnp.uint8)[..., None])
-        parts_ok.append((has_obj & is_agent)[..., None])
+        # add location bytes: word = loc<<16 | feat<<8 | val
+        cell_words = cell_words | (loc_k_t[None, None, :, None] << 16)
+        cell_words = cell_words.reshape(E, A, K * SLOTS)
+        cell_oks = cell_oks.reshape(E, A, K * SLOTS)
 
-        cell_vals = jnp.concatenate(parts_val, axis=-1)  # [E, A, K, C_cell]
-        cell_ok = jnp.concatenate(parts_ok, axis=-1)
+        # ---- global tokens ----
+        g_words, g_ok = _global_tokens(program, state, global_slots, feat, E, A)
 
-        cell_feat_t = jnp.broadcast_to(
-            jnp.asarray(cell_feat)[None, None, None, :], (E, A, K, C_cell)
-        )
+        words = jnp.concatenate([g_words, cell_words], axis=-1)  # [E, A, C]
+        ok = jnp.concatenate([g_ok, cell_oks], axis=-1)
 
-        # ---------- assemble candidate axis and compact ----------
-        vals = jnp.concatenate([gv, cell_vals.reshape(E, A, K * C_cell)], axis=-1)  # [E, A, C]
-        feats = jnp.concatenate([gf, cell_feat_t.reshape(E, A, K * C_cell)], axis=-1)
-        ok = jnp.concatenate([gok, cell_ok.reshape(E, A, K * C_cell)], axis=-1)
-        locs = jnp.broadcast_to(loc_full_t[None, None, :], (E, A, C))
+        # ============ stage 5: budget compaction via binary search ============
+        s_incl = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # [E, A, C]
+        attempted = s_incl[..., -1]
 
-        counts = ok.astype(jnp.int32)
-        pos = jnp.cumsum(counts, axis=-1) - counts  # exclusive prefix sum
-        attempted = pos[..., -1] + counts[..., -1]  # [E, A]
+        targets = jnp.arange(1, T + 1, dtype=jnp.int32)[None, None, :]
+        lo = jnp.zeros((E, A, T), dtype=jnp.int32)
+        hi = jnp.full((E, A, T), C, dtype=jnp.int32)
+        for _ in range(n_binsearch):
+            mid = (lo + hi) >> 1
+            v = jnp.take_along_axis(s_incl, jnp.clip(mid, 0, C - 1), axis=-1)
+            go_right = v < targets
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        found = jnp.take_along_axis(words, jnp.clip(lo, 0, C - 1), axis=-1)
+        empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
+        out_words = jnp.where(lo < C, found, empty_word)
 
-        write = ok & (pos < T)
-        pos = jnp.where(write, pos, T)  # out-of-range -> dropped by scatter
-
-        tokens = jnp.stack([locs, feats, vals], axis=-1)  # [E, A, C, 3]
-        out = jnp.full((E * A, T, 3), EMPTY_TOKEN_BYTE, dtype=jnp.uint8)
-        rows = jnp.broadcast_to(jnp.arange(E * A, dtype=jnp.int32)[:, None], (E * A, C))
-        out = out.at[rows, pos.reshape(E * A, C)].set(
-            tokens.reshape(E * A, C, 3), mode="drop"
-        )
-        return out.reshape(E, A, T, 3), attempted
+        out = jnp.stack(
+            [
+                (out_words >> 16) & 0xFF,
+                (out_words >> 8) & 0xFF,
+                out_words & 0xFF,
+            ],
+            axis=-1,
+        ).astype(jnp.uint8)
+        return out, attempted
 
     return compute_obs
+
+
+def _global_tokens(program, state, global_slots, feat, E, A):
+    """Global candidate words/validity (order: mettagrid_c.cpp:700-742)."""
+    agent_r = state.obj_r[:, :A]
+    agent_c = state.obj_c[:, :A]
+    step = state.step_count[:, None]
+    words = []
+    oks = []
+    for slot in global_slots:
+        if slot == "epct":
+            if program.max_steps > 0:
+                pct = jnp.where(step >= program.max_steps, 255, (256 * step) // program.max_steps)
+            else:
+                pct = jnp.zeros_like(step)
+            val = jnp.broadcast_to(pct, (E, A))
+            fid = jnp.full((E, A), feat.episode_completion_pct, dtype=jnp.int32)
+            ok = jnp.ones((E, A), dtype=bool)
+        elif slot == "last_action":
+            val = state.agent_last_action
+            fid = jnp.full((E, A), feat.last_action, dtype=jnp.int32)
+            ok = jnp.ones((E, A), dtype=bool)
+        elif slot == "last_action_move":
+            moved = (agent_r != state.agent_prev_r) | (agent_c != state.agent_prev_c)
+            val = moved.astype(jnp.int32)
+            fid = jnp.full((E, A), feat.last_action_move, dtype=jnp.int32)
+            ok = jnp.ones((E, A), dtype=bool)
+        elif slot == "last_reward":
+            val = jnp.round(state.rewards * 100.0).astype(jnp.int32) & 0xFF
+            fid = jnp.full((E, A), feat.last_reward, dtype=jnp.int32)
+            ok = jnp.ones((E, A), dtype=bool)
+        elif slot == "lp_ew":
+            dc = agent_c - state.agent_spawn_c
+            val = jnp.minimum(jnp.abs(dc), 255)
+            fid = jnp.where(dc > 0, feat.lp_east, feat.lp_west)
+            ok = dc != 0
+        elif slot == "lp_ns":
+            dr = state.agent_spawn_r - agent_r
+            val = jnp.minimum(jnp.abs(dr), 255)
+            fid = jnp.where(dr > 0, feat.lp_north, feat.lp_south)
+            ok = dr != 0
+        else:  # pragma: no cover
+            raise AssertionError(slot)
+        words.append((GLOBAL_LOCATION << 16) | (fid << 8) | (val & 0xFF))
+        oks.append(ok)
+    if not words:
+        return (
+            jnp.zeros((E, A, 0), dtype=jnp.int32),
+            jnp.zeros((E, A, 0), dtype=bool),
+        )
+    return jnp.stack(words, axis=-1), jnp.stack(oks, axis=-1)

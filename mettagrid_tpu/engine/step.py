@@ -168,17 +168,30 @@ def make_game_tick_phase(program: EngineProgram):
     return game_tick_phase
 
 
-def make_step(program: EngineProgram, init: EnvInit, auto_reset: bool = True, donate: bool = True):
+def make_step(
+    program: EngineProgram,
+    init: EnvInit,
+    auto_reset: bool = True,
+    donate: bool = True,
+    action_mode: str = "auto",
+):
     """Returns step(state, actions, vibe_actions) -> (state, StepOutputs).
 
     actions/vibe_actions: int32[E, A] indices into the flattened action space
     (the dual-buffer transport of the reference —
     envs/mettagrid_puffer_env.py:304-371).
+
+    action_mode: "auto" uses the wave-parallel phase when provably
+    sequential-equivalent (actions_fast.fast_mode_ok), "fast" forces it,
+    "sequential" forces the per-agent fori loop.
     """
     pool = _device_init(init)
     P = init.pool_size
     A = program.num_agents
-    action_phase = make_action_phase(program)
+    from mettagrid_tpu.engine.actions_fast import fast_mode_ok, make_action_phase_fast
+
+    use_fast = action_mode == "fast" or (action_mode == "auto" and fast_mode_ok(program))
+    action_phase = make_action_phase_fast(program) if use_fast else make_action_phase(program)
     event_phase = make_event_phase(program)
     agent_tick_phase = make_agent_tick_phase(program)
     game_tick_phase = make_game_tick_phase(program)

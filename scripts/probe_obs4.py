@@ -1,0 +1,157 @@
+"""Bisect obs v2 stages on the live backend."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.engine.program import pack_coordinate
+
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    num_envs = 1024
+    cfg = make_arena(24, combat=False)
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    maps = [builder.build_for_num_agents(24) for _ in range(2)]
+    init = build_env_init(program, maps)
+    reset = make_reset(program, init, num_envs)
+    state, _ = reset(0)
+
+    A = program.num_agents
+    R = program.num_resources
+    P = program.num_inv_tokens
+    T = program.num_tokens
+    n_tags = program.num_tags
+    base = program.token_value_base
+    H, W = program.height, program.width
+    OH, OW = program.obs_height, program.obs_width
+    hr, wr = OH // 2, OW // 2
+    E = num_envs
+    S = n_tags + 1 + R * P + 2
+    K = len(program.window_offsets)
+
+    feat = program.feature_ids
+    cell_feat = np.zeros(S, dtype=np.int32)
+    cell_feat_t = jnp.asarray(cell_feat)
+    inv_divisors = jnp.asarray(np.array([base**p for p in range(P)], dtype=np.int32))
+    type_is_agent_t = jnp.asarray(program.type_is_agent)
+
+    def stage1(state):
+        N = state.obj_type.shape[1]
+        tid = state.obj_type
+        tags = state.obj_tags
+        vibe = state.obj_vibe
+        inv = state.obj_inv
+        is_agent = type_is_agent_t[tid] & (jnp.arange(N)[None, :] < A)
+        vals = [jnp.broadcast_to(jnp.arange(n_tags, dtype=jnp.int32)[None, None, :], (E, N, n_tags))]
+        oks = [tags]
+        vals.append(vibe[..., None]); oks.append((vibe != 0)[..., None])
+        digits = (inv[..., None] // inv_divisors[None, None, None, :]) % base
+        emit = inv[..., None] >= jnp.maximum(inv_divisors, 1)[None, None, None, :]
+        vals.append(digits.reshape(E, N, R * P)); oks.append(emit.reshape(E, N, R * P))
+        group_pad = jnp.pad(state.agent_group, ((0, 0), (0, N - A)))
+        vals.append(group_pad[..., None]); oks.append(is_agent[..., None])
+        vals.append(jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None], (E, N, 1)))
+        oks.append(is_agent[..., None])
+        cand_val = jnp.concatenate(vals, axis=-1)
+        cand_ok = jnp.concatenate(oks, axis=-1) & state.obj_alive[..., None]
+        packed = (cell_feat_t[None, None, :] << 8) | (cand_val & 0xFF)
+        cnt_ = cand_ok.astype(jnp.int32)
+        pos = jnp.cumsum(cnt_, axis=-1) - cnt_
+        onehot = (pos[..., None] == jnp.arange(S)[None, None, None, :]) & cand_ok[..., None]
+        obj_tok = jnp.einsum("ens,enst->ent", packed.astype(jnp.float32), onehot.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        obj_cnt = cnt_.sum(axis=-1)
+        return obj_tok, obj_cnt
+
+    def t1(state):
+        obj_tok, obj_cnt = stage1(state)
+        return obj_tok.sum() + obj_cnt.sum()
+
+    def stage2(state):
+        obj_tok, obj_cnt = stage1(state)
+        cell_src = jnp.concatenate([obj_tok, obj_cnt[..., None].astype(jnp.float32)], axis=-1)
+        rr = jnp.where(state.obj_alive, state.obj_r, H)
+        cc = jnp.where(state.obj_alive, state.obj_c, 0)
+        e_idx = jnp.arange(E)[:, None]
+        cell_img = jnp.zeros((E, H + 1, W, cell_src.shape[-1]), dtype=jnp.float32)
+        return cell_img.at[e_idx, rr, cc].set(cell_src)
+
+    def t2(state):
+        return stage2(state).sum()
+
+    def stage3(state):
+        cell_img = stage2(state)
+        Ch = cell_img.shape[-1]
+        agent_r = state.obj_r[:, :A]
+        agent_c = state.obj_c[:, :A]
+        rows = agent_r[:, :, None] + jnp.arange(-hr, hr + 1)[None, None, :]
+        cols = agent_c[:, :, None] + jnp.arange(-wr, wr + 1)[None, None, :]
+        rows = jnp.where((rows >= 0) & (rows < H), rows, H)
+        cols_valid = (cols >= 0) & (cols < W)
+        cols = jnp.clip(cols, 0, W - 1)
+        r_sel = (rows[..., None] == jnp.arange(H + 1)[None, None, None, :]).astype(jnp.float32)
+        c_sel = ((cols[..., None] == jnp.arange(W)[None, None, None, :]) & cols_valid[..., None]).astype(jnp.float32)
+        tmp = jnp.einsum("eauh,ehwc->eauwc", r_sel, cell_img, preferred_element_type=jnp.float32)
+        win = jnp.einsum("eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32)
+        return win
+
+    def t3(state):
+        return stage3(state).sum()
+
+    def t5(state):
+        win = stage3(state)
+        E_, A_, OH_, OW_, Ch = win.shape
+        win = win.reshape(E_, A_, OH_ * OW_, Ch)
+        words = win[..., :S].astype(jnp.int32).reshape(E_, A_, OH_ * OW_ * S)
+        ok = words > 0
+        C = words.shape[-1]
+        s_incl = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+        targets = jnp.arange(1, T + 1, dtype=jnp.int32)[None, None, :]
+        lo = jnp.zeros((E_, A_, T), dtype=jnp.int32)
+        hi = jnp.full((E_, A_, T), C, dtype=jnp.int32)
+        for _ in range(13):
+            mid = (lo + hi) >> 1
+            v = jnp.take_along_axis(s_incl, jnp.clip(mid, 0, C - 1), axis=-1)
+            go_right = v < targets
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        found = jnp.take_along_axis(words, jnp.clip(lo, 0, C - 1), axis=-1)
+        return found.sum()
+
+    from mettagrid_tpu.engine.obs import make_obs_fn
+    obs_fn = make_obs_fn(program)
+
+    def t_full(state):
+        obs, att = obs_fn(state)
+        return obs.sum(dtype=jnp.uint32) + att.sum().astype(jnp.uint32)
+
+    print(f"platform={jax.devices()[0].platform} E={E} S={S} K={K} H={H} W={W}")
+    print(f"stage1 obj tokens     {timeit(t1, state)*1e3:9.2f} ms")
+    print(f"stage2 cell image     {timeit(t2, state)*1e3:9.2f} ms")
+    print(f"stage3 window einsum  {timeit(t3, state)*1e3:9.2f} ms")
+    print(f"stage5 binsearch      {timeit(t5, state)*1e3:9.2f} ms")
+    print(f"full obs              {timeit(t_full, state)*1e3:9.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

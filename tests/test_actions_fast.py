@@ -1,0 +1,62 @@
+"""Wave-parallel vs sequential action phase: bit-exact equivalence.
+
+The fast phase (engine/actions_fast.py) must reproduce the sequential
+shuffled-order semantics exactly — the analogue of the reference's
+obs-path shadow validation (tests/test_observation_optimized_equivalence.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.engine.actions_fast import fast_mode_ok
+from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+
+def build(cfg, num_envs, mode):
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    builder.config.seed = 7
+    gm = builder.build_for_num_agents(cfg.game.num_agents)
+    init = build_env_init(program, [gm])
+    reset = make_reset(program, init, num_envs)
+    step = make_step(program, init, auto_reset=False, donate=False, action_mode=mode)
+    return program, reset, step
+
+
+@pytest.mark.parametrize("density", ["sparse", "dense"])
+def test_fast_matches_sequential(density):
+    num_agents = 6
+    size = 16 if density == "sparse" else 7
+    cfg = make_arena(
+        num_agents,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=num_agents, width=size, height=size, border_width=1, objects={"wall": 4}
+        ),
+    )
+    assert fast_mode_ok(compile_program(cfg))
+
+    E = 16
+    program, reset_a, step_seq = build(cfg, E, "sequential")
+    _, reset_b, step_fast = build(cfg, E, "fast")
+
+    state_a, _ = reset_a(0)
+    state_b, _ = reset_b(0)
+    rng = np.random.default_rng(0)
+    n_actions = len(program.action_names)
+
+    for t in range(15):
+        acts = jnp.asarray(rng.integers(0, n_actions, size=(E, num_agents)), dtype=jnp.int32)
+        vibes = jnp.zeros((E, num_agents), dtype=jnp.int32)
+        state_a, out_a = step_seq(state_a, acts, vibes)
+        state_b, out_b = step_fast(state_b, acts, vibes)
+
+    for name in state_a._fields:
+        a, b = getattr(state_a, name), getattr(state_b, name)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
+    assert np.array_equal(np.asarray(out_a.observations), np.asarray(out_b.observations))
+    assert np.array_equal(np.asarray(out_a.action_success), np.asarray(out_b.action_success))
