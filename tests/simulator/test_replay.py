@@ -1,0 +1,58 @@
+"""Replay writer tests (modeled on the reference's replay format tests)."""
+
+import json
+import zlib
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.simulator import Simulation
+from mettagrid_tpu.simulator.replay_writer import InMemoryReplayWriter, ReplayLogWriter
+
+
+def nav_config(max_steps=4):
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=max_steps,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["#####", "#@..#", "#####"]),
+        )
+    )
+
+
+def run_episode(writer):
+    sim = Simulation(nav_config(), event_handlers=[writer])
+    while not sim.is_done:
+        sim.agent(0).set_action("move_east")
+        sim.step()
+    return sim
+
+
+def test_in_memory_replay_records_episode():
+    writer = InMemoryReplayWriter()
+    run_episode(writer)
+    replays = writer.get_completed_replays()
+    assert len(replays) == 1
+    data = replays[0].finalize()
+    assert data["version"] == 4
+    assert data["num_agents"] == 1
+    assert "move_east" in data["action_names"]
+    agents = [o for o in data["objects"] if "agent_id" in o]
+    assert len(agents) == 1
+    # Agent location timeline should show movement (list of [step, [x,y,z]])
+    loc = agents[0]["location"]
+    assert isinstance(loc, list) and len(loc) >= 2
+
+
+def test_replay_file_roundtrip(tmp_path):
+    writer = ReplayLogWriter(str(tmp_path))
+    run_episode(writer)
+    paths = writer.get_written_replay_paths()
+    assert len(paths) == 1
+    raw = zlib.decompress(open(paths[0], "rb").read())
+    data = json.loads(raw)
+    assert data["version"] == 4
+    assert data["map_size"] == [5, 3]
+    assert len(data["objects"]) > 0
