@@ -1,0 +1,67 @@
+"""Isolate the 3-D vs 2-D take_along_axis / cumsum behavior in-context."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+E, A, C, T = 1024, 24, 4225, 500
+
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def binsearch(words, ok, flatten):
+    if flatten:
+        words = words.reshape(E * A, C)
+        ok = ok.reshape(E * A, C)
+    s = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+    B = words.shape[:-1]
+    targets = jnp.arange(1, T + 1, dtype=jnp.int32).reshape((1,) * len(B) + (T,))
+    lo = jnp.zeros(B + (T,), dtype=jnp.int32)
+    hi = jnp.full(B + (T,), C, dtype=jnp.int32)
+    for _ in range(13):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(s, jnp.clip(mid, 0, C - 1), axis=-1)
+        go_right = v < targets
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    out = jnp.take_along_axis(words, jnp.clip(lo, 0, C - 1), axis=-1)
+    return out.sum()
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    ok3 = jax.random.uniform(key, (E, A, C)) < 0.02
+    w3 = jax.random.randint(key, (E, A, C), 0, 1 << 22, dtype=jnp.int32)
+
+    print(f"platform={jax.devices()[0].platform}")
+    print(f"binsearch 3-D [E,A,C]   {timeit(lambda a, b: binsearch(a, b, False), w3, ok3)*1e3:9.2f} ms")
+    print(f"binsearch 2-D [EA,C]    {timeit(lambda a, b: binsearch(a, b, True), w3, ok3)*1e3:9.2f} ms")
+
+    def cumsum3(ok):
+        return jnp.cumsum(ok.astype(jnp.int32), axis=-1).sum()
+
+    def gather3(w, ok):
+        idx = (jnp.cumsum(ok.astype(jnp.int32), axis=-1) * 7) % C
+        return jnp.take_along_axis(w, idx[..., :T], axis=-1).sum()
+
+    print(f"cumsum 3-D              {timeit(cumsum3, ok3)*1e3:9.2f} ms")
+    print(f"1 gather 3-D            {timeit(gather3, w3, ok3)*1e3:9.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Renderer tests (modeled on the reference's tests/renderer/)."""
+
+import io
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.renderer import LogRenderer, MiniscopeRenderer
+from mettagrid_tpu.simulator import Simulation
+
+
+def nav_config(max_steps=3):
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=max_steps,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["#####", "#@..#", "#####"]),
+        )
+    )
+
+
+def test_miniscope_renders_frames():
+    buf = io.StringIO()
+    renderer = MiniscopeRenderer(fps=0, out=buf, use_emoji=False)
+    sim = Simulation(nav_config(), event_handlers=[renderer])
+    sim.agent(0).set_action("move_east")
+    sim.step()
+    frame = renderer.render_frame()
+    assert "step 1/3" in frame
+    assert "w " in frame  # wall symbols in ascii mode
+    assert "0 " in frame  # agent 0
+
+
+def test_log_renderer_runs():
+    sim = Simulation(nav_config(), event_handlers=[LogRenderer()])
+    while not sim.is_done:
+        sim.step()
