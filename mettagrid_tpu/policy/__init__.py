@@ -7,6 +7,34 @@ out — so rollout and learning stay inside one jit.
 """
 
 from mettagrid_tpu.policy.lstm import LSTMPolicy, LSTMState, init_policy, unroll
+from mettagrid_tpu.policy.policy import (
+    POLICY_REGISTRY,
+    AgentPolicy,
+    JaxMultiAgentPolicy,
+    MultiAgentPolicy,
+    NoopMultiAgentPolicy,
+    PolicySpec,
+    RandomMultiAgentPolicy,
+    StatefulAgentPolicy,
+    StatefulPolicyImpl,
+    load_policy,
+)
 from mettagrid_tpu.policy.token_encoder import TokenEncoder
 
-__all__ = ["LSTMPolicy", "LSTMState", "TokenEncoder", "init_policy", "unroll"]
+__all__ = [
+    "POLICY_REGISTRY",
+    "AgentPolicy",
+    "JaxMultiAgentPolicy",
+    "LSTMPolicy",
+    "LSTMState",
+    "MultiAgentPolicy",
+    "NoopMultiAgentPolicy",
+    "PolicySpec",
+    "RandomMultiAgentPolicy",
+    "StatefulAgentPolicy",
+    "StatefulPolicyImpl",
+    "TokenEncoder",
+    "init_policy",
+    "load_policy",
+    "unroll",
+]

@@ -1,0 +1,253 @@
+"""Policy framework: per-agent and batched policies, registry, specs
+(reference: python/src/mettagrid/policy/policy.py:26-396).
+
+Two levels:
+  - AgentPolicy: one agent, decoded AgentObservation in, action name/id out.
+  - MultiAgentPolicy: the batch interface — step_batch(raw_obs, raw_actions)
+    fills the action buffer in place from the raw token observations.
+Device-native policies (LSTMPolicy in policy/lstm.py) plug in through
+JaxMultiAgentPolicy, which keeps params/state on device.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import pickle
+from typing import Any, Callable, Dict, Generic, Optional, Tuple, TypeVar
+
+import numpy as np
+from pydantic import BaseModel, Field
+
+from mettagrid_tpu.simulator.interface import AgentObservation
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+POLICY_REGISTRY: Dict[str, type] = {}
+
+
+class PolicyRegistryMeta(type):
+    """Auto-registers MultiAgentPolicy subclasses by short_name
+    (reference: policy/policy_registry.py)."""
+
+    def __new__(mcs, name, bases, ns):
+        cls = super().__new__(mcs, name, bases, ns)
+        short = ns.get("short_name")
+        if short:
+            POLICY_REGISTRY[short] = cls
+        return cls
+
+
+class PolicySpec(BaseModel):
+    """URI-addressable policy description (reference: policy/policy.py:386-396)."""
+
+    class_path: str = Field(description="Dotted path or registry short name")
+    policy_data_path: Optional[str] = Field(default=None)
+    init_kwargs: dict[str, Any] = Field(default_factory=dict)
+
+    def resolve_class(self) -> type:
+        if self.class_path in POLICY_REGISTRY:
+            return POLICY_REGISTRY[self.class_path]
+        module, _, cls_name = self.class_path.rpartition(".")
+        return getattr(importlib.import_module(module), cls_name)
+
+
+# ---------------------------------------------------------------------
+# per-agent policies
+# ---------------------------------------------------------------------
+
+
+class AgentPolicy:
+    """Base class for per-agent policies (reference: policy.py:26-84)."""
+
+    def __init__(self, policy_env_info=None):
+        self._env_info = policy_env_info
+
+    def step(self, obs: AgentObservation):
+        raise NotImplementedError
+
+    def step_group(self, observations: list[tuple[int, AgentObservation]]):
+        return [self.step(obs) for _, obs in observations]
+
+    def reset(self, simulation=None) -> None:
+        pass
+
+
+StateType = TypeVar("StateType")
+
+
+class StatefulPolicyImpl(Generic[StateType]):
+    """Stateful policy core: (obs, state) -> (action, state)
+    (reference: policy.py:348-381)."""
+
+    def initial_state(self) -> StateType:
+        raise NotImplementedError
+
+    def step_with_state(self, obs: AgentObservation, state: StateType) -> Tuple[Any, StateType]:
+        raise NotImplementedError
+
+    def reset(self) -> None:
+        pass
+
+
+class StatefulAgentPolicy(AgentPolicy, Generic[StateType]):
+    """Wraps a StatefulPolicyImpl, carrying the state between steps
+    (reference: policy.py:283-344)."""
+
+    def __init__(self, impl: StatefulPolicyImpl[StateType], policy_env_info=None):
+        super().__init__(policy_env_info)
+        self._impl = impl
+        self._state: Optional[StateType] = None
+
+    def step(self, obs: AgentObservation):
+        if self._state is None:
+            self._state = self._impl.initial_state()
+        action, self._state = self._impl.step_with_state(obs, self._state)
+        return action
+
+    def reset(self, simulation=None) -> None:
+        self._state = None
+        self._impl.reset()
+
+
+# ---------------------------------------------------------------------
+# batched policies
+# ---------------------------------------------------------------------
+
+
+class MultiAgentPolicy(metaclass=PolicyRegistryMeta):
+    """Batched policy over raw token observations
+    (reference: policy.py:86-160)."""
+
+    short_name: Optional[str] = None
+
+    def __init__(self, policy_env_info=None, **kwargs):
+        self._env_info = policy_env_info
+
+    def agent_policy(self, agent_id: int) -> AgentPolicy:
+        """A per-agent view driving this batched policy."""
+        return _BatchedAgentView(self, agent_id)
+
+    def load_policy_data(self, policy_data_path: str) -> None:
+        pass
+
+    def save_policy_data(self, policy_data_path: str) -> None:
+        pass
+
+    def reset(self) -> None:
+        pass
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        """raw_observations: uint8[n_agents, T, 3]; write int32 action ids
+        into raw_actions[n_agents] in place."""
+        raise NotImplementedError
+
+
+class _BatchedAgentView(AgentPolicy):
+    def __init__(self, policy: MultiAgentPolicy, agent_id: int):
+        super().__init__()
+        self._policy = policy
+        self._agent_id = agent_id
+
+    def step(self, obs: AgentObservation):
+        raise NotImplementedError("batched policies step through step_batch")
+
+
+class RandomMultiAgentPolicy(MultiAgentPolicy):
+    """Uniform random actions (reference: policy/random_agent.py)."""
+
+    short_name = "random"
+
+    def __init__(self, policy_env_info=None, num_actions: Optional[int] = None, seed: int = 0):
+        super().__init__(policy_env_info)
+        if num_actions is None:
+            num_actions = len(policy_env_info.action_names) if policy_env_info else 1
+        self._num_actions = num_actions
+        self._rng = np.random.default_rng(seed)
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        raw_actions[:] = self._rng.integers(0, self._num_actions, size=raw_actions.shape)
+
+
+class NoopMultiAgentPolicy(MultiAgentPolicy):
+    """Always noop (reference: policy/noop.py)."""
+
+    short_name = "noop"
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        raw_actions[:] = 0
+
+
+class JaxMultiAgentPolicy(MultiAgentPolicy):
+    """Device-resident flax policy (LSTMPolicy) behind the buffer protocol.
+
+    Where the reference LSTMPolicy is a torch net stepped agent-by-agent
+    (policy/lstm.py), here the whole agent batch forwards in one jitted call
+    and the recurrent state stays on device.
+    """
+
+    short_name = "lstm"
+
+    def __init__(self, policy_env_info=None, policy=None, params=None, seed: int = 0):
+        super().__init__(policy_env_info)
+        import jax
+
+        from mettagrid_tpu.policy.lstm import LSTMPolicy
+
+        n_actions = len(policy_env_info.action_names) if policy_env_info else 1
+        self._policy = policy or LSTMPolicy(num_actions=n_actions)
+        self._params = params
+        self._lstm_state = None
+        self._key = None
+        self._seed = seed
+        self._jax = jax
+
+        @jax.jit
+        def _step(params, tokens, state, key):
+            logits, _, new_state = self._policy.apply(params, tokens, state)
+            key, sub = jax.random.split(key)
+            actions = jax.random.categorical(sub, logits)
+            return actions.astype(np.int32), new_state, key
+
+        self._step_fn = _step
+
+    def reset(self) -> None:
+        self._lstm_state = None
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        from mettagrid_tpu.policy.lstm import init_policy
+
+        tokens = jnp.asarray(raw_observations)
+        if self._params is None:
+            self._params, self._lstm_state = init_policy(
+                self._policy, self._jax.random.PRNGKey(self._seed), tokens
+            )
+        if self._lstm_state is None:
+            self._lstm_state = self._policy.initial_state(tokens.shape[:-2])
+        if self._key is None:
+            self._key = self._jax.random.PRNGKey(self._seed + 1)
+        actions, self._lstm_state, self._key = self._step_fn(
+            self._params, tokens, self._lstm_state, self._key
+        )
+        raw_actions[:] = np.asarray(actions)
+
+    def save_policy_data(self, policy_data_path: str) -> None:
+        with open(policy_data_path, "wb") as f:
+            pickle.dump(self._jax.device_get(self._params), f)
+
+    def load_policy_data(self, policy_data_path: str) -> None:
+        with open(policy_data_path, "rb") as f:
+            self._params = pickle.load(f)
+
+
+def load_policy(spec: PolicySpec, policy_env_info=None) -> MultiAgentPolicy:
+    """Instantiate + load a policy from a spec (reference: policy/loader.py)."""
+    cls = spec.resolve_class()
+    policy = cls(policy_env_info, **spec.init_kwargs)
+    if spec.policy_data_path:
+        policy.load_policy_data(spec.policy_data_path)
+    return policy

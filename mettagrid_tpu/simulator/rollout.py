@@ -1,0 +1,92 @@
+"""Rollout orchestration: policies driving a Simulation
+(reference: simulator/rollout.py:58-148 — per-policy thread pools and
+action timeouts there; here policies run batched through step_batch, so the
+group machinery reduces to per-policy slices of the agent axis)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import MettaGridConfig
+from mettagrid_tpu.policy.policy import MultiAgentPolicy
+from mettagrid_tpu.simulator.interface import SimulatorEventHandler
+from mettagrid_tpu.simulator.simulator import Simulation
+
+
+@dataclass
+class RolloutResult:
+    steps: int
+    episode_rewards: np.ndarray
+    episode_stats: dict
+    replay_urls: list[str] = field(default_factory=list)
+
+
+class Rollout:
+    """Drives one episode: per-step policy inference + simulation stepping.
+
+    policies: either one MultiAgentPolicy for all agents, or a list assigning
+    one policy per agent slice (reference groups agents per policy).
+    """
+
+    def __init__(
+        self,
+        config: MettaGridConfig,
+        policies: MultiAgentPolicy | Sequence[tuple[MultiAgentPolicy, list[int]]],
+        seed: int = 0,
+        event_handlers: Sequence[SimulatorEventHandler] = (),
+        max_steps: Optional[int] = None,
+    ):
+        self._sim = Simulation(config, seed=seed, event_handlers=list(event_handlers))
+        if isinstance(policies, MultiAgentPolicy):
+            policies = [(policies, list(range(self._sim.num_agents)))]
+        self._policies = list(policies)
+        self._max_steps = max_steps
+        A = self._sim.num_agents
+        T = self._sim.num_observation_tokens
+        self._obs_buf = np.zeros((A, T, 3), dtype=np.uint8)
+        self._act_buf = np.zeros(A, dtype=np.int32)
+
+    @property
+    def simulation(self) -> Simulation:
+        return self._sim
+
+    def step(self) -> None:
+        sim = self._sim
+        obs = np.asarray(sim.last_outputs.observations)[0]  # [A, T, 3]
+        np.copyto(self._obs_buf, obs)
+        for policy, agent_ids in self._policies:
+            ids = np.asarray(agent_ids)
+            acts = self._act_buf[ids]
+            policy.step_batch(self._obs_buf[ids], acts)
+            self._act_buf[ids] = acts
+        for agent_id in range(sim.num_agents):
+            sim.agent(agent_id).set_action(int(self._act_buf[agent_id]))
+        sim.step()
+
+    def run(self) -> RolloutResult:
+        for policy, _ in self._policies:
+            policy.reset()
+        steps = 0
+        while not self._sim.is_done:
+            if self._max_steps is not None and steps >= self._max_steps:
+                break
+            self.step()
+            steps += 1
+        return RolloutResult(
+            steps=steps,
+            episode_rewards=self._sim.episode_rewards,
+            episode_stats=self._sim.episode_stats,
+        )
+
+
+def single_episode_rollout(
+    config: MettaGridConfig,
+    policies,
+    seed: int = 0,
+    event_handlers: Sequence[SimulatorEventHandler] = (),
+) -> RolloutResult:
+    """Convenience wrapper (reference: runner/rollout.py:58-148)."""
+    return Rollout(config, policies, seed=seed, event_handlers=event_handlers).run()

@@ -1,0 +1,78 @@
+"""Policy + rollout tests (modeled on the reference's tests/policy/)."""
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.policy import (
+    POLICY_REGISTRY,
+    JaxMultiAgentPolicy,
+    NoopMultiAgentPolicy,
+    PolicySpec,
+    RandomMultiAgentPolicy,
+    load_policy,
+)
+from mettagrid_tpu.simulator.rollout import Rollout, single_episode_rollout
+
+
+class _EnvInfo:
+    action_names = ["noop", "move_north", "move_south", "move_west", "move_east"]
+
+
+def nav_config(max_steps=5):
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=2,
+            max_steps=max_steps,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["######", "#@.@.#", "######"]),
+        )
+    )
+
+
+def test_registry_contains_builtins():
+    assert "random" in POLICY_REGISTRY
+    assert "noop" in POLICY_REGISTRY
+    assert "lstm" in POLICY_REGISTRY
+
+
+def test_policy_spec_loading():
+    spec = PolicySpec(class_path="random", init_kwargs={"num_actions": 5, "seed": 1})
+    policy = load_policy(spec)
+    acts = np.zeros(4, dtype=np.int32)
+    policy.step_batch(np.zeros((4, 10, 3), dtype=np.uint8), acts)
+    assert acts.max() < 5
+
+
+def test_rollout_with_random_policy():
+    result = single_episode_rollout(nav_config(), RandomMultiAgentPolicy(_EnvInfo()))
+    assert result.steps == 5
+    assert result.episode_rewards.shape == (2,)
+
+
+def test_rollout_mixed_policies():
+    cfg = nav_config()
+    rollout = Rollout(
+        cfg,
+        [
+            (NoopMultiAgentPolicy(_EnvInfo()), [0]),
+            (RandomMultiAgentPolicy(_EnvInfo()), [1]),
+        ],
+    )
+    result = rollout.run()
+    assert result.steps == 5
+
+
+def test_jax_lstm_policy_steps(tmp_path):
+    policy = JaxMultiAgentPolicy(_EnvInfo())
+    obs = np.zeros((2, 20, 3), dtype=np.uint8)
+    obs[..., 0] = 0xFF
+    acts = np.zeros(2, dtype=np.int32)
+    policy.step_batch(obs, acts)
+    assert acts.shape == (2,)
+    # save/load roundtrip
+    p = tmp_path / "params.pkl"
+    policy.save_policy_data(str(p))
+    policy2 = JaxMultiAgentPolicy(_EnvInfo())
+    policy2.load_policy_data(str(p))
+    policy2.step_batch(obs, acts)
