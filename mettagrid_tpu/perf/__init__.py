@@ -1,0 +1,5 @@
+"""Performance harness (reference: python/src/mettagrid/perf/)."""
+
+from mettagrid_tpu.perf.harness import PerfResult, run_performance
+
+__all__ = ["PerfResult", "run_performance"]

@@ -1,0 +1,6 @@
+"""Profiling utilities (reference: python/src/mettagrid/profiling/)."""
+
+from mettagrid_tpu.profiling.monitor import MemoryMonitor, SystemMonitor
+from mettagrid_tpu.profiling.stopwatch import Stopwatch
+
+__all__ = ["MemoryMonitor", "Stopwatch", "SystemMonitor"]

@@ -1,0 +1,5 @@
+"""Utilities (reference: python/src/mettagrid/util/)."""
+
+from mettagrid_tpu.util.tracer import NullTracer, Tracer
+
+__all__ = ["NullTracer", "Tracer"]

@@ -1,0 +1,71 @@
+"""Count the cost per binsearch iteration in-context."""
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup): out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n): out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+num_envs = 1024
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, num_envs)
+state, _ = reset(0)
+A, H, W = program.num_agents, program.height, program.width
+OH, OW = program.obs_height, program.obs_width
+hr, wr = OH//2, OW//2
+E = num_envs
+Ch, S, T = 27, 25, program.num_tokens
+
+def producer(state):
+    cell_img = jnp.zeros((E, H+1, W, Ch), dtype=jnp.float32)
+    rr = jnp.where(state.obj_alive, state.obj_r, H)
+    cc = jnp.where(state.obj_alive, state.obj_c, 0)
+    e_idx = jnp.arange(E)[:, None]
+    src = state.obj_inv[..., :1].astype(jnp.float32) + jnp.zeros((E, state.obj_type.shape[1], Ch))
+    cell_img = cell_img.at[e_idx, rr, cc].set(src)
+    agent_r = state.obj_r[:, :A]; agent_c = state.obj_c[:, :A]
+    rows = agent_r[:, :, None] + jnp.arange(-hr, hr+1)[None, None, :]
+    cols = agent_c[:, :, None] + jnp.arange(-wr, wr+1)[None, None, :]
+    rows = jnp.where((rows >= 0) & (rows < H), rows, H)
+    cv = (cols >= 0) & (cols < W)
+    cols = jnp.clip(cols, 0, W-1)
+    r_sel = (rows[..., None] == jnp.arange(H+1)[None,None,None,:]).astype(jnp.float32)
+    c_sel = ((cols[..., None] == jnp.arange(W)[None,None,None,:]) & cv[..., None]).astype(jnp.float32)
+    tmp = jnp.einsum("eauh,ehwc->eauwc", r_sel, cell_img, preferred_element_type=jnp.float32)
+    win = jnp.einsum("eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32)
+    words = win[..., :S].astype(jnp.int32).reshape(E, A, OH*OW*S)
+    return words, words > 0
+
+def make_t(iters, final):
+    def t(state):
+        words, ok = producer(state)
+        C = words.shape[-1]
+        s = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+        targets = jnp.arange(1, T+1, dtype=jnp.int32)[None, None, :]
+        lo = jnp.zeros((E, A, T), dtype=jnp.int32)
+        hi = jnp.full((E, A, T), C, dtype=jnp.int32)
+        for _ in range(iters):
+            mid = (lo + hi) >> 1
+            v = jnp.take_along_axis(s, jnp.clip(mid, 0, C-1), axis=-1)
+            go_right = v < targets
+            lo = jnp.where(go_right, mid+1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        if final:
+            return jnp.take_along_axis(words, jnp.clip(lo, 0, C-1), axis=-1).sum()
+        return lo.sum() + hi.sum()
+    return t
+
+for it in (0, 1, 2, 4, 13):
+    print(f"iters={it:2d} no-final  {timeit(make_t(it, False), state)*1e3:9.2f} ms", flush=True)
+print(f"iters=13 +final    {timeit(make_t(13, True), state)*1e3:9.2f} ms", flush=True)

@@ -1,0 +1,60 @@
+"""Profiling utility tests (modeled on the reference's tests/profiling/)."""
+
+import json
+import time
+
+from mettagrid_tpu.profiling import MemoryMonitor, Stopwatch, SystemMonitor
+from mettagrid_tpu.util.tracer import NullTracer, Tracer
+
+
+def test_stopwatch_basic():
+    sw = Stopwatch()
+    with sw.time("phase_a"):
+        time.sleep(0.01)
+    assert sw.elapsed("phase_a") >= 0.01
+    assert sw.summary()["phase_a"]["count"] == 1
+
+
+def test_stopwatch_checkpoints_and_decorator():
+    sw = Stopwatch()
+
+    @sw("work")
+    def work():
+        time.sleep(0.005)
+
+    work()
+    work()
+    assert sw.summary()["work"]["count"] == 2
+
+    sw.start("cp")
+    time.sleep(0.002)
+    lap = sw.checkpoint("first", name="cp")
+    assert lap >= 0.002
+
+
+def test_tracer_writes_chrome_trace(tmp_path):
+    tr = Tracer()
+    with tr.span("episode", idx=1):
+        with tr.span("step"):
+            pass
+    tr.instant("marker")
+    p = tmp_path / "trace.json"
+    tr.save(str(p))
+    data = json.loads(p.read_text())
+    names = [e["name"] for e in data["traceEvents"]]
+    assert "episode" in names and "step" in names and "marker" in names
+
+
+def test_null_tracer_noop(tmp_path):
+    tr = NullTracer()
+    with tr.span("x"):
+        pass
+    tr.save(str(tmp_path / "t.json"))
+
+
+def test_monitors():
+    mm = MemoryMonitor()
+    assert mm.sample() > 0
+    sm = SystemMonitor()
+    snap = sm.poll()
+    assert "time" in snap
