@@ -1,0 +1,64 @@
+"""Talk channel + map cache tests (modeled on the reference's
+tests/simulator/test_talk*.py and map cache tests)."""
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, TalkConfig, WallConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.maps.random_map import RandomMapBuilder
+from mettagrid_tpu.simulator import Simulation
+from mettagrid_tpu.simulator.map_cache import SharedMapCache
+
+
+def talk_config():
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=2,
+            max_steps=50,
+            objects={"wall": WallConfig()},
+            talk=TalkConfig(enabled=True, max_length=10, cooldown_steps=3),
+            map_builder=AsciiMapBuilder.Config(map_data=["######", "#@.@.#", "######"]),
+        )
+    )
+
+
+def test_talk_roundtrip_and_visibility():
+    sim = Simulation(talk_config())
+    sim.agent(0).set_talk("hi")
+    sim.step()
+    states = sim.talk_states()
+    assert states[0].text == "hi"
+    # Agent 1 is within the 13x13 window -> sees agent 0's message.
+    visible = sim.agent(1).visible_talk
+    assert any(v.agent_id == 0 and v.text == "hi" for v in visible)
+
+
+def test_talk_cooldown_enforced():
+    sim = Simulation(talk_config())
+    sim.agent(0).set_talk("one")
+    sim.step()
+    with pytest.raises(ValueError):
+        sim.agent(0).set_talk("two")  # cooldown active
+
+
+def test_talk_length_and_enabled_checks():
+    sim = Simulation(talk_config())
+    with pytest.raises(ValueError):
+        sim.agent(0).set_talk("this is way too long")
+    cfg = talk_config()
+    cfg.game.talk = TalkConfig(enabled=False)
+    sim2 = Simulation(cfg)
+    with pytest.raises(ValueError):
+        sim2.agent(0).set_talk("x")
+
+
+def test_shared_map_cache(tmp_path):
+    cache = SharedMapCache(str(tmp_path))
+    cfg = RandomMapBuilder.Config(agents=2, width=8, height=8, border_width=1)
+    gm1 = cache.get_or_create(cfg, seed=42)
+    gm2 = cache.get_or_create(cfg, seed=42)  # from cache
+    assert np.array_equal(gm1.grid, gm2.grid)
+    gm3 = cache.get_or_create(cfg, seed=43)
+    assert not np.array_equal(gm1.grid, gm3.grid)
+    assert len(list(tmp_path.glob("*.npy"))) == 2
