@@ -24,7 +24,7 @@ from typing import (
 )
 
 import numpy as np
-from pydantic import ModelWrapValidatorHandler, model_serializer, model_validator
+from pydantic import ModelWrapValidatorHandler, SerializeAsAny, model_serializer, model_validator
 
 from mettagrid_tpu.base_config import Config
 from mettagrid_tpu.maps.types import MapGrid
@@ -129,8 +129,10 @@ class MapBuilderConfig(Config, Generic[TBuilder]):
         return cast(Self, config_cls.model_validate(v))
 
 
-# Any polymorphic map builder config (alias kept for reference-API parity).
-AnyMapBuilderConfig = MapBuilderConfig
+# Any polymorphic map builder config: SerializeAsAny so subclass fields
+# survive round-trips through fields declared with the base type
+# (reference: map_builder.py uses the same pattern).
+AnyMapBuilderConfig = SerializeAsAny[MapBuilderConfig]
 
 
 TConfig = TypeVar("TConfig", bound=MapBuilderConfig)

@@ -1,0 +1,13 @@
+"""Eval runner (reference: python/src/mettagrid/runner/)."""
+
+from mettagrid_tpu.runner.episode_runner import run_episode_isolated
+from mettagrid_tpu.runner.rollout import run_episode_local
+from mettagrid_tpu.runner.types import EpisodeRequest, EpisodeResult, RunnerError
+
+__all__ = [
+    "EpisodeRequest",
+    "EpisodeResult",
+    "RunnerError",
+    "run_episode_isolated",
+    "run_episode_local",
+]

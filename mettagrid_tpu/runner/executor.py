@@ -1,0 +1,60 @@
+"""Subprocess episode executor (reference: runner/executor.py:27-210).
+
+Reads an EpisodeRequest JSON from argv[1], writes EpisodeResult JSON to
+argv[2]; structured errors go to argv[2] + ".error". SIGTERM produces a
+clean error file instead of a stack dump.
+
+Invoked by run_episode_isolated (episode_runner.py) — one process per
+episode so a crashing policy cannot take down the caller.
+"""
+
+from __future__ import annotations
+
+import json
+import signal
+import sys
+import traceback
+
+from mettagrid_tpu.runner.types import EpisodeRequest, EpisodeResult, RunnerError
+
+
+def _write_error(path: str, kind: str, message: str, tb: str = "") -> None:
+    err = RunnerError(kind=kind, message=message, traceback=tb)
+    with open(path + ".error", "w") as f:
+        f.write(err.model_dump_json())
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 3:
+        print("usage: executor.py <request.json> <result.json>", file=sys.stderr)
+        return 2
+    request_path, result_path = argv[1], argv[2]
+
+    def on_sigterm(signum, frame):
+        _write_error(result_path, "sigterm", "episode executor terminated")
+        sys.exit(143)
+
+    signal.signal(signal.SIGTERM, on_sigterm)
+
+    try:
+        with open(request_path) as f:
+            request = EpisodeRequest.model_validate_json(f.read())
+    except Exception as e:  # noqa: BLE001
+        _write_error(result_path, "bad_request", str(e), traceback.format_exc())
+        return 1
+
+    try:
+        from mettagrid_tpu.runner.rollout import run_episode_local
+
+        result = run_episode_local(request)
+    except Exception as e:  # noqa: BLE001
+        _write_error(result_path, "episode_failure", str(e), traceback.format_exc())
+        return 1
+
+    with open(result_path, "w") as f:
+        f.write(result.model_dump_json())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

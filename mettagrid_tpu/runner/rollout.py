@@ -1,0 +1,52 @@
+"""In-process episode runner (reference: runner/rollout.py:58-160)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from mettagrid_tpu.policy.policy import load_policy
+from mettagrid_tpu.runner.types import EpisodeRequest, EpisodeResult
+from mettagrid_tpu.simulator.interface import SimulatorEventHandler
+from mettagrid_tpu.simulator.rollout import Rollout
+
+
+class _EnvInfo:
+    """Minimal PolicyEnvInterface equivalent handed to policies."""
+
+    def __init__(self, config):
+        self.action_names = [a.name for a in config.game.actions.actions()]
+        self.obs_height = config.game.obs.height
+        self.obs_width = config.game.obs.width
+        self.num_tokens = config.game.obs.num_tokens
+
+
+def run_episode_local(
+    request: EpisodeRequest,
+    event_handlers: Sequence[SimulatorEventHandler] = (),
+) -> EpisodeResult:
+    env_info = _EnvInfo(request.config)
+    policies = [load_policy(spec, env_info) for spec in request.policy_specs]
+
+    num_agents = request.config.game.num_agents
+    assignments = request.assignments or [0] * num_agents
+    if len(assignments) != num_agents:
+        raise ValueError(f"assignments length {len(assignments)} != num_agents {num_agents}")
+    groups: list[tuple[object, list[int]]] = []
+    for pi, policy in enumerate(policies):
+        ids = [a for a, p in enumerate(assignments) if p == pi]
+        if ids:
+            groups.append((policy, ids))
+
+    rollout = Rollout(
+        request.config,
+        groups,
+        seed=request.seed,
+        event_handlers=event_handlers,
+        max_steps=request.max_steps,
+    )
+    result = rollout.run()
+    return EpisodeResult(
+        steps=result.steps,
+        episode_rewards=[float(x) for x in result.episode_rewards],
+        episode_stats=result.episode_stats,
+    )

@@ -1,0 +1,21 @@
+"""Scripted-agent SDK (reference: python/src/mettagrid/sdk/)."""
+
+from mettagrid_tpu.sdk.state import (
+    GridPosition,
+    MettagridState,
+    SelfState,
+    SemanticEntity,
+    TeamMemberSummary,
+    TeamSummary,
+)
+from mettagrid_tpu.sdk.observation import build_state
+
+__all__ = [
+    "GridPosition",
+    "MettagridState",
+    "SelfState",
+    "SemanticEntity",
+    "TeamMemberSummary",
+    "TeamSummary",
+    "build_state",
+]

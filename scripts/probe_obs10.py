@@ -1,0 +1,86 @@
+"""Gather formulation variants in-context + HLO dump of the slow one."""
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup): out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n): out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+num_envs = 1024
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, num_envs)
+state, _ = reset(0)
+A, H, W = program.num_agents, program.height, program.width
+OH, OW = program.obs_height, program.obs_width
+hr, wr = OH//2, OW//2
+E = num_envs
+Ch, S, T = 27, 25, program.num_tokens
+
+def producer(state):
+    cell_img = jnp.zeros((E, H+1, W, Ch), dtype=jnp.float32)
+    rr = jnp.where(state.obj_alive, state.obj_r, H)
+    cc = jnp.where(state.obj_alive, state.obj_c, 0)
+    e_idx = jnp.arange(E)[:, None]
+    src = state.obj_inv[..., :1].astype(jnp.float32) + jnp.zeros((E, state.obj_type.shape[1], Ch))
+    cell_img = cell_img.at[e_idx, rr, cc].set(src)
+    agent_r = state.obj_r[:, :A]; agent_c = state.obj_c[:, :A]
+    rows = agent_r[:, :, None] + jnp.arange(-hr, hr+1)[None, None, :]
+    cols = agent_c[:, :, None] + jnp.arange(-wr, wr+1)[None, None, :]
+    rows = jnp.where((rows >= 0) & (rows < H), rows, H)
+    cv = (cols >= 0) & (cols < W)
+    cols = jnp.clip(cols, 0, W-1)
+    r_sel = (rows[..., None] == jnp.arange(H+1)[None,None,None,:]).astype(jnp.float32)
+    c_sel = ((cols[..., None] == jnp.arange(W)[None,None,None,:]) & cv[..., None]).astype(jnp.float32)
+    tmp = jnp.einsum("eauh,ehwc->eauwc", r_sel, cell_img, preferred_element_type=jnp.float32)
+    win = jnp.einsum("eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32)
+    words = win[..., :S].astype(jnp.int32).reshape(E, A, OH*OW*S)
+    return words, words > 0
+
+C = OH*OW*S
+
+def one_gather_3d(state):
+    words, ok = producer(state)
+    s = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+    idx = (s[..., :T] * 7) % C
+    return jnp.take_along_axis(words, idx, axis=-1).sum()
+
+def one_gather_2d(state):
+    words, ok = producer(state)
+    w2 = words.reshape(E*A, C)
+    s = jnp.cumsum(ok.astype(jnp.int32), axis=-1).reshape(E*A, C)
+    idx = (s[:, :T] * 7) % C
+    return jnp.take_along_axis(w2, idx, axis=-1).sum()
+
+def one_gather_flat(state):
+    words, ok = producer(state)
+    wf = words.reshape(-1)
+    s = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+    idx = (s[..., :T] * 7) % C
+    rows = jnp.arange(E*A, dtype=jnp.int32).reshape(E, A, 1) * C
+    gidx = (idx + rows).reshape(-1)
+    return jnp.take(wf, gidx).sum()
+
+def one_gather_flat_sorted(state):
+    # flat 1-D gather but with row-major monotone global indices
+    words, ok = producer(state)
+    wf = words.reshape(-1)
+    s = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+    idx = jnp.sort((s[..., :T] * 7) % C, axis=-1)
+    rows = jnp.arange(E*A, dtype=jnp.int32).reshape(E, A, 1) * C
+    gidx = (idx + rows).reshape(-1)
+    return jnp.take(wf, gidx).sum()
+
+for name, fn in [("gather 3-D", one_gather_3d), ("gather 2-D", one_gather_2d),
+                 ("gather flat", one_gather_flat), ("gather flat-sorted", one_gather_flat_sorted)]:
+    print(f"{name:20s} {timeit(fn, state)*1e3:9.2f} ms", flush=True)

@@ -1,0 +1,65 @@
+"""Runner tests (modeled on the reference's tests/runner/test_episode_subprocess.py)."""
+
+import pytest
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.policy.policy import PolicySpec
+from mettagrid_tpu.runner import EpisodeRequest, run_episode_isolated, run_episode_local
+from mettagrid_tpu.sdk import build_state
+from mettagrid_tpu.simulator import Simulation
+
+
+def request(max_steps=4, num_agents=2):
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=num_agents,
+            max_steps=max_steps,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["######", "#@.@.#", "######"]),
+        )
+    )
+    return EpisodeRequest(
+        config=cfg,
+        policy_specs=[PolicySpec(class_path="random", init_kwargs={"seed": 3})],
+        seed=0,
+    )
+
+
+def test_run_episode_local():
+    result = run_episode_local(request())
+    assert result.steps == 4
+    assert len(result.episode_rewards) == 2
+    assert result.error is None
+
+
+def test_run_episode_local_mixed_assignment():
+    req = request()
+    req.policy_specs.append(PolicySpec(class_path="noop"))
+    req.assignments = [0, 1]
+    result = run_episode_local(req)
+    assert result.steps == 4
+
+
+@pytest.mark.slow
+def test_run_episode_isolated_subprocess():
+    result = run_episode_isolated(request(), timeout_s=300)
+    assert result.error is None, result.error
+    assert result.steps == 4
+
+
+@pytest.mark.slow
+def test_isolated_reports_bad_policy():
+    req = request()
+    req.policy_specs = [PolicySpec(class_path="does.not.Exist")]
+    result = run_episode_isolated(req, timeout_s=300)
+    assert result.error is not None
+
+
+def test_sdk_semantic_state():
+    sim = Simulation(request().config)
+    state = build_state(sim, agent_id=0)
+    assert state.self_state.entity_type == "agent"
+    types = {e.entity_type for e in state.visible_entities}
+    assert "wall" in types and "agent" in types
+    assert state.team is not None and len(state.team.members) == 2
