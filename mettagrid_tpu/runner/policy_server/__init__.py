@@ -1,0 +1,18 @@
+"""Out-of-process policy serving (reference: runner/policy_server/)."""
+
+from mettagrid_tpu.runner.policy_server.protocol import (
+    DecodedAction,
+    PolicyStepError,
+    decode_action_id,
+    encode_action,
+)
+from mettagrid_tpu.runner.policy_server.server import LocalPolicyServer, RemotePolicy
+
+__all__ = [
+    "DecodedAction",
+    "LocalPolicyServer",
+    "PolicyStepError",
+    "RemotePolicy",
+    "decode_action_id",
+    "encode_action",
+]

@@ -1,0 +1,139 @@
+"""WebSocket policy server: out-of-process policies
+(reference: runner/policy_server/server.py:22-68 + manager.py).
+
+Message flow (one connection per episode):
+  -> {"type": "prepare", "num_agents": N, "action_names": [...]}
+  <- {"type": "ready"}
+  -> {"type": "step", "step": t, "observations": {agent_id: b64 triplets}}
+  <- {"type": "actions", "actions": {agent_id: action_id}}
+  -> {"type": "reset"} / {"type": "close"}
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from mettagrid_tpu.policy.policy import MultiAgentPolicy
+from mettagrid_tpu.runner.policy_server.protocol import (
+    b64_bytes,
+    decode_frame,
+    encode_frame,
+    parse_triplets,
+)
+
+
+class LocalPolicyServer:
+    """Serves one MultiAgentPolicy over WebSocket in a background thread."""
+
+    def __init__(self, policy: MultiAgentPolicy, host: str = "127.0.0.1", port: int = 0):
+        self._policy = policy
+        self._host = host
+        self._port = port
+        self._server = None
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        assert self._server is not None, "server not started"
+        return self._server.socket.getsockname()[1]
+
+    @property
+    def uri(self) -> str:
+        return f"ws://{self._host}:{self.port}"
+
+    def start(self) -> None:
+        from websockets.sync.server import serve
+
+        self._server = serve(self._handle, self._host, self._port)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def _handle(self, ws) -> None:
+        num_tokens = 0
+        for raw in ws:
+            frame = decode_frame(raw)
+            t = frame["type"]
+            if t == "prepare":
+                num_tokens = frame.get("num_tokens", 0)
+                self._policy.reset()
+                ws.send(encode_frame("ready"))
+            elif t == "step":
+                obs_map = frame["observations"]
+                agent_ids = sorted(int(a) for a in obs_map)
+                obs_rows = []
+                for a in agent_ids:
+                    trip = parse_triplets(b64_bytes(obs_map, str(a)))
+                    if num_tokens and len(trip) < num_tokens:
+                        pad = np.full((num_tokens - len(trip), 3), 0xFF, dtype=np.uint8)
+                        trip = np.concatenate([trip, pad])
+                    obs_rows.append(trip)
+                obs = np.stack(obs_rows)
+                actions = np.zeros(len(agent_ids), dtype=np.int32)
+                self._policy.step_batch(obs, actions)
+                ws.send(
+                    encode_frame(
+                        "actions",
+                        actions={str(a): int(actions[i]) for i, a in enumerate(agent_ids)},
+                    )
+                )
+            elif t == "reset":
+                self._policy.reset()
+                ws.send(encode_frame("ready"))
+            elif t == "close":
+                ws.send(encode_frame("closed"))
+                return
+            else:
+                ws.send(encode_frame("error", message=f"unknown message type {t!r}"))
+
+
+class RemotePolicy(MultiAgentPolicy):
+    """Client-side adapter: a MultiAgentPolicy that queries a policy server
+    (reference: the transport side of websocket_transport.py)."""
+
+    def __init__(self, uri: str, policy_env_info=None, num_tokens: int = 0):
+        super().__init__(policy_env_info)
+        from websockets.sync.client import connect
+
+        self._ws = connect(uri)
+        self._step = 0
+        self._ws.send(encode_frame("prepare", num_tokens=num_tokens))
+        frame = decode_frame(self._ws.recv())
+        assert frame["type"] == "ready", frame
+
+    def reset(self) -> None:
+        self._ws.send(encode_frame("reset"))
+        decode_frame(self._ws.recv())
+        self._step = 0
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        import base64
+
+        obs_map = {
+            str(a): base64.b64encode(
+                np.ascontiguousarray(raw_observations[a], dtype=np.uint8).tobytes()
+            ).decode("ascii")
+            for a in range(raw_observations.shape[0])
+        }
+        self._ws.send(encode_frame("step", step=self._step, observations=obs_map))
+        frame = decode_frame(self._ws.recv())
+        if frame["type"] != "actions":
+            raise RuntimeError(f"policy server error: {frame}")
+        for a_str, action in frame["actions"].items():
+            raw_actions[int(a_str)] = action
+        self._step += 1
+
+    def close(self) -> None:
+        try:
+            self._ws.send(encode_frame("close"))
+            self._ws.recv()
+        finally:
+            self._ws.close()

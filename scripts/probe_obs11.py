@@ -1,0 +1,70 @@
+"""Operand vs index provenance for the slow in-context gather + HLO dump."""
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup): out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n): out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+num_envs = 1024
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, num_envs)
+state, _ = reset(0)
+A, H, W = program.num_agents, program.height, program.width
+OH, OW = program.obs_height, program.obs_width
+hr, wr = OH//2, OW//2
+E = num_envs
+Ch, S, T = 27, 25, program.num_tokens
+C = OH*OW*S
+
+def producer(state):
+    cell_img = jnp.zeros((E, H+1, W, Ch), dtype=jnp.float32)
+    rr = jnp.where(state.obj_alive, state.obj_r, H)
+    cc = jnp.where(state.obj_alive, state.obj_c, 0)
+    e_idx = jnp.arange(E)[:, None]
+    src = state.obj_inv[..., :1].astype(jnp.float32) + jnp.zeros((E, state.obj_type.shape[1], Ch))
+    cell_img = cell_img.at[e_idx, rr, cc].set(src)
+    agent_r = state.obj_r[:, :A]; agent_c = state.obj_c[:, :A]
+    rows = agent_r[:, :, None] + jnp.arange(-hr, hr+1)[None, None, :]
+    cols = agent_c[:, :, None] + jnp.arange(-wr, wr+1)[None, None, :]
+    rows = jnp.where((rows >= 0) & (rows < H), rows, H)
+    cv = (cols >= 0) & (cols < W)
+    cols = jnp.clip(cols, 0, W-1)
+    r_sel = (rows[..., None] == jnp.arange(H+1)[None,None,None,:]).astype(jnp.float32)
+    c_sel = ((cols[..., None] == jnp.arange(W)[None,None,None,:]) & cv[..., None]).astype(jnp.float32)
+    tmp = jnp.einsum("eauh,ehwc->eauwc", r_sel, cell_img, preferred_element_type=jnp.float32)
+    win = jnp.einsum("eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32)
+    return win[..., :S].astype(jnp.int32).reshape(E, A, C)
+
+key = jax.random.PRNGKey(0)
+rand_idx = jax.random.randint(key, (E, A, T), 0, C, dtype=jnp.int32)
+rand_words = jax.random.randint(key, (E, A, C), 0, 1 << 22, dtype=jnp.int32)
+
+def t_prod_operand_input_idx(state, idx):
+    words = producer(state)
+    return jnp.take_along_axis(words, idx, axis=-1).sum()
+
+def t_input_operand_prod_idx(state, words_in):
+    w = producer(state)
+    idx = (jnp.cumsum(w > 0, axis=-1)[..., :T] * 7) % C
+    return jnp.take_along_axis(words_in, idx, axis=-1).sum() + w[..., 0].sum()
+
+def t_prod_operand_iota_idx(state):
+    words = producer(state)
+    idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, None, :], (E, A, T))
+    return jnp.take_along_axis(words, idx, axis=-1).sum()
+
+print(f"producer-operand, input idx  {timeit(t_prod_operand_input_idx, state, rand_idx)*1e3:9.2f} ms", flush=True)
+print(f"input-operand, producer idx  {timeit(t_input_operand_prod_idx, state, rand_words)*1e3:9.2f} ms", flush=True)
+print(f"producer-operand, iota idx   {timeit(t_prod_operand_iota_idx, state)*1e3:9.2f} ms", flush=True)

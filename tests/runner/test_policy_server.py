@@ -1,0 +1,52 @@
+"""Policy server tests — real local WebSocket roundtrip
+(reference: tests/runner/test_policy_server*.py)."""
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.policy.policy import RandomMultiAgentPolicy
+from mettagrid_tpu.runner.policy_server import (
+    LocalPolicyServer,
+    PolicyStepError,
+    RemotePolicy,
+    decode_action_id,
+    encode_action,
+)
+
+PRIMARY = ["noop", "move_north", "move_east"]
+VIBES = ["change_vibe_default", "change_vibe_angry"]
+
+
+def test_action_id_decode_ranges():
+    assert decode_action_id(1, PRIMARY, VIBES).primary == "move_north"
+    assert decode_action_id(3, PRIMARY, VIBES).vibe == "change_vibe_default"
+    combined = decode_action_id(len(PRIMARY) + len(VIBES) + 1 * 2 + 1, PRIMARY, VIBES)
+    assert combined.primary == "move_north" and combined.vibe == "change_vibe_angry"
+    with pytest.raises(PolicyStepError):
+        decode_action_id(len(PRIMARY) + len(VIBES) + 6, PRIMARY, VIBES)
+
+
+def test_action_id_roundtrip():
+    P, V = len(PRIMARY), len(VIBES)
+    for p in range(P):
+        for v in range(V):
+            decoded = decode_action_id(encode_action(p, v, P, V), PRIMARY, VIBES)
+            assert decoded.primary == PRIMARY[p] and decoded.vibe == VIBES[v]
+
+
+@pytest.mark.slow
+def test_websocket_roundtrip():
+    policy = RandomMultiAgentPolicy(num_actions=3, seed=7)
+    server = LocalPolicyServer(policy)
+    server.start()
+    try:
+        client = RemotePolicy(server.uri, num_tokens=8)
+        obs = np.full((2, 8, 3), 0xFF, dtype=np.uint8)
+        acts = np.zeros(2, dtype=np.int32)
+        client.step_batch(obs, acts)
+        assert acts.max() < 3
+        client.reset()
+        client.step_batch(obs, acts)
+        client.close()
+    finally:
+        server.stop()
