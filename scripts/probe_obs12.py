@@ -1,0 +1,88 @@
+"""Roll-based (gather-free) stream compaction in-context."""
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup): out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n): out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+num_envs = 1024
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, num_envs)
+state, _ = reset(0)
+A, H, W = program.num_agents, program.height, program.width
+OH, OW = program.obs_height, program.obs_width
+hr, wr = OH//2, OW//2
+E = num_envs
+Ch, S, T = 27, 25, program.num_tokens
+C = OH*OW*S
+
+def producer(state):
+    cell_img = jnp.zeros((E, H+1, W, Ch), dtype=jnp.float32)
+    rr = jnp.where(state.obj_alive, state.obj_r, H)
+    cc = jnp.where(state.obj_alive, state.obj_c, 0)
+    e_idx = jnp.arange(E)[:, None]
+    src = state.obj_inv[..., :1].astype(jnp.float32) + jnp.zeros((E, state.obj_type.shape[1], Ch))
+    cell_img = cell_img.at[e_idx, rr, cc].set(src)
+    agent_r = state.obj_r[:, :A]; agent_c = state.obj_c[:, :A]
+    rows = agent_r[:, :, None] + jnp.arange(-hr, hr+1)[None, None, :]
+    cols = agent_c[:, :, None] + jnp.arange(-wr, wr+1)[None, None, :]
+    rows = jnp.where((rows >= 0) & (rows < H), rows, H)
+    cv = (cols >= 0) & (cols < W)
+    cols = jnp.clip(cols, 0, W-1)
+    r_sel = (rows[..., None] == jnp.arange(H+1)[None,None,None,:]).astype(jnp.float32)
+    c_sel = ((cols[..., None] == jnp.arange(W)[None,None,None,:]) & cv[..., None]).astype(jnp.float32)
+    tmp = jnp.einsum("eauh,ehwc->eauwc", r_sel, cell_img, preferred_element_type=jnp.float32)
+    win = jnp.einsum("eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32)
+    return win[..., :S].astype(jnp.int32).reshape(E, A, C)
+
+def compact_roll(words, ok, T):
+    """Bring valid entries to the front, preserving order; no gathers."""
+    C = words.shape[-1]
+    g = jnp.cumsum((~ok).astype(jnp.int32), axis=-1)  # gaps before-or-at i
+    g = jnp.where(ok, g, C)  # invalid entries never land
+    arr = words
+    nbits = int(np.ceil(np.log2(C + 1)))
+    for b in range(nbits):
+        shift = 1 << b
+        src_g = jnp.roll(g, -shift, axis=-1)
+        src_a = jnp.roll(arr, -shift, axis=-1)
+        move = (src_g & shift) != 0
+        arr = jnp.where(move, src_a, arr)
+        g = jnp.where(move, src_g - shift, g)
+        # entries whose own gap-bit is set but weren't overwritten become stale;
+        # mark stale slots invalid
+        stale = (g & shift) != 0
+        g = jnp.where(stale, C, g)
+    return arr[..., :T], g
+
+def t_roll(state):
+    words = producer(state)
+    ok = words > 0
+    out, g = compact_roll(words, ok, T)
+    return out.sum() + (g[..., :T] == 0).sum()
+
+print(f"roll compaction  {timeit(t_roll, state)*1e3:9.2f} ms", flush=True)
+
+# correctness check on small input (CPU-side numpy reference)
+w = np.asarray(jax.device_get(producer(state)))[:2, :2]
+okk = w > 0
+out, _ = jax.jit(lambda a, b: compact_roll(a, b, T))(jnp.asarray(w), jnp.asarray(okk))
+out = np.asarray(out)
+for e in range(2):
+    for a in range(2):
+        ref = w[e, a][okk[e, a]][:T]
+        got = out[e, a][:len(ref)]
+        assert np.array_equal(ref, got), (e, a, ref[:10], got[:10])
+print("correctness OK", flush=True)
