@@ -36,6 +36,8 @@ from mettagrid_tpu.engine.state import EnvState
 
 
 def make_obs_fn(program: EngineProgram):
+    from mettagrid_tpu.engine.obs_caps import compute_obs_caps, max_tokens_per_object
+
     A = program.num_agents
     R = program.num_resources
     P = program.num_inv_tokens
@@ -51,16 +53,20 @@ def make_obs_fn(program: EngineProgram):
     has_aoe_mask = feat.aoe_mask != 0 and bool(program.territories)
 
     # ---- static: per-object candidate layout ----
-    S = n_tags + 1 + R * P + 2  # max tokens one object can emit
-    cell_feat = np.empty(S, dtype=np.int32)
-    cell_feat[:n_tags] = feat.tag
-    cell_feat[n_tags] = feat.vibe
+    # The candidate ENUMERATION spans every possible token; the per-object
+    # list is then compacted to S = the static-reachability bound (obs_caps).
+    caps = compute_obs_caps(program)
+    S = max_tokens_per_object(program, caps)
+    C_cell = n_tags + 1 + R * P + 2  # full candidate enumeration
+    cand_feat = np.empty(C_cell, dtype=np.int32)
+    cand_feat[:n_tags] = feat.tag
+    cand_feat[n_tags] = feat.vibe
     for r in range(R):
         for p in range(P):
-            cell_feat[n_tags + 1 + r * P + p] = feat.inv[r][p]
-    cell_feat[n_tags + 1 + R * P] = feat.group
-    cell_feat[n_tags + 1 + R * P + 1] = feat.agent_id
-    cell_feat_t = jnp.asarray(cell_feat)
+            cand_feat[n_tags + 1 + r * P + p] = feat.inv[r][p]
+    cand_feat[n_tags + 1 + R * P] = feat.group
+    cand_feat[n_tags + 1 + R * P + 1] = feat.agent_id
+    cand_feat_t = jnp.asarray(cand_feat)
 
     inv_divisors = jnp.asarray(np.array([base**p for p in range(P)], dtype=np.int32))
 
@@ -134,15 +140,16 @@ def make_obs_fn(program: EngineProgram):
         vals.append(jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None], (E, N, 1)))
         oks.append(is_agent[..., None])
 
-        cand_val = jnp.concatenate(vals, axis=-1)  # [E, N, S] int32
+        cand_val = jnp.concatenate(vals, axis=-1)  # [E, N, C_cell] int32
         cand_ok = jnp.concatenate(oks, axis=-1) & state.obj_alive[..., None]
 
         # packed 16-bit word: feat<<8 | value
-        packed = (cell_feat_t[None, None, :] << 8) | (cand_val & 0xFF)
+        packed = (cand_feat_t[None, None, :] << 8) | (cand_val & 0xFF)
 
-        # compact to the first-cnt slots via small one-hot matmul (S x S)
+        # compact C_cell candidates into the first-cnt of S slots via a small
+        # one-hot matmul (tokens beyond S are impossible by the obs_caps proof)
         cnt_ = cand_ok.astype(jnp.int32)
-        pos = jnp.cumsum(cnt_, axis=-1) - cnt_  # [E, N, S] exclusive
+        pos = jnp.cumsum(cnt_, axis=-1) - cnt_  # [E, N, C_cell] exclusive
         onehot = (pos[..., None] == jnp.arange(S)[None, None, None, :]) & cand_ok[..., None]
         obj_tok = jnp.einsum(
             "ens,enst->ent", packed.astype(jnp.float32), onehot.astype(jnp.float32),
@@ -244,22 +251,14 @@ def make_obs_fn(program: EngineProgram):
         words = jnp.concatenate([g_words, cell_words], axis=-1)  # [E, A, C]
         ok = jnp.concatenate([g_ok, cell_oks], axis=-1)
 
-        # ============ stage 5: budget compaction via binary search ============
-        s_incl = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # [E, A, C]
-        attempted = s_incl[..., -1]
-
-        targets = jnp.arange(1, T + 1, dtype=jnp.int32)[None, None, :]
-        lo = jnp.zeros((E, A, T), dtype=jnp.int32)
-        hi = jnp.full((E, A, T), C, dtype=jnp.int32)
-        for _ in range(n_binsearch):
-            mid = (lo + hi) >> 1
-            v = jnp.take_along_axis(s_incl, jnp.clip(mid, 0, C - 1), axis=-1)
-            go_right = v < targets
-            lo = jnp.where(go_right, mid + 1, lo)
-            hi = jnp.where(go_right, hi, mid)
-        found = jnp.take_along_axis(words, jnp.clip(lo, 0, C - 1), axis=-1)
+        # ============ stage 5: budget compaction (roll-based, gather-free) ==
+        # Valid candidates shift to the front (order preserved) via log2(C)
+        # masked-roll passes — no gathers or scatters, which XLA:TPU lowers
+        # pathologically in this program (see scripts/probe_obs*.py).
+        attempted = ok.sum(axis=-1)
+        out_words = _roll_compact(words, ok, T)
         empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
-        out_words = jnp.where(lo < C, found, empty_word)
+        out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
 
         out = jnp.stack(
             [
@@ -272,6 +271,41 @@ def make_obs_fn(program: EngineProgram):
         return out, attempted
 
     return compute_obs
+
+
+# Sentinel word for slots nothing landed on; replaced with 0xFFFFFF bytes.
+_LANDED_EMPTY = -1
+# Gap marker for invalid entries: a power of two far above any real shift, so
+# its bits never trigger a move.
+_GAP_INVALID = 1 << 24
+
+
+def _roll_compact(words: jnp.ndarray, ok: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Stable stream compaction along the last axis without gathers.
+
+    Each valid element's final position is i - g[i] (g = invalid count before
+    it). Bits of g are resolved LSB->MSB with uniform rolls; the standard
+    argument shows movers only land on slots that are invalid or vacated in
+    the same pass. Returns the first T compacted words (empty = -1).
+    """
+    C = words.shape[-1]
+    inv_before = jnp.cumsum((~ok).astype(jnp.int32), axis=-1) - (~ok).astype(jnp.int32)
+    g = jnp.where(ok, inv_before, _GAP_INVALID)
+    arr = jnp.where(ok, words, _LANDED_EMPTY)
+    nbits = int(np.ceil(np.log2(C + 1)))
+    for b in range(nbits):
+        shift = 1 << b
+        src_g = jnp.roll(g, -shift, axis=-1)
+        src_a = jnp.roll(arr, -shift, axis=-1)
+        # rolls wrap: entries coming from the wrapped head are not real movers
+        idx = jnp.arange(C, dtype=jnp.int32)
+        in_range = idx < C - shift
+        move_in = ((src_g & shift) != 0) & (src_g < _GAP_INVALID) & in_range
+        moved_out = ((g & shift) != 0) & (g < _GAP_INVALID)
+        new_arr = jnp.where(move_in, src_a, jnp.where(moved_out, _LANDED_EMPTY, arr))
+        new_g = jnp.where(move_in, src_g - shift, jnp.where(moved_out, _GAP_INVALID, g))
+        arr, g = new_arr, new_g
+    return arr[..., :T]
 
 
 def _global_tokens(program, state, global_slots, feat, E, A):

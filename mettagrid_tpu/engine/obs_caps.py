@@ -1,0 +1,147 @@
+"""Static reachability analysis for observation token bounds.
+
+The per-cell token capacity S drives the whole obs pipeline's tensor sizes.
+A conservative bound (every tag + every inventory digit + vibe) wastes 5-10x
+on simple configs, so this module walks every compiled mutation in the
+program and computes what can actually change at runtime:
+
+  - which resources can ever INCREASE beyond their initial amounts (and to
+    what cap, from the type's limit groups),
+  - whether vibes can change,
+  - whether tag sets can change.
+
+Types whose state is provably static emit exactly their initial tokens.
+This is a TPU-first compile-time optimization with no reference analogue —
+the C++ engine iterates per-object and never materializes candidates.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from mettagrid_tpu.engine.ir import CompiledHandler, CompiledMultiHandler, CompiledMutation
+
+
+def _iter_handler_mutations(h):
+    if h is None:
+        return
+    if isinstance(h, CompiledMultiHandler):
+        for c in h.handlers:
+            yield from _iter_handler_mutations(c)
+        return
+    for m in h.mutations:
+        yield m
+        yield from _iter_sub(m)
+
+
+def _iter_sub(m: CompiledMutation):
+    for s in m.on_success:
+        yield s
+        yield from _iter_sub(s)
+
+
+def iter_all_mutations(program):
+    for mh in program.move_handlers:
+        yield from _iter_handler_mutations(mh.handler)
+    for h in program.on_use_handlers:
+        yield from _iter_handler_mutations(h)
+    for h in program.on_tick_handlers:
+        yield from _iter_handler_mutations(h)
+    for h in program.on_after_use_handlers:
+        yield from _iter_handler_mutations(h)
+    yield from _iter_handler_mutations(program.game_on_tick)
+    for ev in program.events:
+        yield from _iter_handler_mutations(ev.handler)
+    for spec in program.aoe_specs:
+        for m in spec.mutations:
+            yield m
+            yield from _iter_sub(m)
+    for t in program.territories:
+        for h in (t.on_enter, t.on_exit, t.presence):
+            yield from _iter_handler_mutations(h)
+
+
+@dataclass(frozen=True)
+class ObsCaps:
+    # digits_needed[type, resource]: inventory tokens this type can ever emit
+    inv_digits: np.ndarray  # int32[n_types, R]
+    vibe_may_change: bool
+    tags_may_change: bool
+
+
+def compute_obs_caps(program) -> ObsCaps:
+    R = program.num_resources
+    n_types = program.num_types
+    base = program.token_value_base
+    P = program.num_inv_tokens
+
+    # --- which resources can ever increase? ---
+    can_gain = np.zeros(R, dtype=bool)
+    vibe_may = False
+    tags_may = False
+    for m in iter_all_mutations(program):
+        k = m.kind
+        if k == "resource_delta":
+            for rid, d in m.deltas:
+                if d > 0:
+                    can_gain[rid] = True
+        elif k == "resource_transfer":
+            for rid, _ in m.deltas:
+                can_gain[rid] = True  # receiver can gain up to cap
+        elif k == "query_inventory":
+            for rid, d in m.deltas:
+                can_gain[rid] = True
+        elif k == "set_game_value" and m.write_rid >= 0:
+            can_gain[m.write_rid] = True
+        elif k == "change_vibe":
+            vibe_may = True
+        elif k in ("add_tag", "remove_tag", "remove_tags_with_prefix"):
+            tags_may = True
+    for spec in program.aoe_specs:
+        for rid, d in spec.presence:
+            if d != 0:
+                can_gain[rid] = True
+    # change_vibe ACTIONS also set vibes (actions/change_vibe.hpp)
+    import numpy as _np
+
+    from mettagrid_tpu.engine.program import KIND_CHANGE_VIBE
+
+    if (_np.asarray(program.action_kind) == KIND_CHANGE_VIBE).any():
+        vibe_may = True
+
+    # --- per (type, resource) max achievable amount ---
+    caps = np.zeros((n_types, R), dtype=np.int64)
+    for t in range(n_types):
+        for r in range(R):
+            if can_gain[r]:
+                g = program.type_limit_group[t, r]
+                caps[t, r] = int(program.type_group_max[t, g]) if g >= 0 else 65535
+                caps[t, r] = max(caps[t, r], program.type_initial_inv[t, r])
+            else:
+                caps[t, r] = program.type_initial_inv[t, r]
+
+    inv_digits = np.zeros((n_types, R), dtype=np.int32)
+    for t in range(n_types):
+        for r in range(R):
+            amt = caps[t, r]
+            d = 0 if amt <= 0 else int(math.floor(math.log(amt, base))) + 1
+            inv_digits[t, r] = min(d, P)
+
+    return ObsCaps(inv_digits=inv_digits, vibe_may_change=vibe_may, tags_may_change=tags_may)
+
+
+def max_tokens_per_object(program, caps: ObsCaps) -> int:
+    """The tightest provable per-object token bound S."""
+    S = 1  # at least one slot keeps shapes sane
+    for t in range(program.num_types):
+        n_tags_t = (
+            program.num_tags if caps.tags_may_change else int(program.type_tags[t].sum())
+        )
+        vibe_t = 1 if (caps.vibe_may_change or program.type_initial_vibe[t] != 0) else 0
+        inv_t = int(caps.inv_digits[t].sum())
+        extra = 2 if program.type_is_agent[t] else 0
+        S = max(S, n_tags_t + vibe_t + inv_t + extra)
+    return S

@@ -11,9 +11,21 @@ episode so a crashing policy cannot take down the caller.
 from __future__ import annotations
 
 import json
+import os
 import signal
 import sys
 import traceback
+
+# Some host images pre-register a remote TPU backend and force it via
+# jax.config (which beats the JAX_PLATFORMS env var). Episode subprocesses
+# must honor the caller's platform choice.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:  # noqa: BLE001 - jax may be absent for config-only runs
+        pass
 
 from mettagrid_tpu.runner.types import EpisodeRequest, EpisodeResult, RunnerError
 
