@@ -1,19 +1,32 @@
 """Scene implementations (reference: python/src/mettagrid/mapgen/scenes/)."""
 
 from mettagrid_tpu.mapgen.scenes.bsp import BSP, BSPLayout
+from mettagrid_tpu.mapgen.scenes.convchain import ConvChain
 from mettagrid_tpu.mapgen.scenes.inline_ascii import InlineAscii
 from mettagrid_tpu.mapgen.scenes.layout import Layout
 from mettagrid_tpu.mapgen.scenes.make_connected import MakeConnected
 from mettagrid_tpu.mapgen.scenes.maze import Maze, MazeKruskal
 from mettagrid_tpu.mapgen.scenes.mirror import Mirror
+from mettagrid_tpu.mapgen.scenes.misc import (
+    CopyGrid,
+    Dither,
+    RadialMaze,
+    RandomObjects,
+    RemoveAgents,
+    Spiral,
+)
 from mettagrid_tpu.mapgen.scenes.nop import Nop
 from mettagrid_tpu.mapgen.scenes.random import Random
 from mettagrid_tpu.mapgen.scenes.random_scene import RandomScene
 from mettagrid_tpu.mapgen.scenes.room_grid import RoomGrid
+from mettagrid_tpu.mapgen.scenes.wfc import WFC
 
 __all__ = [
     "BSP",
     "BSPLayout",
+    "ConvChain",
+    "CopyGrid",
+    "Dither",
     "InlineAscii",
     "Layout",
     "MakeConnected",
@@ -21,7 +34,12 @@ __all__ = [
     "MazeKruskal",
     "Mirror",
     "Nop",
+    "RadialMaze",
     "Random",
+    "RandomObjects",
     "RandomScene",
+    "RemoveAgents",
     "RoomGrid",
+    "Spiral",
+    "WFC",
 ]

@@ -1,0 +1,136 @@
+"""Small utility scenes: spiral, radial maze, random objects, copy/transplant,
+remove agents, dither (reference: mapgen/scenes/{spiral,radial_maze,
+random_objects,copy_grid,remove_agents,dither}.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pydantic import Field
+
+from mettagrid_tpu.mapgen.scene import Scene, SceneConfig
+
+
+class SpiralConfig(SceneConfig):
+    wall_gap: int = 2
+    corridor: str = "empty"
+    wall_object: str = "wall"
+
+
+class Spiral(Scene[SpiralConfig]):
+    """Inward square spiral of walls with a configurable corridor gap."""
+
+    def render(self) -> None:
+        gap = max(self.config.wall_gap, 1) + 1
+        top, left = 0, 0
+        bottom, right = self.height - 1, self.width - 1
+        self.grid[:] = self.config.corridor
+        side = 0
+        while top <= bottom and left <= right:
+            if side % 4 == 0:
+                self.grid[top, left : right + 1] = self.config.wall_object
+                if top + 1 <= bottom:
+                    self.grid[top + 1, max(left, 1) - 0] = self.config.corridor
+                top += gap
+            elif side % 4 == 1:
+                self.grid[max(top - gap, 0) : bottom + 1, right] = self.config.wall_object
+                right -= gap
+            elif side % 4 == 2:
+                self.grid[bottom, left : right + gap + 1] = self.config.wall_object
+                bottom -= gap
+            else:
+                self.grid[max(top - gap, 0) : bottom + gap + 1, left] = self.config.wall_object
+                left += gap
+            side += 1
+
+
+class RadialMazeConfig(SceneConfig):
+    arms: int = 4
+    arm_width: int = 1
+    wall_object: str = "wall"
+
+
+class RadialMaze(Scene[RadialMazeConfig]):
+    """Walls everywhere except `arms` corridors radiating from the center."""
+
+    def render(self) -> None:
+        cfg = self.config
+        self.grid[:] = cfg.wall_object
+        cy, cx = self.height // 2, self.width // 2
+        half_w = max(cfg.arm_width // 2, 0)
+        radius = max(self.height, self.width)
+        for k in range(cfg.arms):
+            angle = 2 * np.pi * k / cfg.arms
+            dy, dx = np.sin(angle), np.cos(angle)
+            for t in range(radius):
+                y = int(round(cy + dy * t))
+                x = int(round(cx + dx * t))
+                if not (0 <= y < self.height and 0 <= x < self.width):
+                    break
+                self.grid[
+                    max(y - half_w, 0) : min(y + half_w + 1, self.height),
+                    max(x - half_w, 0) : min(x + half_w + 1, self.width),
+                ] = "empty"
+
+
+class RandomObjectsConfig(SceneConfig):
+    # fraction of empty cells to fill: name -> fraction
+    object_ranges: dict[str, float] = Field(default_factory=dict)
+
+
+class RandomObjects(Scene[RandomObjectsConfig]):
+    """Fill a fraction of empty cells per object type."""
+
+    def render(self) -> None:
+        ys, xs = np.nonzero(self.grid == "empty")
+        total = len(ys)
+        if total == 0:
+            return
+        order = self.rng.permutation(total)
+        cursor = 0
+        for name, frac in self.config.object_ranges.items():
+            count = int(total * frac)
+            sel = order[cursor : cursor + count]
+            self.grid[ys[sel], xs[sel]] = name
+            cursor += count
+
+
+class RemoveAgentsConfig(SceneConfig):
+    pass
+
+
+class RemoveAgents(Scene[RemoveAgentsConfig]):
+    def render(self) -> None:
+        mask = np.char.startswith(self.grid.astype(str), "agent")
+        self.grid[mask] = "empty"
+
+
+class CopyGridConfig(SceneConfig):
+    # grid is injected programmatically (MapGen nesting); not serializable
+    source: object = None
+
+
+class CopyGrid(Scene[CopyGridConfig]):
+    """Blit a prebuilt grid into the area (centered)."""
+
+    def render(self) -> None:
+        src = self.config.source
+        assert src is not None, "CopyGrid requires a source grid"
+        src = np.asarray(src)
+        h = min(src.shape[0], self.height)
+        w = min(src.shape[1], self.width)
+        y0 = (self.height - h) // 2
+        x0 = (self.width - w) // 2
+        self.grid[y0 : y0 + h, x0 : x0 + w] = src[:h, :w]
+
+
+class DitherConfig(SceneConfig):
+    density: float = 0.1
+    object_name: str = "wall"
+
+
+class Dither(Scene[DitherConfig]):
+    """Sprinkle an object over empty cells with the given density."""
+
+    def render(self) -> None:
+        mask = (self.grid == "empty") & (self.rng.random(self.grid.shape) < self.config.density)
+        self.grid[mask] = self.config.object_name
