@@ -1,0 +1,61 @@
+"""Multi-episode rollout + stats writer + early reset tests."""
+
+import datetime
+import json
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.envs.early_reset_handler import EarlyResetHandler
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.policy.policy import RandomMultiAgentPolicy
+from mettagrid_tpu.simulator import Simulation
+from mettagrid_tpu.simulator.multi_episode import run_multi_episode, summarize
+from mettagrid_tpu.simulator.rollout import Rollout
+from mettagrid_tpu.util.stats_writer import JsonlStatsWriter, StatsWriterHandler
+
+
+class _Info:
+    action_names = ["noop", "move_north", "move_south", "move_west", "move_east"]
+
+
+def nav_config(max_steps=4):
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=2,
+            max_steps=max_steps,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["######", "#@.@.#", "######"]),
+        )
+    )
+
+
+def test_multi_episode_and_summary():
+    policy = RandomMultiAgentPolicy(_Info(), seed=0)
+    result = run_multi_episode(nav_config(), [(policy, [0, 1])], episodes=3)
+    assert len(result.episode_rewards) == 3
+    summary = summarize(result, [[0, 1]])
+    assert summary.episodes == 3
+    assert summary.policy_summaries[0].agent_count == 2
+    assert len(summary.per_episode_per_policy_avg_rewards) == 3
+
+
+def test_stats_writer_records_episode(tmp_path):
+    writer = JsonlStatsWriter(tmp_path)
+    handler = StatsWriterHandler(writer).handler
+    rollout = Rollout(nav_config(), RandomMultiAgentPolicy(_Info()), event_handlers=[handler])
+    rollout.run()
+    lines = (tmp_path / "episodes.jsonl").read_text().splitlines()
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["step_count"] == 4
+    assert "0" in rec["agent_metrics"]
+
+
+def test_early_reset_handler_desyncs():
+    sim = Simulation(nav_config(max_steps=100), seed=5, event_handlers=[EarlyResetHandler()])
+    steps = 0
+    while not sim.is_done and steps < 150:
+        sim.step()
+        steps += 1
+        if sim._done:
+            break
+    assert steps < 101, "early reset should end the episode before max_steps"
