@@ -433,4 +433,43 @@ def eval_query_mask(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None)
             reach = reach & eval_filters(program, state, octx, q.filters)
         return reach & state.obj_alive
 
+    if q.kind == "raycast":
+        # Walk rays from source objects; blockers (OR over filters) stop the
+        # ray; non-blockers along the ray are hits
+        # (query_system.cpp:258-330).
+        from mettagrid_tpu.engine.program import DIR_DC, DIR_DR
+
+        sources = eval_query_mask(program, state, q.source, ctx)  # [E, N]
+        octx = _object_ctx(program, state, ctx)
+        if q.filters:
+            is_blocker = jnp.zeros((E, N), dtype=bool)
+            for f in q.filters:
+                is_blocker = is_blocker | eval_filter(program, state, octx, f)
+        else:
+            is_blocker = jnp.zeros((E, N), dtype=bool)
+
+        H, W = state.grid.shape[1], state.grid.shape[2]
+        hits = jnp.zeros((E, N), dtype=bool)
+        for d in q.directions:
+            dr = int(DIR_DR[d])
+            dc = int(DIR_DC[d])
+            blocked = jnp.zeros((E, N), dtype=bool)  # per source ray state
+            for i in range(1, q.max_hops + 1):
+                rr = state.obj_r + dr * i  # [E, N] per-source positions
+                cc = state.obj_c + dc * i
+                inb = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
+                blocked = blocked | ~inb
+                e2 = jnp.arange(E, dtype=jnp.int32)[:, None]
+                slot = state.grid[e2, jnp.clip(rr, 0, H - 1), jnp.clip(cc, 0, W - 1)]
+                has = sources & ~blocked & (slot >= 0)
+                slot_s = jnp.clip(slot, 0, N - 1)
+                obj_blocks = jnp.take_along_axis(is_blocker, slot_s, axis=1)
+                hit_mask = has & (~obj_blocks | q.include_blocker)
+                # scatter: mark hit objects
+                hits = hits | scatter(
+                    jnp.zeros((E, N), dtype=bool), slot_s, jnp.ones_like(has), hit_mask
+                )
+                blocked = blocked | (has & obj_blocks)
+        return hits & state.obj_alive
+
     raise NotImplementedError(f"Query kind {q.kind!r}")

@@ -239,6 +239,13 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     if kind == "use_target":
         return apply_use_target(program, state, ctx, mask)
 
+    if kind == "recompute_materialized_query":
+        env_any = mask
+        while env_any.ndim > 1:
+            env_any = env_any.any(axis=-1)
+        state = recompute_materialized(program, state, env_mask=env_any, tag_mask=m.tag_mask)
+        return state, ok
+
     if kind == "push_object":
         # Push target one cell along the clamped actor->target direction
         # (push_object_mutation.hpp); fails if off-grid or occupied.
@@ -265,6 +272,44 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
 
     if kind == "spawn_object":
         return apply_spawn(program, state, ctx, m, mask)
+
+    if kind == "raycast_spawn":
+        # Walk rays from the target entity; spawn at empty cells until a
+        # blocker filter passes (reference: raycast_spawn_mutation.cpp,
+        # mutation_config.hpp:121-126). Works in per-env and dense contexts.
+        from mettagrid_tpu.engine.program import DIR_DC, DIR_DR
+
+        H, W = state.grid.shape[1], state.grid.shape[2]
+        tr = gather(state.obj_r, ctx.target)
+        tc = gather(state.obj_c, ctx.target)
+        valid = mask & (ctx.target >= 0)
+        for d in m.directions:
+            dr, dc = int(DIR_DR[d]), int(DIR_DC[d])
+            blocked = jnp.zeros_like(valid)
+            for i in range(1, m.max_range + 1):
+                rr = tr + dr * i
+                cc = tc + dc * i
+                inb = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
+                blocked = blocked | ~inb
+                slot_here = grid_read(state.grid, rr, cc)
+                occupied = slot_here >= 0
+                if m.blocker:
+                    bctx = Ctx(
+                        actor=ctx.actor,
+                        target=jnp.where(occupied, slot_here, -1),
+                        target_r=rr,
+                        target_c=cc,
+                        distance=jnp.full_like(rr, i),
+                        timestep=ctx.timestep,
+                    )
+                    hits_blocker = occupied & eval_filters(program, state, bctx, m.blocker)
+                else:
+                    hits_blocker = occupied
+                spawn_here = valid & ~blocked & ~occupied
+                sctx = ctx._replace(target_r=rr, target_c=cc)
+                state, _ = apply_spawn(program, state, sctx, m, spawn_here)
+                blocked = blocked | hits_blocker
+        return state, ok
 
     raise NotImplementedError(f"Mutation kind {kind!r}")
 
@@ -313,23 +358,37 @@ def apply_attack(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarra
 
 
 def apply_spawn(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray):
-    """Spawn an object of a configured type at the target cell. Requires a
-    free object slot; allocates the lowest dead slot >= num_agents."""
-    assert mask.ndim == 1, "spawn_object requires per-env context"
-    e = _env_ids(state)
+    """Spawn objects of a configured type at the target cells. Allocates dead
+    object slots >= num_agents; supports per-env [E] and dense [E, Nt]
+    contexts (events). Two same-step spawns targeting the SAME cell collide
+    (first by slot order wins the grid cell; the other object leaks onto a
+    dead cell) — the reference serializes spawns so this cannot happen there;
+    configs that raycast-spawn overlapping rays should keep rays disjoint."""
     H, W = state.grid.shape[1], state.grid.shape[2]
+    N = state.obj_alive.shape[1]
+    A = program.num_agents
+    tid = m.spawn_type_id
     tr = jnp.clip(ctx.target_r, 0, H - 1)
     tc = jnp.clip(ctx.target_c, 0, W - 1)
     cell_empty = grid_read(state.grid, tr, tc) < 0
-    # Lowest free (dead) non-agent slot per env.
-    N = state.obj_alive.shape[1]
-    A = program.num_agents
-    free = ~state.obj_alive & (jnp.arange(N)[None, :] >= A)
-    slot = jnp.argmax(free, axis=1).astype(jnp.int32)
-    has_free = jnp.take_along_axis(free, slot[:, None], axis=1)[:, 0]
-    can = mask & cell_empty & has_free
+    free = ~state.obj_alive & (jnp.arange(N)[None, :] >= A)  # [E, N]
 
-    tid = m.spawn_type_id
+    if mask.ndim == 1:
+        slot = jnp.argmax(free, axis=1).astype(jnp.int32)
+        has_free = jnp.take_along_axis(free, slot[:, None], axis=1)[:, 0]
+        can = mask & cell_empty & has_free
+    else:
+        # rank spawn requests per env; the r-th request takes the r-th free slot
+        can0 = mask & cell_empty
+        flat = can0.reshape(can0.shape[0], -1)
+        rank = (jnp.cumsum(flat.astype(jnp.int32), axis=-1) - 1).reshape(can0.shape)
+        fr = jnp.cumsum(free.astype(jnp.int32), axis=-1) - 1  # [E, N]
+        eq = free[:, None, :] & (fr[:, None, :] == rank.reshape(rank.shape[0], -1)[:, :, None])
+        eq = eq.reshape(can0.shape + (N,))
+        has_free = eq.any(axis=-1)
+        slot = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+        can = can0 & has_free
+
     state = state._replace(
         grid=grid_write(state.grid, tr, tc, slot, can),
         obj_type=scatter(state.obj_type, slot, jnp.full_like(slot, tid), can),
@@ -355,6 +414,21 @@ def apply_spawn(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray
         obj_alive=scatter(state.obj_alive, slot, jnp.ones_like(can), can),
     )
     return state, jnp.where(mask, can, jnp.ones_like(mask))
+
+
+def recompute_materialized(program, state, env_mask=None, tag_mask=None):
+    """Recompute materialized-query tags (reference: query_system.cpp
+    compute_all). env_mask limits which envs update; tag_mask (bool[n_tags])
+    limits which materialized tags recompute."""
+    for tag_id, query in program.materialized:
+        if tag_mask is not None and not bool(tag_mask[tag_id]):
+            continue
+        new_bit = eval_query_mask(program, state, query)  # [E, N]
+        old_bit = state.obj_tags[:, :, tag_id]
+        if env_mask is not None:
+            new_bit = jnp.where(env_mask[:, None], new_bit, old_bit)
+        state = state._replace(obj_tags=state.obj_tags.at[:, :, tag_id].set(new_bit))
+    return state
 
 
 def apply_use_target(program, state, ctx: Ctx, mask: jnp.ndarray):

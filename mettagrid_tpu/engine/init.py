@@ -8,7 +8,7 @@ encounter order; other objects get slots A..N-1.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -60,15 +60,23 @@ def _agent_cfg_index(program: EngineProgram, cell: str, next_by_order: int) -> i
 def build_env_init(
     program: EngineProgram,
     game_maps: Sequence[GameMap],
-    extra_object_capacity: int = 0,
+    extra_object_capacity: Optional[int] = None,
 ) -> EnvInit:
     """Build the initial object tables from one or more GameMaps.
 
     All maps in the pool must share dimensions (static shapes). Binds
     program.height/width/num_objects as a side effect (they are map
-    properties, not config properties).
+    properties, not config properties). extra_object_capacity defaults to a
+    headroom of 16 slots when the program contains spawn mutations.
     """
     assert game_maps, "need at least one map"
+    if extra_object_capacity is None:
+        from mettagrid_tpu.engine.obs_caps import iter_all_mutations
+
+        has_spawn = any(
+            m.kind in ("spawn_object", "raycast_spawn") for m in iter_all_mutations(program)
+        )
+        extra_object_capacity = 16 if has_spawn else 0
     H, W = game_maps[0].grid.shape
     for gm in game_maps:
         assert gm.grid.shape == (H, W), "all maps in a pool must share dimensions"

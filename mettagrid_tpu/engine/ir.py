@@ -66,6 +66,9 @@ class CompiledQuery:
     # max_items: 0 = unlimited (runtime GameValue in the reference; const here)
     max_items: int = 0
     order_random: bool = False
+    # raycast
+    directions: tuple[int, ...] = ()
+    include_blocker: bool = False
 
 
 # =====================================================================

@@ -206,6 +206,10 @@ class EngineProgram:
     events: tuple[CompiledEvent, ...]
     aoe_specs: tuple[CompiledAOE, ...]
     territories: tuple[CompiledTerritory, ...]
+    # materialized queries: (tag_id, query) — results cached as tags,
+    # recomputed via RecomputeMaterializedQueryMutation
+    # (reference: core/query_system.hpp:27-62)
+    materialized: tuple[tuple[int, CompiledQuery], ...]
     reward_programs: tuple[tuple[CompiledRewardEntry, ...], ...]
     num_reward_entries: int  # max entries over agent configs (padded)
 
@@ -297,20 +301,40 @@ class _Compiler:
     # ---------------- queries ----------------
 
     def compile_query(self, q: Any) -> CompiledQuery:
-        """Compile a query config (dict or model or bare tag string)."""
+        """Compile a query config (model, dict, or bare tag string).
+
+        DSL shapes (config/query.py): Query{source: tag|query, filters},
+        ClosureQuery{source, candidates, edge_filters, filters},
+        RaycastQuery{source, directions, max_range, blocker}.
+        """
         if isinstance(q, str):
             return CompiledQuery(kind="tag", tag_id=self.tag_ids[q])
         if hasattr(q, "model_dump"):
             q = q.model_dump()
         if not isinstance(q, dict):
             raise NotImplementedError(f"Query config {type(q).__name__} not compiled")
-        kind = q.get("query_type", "tag")
+        kind = q.get("query_type", "query")
         filters = tuple(self.compile_filter_cfg(f) for f in q.get("filters", []) or [])
-        if kind == "tag":
-            return CompiledQuery(kind="tag", tag_id=self.tag_ids[q["tag"]], filters=filters)
-        if kind == "filtered":
+        max_items = q.get("max_items") or 0
+        if not isinstance(max_items, int):
+            raise NotImplementedError("dynamic max_items (game value) not compiled yet")
+        order_random = q.get("order_by") == "random"
+        if kind in ("query", "tag", "materialized"):
+            src = q.get("tag") if kind == "tag" else q.get("source")
+            if isinstance(src, str) and src:
+                return CompiledQuery(
+                    kind="tag",
+                    tag_id=self.tag_ids[src],
+                    filters=filters,
+                    max_items=max_items,
+                    order_random=order_random,
+                )
             return CompiledQuery(
-                kind="filtered", source=self.compile_query(q["source"]), filters=filters
+                kind="filtered",
+                source=self.compile_query(src),
+                filters=filters,
+                max_items=max_items,
+                order_random=order_random,
             )
         if kind == "closure":
             edge = tuple(self.compile_filter_cfg(f) for f in q.get("edge_filters", []) or [])
@@ -326,6 +350,23 @@ class _Compiler:
                 filters=filters,
                 max_hops=int(q.get("max_hops", 8)),
                 max_distance2=max_d2,
+                max_items=max_items,
+                order_random=order_random,
+            )
+        if kind == "raycast":
+            rng = q.get("max_range", 2)
+            if not isinstance(rng, int):
+                raise NotImplementedError("dynamic raycast max_range not compiled yet")
+            dir_idx = {name: i for i, name in enumerate(DIRECTION_NAMES)}
+            return CompiledQuery(
+                kind="raycast",
+                source=self.compile_query(q["source"]),
+                filters=tuple(self.compile_filter_cfg(f) for f in q.get("blocker", []) or []),
+                max_hops=rng,
+                directions=tuple(dir_idx[d] for d in q.get("directions", ["north", "south", "east", "west"])),
+                include_blocker=bool(q.get("include_blocker", False)),
+                max_items=max_items,
+                order_random=order_random,
             )
         raise NotImplementedError(f"Query kind {kind!r} not compiled")
 
@@ -497,6 +538,19 @@ class _Compiler:
         if kind == "spawn_object":
             tid = self.type_names.index(m.object_type)
             return CompiledMutation(kind=kind, spawn_type_id=tid)
+        if kind == "recompute_materialized_query":
+            return CompiledMutation(kind=kind, tag_mask=self.tag_prefix_mask(m.tag_prefix))
+        if kind == "raycast_spawn":
+            if not isinstance(m.max_range, int):
+                raise NotImplementedError("dynamic raycast_spawn max_range not compiled yet")
+            dir_idx = {name: i for i, name in enumerate(DIRECTION_NAMES)}
+            return CompiledMutation(
+                kind=kind,
+                spawn_type_id=self.type_names.index(m.object_type),
+                directions=tuple(dir_idx[d] for d in m.directions),
+                max_range=m.max_range,
+                blocker=tuple(self.compile_filter_cfg(f) for f in m.blocker),
+            )
         raise NotImplementedError(f"Mutation type {kind!r} not yet compiled in the TPU engine")
 
     # ---------------- handlers ----------------
@@ -844,6 +898,11 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
             )
         )
 
+    # ---- materialized queries ----
+    materialized: list[tuple[int, CompiledQuery]] = []
+    for mq in game.materialize_queries:
+        materialized.append((c.tag_ids[mq.tag], c.compile_query(mq.query)))
+
     # ---- rewards ----
     reward_programs: list[tuple[CompiledRewardEntry, ...]] = []
     for acfg in agent_cfgs:
@@ -953,6 +1012,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         events=tuple(events),
         aoe_specs=tuple(aoe_specs),
         territories=tuple(territories),
+        materialized=tuple(materialized),
         reward_programs=tuple(reward_programs),
         num_reward_entries=num_reward_entries,
         agent_config_names=tuple(agent_config_names),

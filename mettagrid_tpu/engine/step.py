@@ -46,7 +46,7 @@ def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndar
 
     agent_r = pick("agent_r")
     agent_c = pick("agent_c")
-    return EnvState(
+    state = EnvState(
         grid=pick("grid"),
         obj_type=pick("obj_type"),
         obj_r=pick("obj_r"),
@@ -88,6 +88,13 @@ def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndar
         step_count=jnp.zeros((E,), dtype=jnp.int32),
         rng=rng,
     )
+    # Materialized query tags computed at init (mettagrid_c.cpp:163
+    # QuerySystem::compute_all).
+    if program.materialized:
+        from mettagrid_tpu.engine.handlers import recompute_materialized
+
+        state = recompute_materialized(program, state)
+    return state
 
 
 def make_reset(program: EngineProgram, init: EnvInit, num_envs: int):

@@ -1,0 +1,130 @@
+"""Query system tests: materialized queries, raycast, spawn mutations
+(modeled on the reference's tests/test_query_system.py)."""
+
+import numpy as np
+
+from tests.helpers import TinyEnv
+
+from mettagrid_tpu.config.event_config import EventConfig
+from mettagrid_tpu.config.game_config import (
+    AgentConfig,
+    GameConfig,
+    GridObjectConfig,
+    MettaGridConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.handler_config import (
+    EntityTarget,
+    Handler,
+    RaycastSpawnMutation,
+    RecomputeMaterializedQueryMutation,
+    ResourceDeltaMutation,
+    ResourceFilter,
+    HandlerTarget,
+    SpawnObjectMutation,
+    updateTarget,
+)
+from mettagrid_tpu.config.query import Query, materializedQuery, query
+from mettagrid_tpu.config.tag import typeTag
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+
+def make_env(map_lines, objects=None, num_envs=1, char_map=None, **game_kwargs):
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=100,
+            objects={"wall": WallConfig(), **(objects or {})},
+            map_builder=AsciiMapBuilder.Config(
+                map_data=map_lines, char_to_map_name=char_map or {}
+            ),
+            **game_kwargs,
+        )
+    )
+    return TinyEnv(cfg, num_envs=num_envs)
+
+
+def tag_id(env, name):
+    return env.program.tag_names.index(name)
+
+
+def test_materialized_query_computed_at_reset():
+    mine = GridObjectConfig(name="mine", map_name="m", inventory__initial=None) if False else GridObjectConfig(
+        name="mine", map_name="m"
+    )
+    mine.inventory.initial = {"ore_red": 2}
+    env = make_env(
+        ["#####", "#@m.#", "#####"],
+        objects={"mine": mine},
+        char_map={"m": "m"},
+        tags=["rich"],
+        materialize_queries=[
+            materializedQuery(
+                "rich",
+                Query(
+                    source=typeTag("mine"),
+                    filters=[ResourceFilter(target=HandlerTarget.TARGET, resources={"ore_red": 1})],
+                ),
+            )
+        ],
+    )
+    tid = tag_id(env, "rich")
+    tags = np.asarray(env.state.obj_tags[0, :, tid])
+    assert tags.sum() == 1  # the mine has ore -> tagged at init
+
+
+def test_recompute_materialized_query_mutation():
+    mine = GridObjectConfig(name="mine", map_name="m")
+    mine.inventory.initial = {"ore_red": 1}
+    mine.on_use_handler = Handler(
+        name="drain",
+        mutations=[
+            ResourceDeltaMutation(target=EntityTarget.TARGET, deltas={"ore_red": -1}),
+            RecomputeMaterializedQueryMutation(tag_prefix="rich"),
+        ],
+    )
+    env = make_env(
+        ["#####", "#@m.#", "#####"],
+        objects={"mine": mine},
+        char_map={"m": "m"},
+        tags=["rich"],
+        materialize_queries=[
+            materializedQuery(
+                "rich",
+                Query(
+                    source=typeTag("mine"),
+                    filters=[ResourceFilter(target=HandlerTarget.TARGET, resources={"ore_red": 1})],
+                ),
+            )
+        ],
+    )
+    tid = tag_id(env, "rich")
+    assert np.asarray(env.state.obj_tags[0, :, tid]).sum() == 1
+    env.step({0: "move_east"})  # drains the mine, recomputes
+    assert np.asarray(env.state.obj_tags[0, :, tid]).sum() == 0
+
+
+def test_spawn_object_via_event():
+    crystal = GridObjectConfig(name="crystal", map_name="c")
+    hub = GridObjectConfig(name="hub", map_name="h")
+    env = make_env(
+        ["######", "#@.h.#", "######"],
+        objects={"crystal": crystal, "hub": hub},
+        char_map={"h": "h", "c": "c"},
+        events={
+            "bloom": EventConfig(
+                name="bloom",
+                target_query=typeTag("hub"),
+                timesteps=[1],
+                mutations=[
+                    RaycastSpawnMutation(object_type="crystal", directions=["east"], max_range=1)
+                ],
+            )
+        },
+    )
+    env.step()
+    # crystal spawned east of the hub
+    crystal_tid = env.program.type_names.index("crystal")
+    types = np.asarray(env.state.obj_type[0])
+    alive = np.asarray(env.state.obj_alive[0])
+    assert ((types == crystal_tid) & alive).sum() == 1
