@@ -239,6 +239,39 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     if kind == "use_target":
         return apply_use_target(program, state, ctx, mask)
 
+    if kind == "query_inventory":
+        # Bulk inventory deltas across query results; in transfer mode the
+        # inverse of the net applied amount hits the source entity and
+        # transfer stats log the moved quantity
+        # (reference: mutation_config.hpp:94-103).
+        env_any = mask
+        while env_any.ndim > 1:
+            env_any = env_any.any(axis=-1)
+        targets = eval_query_mask(program, state, m.query)  # [E, N]
+        targets = targets & env_any[:, None]
+        tid_all = state.obj_type
+        transfer_mode = m.transfer_mode
+        src_slot = (ctx.actor if m.from_is_actor else ctx.target)
+        if src_slot.ndim > 1:
+            src_slot = src_slot[..., 0] * 0 - 1  # dense ctx: no single source
+        for rid, delta in m.deltas:
+            inv_all = state.obj_inv
+            new_inv, actual = inv_update(
+                program, tid_all, inv_all, rid, jnp.full_like(tid_all, delta), targets
+            )
+            state = state._replace(obj_inv=new_inv)
+            net = actual.sum(axis=1)  # [E]
+            if transfer_mode:
+                state, _ = entity_inv_update(
+                    program, state, src_slot, rid, -net, env_any & (src_slot >= 0)
+                )
+            for srid, stat_id in m.transfer_stats:
+                if srid == rid:
+                    state = set_game_stat(
+                        state, env_any, stat_id, jnp.abs(net).astype(jnp.float32), mode="add"
+                    )
+        return state, ok
+
     if kind == "recompute_materialized_query":
         env_any = mask
         while env_any.ndim > 1:

@@ -136,6 +136,7 @@ class CompiledMutation:
     blocker: tuple[CompiledFilter, ...] = ()
     # query_inventory
     query: Optional[CompiledQuery] = None
+    transfer_mode: bool = False  # inverse deltas hit the source entity
     transfer_stats: tuple[tuple[int, int], ...] = ()  # (rid, game_stat_id)
 
 

@@ -97,17 +97,8 @@ def make_obs_fn(program: EngineProgram):
 
     M = 1 if has_aoe_mask else 0
     SLOTS = M + S  # candidate slots per window cell
-    C = G + K * SLOTS
-
-    # Static per-candidate location bytes
-    loc_full = np.concatenate(
-        [np.full(G, GLOBAL_LOCATION, dtype=np.int32), np.repeat(loc_k, SLOTS)]
-    )
-    loc_full_t = jnp.asarray(loc_full)
 
     type_is_agent_t = jnp.asarray(program.type_is_agent)
-
-    n_binsearch = int(np.ceil(np.log2(C + 1)))
 
     def compute_obs(state: EnvState):
         E, N = state.obj_type.shape
@@ -247,6 +238,26 @@ def make_obs_fn(program: EngineProgram):
 
         # ---- global tokens ----
         g_words, g_ok = _global_tokens(program, state, global_slots, feat, E, A)
+
+        # named game-value observations (multi-token, after the built-in
+        # globals — mettagrid_c.cpp:752 _emit_obs_value_tokens)
+        if program.value_obs:
+            from mettagrid_tpu.engine.exec import eval_value
+
+            agent_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+            v_words, v_oks = [], []
+            for _name, fids, cv in program.value_obs:
+                value = jnp.maximum(eval_value(program, state, cv, agent_slots), 0.0)
+                amount = jnp.floor(value).astype(jnp.int32)
+                for p, fid in enumerate(fids):
+                    div = base**p
+                    digit = (amount // div) % base
+                    v_words.append(
+                        (GLOBAL_LOCATION << 16) | (fid << 8) | (digit & 0xFF)
+                    )
+                    v_oks.append(amount >= max(div, 1))
+            g_words = jnp.concatenate([g_words, jnp.stack(v_words, axis=-1)], axis=-1)
+            g_ok = jnp.concatenate([g_ok, jnp.stack(v_oks, axis=-1)], axis=-1)
 
         words = jnp.concatenate([g_words, cell_words], axis=-1)  # [E, A, C]
         ok = jnp.concatenate([g_ok, cell_oks], axis=-1)

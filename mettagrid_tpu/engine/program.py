@@ -164,6 +164,8 @@ class EngineProgram:
     feature_ids: FeatureIds
     global_obs: GlobalObsFlags
     window_offsets: tuple[tuple[int, int], ...]  # Manhattan order
+    # named game-value global observations: (name, feature ids per power, value)
+    value_obs: tuple[tuple[str, tuple[int, ...], CompiledValue], ...]
 
     # --- action tables (numpy, baked as constants) ---
     action_kind: np.ndarray  # int32[n_actions]
@@ -540,6 +542,20 @@ class _Compiler:
             return CompiledMutation(kind=kind, spawn_type_id=tid)
         if kind == "recompute_materialized_query":
             return CompiledMutation(kind=kind, tag_mask=self.tag_prefix_mask(m.tag_prefix))
+        if kind == "query_inventory":
+            deltas = tuple(sorted((rids[name], d) for name, d in m.deltas.items()))
+            stats = tuple(
+                (rids[name], self.intern_stat(stat_name, game_scope=True))
+                for name, stat_name in m.transfer_stats.items()
+            )
+            return CompiledMutation(
+                kind=kind,
+                query=self.compile_query(m.query),
+                deltas=deltas,
+                from_is_actor=(m.source == EntityTarget.ACTOR) if m.source is not None else True,
+                transfer_mode=m.source is not None,
+                transfer_stats=stats,
+            )
         if kind == "raycast_spawn":
             if not isinstance(m.max_range, int):
                 raise NotImplementedError("dynamic raycast_spawn max_range not compiled yet")
@@ -949,8 +965,14 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         last_reward=gobs.last_reward,
         local_position=gobs.local_position,
     )
-    if gobs.obs:
-        raise NotImplementedError("Named game-value global observations not yet compiled")
+    # Named game-value global observations (multi-token, like inventory —
+    # id_map.py make_multi_token_features)
+    value_obs: list[tuple[str, tuple[int, ...], CompiledValue]] = []
+    for prefix, gv in gobs.obs.items():
+        fids = tuple(
+            feat[prefix] if p == 0 else feat[f"{prefix}:p{p}"] for p in range(num_inv_tokens)
+        )
+        value_obs.append((prefix, fids, c.compile_value(gv)))
     if game.obs.aoe_mask and not territories:
         raise ValueError("obs.aoe_mask requires game.territories to be configured")
 
@@ -980,6 +1002,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         feature_ids=feature_ids,
         global_obs=global_obs,
         window_offsets=window_offsets,
+        value_obs=tuple(value_obs),
         action_kind=np.array(action_kind, dtype=np.int32),
         action_arg=np.array(action_arg, dtype=np.int32),
         action_is_vibe=action_is_vibe,

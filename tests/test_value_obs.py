@@ -1,0 +1,71 @@
+"""Named game-value global observations + query_inventory mutation tests."""
+
+import numpy as np
+
+from tests.helpers import TinyEnv
+
+from mettagrid_tpu.config.event_config import EventConfig
+from mettagrid_tpu.config.game_config import (
+    AgentConfig,
+    GameConfig,
+    GridObjectConfig,
+    MettaGridConfig,
+    ObsConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.handler_config import QueryInventoryMutation
+from mettagrid_tpu.config.obs_config import GlobalObsConfig
+from mettagrid_tpu.config.game_value import InventoryValue, Scope
+from mettagrid_tpu.config.query import query
+from mettagrid_tpu.config.tag import typeTag
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+
+def test_named_game_value_obs_tokens():
+    agent = AgentConfig(inventory__initial=None) if False else AgentConfig()
+    agent.inventory.initial = {"heart": 3}
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=10,
+            objects={"wall": WallConfig()},
+            agent=agent,
+            obs=ObsConfig(
+                global_obs=GlobalObsConfig(obs={"wealth": InventoryValue(item="heart", scope=Scope.AGENT)})
+            ),
+            map_builder=AsciiMapBuilder.Config(map_data=["####", "#@.#", "####"]),
+        )
+    )
+    env = TinyEnv(cfg)
+    fid = next(f.id for f in cfg.game.id_map().features() if f.name == "wealth")
+    toks = env.find_tokens(fid)
+    assert toks and toks[0][2] == 3  # wealth token value == heart count
+    assert toks[0][0] == 0xFE  # global location
+
+
+def test_query_inventory_event_refills_all():
+    mine = GridObjectConfig(name="mine", map_name="m", tags=["node"])
+    env_cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=10,
+            objects={"wall": WallConfig(), "mine": mine},
+            events={
+                "refill": EventConfig(
+                    name="refill",
+                    target_query=typeTag("mine"),
+                    timesteps=[1],
+                    mutations=[
+                        QueryInventoryMutation(query=query("node").model_dump(), deltas={"ore_red": 3})
+                    ],
+                )
+            },
+            map_builder=AsciiMapBuilder.Config(
+                map_data=["######", "#@mm.#", "######"], char_to_map_name={"m": "m"}
+            ),
+        )
+    )
+    env = TinyEnv(env_cfg)
+    env.step()
+    rid = env.program.resource_names.index("ore_red")
+    assert int(np.asarray(env.state.obj_inv[0, :, rid]).sum()) == 6  # both mines +3
