@@ -1,0 +1,6 @@
+"""Bit-exact parity tooling: reference RNG + episode signatures."""
+
+from mettagrid_tpu.parity.rng import ReferenceRng
+from mettagrid_tpu.parity.signature import episode_signature
+
+__all__ = ["ReferenceRng", "episode_signature"]

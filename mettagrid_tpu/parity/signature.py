@@ -1,0 +1,68 @@
+"""Deterministic episode signatures
+(reference: scripts/deterministic_episode_signature.py:50-120).
+
+SHA-256 over a canonical JSON dump of the full end state: objects (type,
+position, vibe, tags, inventory), per-agent episode rewards, and stats.
+Canonical ordering throughout (slot index, resource id, sorted stat names)
+— the reference's unordered_map orders are canonicalized the same way by
+its parity harness (SURVEY.md §3.3 note).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+
+
+def state_summary(program, state, env: int = 0) -> dict:
+    objs = []
+    alive = np.asarray(state.obj_alive[env])
+    types = np.asarray(state.obj_type[env])
+    rr = np.asarray(state.obj_r[env])
+    cc = np.asarray(state.obj_c[env])
+    vibe = np.asarray(state.obj_vibe[env])
+    tags = np.asarray(state.obj_tags[env])
+    inv = np.asarray(state.obj_inv[env])
+    for slot in range(types.shape[0]):
+        if not alive[slot]:
+            continue
+        objs.append(
+            {
+                "slot": int(slot),
+                "type": program.type_names[int(types[slot])],
+                "r": int(rr[slot]),
+                "c": int(cc[slot]),
+                "vibe": int(vibe[slot]),
+                "tags": [program.tag_names[t] for t in np.nonzero(tags[slot])[0]],
+                "inventory": {
+                    program.resource_names[r]: int(q) for r, q in enumerate(inv[slot]) if q != 0
+                },
+            }
+        )
+    agent_stats = np.asarray(state.agent_stats[env])
+    game_stats = np.asarray(state.game_stats[env])
+    return {
+        "step": int(np.asarray(state.step_count[env])),
+        "objects": objs,
+        "episode_rewards": [round(float(x), 6) for x in np.asarray(state.episode_rewards[env])],
+        "agent_stats": [
+            {
+                name: round(float(v), 6)
+                for name, v in sorted(zip(program.agent_stat_names, row))
+                if v != 0.0
+            }
+            for row in agent_stats
+        ],
+        "game_stats": {
+            name: round(float(v), 6)
+            for name, v in sorted(zip(program.game_stat_names, game_stats))
+            if v != 0.0
+        },
+    }
+
+
+def episode_signature(program, state, env: int = 0) -> str:
+    payload = json.dumps(state_summary(program, state, env), sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()

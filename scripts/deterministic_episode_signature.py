@@ -1,0 +1,64 @@
+"""Deterministic episode signature CLI
+(reference: scripts/deterministic_episode_signature.py).
+
+Runs a fixed-seed arena episode and prints the end-state SHA-256. Running it
+in N fresh processes must produce one unique hash (the determinism gate —
+reference tests/simulator/test_deterministic_signature.py:14-17).
+
+Usage: python scripts/deterministic_episode_signature.py [--seed=0] [--steps=64]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    seed, steps = 0, 64
+    for arg in sys.argv[1:]:
+        k, _, v = arg.partition("=")
+        if k == "--seed":
+            seed = int(v)
+        elif k == "--steps":
+            steps = int(v)
+
+    from mettagrid_tpu.builder import make_arena
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+    from mettagrid_tpu.parity import episode_signature
+
+    cfg = make_arena(
+        4,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=4, width=12, height=12, border_width=1, objects={"wall": 6}, seed=seed
+        ),
+    )
+    program = compile_program(cfg)
+    gm = cfg.game.map_builder.create().build_for_num_agents(4)
+    init = build_env_init(program, [gm])
+    reset = make_reset(program, init, 1)
+    step = make_step(program, init, auto_reset=False, donate=False)
+
+    state, _ = reset(seed)
+    rng = np.random.default_rng(seed)
+    n_actions = len(program.action_names)
+    for _ in range(steps):
+        acts = jnp.asarray(rng.integers(0, n_actions, size=(1, 4)), dtype=jnp.int32)
+        state, _ = step(state, acts, jnp.zeros((1, 4), dtype=jnp.int32))
+
+    print(episode_signature(program, state))
+
+
+if __name__ == "__main__":
+    main()

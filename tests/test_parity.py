@@ -1,0 +1,95 @@
+"""Parity tooling tests: reference RNG (native vs pure-Python), episode
+signatures across fresh engine builds (modeled on the reference's
+tests/simulator/test_deterministic_signature.py and fork-RNG tests)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.parity import ReferenceRng, episode_signature
+from mettagrid_tpu.parity.rng import _PyMT19937, _build_lib
+
+
+def test_mt19937_known_values():
+    # std::mt19937(5489)'s first outputs (canonical test vector: the 10000th
+    # draw of the default-seeded engine is 4123659995).
+    py = _PyMT19937(5489)
+    vals = [py.next() for _ in range(10000)]
+    assert vals[9999] == 4123659995
+
+
+def test_native_matches_python_stream():
+    lib = _build_lib()
+    if lib is None:
+        pytest.skip("g++ unavailable")
+    native = ReferenceRng(123)
+    assert native.native
+    py = _PyMT19937(123)
+    for _ in range(100):
+        assert native.next_u32() == py.next()
+
+
+def test_native_matches_python_shuffle():
+    lib = _build_lib()
+    if lib is None:
+        pytest.skip("g++ unavailable")
+    for n in (2, 3, 7, 24, 100):
+        a = ReferenceRng(42)
+        b = ReferenceRng(42)
+        b._lib = None  # force pure-python path
+        b._h = None
+        b._py = _PyMT19937(42)
+        assert a.permutation(n) == b.permutation(n), f"n={n}"
+
+
+def test_uniform_int_native_vs_python():
+    lib = _build_lib()
+    if lib is None:
+        pytest.skip("g++ unavailable")
+    a = ReferenceRng(7)
+    b = ReferenceRng(7)
+    b._lib, b._h, b._py = None, None, _PyMT19937(7)
+    for bound in (1, 5, 23, 255, 10_000):
+        assert a.uniform_int(0, bound) == b.uniform_int(0, bound)
+
+
+def test_signature_engine_determinism():
+    """Two fresh engine builds with the same seed produce the same hash."""
+    from mettagrid_tpu.builder import make_navigation
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    import jax.numpy as jnp
+
+    def run():
+        cfg = make_navigation(2)
+        cfg.game.map_builder.seed = 3
+        program = compile_program(cfg)
+        gm = cfg.game.map_builder.create().build_for_num_agents(2)
+        init = build_env_init(program, [gm])
+        reset = make_reset(program, init, 1)
+        step = make_step(program, init, auto_reset=False, donate=False)
+        state, _ = reset(0)
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            acts = jnp.asarray(rng.integers(0, 5, size=(1, 2)), dtype=jnp.int32)
+            state, _ = step(state, acts, jnp.zeros((1, 2), dtype=jnp.int32))
+        return episode_signature(program, state)
+
+    assert run() == run()
+
+
+@pytest.mark.slow
+def test_signature_cross_process():
+    """The signature script collapses to ONE hash across fresh processes."""
+    hashes = set()
+    for _ in range(3):
+        out = subprocess.run(
+            [sys.executable, "scripts/deterministic_episode_signature.py", "--steps=16"],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            check=True,
+        )
+        hashes.add(out.stdout.strip().splitlines()[-1])
+    assert len(hashes) == 1, hashes
