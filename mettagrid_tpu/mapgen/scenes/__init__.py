@@ -1,5 +1,12 @@
 """Scene implementations (reference: python/src/mettagrid/mapgen/scenes/)."""
 
+from mettagrid_tpu.mapgen.scenes.biomes import (
+    BiomeCaves,
+    BiomeCity,
+    BiomeDesert,
+    BiomeForest,
+    BiomePlains,
+)
 from mettagrid_tpu.mapgen.scenes.bsp import BSP, BSPLayout
 from mettagrid_tpu.mapgen.scenes.convchain import ConvChain
 from mettagrid_tpu.mapgen.scenes.inline_ascii import InlineAscii
@@ -24,6 +31,11 @@ from mettagrid_tpu.mapgen.scenes.wfc import WFC
 __all__ = [
     "BSP",
     "BSPLayout",
+    "BiomeCaves",
+    "BiomeCity",
+    "BiomeDesert",
+    "BiomeForest",
+    "BiomePlains",
     "ConvChain",
     "CopyGrid",
     "Dither",

@@ -81,3 +81,24 @@ def test_dither_density():
     grid = render(Dither.Config(density=0.5), 20, 20)
     frac = (grid == "wall").sum() / 400
     assert 0.3 < frac < 0.7
+
+
+def test_biomes_render():
+    from mettagrid_tpu.mapgen.scenes import (
+        BiomeCaves,
+        BiomeCity,
+        BiomeDesert,
+        BiomeForest,
+        BiomePlains,
+    )
+
+    for cfg in (
+        BiomeCaves.Config(),
+        BiomePlains.Config(),
+        BiomeForest.Config(),
+        BiomeDesert.Config(),
+        BiomeCity.Config(),
+    ):
+        grid = render(cfg, 20, 20)
+        walls = (grid == "wall").sum()
+        assert 0 < walls < 400, type(cfg).__name__
