@@ -34,6 +34,10 @@ import numpy as np
 from mettagrid_tpu.engine.program import EMPTY_TOKEN_BYTE, GLOBAL_LOCATION, EngineProgram, pack_coordinate
 from mettagrid_tpu.engine.state import EnvState
 
+# Profiling tap: when set ("win" | "words" | "attempted" | "rolled"), the obs
+# fn returns early at that stage (scripts/probe_obs13.py).
+_TAP = None
+
 
 def make_obs_fn(program: EngineProgram):
     from mettagrid_tpu.engine.obs_caps import compute_obs_caps, max_tokens_per_object
@@ -208,6 +212,8 @@ def make_obs_fn(program: EngineProgram):
         win = win.reshape(E, A, OH * OW, Ch)
         win = jnp.take(win, k_flat_t, axis=2)  # Manhattan order [E, A, K, Ch]
 
+        if _TAP == "win":
+            return win, win.sum()
         win_tok = win[..., :S].astype(jnp.int32)  # packed feat<<8|val
         win_cnt = win[..., S].astype(jnp.int32)  # [E, A, K]
 
@@ -262,12 +268,18 @@ def make_obs_fn(program: EngineProgram):
         words = jnp.concatenate([g_words, cell_words], axis=-1)  # [E, A, C]
         ok = jnp.concatenate([g_ok, cell_oks], axis=-1)
 
+        if _TAP == "words":
+            return words, ok.sum(axis=-1)
         # ============ stage 5: budget compaction (roll-based, gather-free) ==
         # Valid candidates shift to the front (order preserved) via log2(C)
         # masked-roll passes — no gathers or scatters, which XLA:TPU lowers
         # pathologically in this program (see scripts/probe_obs*.py).
         attempted = ok.sum(axis=-1)
+        if _TAP == "attempted":
+            return words, attempted
         out_words = _roll_compact(words, ok, T)
+        if _TAP == "rolled":
+            return out_words, attempted
         empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
         out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
 

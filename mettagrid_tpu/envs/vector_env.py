@@ -39,6 +39,7 @@ class Buffers:
     actions: np.ndarray  # int32[E*A]
     vibe_actions: np.ndarray  # int32[E*A]
     masks: np.ndarray  # bool[E*A]
+    teacher_actions: np.ndarray  # int32[E*A] (supervisor labels, split space)
 
 
 class MettaGridVectorEnv:
@@ -80,7 +81,9 @@ class MettaGridVectorEnv:
             actions=np.zeros(num_envs * A, dtype=dtype_actions),
             vibe_actions=np.zeros(num_envs * A, dtype=dtype_actions),
             masks=np.ones(num_envs * A, dtype=np.bool_),
+            teacher_actions=np.zeros(num_envs * A, dtype=dtype_actions),
         )
+        self._supervisor = None
         # Combined 1-D action encoding tables
         self._primary_ids = [
             i for i, n in enumerate(self.program.action_names) if not n.startswith("change_vibe_")
@@ -147,9 +150,33 @@ class MettaGridVectorEnv:
             self._state, jnp.asarray(acts), jnp.asarray(vibes)
         )
         self._sync_buffers()
+        # Supervisor (teacher) labels for imitation targets
+        # (reference: envs/mettagrid_puffer_env.py:410-426).
+        if self._supervisor is not None:
+            self._supervisor.step_batch(self.buffers.observations, self.buffers.teacher_actions)
         infos: dict[str, Any] = {}
+        # Episode stats for envs that finished this step (auto-reset rebuilds
+        # them at the START of the next step, so the final state is intact —
+        # reference step_info plumbing: mettagrid_puffer_env.py:230-282).
+        done = (
+            np.asarray(self._last.terminals).any(axis=-1)
+            | np.asarray(self._last.truncations).any(axis=-1)
+        )
+        if done.any():
+            infos["episode"] = {
+                int(e): {
+                    "stats": episode_stats(self.program, self._state, env=int(e)),
+                    "episode_rewards": np.asarray(self._state.episode_rewards[int(e)]).tolist(),
+                    "length": int(np.asarray(self._state.step_count[int(e)])),
+                }
+                for e in np.nonzero(done)[0]
+            }
         b = self.buffers
         return b.observations, b.rewards, b.terminals, b.truncations, infos
+
+    def set_supervisor(self, policy) -> None:
+        """Attach a teacher policy whose labels fill buffers.teacher_actions."""
+        self._supervisor = policy
 
     def _sync_buffers(self) -> None:
         E, A = self._num_envs, self.program.num_agents

@@ -1,0 +1,36 @@
+"""Bisect obs v3 stages at E=4096 using the real obs with stage taps."""
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.obs as obs_mod
+
+def timeit(fn, *args, n=3, warmup=1):
+    f = jax.jit(fn)
+    for _ in range(warmup): out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n): out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+
+# monkeypatch taps into compute_obs by re-running with different _TAP level
+results = {}
+for tap in ("win", "words", "attempted", "rolled", "full"):
+    obs_mod._TAP = tap
+    fn = obs_mod.make_obs_fn(program)
+    def wrap(state, fn=fn):
+        out = fn(state)
+        return jax.tree_util.tree_map(lambda x: x.sum(dtype=jnp.uint32) if x.dtype == jnp.uint8 else x.sum(), out) if isinstance(out, tuple) else out.sum()
+    t = timeit(wrap, state)
+    print(f"{tap:10s} {t*1e3:9.2f} ms", flush=True)
+obs_mod._TAP = None

@@ -68,3 +68,31 @@ def test_grid_obs_wrapper_dense_conversion():
     assert obs.shape == (env.num_agents, C, H, W)
     assert obs.dtype == np.float32
     assert obs.sum() > 0  # something was scattered
+
+
+def test_episode_infos_and_supervisor():
+    from mettagrid_tpu.policy.policy import NoopMultiAgentPolicy
+    from mettagrid_tpu.policy.supervisor_actions import split_supervisor_actions_inplace
+
+    env = MettaGridVectorEnv(small_cfg(), num_envs=2, seed=0)
+    env.set_supervisor(NoopMultiAgentPolicy())
+    env.reset()
+    infos = {}
+    for _ in range(21):  # max_steps=20 -> terminal on step 20
+        obs, rew, term, trunc, infos = env.step(np.zeros(env.num_agents, dtype=np.int32))
+        if "episode" in infos:
+            break
+    assert "episode" in infos
+    ep = next(iter(infos["episode"].values()))
+    assert ep["length"] == 20
+    assert "agent" in ep["stats"]
+    assert env.buffers.teacher_actions.shape == (env.num_agents,)
+
+    # supervisor label splitting
+    teacher = np.array([0, 5, 6], dtype=np.int32)
+    vibes = np.zeros(3, dtype=np.int32)
+    split_supervisor_actions_inplace(
+        teacher, vibes, num_primary_actions=5, vibe_action_ids_by_index=np.array([7, 8])
+    )
+    assert list(teacher) == [0, 0, 0]
+    assert list(vibes) == [0, 7, 8]
