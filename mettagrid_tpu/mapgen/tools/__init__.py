@@ -1,0 +1,1 @@
+"""Map generation CLI tools (reference: python/src/mettagrid/mapgen/tools/)."""
