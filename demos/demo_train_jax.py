@@ -1,0 +1,64 @@
+"""On-device training demo: the TPU-native answer to the reference's
+demos/demo_train_puffer.py (there: PufferLib multiprocess vecenv + torch;
+here: the batched env and the flax LSTM learner share one jit).
+
+Runs a short A2C loop on the navigation preset and prints loss/reward.
+Doubles as a CI regression test (tests/test_demos.py).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def train(num_envs: int = 8, num_agents: int = 2, steps: int = 20, seed: int = 0):
+    import jax
+    import optax
+
+    from mettagrid_tpu.builder import make_navigation
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.parallel.train import TrainState, make_train_step
+    from mettagrid_tpu.policy import LSTMPolicy, init_policy
+
+    cfg = make_navigation(num_agents)
+    cfg.game.max_steps = 32
+    cfg.game.map_builder.width = 10
+    cfg.game.map_builder.height = 10
+    program = compile_program(cfg)
+    gm = cfg.game.map_builder.create().build_for_num_agents(num_agents)
+    init = build_env_init(program, [gm])
+    reset = make_reset(program, init, num_envs)
+    step = make_step(program, init, auto_reset=True, donate=False)
+
+    policy = LSTMPolicy(num_actions=len(program.action_names), hidden_size=32, encoder_hidden=32)
+    state, out = reset(seed)
+    params, lstm_state = init_policy(policy, jax.random.PRNGKey(seed), out.observations)
+    optimizer = optax.adam(1e-3)
+    ts = TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        env_state=state,
+        obs=out.observations,
+        lstm_state=lstm_state,
+        key=jax.random.PRNGKey(seed + 1),
+    )
+    train_step = jax.jit(make_train_step(program, step, policy, optimizer))
+
+    losses = []
+    for i in range(steps):
+        ts, metrics = train_step(ts)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def main() -> int:
+    losses = train()
+    print(f"trained 20 steps; first loss {losses[0]:.4f}, last loss {losses[-1]:.4f}")
+    import math
+
+    assert all(math.isfinite(x) for x in losses), "non-finite loss"
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,6 +152,8 @@ def make_obs_fn(program: EngineProgram):
         )  # [E, N, S] f32 (exact: 16-bit payloads)
         obj_cnt = cnt_.sum(axis=-1)  # [E, N]
 
+        if _TAP == "objtok":
+            return obj_tok, obj_cnt.sum()
         # ============ stage 2: scatter to cell image [E, H+1, W, Ch] ============
         # channels: [S tokens] + [cnt] (+ [wintag+1] appended below)
         cell_src = jnp.concatenate(
@@ -186,6 +188,8 @@ def make_obs_fn(program: EngineProgram):
             cell_img = jnp.concatenate([cell_img, wt_img], axis=-1)
             Ch += 1
 
+        if _TAP == "cellimg":
+            return cell_img, cell_img.sum()
         # ============ stage 3: window extraction via one-hot matmuls ============
         agent_r = state.obj_r[:, :A]  # [E, A]
         agent_c = state.obj_c[:, :A]

@@ -25,7 +25,7 @@ state, _ = reset(0)
 
 # monkeypatch taps into compute_obs by re-running with different _TAP level
 results = {}
-for tap in ("win", "words", "attempted", "rolled", "full"):
+for tap in ("objtok", "cellimg", "win", "full"):
     obs_mod._TAP = tap
     fn = obs_mod.make_obs_fn(program)
     def wrap(state, fn=fn):

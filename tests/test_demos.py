@@ -1,0 +1,21 @@
+"""Demos as regression tests (reference: demos/README.md — the demos run in
+CI with small step counts and deterministic seeds)."""
+
+import math
+import sys
+
+
+def test_jax_training_demo_runs():
+    sys.path.insert(0, "demos")
+    from demos.demo_train_jax import train
+
+    losses = train(num_envs=4, num_agents=2, steps=5)
+    assert len(losses) == 5
+    assert all(math.isfinite(x) for x in losses)
+
+
+def test_pettingzoo_demo_runs():
+    from demos.demo_train_pettingzoo import run
+
+    totals = run(episodes=1)
+    assert len(totals) == 1
