@@ -161,11 +161,21 @@ def make_obs_fn(program: EngineProgram):
         )  # [E, N, S+1]
         Ch = cell_src.shape[-1]
 
+        # One object per cell, so the scatter is equivalent to a one-hot
+        # contraction over the object axis — XLA:TPU lowers the scatter
+        # pathologically (~22ms at E=4096) while the MXU does this in ~2ms.
         rr = jnp.where(state.obj_alive, state.obj_r, H)  # dead -> padding row
         cc = jnp.where(state.obj_alive, state.obj_c, 0)
-        e_idx = jnp.arange(E, dtype=jnp.int32)[:, None]
-        cell_img = jnp.zeros((E, H + 1, W, Ch), dtype=jnp.float32)
-        cell_img = cell_img.at[e_idx, rr, cc].set(cell_src)
+        r_oh = (rr[..., None] == jnp.arange(H + 1, dtype=jnp.int32)[None, None, :]).astype(
+            jnp.float32
+        )  # [E, N, H+1]
+        c_oh = (cc[..., None] == jnp.arange(W, dtype=jnp.int32)[None, None, :]).astype(
+            jnp.float32
+        )  # [E, N, W]
+        col_src = c_oh[..., :, None] * cell_src[..., None, :]  # [E, N, W, Ch]
+        cell_img = jnp.einsum(
+            "enh,enwc->ehwc", r_oh, col_src, preferred_element_type=jnp.float32
+        )  # [E, H+1, W, Ch]
 
         if has_aoe_mask:
             from mettagrid_tpu.engine.territory import cell_ownership

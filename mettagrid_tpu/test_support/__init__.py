@@ -1,0 +1,7 @@
+"""Test support toolkit (reference: python/src/mettagrid/test_support/)."""
+
+from mettagrid_tpu.test_support.actions import move, noop, use
+from mettagrid_tpu.test_support.map_builders import ObjectNameMapBuilder
+from mettagrid_tpu.test_support.observation_helper import ObservationHelper
+
+__all__ = ["ObjectNameMapBuilder", "ObservationHelper", "move", "noop", "use"]

@@ -25,7 +25,7 @@ state, _ = reset(0)
 
 # monkeypatch taps into compute_obs by re-running with different _TAP level
 results = {}
-for tap in ("objtok", "cellimg", "win", "full"):
+for tap in ("cellimg", "win", "full"):
     obs_mod._TAP = tap
     fn = obs_mod.make_obs_fn(program)
     def wrap(state, fn=fn):

@@ -1,0 +1,55 @@
+"""test_support toolkit tests."""
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import GameConfig, GridObjectConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.config.handler_config import EntityTarget, Handler, ResourceDeltaMutation
+from mettagrid_tpu.simulator import Simulation
+from mettagrid_tpu.test_support import ObjectNameMapBuilder, ObservationHelper, move, noop, use
+
+
+def sim_with_mine():
+    mine = GridObjectConfig(
+        name="mine",
+        map_name="mine",
+        on_use_handler=Handler(
+            name="harvest",
+            mutations=[ResourceDeltaMutation(target=EntityTarget.ACTOR, deltas={"ore_red": 1})],
+        ),
+    )
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=50,
+            objects={"wall": WallConfig(), "mine": mine},
+            map_builder=ObjectNameMapBuilder.Config(
+                map_data=[
+                    ["wall", "wall", "wall", "wall"],
+                    ["wall", "agent.agent", "mine", "wall"],
+                    ["wall", "wall", "wall", "wall"],
+                ]
+            ),
+        )
+    )
+    return Simulation(cfg)
+
+
+def test_object_name_map_builder_and_action_helpers():
+    sim = sim_with_mine()
+    assert noop(sim)["success"]
+    r = move(sim, "north")
+    assert not r["success"] and not r["moved"]
+    r = use(sim, "east")
+    assert r["success"] and not r["moved"]
+    assert r["inventory_change"] == {"ore_red": 1}
+
+
+def test_observation_helper():
+    sim = sim_with_mine()
+    obs = np.asarray(sim.last_outputs.observations[0, 0])
+    helper = ObservationHelper(obs, features=sim.features)
+    assert helper.global_tokens()
+    tags = helper.find_tokens(feature_name="tag")
+    assert tags
+    # agent sits at window center (6, 6) for the 13x13 window
+    assert helper.find_tokens(location=(6, 6))
