@@ -21,7 +21,14 @@ from mettagrid_tpu.maps.map_builder import (
 )
 from mettagrid_tpu.maps.utils import create_grid
 from mettagrid_tpu.mapgen.area import Area
-from mettagrid_tpu.mapgen.scene import AnySceneConfig, SceneConfig, load_symbol
+from mettagrid_tpu.mapgen.scene import AnySceneConfig, GridTransform, SceneConfig, load_symbol
+
+_TRANSPOSING_TRANSFORMS = (
+    GridTransform.ROT_90,
+    GridTransform.ROT_270,
+    GridTransform.TRANSPOSE,
+    GridTransform.TRANSPOSE_ALT,
+)
 
 
 class MapGenConfig(MapBuilderConfig["MapGen"]):
@@ -39,7 +46,15 @@ class MapGenConfig(MapBuilderConfig["MapGen"]):
     num_agents: Optional[int] = Field(default=None, ge=0)
     instance_border_width: int = Field(default=5, ge=0)
     instance_border_object: str = Field(default="wall")
+    # Clear procedural walls within this many cells of instance boundaries.
+    instance_border_clear_radius: int = Field(default=0, ge=0)
     set_team_by_instance: bool = Field(default=False)
+    # Keep map spawn order deterministic instead of shuffling spawn indices.
+    fixed_spawn_order: bool = Field(default=False)
+    # Remap object symbols per instance, e.g. {"hub": "hub_{instance_id}"} or
+    # "hub_{instance_name}" with `instance_names` set.
+    instance_object_remap: dict[str, str] = Field(default_factory=dict)
+    instance_names: Optional[list[str]] = Field(default=None)
 
     @field_validator("instance", mode="before")
     @classmethod
@@ -72,8 +87,16 @@ class MapGen(MapBuilder[MapGenConfig]):
         if isinstance(cfg.instance, MapBuilderConfig):
             probe = cfg.instance.create().build()
             return probe.grid.shape
-        assert cfg.width and cfg.height, "width/height required for scene instances"
-        return (cfg.height, cfg.width)
+        if cfg.width and cfg.height:
+            return (cfg.height, cfg.width)
+        # Scenes with a fixed natural size (ASCII data etc.) can be used
+        # without explicit width/height (reference: mapgen.py:222-227).
+        size = cfg.instance.scene_cls.intrinsic_size(cfg.instance)
+        if not size:
+            raise ValueError("width/height must be provided when the instance scene has no intrinsic size")
+        if cfg.instance.transform in _TRANSPOSING_TRANSFORMS:
+            size = size[::-1]
+        return size
 
     def _count_agents_in_instance(self) -> int:
         grid = self._render_one_instance()
@@ -113,6 +136,11 @@ class MapGen(MapBuilder[MapGenConfig]):
         grid = create_grid(inner_h + 2 * bw, inner_w + 2 * bw, fill_value=cfg.instance_border_object)
         grid[bw : bw + inner_h, bw : bw + inner_w] = cfg.instance_border_object
 
+        if cfg.instance_names is not None and len(cfg.instance_names) != instances:
+            raise ValueError(
+                f"instance_names length ({len(cfg.instance_names)}) must match instances ({instances})"
+            )
+
         for k in range(instances):
             r, c = divmod(k, cols)
             y = bw + r * (ih + ibw)
@@ -122,7 +150,15 @@ class MapGen(MapBuilder[MapGenConfig]):
                 inst = inst.copy()
                 mask = np.char.startswith(inst.astype(str), "agent")
                 inst[mask] = f"agent.team_{k}"
+            if cfg.instance_object_remap:
+                inst = inst.copy()
+                name = cfg.instance_names[k] if cfg.instance_names else str(k)
+                for original, fmt in cfg.instance_object_remap.items():
+                    inst[inst == original] = fmt.format(instance_id=k, instance_name=name)
             grid[y : y + ih, x : x + iw] = inst
+
+        if cfg.instance_border_clear_radius > 0 and instances > 1:
+            self._clear_instance_borders(grid, ih, iw, rows, cols)
 
         # Outer border walls
         if bw > 0:
@@ -131,6 +167,32 @@ class MapGen(MapBuilder[MapGenConfig]):
             grid[:, :bw] = "wall"
             grid[:, -bw:] = "wall"
         return GameMap(grid)
+
+    def _clear_instance_borders(self, grid: np.ndarray, ih: int, iw: int, rows: int, cols: int) -> None:
+        """Replace walls near instance boundaries with empty cells
+        (reference: mapgen.py:475-508)."""
+        cfg = self.config
+        radius = cfg.instance_border_clear_radius
+        bw = cfg.border_width
+        ibw = cfg.instance_border_width
+        gh, gw = grid.shape
+        for row_idx in range(rows - 1):
+            gap_start = bw + (row_idx + 1) * ih + row_idx * ibw
+            r0 = max(bw, gap_start - radius)
+            r1 = min(gh - bw, gap_start + ibw + radius)
+            band = grid[r0:r1, bw : gw - bw]
+            band[band == "wall"] = "empty"
+        for col_idx in range(cols - 1):
+            gap_start = bw + (col_idx + 1) * iw + col_idx * ibw
+            c0 = max(bw, gap_start - radius)
+            c1 = min(gw - bw, gap_start + ibw + radius)
+            band = grid[bw : gh - bw, c0:c1]
+            band[band == "wall"] = "empty"
+
+    def shuffle_spawn_indices(self, indices: np.ndarray) -> None:
+        if self.config.fixed_spawn_order:
+            return
+        self._rng.shuffle(indices)
 
     def build_for_num_agents(self, num_agents: int) -> GameMap:
         if self.config.instances is None and self.config.num_agents is None:

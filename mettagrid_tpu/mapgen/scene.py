@@ -204,6 +204,30 @@ class Scene(Generic[ConfigT]):
     def post_init(self) -> None:
         pass
 
+    @classmethod
+    def intrinsic_size(cls, config: "SceneConfig") -> Optional[tuple[int, int]]:
+        """(height, width) for scenes with a fixed size (e.g. ASCII data), else
+        None. Used by MapGen to size the map when width/height are omitted
+        (reference: mapgen/scene.py:475-493)."""
+        return None
+
+    def _update_grid_view(self) -> None:
+        """Recompute the (possibly transformed) grid view from the area."""
+        self.grid = self.transform.inverse().apply(self.area.grid)
+        self.height, self.width = self.grid.shape
+
+    def transplant_to_grid(self, grid: np.ndarray, shift_x: int, shift_y: int, is_root: bool = True) -> None:
+        """Re-root this rendered scene (and its subtree) onto a new outer grid,
+        copying the rendered cells once at the top level
+        (reference: mapgen/scene.py:497-528)."""
+        if is_root:
+            self.area.transplant_to_grid(grid, shift_x, shift_y, copy_grid=True)
+        self._update_grid_view()
+        for sub_area in self._areas:
+            sub_area.transplant_to_grid(grid, shift_x, shift_y, copy_grid=False)
+        for child in self.children:
+            child.transplant_to_grid(grid, shift_x, shift_y, is_root=False)
+
     def render(self) -> None:
         raise NotImplementedError
 

@@ -14,14 +14,24 @@ from mettagrid_tpu.mapgen.scenes.layout import Layout
 from mettagrid_tpu.mapgen.scenes.make_connected import MakeConnected
 from mettagrid_tpu.mapgen.scenes.maze import Maze, MazeKruskal
 from mettagrid_tpu.mapgen.scenes.mirror import Mirror
+from mettagrid_tpu.mapgen.scenes.file_scenes import (
+    Ascii,
+    RandomDungeonScene,
+    RandomYamlScene,
+    YamlScene,
+)
 from mettagrid_tpu.mapgen.scenes.misc import (
+    AsteroidMask,
+    BoundedLayout,
     CopyGrid,
     Dither,
+    MeanDistance,
     RadialMaze,
     RandomObjects,
     RemoveAgents,
     Spiral,
 )
+from mettagrid_tpu.mapgen.scenes.transplant import TransplantScene
 from mettagrid_tpu.mapgen.scenes.nop import Nop
 from mettagrid_tpu.mapgen.scenes.random import Random
 from mettagrid_tpu.mapgen.scenes.random_scene import RandomScene
@@ -29,8 +39,16 @@ from mettagrid_tpu.mapgen.scenes.room_grid import RoomGrid
 from mettagrid_tpu.mapgen.scenes.wfc import WFC
 
 __all__ = [
+    "Ascii",
+    "AsteroidMask",
     "BSP",
     "BSPLayout",
+    "BoundedLayout",
+    "MeanDistance",
+    "RandomDungeonScene",
+    "RandomYamlScene",
+    "TransplantScene",
+    "YamlScene",
     "BiomeCaves",
     "BiomeCity",
     "BiomeDesert",

@@ -17,6 +17,17 @@ class InlineAsciiConfig(SceneConfig):
 
 
 class InlineAscii(Scene[InlineAsciiConfig]):
+    @classmethod
+    def intrinsic_size(cls, config: InlineAsciiConfig) -> tuple[int, int] | None:
+        config = cls.Config.model_validate(config)
+        lines = [line for line in config.data.splitlines() if line]
+        if not lines:
+            return None
+        return (
+            len(lines) + config.row,
+            max(len(line) for line in lines) + config.column,
+        )
+
     def render(self) -> None:
         legend = merge_with_global_defaults(dict(self.config.char_to_map_name))
         lines = [line for line in self.config.data.splitlines() if line]

@@ -1,0 +1,11 @@
+"""Mapgen utilities (reference: python/src/mettagrid/mapgen/utils/)."""
+
+from mettagrid_tpu.mapgen.utils.make_scene_config import (
+    make_convchain_config_from_pattern,
+    make_wfc_config_from_pattern,
+)
+
+__all__ = [
+    "make_convchain_config_from_pattern",
+    "make_wfc_config_from_pattern",
+]
