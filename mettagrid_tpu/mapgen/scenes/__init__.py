@@ -7,7 +7,17 @@ from mettagrid_tpu.mapgen.scenes.biomes import (
     BiomeForest,
     BiomePlains,
 )
+from mettagrid_tpu.mapgen.scenes.auto import Auto, AutoLayout, AutoSymmetry
 from mettagrid_tpu.mapgen.scenes.bsp import BSP, BSPLayout
+from mettagrid_tpu.mapgen.scenes.building_distributions import (
+    DistributionConfig,
+    DistributionType,
+    UniformExtractorScene,
+)
+from mettagrid_tpu.mapgen.scenes.compound import Compound, FourCornerCompounds
+from mettagrid_tpu.mapgen.scenes.grid_hubs import GridHubs
+from mettagrid_tpu.mapgen.scenes.multi_left_and_right import MultiLeftAndRight
+from mettagrid_tpu.mapgen.scenes.varied_terrain import VariedTerrain
 from mettagrid_tpu.mapgen.scenes.convchain import ConvChain
 from mettagrid_tpu.mapgen.scenes.inline_ascii import InlineAscii
 from mettagrid_tpu.mapgen.scenes.layout import Layout
@@ -41,6 +51,17 @@ from mettagrid_tpu.mapgen.scenes.wfc import WFC
 __all__ = [
     "Ascii",
     "AsteroidMask",
+    "Auto",
+    "AutoLayout",
+    "AutoSymmetry",
+    "Compound",
+    "DistributionConfig",
+    "DistributionType",
+    "FourCornerCompounds",
+    "GridHubs",
+    "MultiLeftAndRight",
+    "UniformExtractorScene",
+    "VariedTerrain",
     "BSP",
     "BSPLayout",
     "BoundedLayout",
