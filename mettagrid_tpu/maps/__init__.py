@@ -7,6 +7,11 @@ python/src/mettagrid/map_builder/ and mapgen/.
 
 from mettagrid_tpu.maps.ascii import AsciiMapBuilder, AsciiMapBuilderConfig
 from mettagrid_tpu.maps.map_builder import AnyMapBuilderConfig, GameMap, MapBuilder, MapBuilderConfig
+from mettagrid_tpu.maps.maze import MazeKruskalMapBuilder, MazeMapBuilderConfig, MazePrimMapBuilder
+from mettagrid_tpu.maps.perimeter_incontext import (
+    PerimeterInContextMapBuilder,
+    PerimeterInContextMapBuilderConfig,
+)
 from mettagrid_tpu.maps.random_map import RandomMapBuilder, RandomMapBuilderConfig
 
 __all__ = [
@@ -16,6 +21,11 @@ __all__ = [
     "GameMap",
     "MapBuilder",
     "MapBuilderConfig",
+    "MazeKruskalMapBuilder",
+    "MazeMapBuilderConfig",
+    "MazePrimMapBuilder",
+    "PerimeterInContextMapBuilder",
+    "PerimeterInContextMapBuilderConfig",
     "RandomMapBuilder",
     "RandomMapBuilderConfig",
 ]

@@ -1,0 +1,123 @@
+"""Maze map builders: randomized Prim and Kruskal
+(reference: python/src/mettagrid/map_builder/maze.py).
+
+Both carve passages on odd lattice cells of a (forced-odd) width x height
+grid; `start_pos` gets the agent and `end_pos` the hub. Negative positions
+index from the far edge (like Python negative indexing, snapped to the odd
+lattice)."""
+
+from __future__ import annotations
+
+import random
+from typing import Optional
+
+from mettagrid_tpu.maps.map_builder import GameMap, MapBuilder, MapBuilderConfig
+from mettagrid_tpu.maps.utils import create_grid
+
+EMPTY, WALL = "empty", "wall"
+START, END = "agent.agent", "hub"
+
+
+def set_position(coord: int, extent: int) -> int:
+    """Clamp a (possibly negative) coordinate onto the odd carving lattice."""
+    if coord < 0:
+        coord += extent
+    coord = max(0, min(coord, extent - 1))
+    return coord if coord % 2 == 1 else (coord - 1 if coord > 0 else 1)
+
+
+class MazeMapBuilderConfig(MapBuilderConfig["MazePrimMapBuilder"]):
+    width: int
+    height: int
+    start_pos: tuple[int, int] = (1, 1)
+    end_pos: tuple[int, int] = (-1, -1)
+    branching: float = 0.0
+    seed: Optional[int] = None
+
+
+class _MazeBuilderBase(MapBuilder[MazeMapBuilderConfig]):
+    def __init__(self, config: MazeMapBuilderConfig):
+        super().__init__(config)
+        self._rng = random.Random(config.seed)
+        self._width = config.width if config.width % 2 == 1 else config.width - 1
+        self._height = config.height if config.height % 2 == 1 else config.height - 1
+        self._start = (
+            set_position(config.start_pos[0], self._width),
+            set_position(config.start_pos[1], self._height),
+        )
+        self._end = (
+            set_position(config.end_pos[0], self._width),
+            set_position(config.end_pos[1], self._height),
+        )
+
+
+class MazePrimMapBuilder(_MazeBuilderBase):
+    """Randomized Prim: grow the passage tree from start_pos by repeatedly
+    knocking through a random frontier wall."""
+
+    Config = MazeMapBuilderConfig
+    DIRECTIONS = ((2, 0), (-2, 0), (0, 2), (0, -2))
+
+    def build(self) -> GameMap:
+        maze = create_grid(self._height, self._width, fill_value=WALL)
+        sx, sy = self._start
+        maze[sy, sx] = EMPTY
+        walls: list[tuple[int, int, int, int]] = []
+
+        def push_frontier(x: int, y: int) -> None:
+            for dx, dy in self.DIRECTIONS:
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < self._width and 0 <= ny < self._height and maze[ny, nx] == WALL:
+                    walls.append((x + dx // 2, y + dy // 2, nx, ny))
+
+        push_frontier(sx, sy)
+        while walls:
+            wx, wy, nx, ny = walls.pop(self._rng.randrange(len(walls)))
+            if maze[ny, nx] == WALL:
+                maze[wy, wx] = EMPTY
+                maze[ny, nx] = EMPTY
+                push_frontier(nx, ny)
+
+        maze[self._start[1], self._start[0]] = START
+        maze[self._end[1], self._end[0]] = END
+        return GameMap(maze)
+
+
+class MazeKruskalMapBuilder(_MazeBuilderBase):
+    """Randomized Kruskal: union-find over lattice cells, knocking through
+    walls between unconnected components in shuffled order."""
+
+    Config = MazeMapBuilderConfig
+
+    def build(self) -> GameMap:
+        maze = create_grid(self._height, self._width, fill_value=WALL)
+        cells = [(x, y) for y in range(1, self._height, 2) for x in range(1, self._width, 2)]
+        for x, y in cells:
+            maze[y, x] = EMPTY
+
+        parent = {cell: cell for cell in cells}
+
+        def find(cell):
+            root = cell
+            while parent[root] != root:
+                root = parent[root]
+            while parent[cell] != root:  # path compression
+                parent[cell], cell = root, parent[cell]
+            return root
+
+        walls = []
+        for x, y in cells:
+            for dx, dy in ((2, 0), (0, 2)):
+                nx, ny = x + dx, y + dy
+                if nx < self._width and ny < self._height:
+                    walls.append(((x, y), (nx, ny), ((x + nx) // 2, (y + ny) // 2)))
+        self._rng.shuffle(walls)
+        for cell1, cell2, (wx, wy) in walls:
+            r1, r2 = find(cell1), find(cell2)
+            if r1 != r2:
+                maze[wy, wx] = EMPTY
+                parent[r2] = r1
+
+        maze[self._start[1], self._start[0]] = START
+        maze[self._end[1], self._end[0]] = END
+        return GameMap(maze)

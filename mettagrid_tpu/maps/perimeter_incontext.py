@@ -1,0 +1,166 @@
+"""Mini in-context-learning maps: objects on the perimeter, one agent at the
+center, optional reachability-checked obstacles
+(reference: python/src/mettagrid/map_builder/perimeter_incontext.py)."""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional
+
+import numpy as np
+
+from mettagrid_tpu.maps.map_builder import GameMap, MapBuilder, MapBuilderConfig
+from mettagrid_tpu.maps.utils import create_grid, draw_border
+
+
+class PerimeterInContextMapBuilderConfig(MapBuilderConfig["PerimeterInContextMapBuilder"]):
+    """Objects appear on the perimeter (corners excluded); the single agent is
+    centered. `density` in {"no-terrain", "sparse", "balanced", "dense"}
+    controls obstacle count; obstacle shape (square/cross/L) is random."""
+
+    seed: Optional[int] = None
+    width: int = 7
+    height: int = 7
+    objects: dict[str, int] = {}
+    density: str = "no-terrain"
+    agents: int | dict[str, int] = 1
+    border_width: int = 0
+    border_object: str = "wall"
+    chain_length: int = 2
+    num_sinks: int = 0
+    dir: Optional[str] = None
+
+
+def _obstacle_shape(kind: str, size: int) -> np.ndarray:
+    if kind == "square":
+        return np.full((size, size), "wall", dtype=object)
+    if kind == "cross":
+        shape = np.full((size * 2 - 1, size * 2 - 1), "empty", dtype=object)
+        shape[size - 1, :] = "wall"
+        shape[:, size - 1] = "wall"
+        return shape
+    if kind == "L":
+        shape = np.full((size, size), "empty", dtype=object)
+        shape[:, 0] = "wall"
+        shape[size - 1, :] = "wall"
+        return shape
+    return np.array([["wall"]], dtype=object)
+
+
+def _density_params(density: str, inner_area: int, kind: str) -> tuple[int, int]:
+    """(num_obstacles, obstacle_size) for the density tier."""
+    if density == "sparse":
+        return max(1, inner_area // 30), 2 if kind in ("cross", "L") else 1
+    if density == "balanced":
+        return max(2, inner_area // 12), 2
+    if density == "dense":
+        divisor = {"cross": 15, "L": 12}.get(kind, 8)
+        floor = 3 if kind == "square" else 2
+        return max(floor, inner_area // divisor), 2
+    return 0, 1
+
+
+class PerimeterInContextMapBuilder(MapBuilder[PerimeterInContextMapBuilderConfig]):
+    Config = PerimeterInContextMapBuilderConfig
+
+    def __init__(self, config: PerimeterInContextMapBuilderConfig):
+        super().__init__(config)
+        self._rng = np.random.default_rng(config.seed)
+
+    def _reaches_perimeter(self, grid: np.ndarray, si: int, sj: int) -> bool:
+        """BFS from (si, sj) through non-wall cells to any edge cell."""
+        if grid[si, sj] == "wall":
+            return False
+        h, w = grid.shape
+        visited = np.zeros((h, w), dtype=bool)
+        queue = deque([(si, sj)])
+        visited[si, sj] = True
+        while queue:
+            i, j = queue.popleft()
+            if i == 0 or i == h - 1 or j == 0 or j == w - 1:
+                return True
+            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                ni, nj = i + di, j + dj
+                if 0 <= ni < h and 0 <= nj < w and not visited[ni, nj] and grid[ni, nj] != "wall":
+                    visited[ni, nj] = True
+                    queue.append((ni, nj))
+        return False
+
+    def _place_obstacle(self, grid: np.ndarray, shape: np.ndarray, avoid_mask: np.ndarray) -> bool:
+        """Place `shape` at a random position where it avoids `avoid_mask` and
+        keeps the center connected to the perimeter."""
+        h, w = grid.shape
+        sh, sw = shape.shape
+        if h < sh or w < sw:
+            return False
+        # Prefix-sum window check: positions whose avoid window is all-clear.
+        ps = np.zeros((h + 1, w + 1), dtype=np.int32)
+        np.cumsum(np.cumsum(avoid_mask, axis=0), axis=1, out=ps[1:, 1:])
+        sums = ps[sh:, sw:] - ps[:-sh, sw:] - ps[sh:, :-sw] + ps[:-sh, :-sw]
+        candidates = np.argwhere(sums == 0)
+        if len(candidates) == 0:
+            return False
+        self._rng.shuffle(candidates)
+        wall_coords = np.argwhere(shape == "wall")
+        ci, cj = h // 2, w // 2
+        for i, j in candidates:
+            trial = grid.copy()
+            trial[wall_coords[:, 0] + i, wall_coords[:, 1] + j] = "wall"
+            if self._reaches_perimeter(trial, ci, cj):
+                grid[wall_coords[:, 0] + i, wall_coords[:, 1] + j] = "wall"
+                return True
+        return False
+
+    def build(self) -> GameMap:
+        cfg = self.config
+        h, w = cfg.height, cfg.width
+        grid = create_grid(h, w)
+        if cfg.border_width > 0:
+            draw_border(grid, cfg.border_width, cfg.border_object)
+            inner_area = max(0, h - 2 * cfg.border_width) * max(0, w - 2 * cfg.border_width)
+        else:
+            inner_area = h * w
+        if inner_area <= 0:
+            return GameMap(grid)
+
+        perimeter_mask = np.zeros((h, w), dtype=bool)
+        perimeter_mask[[0, -1], :] = True
+        perimeter_mask[:, [0, -1]] = True
+        if h >= 2 and w >= 2:
+            perimeter_mask[[0, 0, -1, -1], [0, -1, 0, -1]] = False
+
+        # Objects land on shuffled empty perimeter cells.
+        symbols = [name for name, count in cfg.objects.items() for _ in range(count)]
+        if symbols:
+            empties = np.flatnonzero(((grid == "empty") & perimeter_mask).ravel())
+            self._rng.shuffle(empties)
+            symbols_arr = np.array(symbols, dtype=object)
+            self._rng.shuffle(symbols_arr)
+            n = min(len(symbols_arr), len(empties))
+            grid.ravel()[empties[:n]] = symbols_arr[:n]
+
+        density = None if cfg.density == "no-terrain" else cfg.density
+        kind = str(self._rng.choice(["square", "cross", "L"]))
+        if density:
+            for fallback in (density, "balanced", "sparse"):
+                count, size = _density_params(fallback, inner_area, kind)
+                avoid = perimeter_mask.copy()
+                if h > 2 and w > 2:
+                    inner = np.zeros((h, w), dtype=bool)
+                    inner[[1, -2], :] = True
+                    inner[:, [1, -2]] = True
+                    inner[[1, 1, -2, -2], [1, -2, 1, -2]] = False
+                    avoid |= inner
+                avoid[h // 2, w // 2] = True
+
+                shape = _obstacle_shape(kind, size)
+                placed = 0
+                for _ in range(count):
+                    if not self._place_obstacle(grid, shape, avoid):
+                        break
+                    placed += 1
+                if placed > 0:
+                    break
+
+        grid[h // 2, w // 2] = "agent.agent"
+        return GameMap(grid)
