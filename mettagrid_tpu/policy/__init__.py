@@ -6,6 +6,12 @@ observations directly on device — (E, A, T, 3) in, (E, A, n_actions) logits
 out — so rollout and learning stay inside one jit.
 """
 
+from mettagrid_tpu.policy.loader import (
+    discover_and_register_policies,
+    get_policy_class_shorthand,
+    initialize_or_load_policy,
+    resolve_policy_class_path,
+)
 from mettagrid_tpu.policy.lstm import LSTMPolicy, LSTMState, init_policy, unroll
 from mettagrid_tpu.policy.policy import (
     POLICY_REGISTRY,
@@ -19,6 +25,19 @@ from mettagrid_tpu.policy.policy import (
     StatefulPolicyImpl,
     load_policy,
 )
+from mettagrid_tpu.policy.policy_env_interface import PolicyEnvInterface
+from mettagrid_tpu.policy.prepare_policy_spec import (
+    load_policy_spec_from_path,
+    localize_policy_uri,
+    prepare_policy_spec,
+)
+from mettagrid_tpu.policy.puffer_default import PufferDefaultNet, PufferDefaultPolicy
+from mettagrid_tpu.policy.stateless import StatelessPolicy, StatelessPolicyNet
+from mettagrid_tpu.policy.submission import (
+    SubmissionPolicySpec,
+    load_policy_manifest,
+    write_submission_policy_spec,
+)
 from mettagrid_tpu.policy.token_encoder import TokenEncoder
 
 __all__ = [
@@ -29,12 +48,27 @@ __all__ = [
     "LSTMState",
     "MultiAgentPolicy",
     "NoopMultiAgentPolicy",
+    "PolicyEnvInterface",
     "PolicySpec",
+    "PufferDefaultNet",
+    "PufferDefaultPolicy",
     "RandomMultiAgentPolicy",
     "StatefulAgentPolicy",
     "StatefulPolicyImpl",
+    "StatelessPolicy",
+    "StatelessPolicyNet",
+    "SubmissionPolicySpec",
     "TokenEncoder",
+    "discover_and_register_policies",
+    "get_policy_class_shorthand",
     "init_policy",
+    "initialize_or_load_policy",
     "load_policy",
+    "load_policy_manifest",
+    "load_policy_spec_from_path",
+    "localize_policy_uri",
+    "prepare_policy_spec",
+    "resolve_policy_class_path",
     "unroll",
+    "write_submission_policy_spec",
 ]

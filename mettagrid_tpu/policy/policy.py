@@ -29,13 +29,21 @@ POLICY_REGISTRY: Dict[str, type] = {}
 
 
 class PolicyRegistryMeta(type):
-    """Auto-registers MultiAgentPolicy subclasses by short_name
+    """Auto-registers MultiAgentPolicy subclasses by short_name(s)
     (reference: policy/policy_registry.py)."""
 
     def __new__(mcs, name, bases, ns):
         cls = super().__new__(mcs, name, bases, ns)
-        short = ns.get("short_name")
-        if short:
+        names = ns.get("short_names") or []
+        single = ns.get("short_name")
+        if single:
+            names = [single, *names]
+        for short in names:
+            existing = POLICY_REGISTRY.get(short)
+            if existing is not None and existing is not cls:
+                raise ValueError(
+                    f"Policy short name {short!r} already registered to {existing.__qualname__}"
+                )
             POLICY_REGISTRY[short] = cls
         return cls
 

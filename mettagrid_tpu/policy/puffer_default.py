@@ -1,0 +1,105 @@
+"""PufferLib-default-style architecture (reference: policy/puffer_default.py).
+
+Mirrors the reference shape choices — flatten/255, Linear encoder + GELU,
+single-layer LSTM core (hidden 256), small-std action head — as a flax module
+with an explicit carried state, batched over all agents in one jitted call.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.policy.lstm import LSTMState
+from mettagrid_tpu.policy.policy import MultiAgentPolicy
+
+
+class PufferDefaultNet(nn.Module):
+    """GELU encoder -> LSTM core -> action/value heads."""
+
+    num_actions: int
+    hidden_size: int = 256
+
+    def setup(self):
+        self.encoder = nn.Dense(self.hidden_size)
+        self.cell = nn.OptimizedLSTMCell(self.hidden_size)
+        # std=0.01 action head matches the reference's layer_init choice.
+        self.action_head = nn.Dense(
+            self.num_actions, kernel_init=nn.initializers.normal(stddev=0.01)
+        )
+        self.value_head = nn.Dense(1)
+
+    def initial_state(self, batch_shape: tuple[int, ...]) -> LSTMState:
+        shape = batch_shape + (self.hidden_size,)
+        return LSTMState(h=jnp.zeros(shape, jnp.float32), c=jnp.zeros(shape, jnp.float32))
+
+    def __call__(
+        self, tokens: jnp.ndarray, state: LSTMState
+    ) -> tuple[jnp.ndarray, jnp.ndarray, LSTMState]:
+        x = tokens.reshape(tokens.shape[:-2] + (-1,)).astype(jnp.float32) / 255.0
+        x = nn.gelu(self.encoder(x))
+        (c, h), y = self.cell((state.c, state.h), x)
+        logits = self.action_head(y)
+        value = self.value_head(y)[..., 0]
+        return logits, value, LSTMState(h=h, c=c)
+
+
+class PufferDefaultPolicy(MultiAgentPolicy):
+    """Batched recurrent policy with the PufferLib default architecture."""
+
+    short_name = "puffer"
+
+    def __init__(
+        self,
+        policy_env_info=None,
+        num_actions: Optional[int] = None,
+        hidden_size: int = 256,
+        seed: int = 0,
+    ):
+        super().__init__(policy_env_info)
+        if num_actions is None:
+            num_actions = len(policy_env_info.action_names) if policy_env_info else 1
+        self._net = PufferDefaultNet(num_actions=num_actions, hidden_size=hidden_size)
+        self._params = None
+        self._state: Optional[LSTMState] = None
+        self._key = jax.random.PRNGKey(seed)
+
+        @jax.jit
+        def _step(params, tokens, state, key):
+            logits, _, new_state = self._net.apply(params, tokens, state)
+            key, sub = jax.random.split(key)
+            return jax.random.categorical(sub, logits).astype(jnp.int32), new_state, key
+
+        self._step_fn = _step
+
+    def network(self) -> PufferDefaultNet:
+        return self._net
+
+    def is_recurrent(self) -> bool:
+        return True
+
+    def reset(self) -> None:
+        self._state = None
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        tokens = jnp.asarray(raw_observations)
+        batch_shape = tokens.shape[:-2]
+        if self._state is None:
+            self._state = self._net.initial_state(batch_shape)
+        if self._params is None:
+            self._params = self._net.init(jax.random.PRNGKey(0), tokens, self._state)
+        actions, self._state, self._key = self._step_fn(self._params, tokens, self._state, self._key)
+        raw_actions[:] = np.asarray(actions)
+
+    def save_policy_data(self, policy_data_path: str) -> None:
+        with open(policy_data_path, "wb") as f:
+            pickle.dump(jax.device_get(self._params), f)
+
+    def load_policy_data(self, policy_data_path: str) -> None:
+        with open(policy_data_path, "rb") as f:
+            self._params = pickle.load(f)

@@ -1,0 +1,78 @@
+"""Stateless feedforward policy (reference: policy/stateless.py).
+
+The reference is a torch MLP (flatten/255 -> Linear(128) -> ReLU -> Linear ->
+action/value heads). Here it is a flax module stepped for the whole agent
+batch in one jitted call — no per-agent Python loop.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.policy.policy import MultiAgentPolicy
+
+
+class StatelessPolicyNet(nn.Module):
+    """Flattened-token MLP actor-critic."""
+
+    num_actions: int
+    hidden_size: int = 128
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """tokens: uint8[..., T, 3] -> (logits[..., A], value[...])."""
+        x = tokens.reshape(tokens.shape[:-2] + (-1,)).astype(jnp.float32) / 255.0
+        x = nn.relu(nn.Dense(self.hidden_size)(x))
+        x = nn.Dense(self.hidden_size)(x)
+        logits = nn.Dense(self.num_actions)(x)
+        value = nn.Dense(1)(x)[..., 0]
+        return logits, value
+
+
+class StatelessPolicy(MultiAgentPolicy):
+    """Batched stateless policy behind the buffer protocol."""
+
+    short_name = "stateless"
+
+    def __init__(self, policy_env_info=None, num_actions: Optional[int] = None, seed: int = 0):
+        super().__init__(policy_env_info)
+        if num_actions is None:
+            num_actions = len(policy_env_info.action_names) if policy_env_info else 1
+        self._net = StatelessPolicyNet(num_actions=num_actions)
+        self._params = None
+        self._key = jax.random.PRNGKey(seed)
+
+        @jax.jit
+        def _step(params, tokens, key):
+            logits, _ = self._net.apply(params, tokens)
+            key, sub = jax.random.split(key)
+            return jax.random.categorical(sub, logits).astype(jnp.int32), key
+
+        self._step_fn = _step
+
+    def network(self) -> StatelessPolicyNet:
+        return self._net
+
+    def is_recurrent(self) -> bool:
+        return False
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        tokens = jnp.asarray(raw_observations)
+        if self._params is None:
+            self._params = self._net.init(jax.random.PRNGKey(0), tokens)
+        actions, self._key = self._step_fn(self._params, tokens, self._key)
+        raw_actions[:] = np.asarray(actions)
+
+    def save_policy_data(self, policy_data_path: str) -> None:
+        with open(policy_data_path, "wb") as f:
+            pickle.dump(jax.device_get(self._params), f)
+
+    def load_policy_data(self, policy_data_path: str) -> None:
+        with open(policy_data_path, "rb") as f:
+            self._params = pickle.load(f)

@@ -5,26 +5,17 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from mettagrid_tpu.policy.policy import load_policy
+from mettagrid_tpu.policy.policy_env_interface import PolicyEnvInterface
 from mettagrid_tpu.runner.types import EpisodeRequest, EpisodeResult
 from mettagrid_tpu.simulator.interface import SimulatorEventHandler
 from mettagrid_tpu.simulator.rollout import Rollout
-
-
-class _EnvInfo:
-    """Minimal PolicyEnvInterface equivalent handed to policies."""
-
-    def __init__(self, config):
-        self.action_names = [a.name for a in config.game.actions.actions()]
-        self.obs_height = config.game.obs.height
-        self.obs_width = config.game.obs.width
-        self.num_tokens = config.game.obs.num_tokens
 
 
 def run_episode_local(
     request: EpisodeRequest,
     event_handlers: Sequence[SimulatorEventHandler] = (),
 ) -> EpisodeResult:
-    env_info = _EnvInfo(request.config)
+    env_info = PolicyEnvInterface.from_config(request.config)
     policies = [load_policy(spec, env_info) for spec in request.policy_specs]
 
     num_agents = request.config.game.num_agents

@@ -1,0 +1,168 @@
+"""Tests for policy env interface, loader/registry, submission archives, and
+the stateless/puffer-default policies."""
+
+import json
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.config import MettaGridConfig
+from mettagrid_tpu.policy import (
+    PolicyEnvInterface,
+    PolicySpec,
+    PufferDefaultPolicy,
+    StatelessPolicy,
+    SubmissionPolicySpec,
+    get_policy_class_shorthand,
+    initialize_or_load_policy,
+    load_policy_manifest,
+    load_policy_spec_from_path,
+    prepare_policy_spec,
+    resolve_policy_class_path,
+    write_submission_policy_spec,
+)
+
+
+@pytest.fixture(scope="module")
+def env_info():
+    return PolicyEnvInterface.from_config(MettaGridConfig.EmptyRoom(num_agents=2))
+
+
+def test_env_interface_fields(env_info):
+    assert env_info.num_agents == 2
+    assert "noop" in env_info.action_names
+    assert all(a.startswith("change_vibe_") for a in env_info.vibe_action_names)
+    assert not any(a.startswith("change_vibe_") for a in env_info.action_names)
+    assert env_info.observation_shape == (500, 3)
+    assert env_info.obs_height == 13 and env_info.obs_width == 13
+    assert len(env_info.obs_features) > 0
+    assert env_info.observation_space.dtype == np.uint8
+    assert env_info.action_space.n == len(env_info.action_names)
+
+
+def test_env_interface_serialization_roundtrip(env_info):
+    restored = PolicyEnvInterface.model_validate_json(env_info.model_dump_json())
+    assert restored == env_info
+
+
+def test_resolve_policy_class_path_shorthands():
+    assert resolve_policy_class_path("random").endswith("RandomMultiAgentPolicy")
+    assert resolve_policy_class_path("noop").endswith("NoopMultiAgentPolicy")
+    assert resolve_policy_class_path("stateless").endswith("StatelessPolicy")
+    assert resolve_policy_class_path("puffer").endswith("PufferDefaultPolicy")
+    assert resolve_policy_class_path("lstm").endswith("JaxMultiAgentPolicy")
+    # Full paths pass through.
+    assert resolve_policy_class_path("a.b.C") == "a.b.C"
+
+
+def test_shorthand_reverse_lookup():
+    full = resolve_policy_class_path("stateless")
+    assert get_policy_class_shorthand(full) == "stateless"
+
+
+def test_initialize_or_load_policy(env_info):
+    policy = initialize_or_load_policy(env_info, PolicySpec(class_path="random"))
+    obs = np.zeros((2, 10, 3), dtype=np.uint8)
+    acts = np.zeros(2, dtype=np.int32)
+    policy.step_batch(obs, acts)
+    assert (acts >= 0).all() and (acts < len(env_info.action_names)).all()
+
+
+def test_stateless_policy_steps_and_saves(env_info, tmp_path):
+    policy = StatelessPolicy(env_info, seed=1)
+    obs = np.random.default_rng(0).integers(0, 255, size=(2, 20, 3), dtype=np.uint8)
+    acts = np.zeros(2, dtype=np.int32)
+    policy.step_batch(obs, acts)
+    assert not policy.is_recurrent()
+
+    path = tmp_path / "stateless.pkl"
+    policy.save_policy_data(str(path))
+    policy2 = StatelessPolicy(env_info, seed=1)
+    policy2.load_policy_data(str(path))
+    acts2 = np.zeros(2, dtype=np.int32)
+    policy2.step_batch(obs, acts2)
+    assert (acts == acts2).all()  # same params + same key stream
+
+
+def test_puffer_default_policy_recurrent(env_info):
+    policy = PufferDefaultPolicy(env_info, hidden_size=64)
+    assert policy.is_recurrent()
+    obs = np.zeros((2, 20, 3), dtype=np.uint8)
+    acts = np.zeros(2, dtype=np.int32)
+    policy.step_batch(obs, acts)
+    assert policy._state is not None
+    policy.reset()
+    assert policy._state is None
+
+
+def _write_archive(tmp_path: Path, with_manifest: bool) -> Path:
+    root = tmp_path / "bundle"
+    root.mkdir()
+    if with_manifest:
+        (root / "mettagrid.toml").write_text(
+            '[policy]\nclass_path = "mettagrid_tpu.policy.policy.NoopMultiAgentPolicy"\n'
+        )
+    else:
+        write_submission_policy_spec(
+            root / "policy_spec.json",
+            SubmissionPolicySpec(class_path="mettagrid_tpu.policy.policy.NoopMultiAgentPolicy"),
+        )
+    archive = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(archive, "w") as zf:
+        for f in root.iterdir():
+            zf.write(f, f.name)
+    return archive
+
+
+def test_submission_archive_spec_json(tmp_path, env_info):
+    archive = _write_archive(tmp_path, with_manifest=False)
+    spec = load_policy_spec_from_path(archive, force_dest=tmp_path / "extract")
+    assert spec.class_path.endswith("NoopMultiAgentPolicy")
+    policy = initialize_or_load_policy(env_info, spec)
+    acts = np.ones(2, dtype=np.int32)
+    policy.step_batch(np.zeros((2, 5, 3), dtype=np.uint8), acts)
+    assert (acts == 0).all()
+
+
+def test_submission_archive_manifest(tmp_path):
+    archive = _write_archive(tmp_path, with_manifest=True)
+    spec = load_policy_spec_from_path(archive, force_dest=tmp_path / "extract")
+    assert spec.class_path.endswith("NoopMultiAgentPolicy")
+
+
+def test_manifest_requires_policy_table(tmp_path):
+    path = tmp_path / "bad.toml"
+    path.write_text("[other]\nx = 1\n")
+    with pytest.raises(ValueError, match="policy"):
+        load_policy_manifest(path)
+
+
+def test_zip_traversal_rejected(tmp_path):
+    archive = tmp_path / "evil.zip"
+    with zipfile.ZipFile(archive, "w") as zf:
+        zf.writestr("../escape.txt", "nope")
+    with pytest.raises(ValueError, match="escapes"):
+        load_policy_spec_from_path(archive, force_dest=tmp_path / "extract")
+
+
+def test_prepare_policy_spec_passthrough():
+    spec = prepare_policy_spec("random")
+    assert spec.class_path == "random"
+
+
+def test_setup_script_runs_once(tmp_path):
+    root = tmp_path / "bundle"
+    root.mkdir()
+    (root / "setup.py").write_text("open('setup_ran.txt', 'a').write('x')\n")
+    write_submission_policy_spec(
+        root / "policy_spec.json",
+        SubmissionPolicySpec(
+            class_path="mettagrid_tpu.policy.policy.NoopMultiAgentPolicy",
+            setup_script="setup.py",
+        ),
+    )
+    load_policy_spec_from_path(root)
+    load_policy_spec_from_path(root)
+    assert (root / "setup_ran.txt").read_text() == "x"
