@@ -1,7 +1,7 @@
 """Renderers (reference: python/src/mettagrid/renderer/)."""
 
 from mettagrid_tpu.renderer.log_renderer import LogRenderer
-from mettagrid_tpu.renderer.miniscope import MiniscopeRenderer
+from mettagrid_tpu.renderer.miniscope import InteractiveMiniscope, MiniscopeRenderer
 from mettagrid_tpu.renderer.renderer import Renderer
 
-__all__ = ["LogRenderer", "MiniscopeRenderer", "Renderer"]
+__all__ = ["InteractiveMiniscope", "LogRenderer", "MiniscopeRenderer", "Renderer"]

@@ -38,8 +38,13 @@ class Rollout:
         seed: int = 0,
         event_handlers: Sequence[SimulatorEventHandler] = (),
         max_steps: Optional[int] = None,
+        renderer=None,
     ):
-        self._sim = Simulation(config, seed=seed, event_handlers=list(event_handlers))
+        handlers = list(event_handlers)
+        self._renderer = renderer
+        if renderer is not None and renderer not in handlers:
+            handlers.append(renderer)
+        self._sim = Simulation(config, seed=seed, event_handlers=handlers)
         if isinstance(policies, MultiAgentPolicy):
             policies = [(policies, list(range(self._sim.num_agents)))]
         self._policies = list(policies)
@@ -55,6 +60,13 @@ class Rollout:
 
     def step(self) -> None:
         sim = self._sim
+        # Interactive renderers block here for pacing/pause/manual input
+        # (reference: Rollout's user-input override ordering).
+        renderer = self._renderer
+        if renderer is not None:
+            renderer.render()
+            if getattr(renderer, "stopped", False):
+                return
         obs = np.asarray(sim.last_outputs.observations)[0]  # [A, T, 3]
         np.copyto(self._obs_buf, obs)
         for policy, agent_ids in self._policies:
@@ -64,6 +76,10 @@ class Rollout:
             self._act_buf[ids] = acts
         for agent_id in range(sim.num_agents):
             sim.agent(agent_id).set_action(int(self._act_buf[agent_id]))
+        if renderer is not None and hasattr(renderer, "consume_user_actions"):
+            # Manual actions override the policy's (applied last, wins).
+            for agent_id, action in renderer.consume_user_actions().items():
+                sim.agent(agent_id).set_action(action)
         sim.step()
 
     def run(self) -> RolloutResult:
@@ -72,6 +88,8 @@ class Rollout:
         steps = 0
         while not self._sim.is_done:
             if self._max_steps is not None and steps >= self._max_steps:
+                break
+            if self._renderer is not None and getattr(self._renderer, "stopped", False):
                 break
             self.step()
             steps += 1

@@ -1,0 +1,124 @@
+"""Tests for the interactive miniscope TUI (non-TTY mode)."""
+
+import io
+
+import numpy as np
+
+from mettagrid_tpu.config import MettaGridConfig
+from mettagrid_tpu.policy import NoopMultiAgentPolicy
+from mettagrid_tpu.renderer import InteractiveMiniscope
+from mettagrid_tpu.renderer.miniscope.state import PlaybackState, RenderMode
+from mettagrid_tpu.simulator.rollout import Rollout
+
+
+def make_rollout(renderer, max_steps=3):
+    cfg = MettaGridConfig.EmptyRoom(num_agents=2)
+    cfg.game.max_steps = 10
+    return Rollout(cfg, NoopMultiAgentPolicy(), seed=0, max_steps=max_steps, renderer=renderer)
+
+
+def test_interactive_miniscope_runs_headless():
+    out = io.StringIO()
+    renderer = InteractiveMiniscope(fps=0, out=out)
+    rollout = make_rollout(renderer)
+    result = rollout.run()
+    assert result.steps == 3
+    frame = out.getvalue()
+    assert "step" in frame
+    assert "Agent 0" in frame
+
+
+def test_compose_frame_panels():
+    out = io.StringIO()
+    renderer = InteractiveMiniscope(out=out)
+    rollout = make_rollout(renderer, max_steps=1)
+    rollout.step()
+    st = renderer.state
+    st.sidebar_visibility["agent_info"] = True
+    frame = renderer.compose_frame()
+    assert "agent 0" in frame  # agent info panel
+    assert "│" in frame  # sidebar separator
+    # Mode switches
+    st.set_mode(RenderMode.SELECT)
+    frame = renderer.compose_frame()
+    assert "cursor" in frame
+
+
+def test_key_handling_pause_step_speed():
+    out = io.StringIO()
+    renderer = InteractiveMiniscope(out=out)
+    rollout = make_rollout(renderer, max_steps=1)
+    rollout.step()
+    st = renderer.state
+    st.playback = PlaybackState.RUNNING
+    renderer._handle_input(" ")
+    assert st.playback == PlaybackState.PAUSED
+    renderer._handle_input("n")
+    assert st.should_step
+    fps0 = st.fps
+    renderer._handle_input("+")
+    assert st.fps > fps0
+    renderer._handle_input("q")
+    assert renderer.stopped
+
+
+def test_agent_selection_and_manual_action():
+    out = io.StringIO()
+    renderer = InteractiveMiniscope(out=out)
+    rollout = make_rollout(renderer, max_steps=1)
+    rollout.step()
+    st = renderer.state
+    renderer._handle_input("]")
+    assert st.selected_agent == 1
+    renderer._handle_input("[")
+    assert st.selected_agent == 0
+    renderer._handle_input("w")  # move_north
+    assert st.user_action == "move_north"
+    overrides = renderer.consume_user_actions()
+    assert overrides == {0: "move_north"}
+    assert st.user_action is None
+    renderer._handle_input("m")
+    assert 0 in st.manual_agents
+
+
+def test_vibe_picker_modal():
+    out = io.StringIO()
+    renderer = InteractiveMiniscope(out=out)
+    rollout = make_rollout(renderer, max_steps=1)
+    rollout.step()
+    st = renderer.state
+    renderer._handle_input("e")
+    assert st.mode == RenderMode.VIBE_PICKER
+    frame = renderer.compose_frame()
+    assert "pick vibe" in frame
+    renderer._handle_input("j")
+    renderer._handle_input("\r")
+    assert st.user_action is not None and st.user_action.startswith("change_vibe_")
+    assert st.mode != RenderMode.VIBE_PICKER
+
+
+def test_help_modal():
+    out = io.StringIO()
+    renderer = InteractiveMiniscope(out=out)
+    rollout = make_rollout(renderer, max_steps=1)
+    rollout.step()
+    st = renderer.state
+    renderer._handle_input("?")
+    assert st.mode == RenderMode.HELP
+    assert "help" in renderer.compose_frame()
+    renderer._handle_input("x")  # any key closes
+    assert st.mode != RenderMode.HELP
+
+
+def test_manual_override_applied_in_rollout():
+    out = io.StringIO()
+    renderer = InteractiveMiniscope(out=out)
+    rollout = make_rollout(renderer, max_steps=2)
+    sim = rollout.simulation
+    st = renderer.state
+    pos0 = (int(np.asarray(sim.state.obj_r[0, 0])), int(np.asarray(sim.state.obj_c[0, 0])))
+    st.selected_agent = 0
+    st.user_action = "move_south"
+    rollout.step()
+    pos1 = (int(np.asarray(sim.state.obj_r[0, 0])), int(np.asarray(sim.state.obj_c[0, 0])))
+    assert pos1[0] == pos0[0] + 1 or pos1 == pos0  # moved south unless blocked
