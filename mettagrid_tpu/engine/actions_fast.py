@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mettagrid_tpu.engine.exec import Ctx, eval_filters, gather, scatter
 from mettagrid_tpu.engine.handlers import apply_mutations
@@ -180,10 +181,10 @@ def make_action_phase_fast(program: EngineProgram):
     # the same cell/object during their line scans + relocations.
     r_int = 2 * max_range
 
-    def bookkeeping(state: EnvState, active, a, success):
-        """Per-invocation stats + last-action updates for a batch of agents
-        (action_handler.hpp:78-105). active/a/success: [E, A]."""
-        E = active.shape[0]
+    def bookkeeping(state: EnvState, active, a, success, ar, ac):
+        """Stats + last-action updates for a batch of agents
+        (action_handler.hpp:78-105). active/a/success: [E, A]; ar/ac are the
+        agents' positions at their settle time."""
         stats = state.agent_stats  # [E, A, Sa]
         sid = jnp.where(success, succ_stat_t[a], fail_stat_t[a])
         onehot = jax.nn.one_hot(sid, Sa, dtype=stats.dtype)
@@ -193,8 +194,6 @@ def make_action_phase_fast(program: EngineProgram):
         )
         stats = stats + jnp.where((active & ~success)[..., None], failed_oh, 0.0)
 
-        ar = state.obj_r[:, :A]
-        ac = state.obj_c[:, :A]
         same = (ar == state.agent_action_prev_r) & (ac == state.agent_action_prev_c)
         new_swm = jnp.where(same, state.agent_swm + 1, 0)
         max_swm = stats[..., program.stat_max_swm]
@@ -219,8 +218,20 @@ def make_action_phase_fast(program: EngineProgram):
             jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
         )
 
+        # Static per-stream facts: which action kinds can each stream carry?
+        kinds_np = np.asarray(program.action_kind)
+        vibe_np = np.asarray(program.action_is_vibe, dtype=bool)
+        prio_np = np.asarray(program.action_priority)
+
         for prio in program.priorities_desc:
             for vibe_stream, acts in ((False, actions), (True, vibe_actions)):
+                sel = (vibe_np == vibe_stream) & (prio_np == prio)
+                stream_has_move = bool((kinds_np[sel] == KIND_MOVE).any())
+                stream_has_noop = bool((kinds_np[sel] == KIND_NOOP).any())
+                stream_has_cv = bool((kinds_np[sel] == KIND_CHANGE_VIBE).any())
+                if not (stream_has_move or stream_has_noop or stream_has_cv) and vibe_stream:
+                    continue
+
                 valid = (acts >= 0) & (acts < n_actions)
                 a = jnp.clip(acts, 0, n_actions - 1)
                 stream_ok = is_vibe_t[a] == vibe_stream
@@ -238,40 +249,74 @@ def make_action_phase_fast(program: EngineProgram):
                 arg = arg_t[a]
 
                 # --- non-interacting kinds settle immediately ---
-                noop_mask = active & (kind == KIND_NOOP)
-                cv_mask = active & (kind == KIND_CHANGE_VIBE)
-                agent_vibe = state.obj_vibe[:, :A]
-                state = state._replace(
-                    obj_vibe=state.obj_vibe.at[:, :A].set(jnp.where(cv_mask, arg, agent_vibe))
-                )
-                state = bookkeeping(state, noop_mask | cv_mask, a, noop_mask | cv_mask)
+                settled_now = jnp.zeros_like(active)
+                succ_now = jnp.zeros_like(active)
+                if stream_has_cv:
+                    cv_mask = active & (kind == KIND_CHANGE_VIBE)
+                    agent_vibe = state.obj_vibe[:, :A]
+                    state = state._replace(
+                        obj_vibe=state.obj_vibe.at[:, :A].set(jnp.where(cv_mask, arg, agent_vibe))
+                    )
+                    settled_now = settled_now | cv_mask
+                    succ_now = succ_now | cv_mask
+                if stream_has_noop:
+                    noop_mask = active & (kind == KIND_NOOP)
+                    settled_now = settled_now | noop_mask
+                    succ_now = succ_now | noop_mask
 
                 # --- moves: wave resolution ---
-                move_mask = active & (kind == KIND_MOVE)
+                # Bookkeeping is hoisted out of the wave loop; each wave only
+                # records (settled, success, position-at-settle), and stats
+                # update once per stream (position at settle time matters for
+                # the steps-without-motion stat — a later swap may move an
+                # already-settled agent, matching the reference's per-turn
+                # recording at action_handler.hpp:78-105).
+                # noop/change-vibe agents settle immediately at their current
+                # position (recorded now; a later swap must not retro-move them).
+                r_base = state.obj_r[:, :A]
+                c_base = state.obj_c[:, :A]
 
-                def wave_cond(carry):
-                    state, unsettled, _ = carry
-                    return jnp.any(unsettled)
+                if program.move_handlers and stream_has_move:
+                    move_mask = active & (kind == KIND_MOVE)
+                    r0 = r_base
+                    c0 = c_base
 
-                def wave_body(carry):
-                    state, unsettled, success = carry
-                    ar = state.obj_r[:, :A]
-                    ac = state.obj_c[:, :A]
-                    # pairwise Chebyshev distance [E, A, A]
-                    ddr = jnp.abs(ar[:, :, None] - ar[:, None, :])
-                    ddc = jnp.abs(ac[:, :, None] - ac[:, None, :])
-                    near = jnp.maximum(ddr, ddc) <= r_int
-                    earlier = rank[:, None, :] < rank[:, :, None]  # j earlier than i
-                    dep = (near & earlier & unsettled[:, None, :]).any(axis=-1)
-                    settle = unsettled & ~dep  # non-empty while any unsettled
-                    state, succ = apply_move_batch(program, state, settle, arg)
-                    state = bookkeeping(state, settle, a, succ)
-                    return state, unsettled & ~settle, success | succ
+                    def wave_cond(carry):
+                        _, unsettled, _, _, _ = carry
+                        return jnp.any(unsettled)
 
-                if program.move_handlers:
-                    state, _, _ = jax.lax.while_loop(
-                        wave_cond, wave_body, (state, move_mask, jnp.zeros_like(move_mask))
+                    def wave_body(carry):
+                        state, unsettled, success, r_rec, c_rec = carry
+                        ar = state.obj_r[:, :A]
+                        ac = state.obj_c[:, :A]
+                        # pairwise Chebyshev distance [E, A, A]
+                        ddr = jnp.abs(ar[:, :, None] - ar[:, None, :])
+                        ddc = jnp.abs(ac[:, :, None] - ac[:, None, :])
+                        near = jnp.maximum(ddr, ddc) <= r_int
+                        earlier = rank[:, None, :] < rank[:, :, None]
+                        dep = (near & earlier & unsettled[:, None, :]).any(axis=-1)
+                        settle = unsettled & ~dep  # non-empty while any unsettled
+                        state, succ = apply_move_batch(program, state, settle, arg)
+                        r_rec = jnp.where(settle, state.obj_r[:, :A], r_rec)
+                        c_rec = jnp.where(settle, state.obj_c[:, :A], c_rec)
+                        return state, unsettled & ~settle, success | succ, r_rec, c_rec
+
+                    state, _, move_succ, r_rec, c_rec = jax.lax.while_loop(
+                        wave_cond,
+                        wave_body,
+                        (state, move_mask, jnp.zeros_like(move_mask), r0, c0),
                     )
+                    settled_all = settled_now | move_mask
+                    succ_all = succ_now | move_succ
+                    r_at = jnp.where(move_mask, r_rec, r_base)
+                    c_at = jnp.where(move_mask, c_rec, c_base)
+                else:
+                    settled_all = settled_now
+                    succ_all = succ_now
+                    r_at = r_base
+                    c_at = c_base
+
+                state = bookkeeping(state, settled_all, a, succ_all, r_at, c_at)
         return state
 
     return action_phase

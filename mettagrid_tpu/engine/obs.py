@@ -291,7 +291,7 @@ def make_obs_fn(program: EngineProgram):
         attempted = ok.sum(axis=-1)
         if _TAP == "attempted":
             return words, attempted
-        out_words = _roll_compact(words, ok, T)
+        out_words = _compact(words, ok, T)
         if _TAP == "rolled":
             return out_words, attempted
         empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
@@ -315,6 +315,19 @@ _LANDED_EMPTY = -1
 # Gap marker for invalid entries: a power of two far above any real shift, so
 # its bits never trigger a move.
 _GAP_INVALID = 1 << 24
+
+
+def _compact(words: jnp.ndarray, ok: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Stable budget compaction. On TPU this is a Pallas kernel that stages
+    each row block through VMEM (~6 ms at E=4096 vs ~36 ms for the HBM-pass
+    roll formulation); elsewhere it falls back to the XLA roll algorithm."""
+    from mettagrid_tpu.engine.pallas_kernels import compact_rows_pallas, use_pallas
+
+    if use_pallas():
+        E_, A_, C_ = words.shape
+        flat = jnp.where(ok, words, _LANDED_EMPTY).reshape(E_ * A_, C_)
+        return compact_rows_pallas(flat, T).reshape(E_, A_, T)
+    return _roll_compact(words, ok, T)
 
 
 def _roll_compact(words: jnp.ndarray, ok: jnp.ndarray, T: int) -> jnp.ndarray:

@@ -1,0 +1,116 @@
+"""Pallas TPU kernels for the measured hot paths (SURVEY.md §7 step 7).
+
+`compact_rows`: stable stream compaction of token words — the obs pipeline's
+budget-compaction stage (reference hot loop: cpp/bindings/mettagrid_c.cpp:
+756-823 budget accounting). The XLA formulation (log-shift masked rolls over
+[E*A, C] in HBM) moves ~10 passes x hundreds of MB through HBM (~29 ms at
+E=4096); here each row block is staged once through VMEM and the passes run
+at VPU/VMEM speed, leaving only the in/out HBM traffic.
+
+All kernels have a pure-XLA fallback for CPU tests (`*_xla`); dispatch by
+backend via `use_pallas()`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1 << 24  # gap sentinel for invalid slots; above any real shift bit
+
+
+def use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _prefix_sum_lanes(x):
+    """Inclusive prefix sum along the last axis via Hillis-Steele shifts
+    (pallas TPU has no cumsum lowering)."""
+    C = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    d = 1
+    while d < C:
+        shifted = jnp.where(lane >= d, jnp.roll(x, d, axis=-1), 0)
+        x = x + shifted
+        d <<= 1
+    return x
+
+
+def _compact_block(w, T):
+    """Log-shift stable compaction of rows in registers/VMEM.
+
+    w: int32 [B, C]; invalid elements are -1. Returns [B, T]: valid elements
+    front-packed in order, -1 elsewhere.
+    """
+    C = w.shape[-1]
+    ok = w >= 0
+    inv = (~ok).astype(jnp.int32)
+    g = _prefix_sum_lanes(inv) - inv  # invalid slots before each element
+    g = jnp.where(ok, g, _BIG)
+    bit = 1
+    while bit < C:
+        # Mosaic cannot roll i1 vectors; derive both masks from the int arrays.
+        move = (g & bit) != 0  # this element leaves
+        rolled_w = pltpu_roll(w, -bit)
+        rolled_g = pltpu_roll(g, -bit)
+        incoming = (rolled_g & bit) != 0  # the element `bit` to the right moves here
+        w = jnp.where(incoming, rolled_w, jnp.where(move, -1, w))
+        g = jnp.where(incoming, rolled_g & ~bit, jnp.where(move, _BIG, g))
+        bit <<= 1
+    return w[:, :T]
+
+
+def pltpu_roll(x, shift):
+    """Circular shift along the last axis (lane dim)."""
+    return jnp.roll(x, shift, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "block_rows"))
+def compact_rows_pallas(words: jnp.ndarray, T: int, block_rows: int = 256) -> jnp.ndarray:
+    """Stable front-compaction of each row's non-negative words.
+
+    words: int32 [R, C] with -1 marking invalid slots. Returns int32 [R, T].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, C = words.shape
+    C_pad = _round_up(C, 128)
+    T_pad = _round_up(T, 128)
+    R_pad = _round_up(R, block_rows)
+    if C_pad != C or R_pad != R:
+        words = jnp.pad(words, ((0, R_pad - R), (0, C_pad - C)), constant_values=-1)
+
+    def kernel(in_ref, out_ref):
+        out_ref[:] = _compact_block(in_ref[:], T_pad)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(R_pad // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, C_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((block_rows, T_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, T_pad), jnp.int32),
+    )(words)
+    return out[:R, :T]
+
+
+def compact_rows_xla(words: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Pure-XLA fallback (CPU tests, non-TPU backends)."""
+    return _compact_block(words, T)
+
+
+def compact_rows(words: jnp.ndarray, T: int) -> jnp.ndarray:
+    if use_pallas():
+        return compact_rows_pallas(words, T)
+    return compact_rows_xla(words, T)

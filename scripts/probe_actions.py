@@ -1,0 +1,105 @@
+"""How many waves does the fast action phase run, and what does each cost?"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.engine.actions_fast import apply_move_batch, make_action_phase_fast
+
+
+def timeit(fn, *args, n=5, warmup=2):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+perm = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (E, A))
+
+# Count waves: replicate the wave dependency logic
+kind_t = jnp.asarray(program.action_kind)
+move_kind = 2  # KIND_MOVE
+from mettagrid_tpu.engine.program import KIND_MOVE
+
+max_range = max((mh.max_range for mh in program.move_handlers), default=1)
+r_int = 2 * max_range
+
+
+def count_waves(state, actions):
+    a = jnp.clip(actions, 0, len(program.action_names) - 1)
+    kind = kind_t[a]
+    unsettled = kind == KIND_MOVE
+    rank = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (E, A))
+    waves = 0
+    per_env_waves = jnp.zeros(E, dtype=jnp.int32)
+    while bool(jnp.any(unsettled)):
+        ar = state.obj_r[:, :A]
+        ac = state.obj_c[:, :A]
+        ddr = jnp.abs(ar[:, :, None] - ar[:, None, :])
+        ddc = jnp.abs(ac[:, :, None] - ac[:, None, :])
+        near = jnp.maximum(ddr, ddc) <= r_int
+        earlier = rank[:, None, :] < rank[:, :, None]
+        dep = (near & earlier & unsettled[:, None, :]).any(axis=-1)
+        settle = unsettled & ~dep
+        per_env_waves += jnp.any(unsettled, axis=-1).astype(jnp.int32)
+        unsettled = unsettled & ~settle
+        waves += 1
+        if waves > 50:
+            break
+    return waves, per_env_waves
+
+
+waves, per_env = count_waves(state, actions)
+per_env = np.asarray(per_env)
+print(f"global waves (while_loop iters): {waves}")
+print(f"per-env waves: mean {per_env.mean():.2f} p50 {np.percentile(per_env,50):.0f} "
+      f"p99 {np.percentile(per_env,99):.0f} max {per_env.max()}")
+
+# Cost of ONE apply_move_batch at [E, A]
+arg_t = jnp.asarray(program.action_arg)
+arg = arg_t[jnp.clip(actions, 0, len(program.action_names) - 1)]
+active = jnp.ones((E, A), dtype=bool)
+
+
+def one_batch(state):
+    s2, succ = apply_move_batch(program, state, active, arg)
+    return s2.obj_r.sum() + succ.sum()
+
+
+t = timeit(one_batch, state)
+print(f"one apply_move_batch: {t*1e3:.2f} ms")
+
+phase = make_action_phase_fast(program)
+
+
+@jax.jit
+def full(state):
+    return phase(state, actions, vibes, perm).obj_r.sum()
+
+
+t = timeit(full, state)
+print(f"full fast action phase: {t*1e3:.2f} ms")

@@ -1,0 +1,52 @@
+"""Carried-state action-phase breakdown at bench shapes."""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timing import time_fn_carry
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.engine.actions_fast import apply_move_batch, make_action_phase_fast
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+perm = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (E, A))
+arg_t = jnp.asarray(program.action_arg)
+arg = arg_t[jnp.clip(actions, 0, len(program.action_names) - 1)]
+active_all = jnp.ones((E, A), dtype=bool)
+
+phase = make_action_phase_fast(program)
+t = time_fn_carry(lambda s: phase(s, actions, vibes, perm), state, k=8)
+print(f"full fast action phase: {t*1e3:8.2f} ms", flush=True)
+
+t = time_fn_carry(lambda s: apply_move_batch(program, s, active_all, arg)[0], state, k=8)
+print(f"one apply_move_batch:   {t*1e3:8.2f} ms", flush=True)
+
+# pairwise dependency computation alone
+def dep_only(s):
+    ar = s.obj_r[:, :A]
+    ac = s.obj_c[:, :A]
+    ddr = jnp.abs(ar[:, :, None] - ar[:, None, :])
+    ddc = jnp.abs(ac[:, :, None] - ac[:, None, :])
+    near = jnp.maximum(ddr, ddc) <= 2
+    dep = near.any(axis=-1)
+    return s._replace(agent_swm=s.agent_swm + dep.astype(jnp.int32))
+
+t = time_fn_carry(dep_only, state, k=8)
+print(f"pairwise dep:           {t*1e3:8.2f} ms", flush=True)

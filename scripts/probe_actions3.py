@@ -1,0 +1,91 @@
+"""Is lax.while_loop the action-phase overhead? Compare against unrolled waves."""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timing import time_fn_carry
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.engine.actions_fast import apply_move_batch
+from mettagrid_tpu.engine.program import KIND_MOVE
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+kind_t = jnp.asarray(program.action_kind)
+arg_t = jnp.asarray(program.action_arg)
+a = jnp.clip(actions, 0, len(program.action_names) - 1)
+arg = arg_t[a]
+move_mask0 = kind_t[a] == KIND_MOVE
+rank = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (E, A))
+r_int = 2
+
+
+def wave_settle(state, unsettled):
+    ar = state.obj_r[:, :A]
+    ac = state.obj_c[:, :A]
+    ddr = jnp.abs(ar[:, :, None] - ar[:, None, :])
+    ddc = jnp.abs(ac[:, :, None] - ac[:, None, :])
+    near = jnp.maximum(ddr, ddc) <= r_int
+    earlier = rank[:, None, :] < rank[:, :, None]
+    dep = (near & earlier & unsettled[:, None, :]).any(axis=-1)
+    return unsettled & ~dep
+
+
+def phase_while(state):
+    def cond(carry):
+        _, unsettled = carry
+        return jnp.any(unsettled)
+
+    def body(carry):
+        st, unsettled = carry
+        settle = wave_settle(st, unsettled)
+        st, succ = apply_move_batch(program, st, settle, arg)
+        return st, unsettled & ~settle
+
+    st, _ = jax.lax.while_loop(cond, body, (state, move_mask0))
+    return st
+
+
+def phase_unrolled(state, n_unroll=4):
+    unsettled = move_mask0
+    for _ in range(n_unroll):
+        settle = wave_settle(state, unsettled)
+        state, succ = apply_move_batch(program, state, settle, arg)
+        unsettled = unsettled & ~settle
+
+    # correctness tail (normally zero iterations)
+    def cond(carry):
+        _, u = carry
+        return jnp.any(u)
+
+    def body(carry):
+        st, u = carry
+        settle = wave_settle(st, u)
+        st, _ = apply_move_batch(program, st, settle, arg)
+        return st, u & ~settle
+
+    state, _ = jax.lax.while_loop(cond, body, (state, unsettled))
+    return state
+
+
+t = time_fn_carry(phase_while, state, k=8)
+print(f"while_loop waves:  {t*1e3:8.2f} ms", flush=True)
+t = time_fn_carry(lambda s: phase_unrolled(s, 4), state, k=8)
+print(f"unrolled 4 + tail: {t*1e3:8.2f} ms", flush=True)
+t = time_fn_carry(lambda s: phase_unrolled(s, 2), state, k=8)
+print(f"unrolled 2 + tail: {t*1e3:8.2f} ms", flush=True)

@@ -1,0 +1,151 @@
+"""Where is the gather cliff? Measure take_along_axis / scatter / roll at the
+obs-pipeline's real shapes (E=4096, A=24, C=4400, T=512)."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=5, warmup=2):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+E, A, K, S, T = 4096, 24, 169, 26, 512
+C = K * S  # 4394
+key = jax.random.PRNGKey(0)
+words = jax.random.randint(key, (E, A, C), 0, 1 << 24, dtype=jnp.int32)
+ok = jax.random.bernoulli(key, 0.05, (E, A, C))
+idx_T = jax.random.randint(key, (E, A, T), 0, C, dtype=jnp.int32)
+cnt = jax.random.randint(key, (E, A, K), 0, 4, dtype=jnp.int32)
+
+# (a) big take_along_axis: [E,A,C] table, [E,A,T] indices
+def big_gather(words, idx):
+    return jnp.take_along_axis(words, idx, axis=-1)
+
+# (b) per-chunk compaction via roll (16 chunks of 275) then chunk-level binsearch+gather
+def full_binsearch_compact(words, ok):
+    # output position of each valid element
+    pos = jnp.cumsum(ok.astype(jnp.int32), axis=-1)  # inclusive ranks
+    # for each output slot t (1..T), find index of t-th valid via searchsorted
+    def per_row(p, w):
+        idx = jnp.searchsorted(p, jnp.arange(1, T + 1))
+        return jnp.take(w, jnp.clip(idx, 0, C - 1))
+    f = jax.vmap(jax.vmap(per_row))
+    return f(pos, words)
+
+# (c) full roll compaction (current approach) for reference
+def roll_compact(words, ok):
+    Cc = words.shape[-1]
+    invb = jnp.cumsum((~ok).astype(jnp.int32), axis=-1) - (~ok).astype(jnp.int32)
+    g = jnp.where(ok, invb, 1 << 24)
+    w = jnp.where(ok, words, -1)
+    bit = 1
+    while bit < Cc:
+        move = (g & bit) != 0
+        rolled_w = jnp.roll(w, -bit, axis=-1)
+        rolled_g = jnp.roll(g, -bit, axis=-1)
+        rolled_move = jnp.roll(move, -bit, axis=-1)
+        w = jnp.where(rolled_move, rolled_w, jnp.where(move, -1, w))
+        g = jnp.where(rolled_move, rolled_g & ~bit, jnp.where(move, 1 << 24, g))
+        bit <<= 1
+    return w[..., :T]
+
+# (d) cnt-based cell binsearch: find cell of each output token via searchsorted
+#     over per-cell prefix sums [E,A,K], then gather token from [E,A,K,S]
+win_tok = jax.random.randint(key, (E, A, K, S), 0, 1 << 24, dtype=jnp.int32)
+def cell_binsearch(win_tok, cnt):
+    starts = jnp.cumsum(cnt, axis=-1)  # [E,A,K] inclusive
+    def per_row(st, wt):
+        t = jnp.arange(T)
+        kk = jnp.searchsorted(st, t + 1)  # cell containing output t
+        kkc = jnp.clip(kk, 0, K - 1)
+        base = jnp.where(kk > 0, jnp.take(st, jnp.clip(kk - 1, 0, K - 1)), 0)
+        ss = jnp.clip(t - base, 0, S - 1)
+        return wt[kkc, ss]
+    f = jax.vmap(jax.vmap(per_row))
+    return f(starts, win_tok)
+
+# (e) flattened equivalent of (d): single take_along_axis from [E,A,K*S]
+def cell_binsearch_flat(win_tok, cnt):
+    starts = jnp.cumsum(cnt, axis=-1)
+    t = jnp.arange(T)[None, None, :]
+    kk = jax.vmap(jax.vmap(lambda st: jnp.searchsorted(st, jnp.arange(1, T + 1))))(starts)
+    kkc = jnp.clip(kk, 0, K - 1)
+    base = jnp.where(kk > 0, jnp.take_along_axis(starts, jnp.clip(kk - 1, 0, K - 1), axis=-1), 0)
+    ss = jnp.clip(t - base, 0, S - 1)
+    flat_idx = kkc * S + ss
+    return jnp.take_along_axis(win_tok.reshape(E, A, K * S), flat_idx, axis=-1)
+
+for name, fn, args in [
+    ("big_gather [E,A,4394]->[E,A,512]", big_gather, (words, idx_T)),
+    ("binsearch_compact (vmap searchsorted)", full_binsearch_compact, (words, ok)),
+    ("roll_compact (current)", roll_compact, (words, ok)),
+    ("cell_binsearch 4d", cell_binsearch, (win_tok, cnt)),
+    ("cell_binsearch flat", cell_binsearch_flat, (win_tok, cnt)),
+]:
+    try:
+        t = timeit(fn, *args)
+        print(f"{name}: {t*1e3:8.2f} ms", flush=True)
+    except Exception as exc:
+        print(f"{name}: FAILED {exc}", flush=True)
+
+# --- calibration: is the harness sane? ---
+def plus_one(words):
+    return words + 1
+
+print("platform:", jax.devices()[0].platform, flush=True)
+
+def timeit_strict(fn, *args, n=5):
+    f = jax.jit(fn)
+    out = f(*args); jax.block_until_ready(out)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+t = timeit_strict(plus_one, words)
+print(f"copy [E,A,C] int32 (1.7GB r+w): {t*1e3:.2f} ms -> {2*words.nbytes/t/1e9:.0f} GB/s", flush=True)
+t = timeit_strict(big_gather, words, idx_T)
+print(f"big_gather strict: {t*1e3:.2f} ms", flush=True)
+t = timeit_strict(roll_compact, words, ok)
+print(f"roll_compact strict: {t*1e3:.2f} ms", flush=True)
+
+# --- REAL timing: force host readback of a scalar each call ---
+def timeit_sync(fn, *args, n=5):
+    f = jax.jit(lambda *a: fn(*a).sum())
+    np.asarray(f(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+t = timeit_sync(plus_one, words)
+print(f"SYNC copy: {t*1e3:.2f} ms -> {2*words.nbytes/t/1e9:.0f} GB/s", flush=True)
+t = timeit_sync(big_gather, words, idx_T)
+print(f"SYNC big_gather: {t*1e3:.2f} ms", flush=True)
+t = timeit_sync(roll_compact, words, ok)
+print(f"SYNC roll_compact: {t*1e3:.2f} ms", flush=True)
+t = timeit_sync(full_binsearch_compact, words, ok)
+print(f"SYNC binsearch_compact: {t*1e3:.2f} ms", flush=True)
+t = timeit_sync(cell_binsearch_flat, win_tok, cnt)
+print(f"SYNC cell_binsearch_flat: {t*1e3:.2f} ms", flush=True)
+t = timeit_sync(cell_binsearch, win_tok, cnt)
+print(f"SYNC cell_binsearch_4d: {t*1e3:.2f} ms", flush=True)

@@ -1,0 +1,64 @@
+"""Ground-truth phase + primitive costs with the chained timing harness."""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timing import rtt_baseline, time_fn
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+import mettagrid_tpu.engine.obs as obs_mod
+from mettagrid_tpu.engine.actions_fast import make_action_phase_fast
+from mettagrid_tpu.engine.rewards import make_reward_phase
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+
+print(f"rtt: {rtt_baseline()*1e3:.1f} ms", flush=True)
+
+
+def perturb_state(args, i):
+    st = args[0]
+    st = st._replace(step_count=st.step_count + (i % 2))
+    return (st,) + args[1:]
+
+
+# full step
+step = make_step(program, init, auto_reset=True, donate=False)
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+perm = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (E, A))
+
+t = time_fn(lambda s: step(s, actions, vibes)[0], state, k=8, perturb=perturb_state)
+print(f"full step:      {t*1e3:8.2f} ms ({E/t:,.0f} env-steps/s)", flush=True)
+
+# action phase
+phase = make_action_phase_fast(program)
+t = time_fn(lambda s: phase(s, actions, vibes, perm).obj_r, state, k=8, perturb=perturb_state)
+print(f"actions(fast):  {t*1e3:8.2f} ms", flush=True)
+
+# rewards
+rew = make_reward_phase(program)
+t = time_fn(rew, state, k=8, perturb=perturb_state)
+print(f"rewards:        {t*1e3:8.2f} ms", flush=True)
+
+# obs stages
+for tap in ("objtok", "cellimg", "win", "words", "rolled", None):
+    obs_mod._TAP = tap
+    fn = obs_mod.make_obs_fn(program)
+    t = time_fn(fn, state, k=8, perturb=perturb_state)
+    print(f"obs tap={str(tap):8s} {t*1e3:8.2f} ms", flush=True)
+obs_mod._TAP = None

@@ -1,0 +1,138 @@
+"""Compaction strategies at bench shapes [E=4096, A=24, C=513] -> T=500,
+measured with the carried-state harness (XLA cannot hoist or cache)."""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timing import rtt_baseline
+
+import time
+
+
+def time_carried(fn, words, ok, k=8, n=3):
+    """Chain k executions; each iteration's input depends on previous output."""
+
+    @jax.jit
+    def chained(s0, words, ok):
+        def body(carry, i):
+            cs, w = carry
+            out = fn(w, ok)
+            s = jnp.sum(out.astype(jnp.float32))
+            # inject dependence into next words without changing them
+            dep = jnp.minimum(jnp.abs(s).astype(jnp.int32), 0)
+            return (cs + s, words + dep), None
+
+        (total, _), _ = jax.lax.scan(body, (s0, words), jnp.arange(k))
+        return total
+
+    np.asarray(chained(jnp.float32(0.0), words, ok))
+    rtt = rtt_baseline()
+    ts = []
+    for run in range(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.float32(run + 1), words, ok))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - rtt) / k, 0.0)
+
+
+E, A, C, T = 4096, 24, 513, 500
+key = jax.random.PRNGKey(0)
+words = jax.random.randint(key, (E, A, C), 0, 1 << 24, dtype=jnp.int32)
+ok = jax.random.bernoulli(jax.random.PRNGKey(1), 0.12, (E, A, C))
+
+_GAP_INVALID = 1 << 24
+
+
+def roll_compact(words, ok):
+    """Current production algorithm."""
+    Cc = words.shape[-1]
+    invb = jnp.cumsum((~ok).astype(jnp.int32), axis=-1) - (~ok).astype(jnp.int32)
+    g = jnp.where(ok, invb, _GAP_INVALID)
+    w = jnp.where(ok, words, -1)
+    bit = 1
+    while bit < Cc:
+        move = (g & bit) != 0
+        rolled_w = jnp.roll(w, -bit, axis=-1)
+        rolled_g = jnp.roll(g, -bit, axis=-1)
+        rolled_move = jnp.roll(move, -bit, axis=-1)
+        w = jnp.where(rolled_move, rolled_w, jnp.where(move, -1, w))
+        g = jnp.where(rolled_move, rolled_g & ~bit, jnp.where(move, _GAP_INVALID, g))
+        bit <<= 1
+    return w[..., :T]
+
+
+def roll_compact_packed(words, ok):
+    """Pack gap into the high bits of one int32 (payload 20 bits here since
+    probe words are 24-bit; real words use 24 bits payload + we roll a second
+    16-bit array for the rest). Single-array variant: payload 20 | gap 10."""
+    Cc = words.shape[-1]
+    invb = jnp.cumsum((~ok).astype(jnp.int32), axis=-1) - (~ok).astype(jnp.int32)
+    payload = words & 0xFFFFF  # 20 bits for probe purposes
+    x = jnp.where(ok, (invb << 20) | payload, -1)  # -1 = invalid
+    bit = 1
+    while bit < Cc:
+        move = (x >= 0) & (((x >> 20) & bit) != 0)
+        rolled_x = jnp.roll(x, -bit, axis=-1)
+        rolled_move = jnp.roll(move, -bit, axis=-1)
+        cleared = rolled_x & ~(bit << 20)
+        x = jnp.where(rolled_move, cleared, jnp.where(move, -1, x))
+        bit <<= 1
+    return (x & 0xFFFFF)[..., :T]
+
+
+def scatter_sorted(words, ok):
+    """Scatter-by-rank with sorted+unique hints."""
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=-1) - ok.astype(jnp.int32)
+    idx = jnp.where(ok, rank, T)  # invalid -> dropped
+    out = jnp.full((E, A, T + 1), -1, dtype=words.dtype)
+    e = jnp.arange(E)[:, None, None]
+    a = jnp.arange(A)[None, :, None]
+    out = out.at[e, a, idx].set(words, mode="drop", unique_indices=True, indices_are_sorted=True)
+    return out[..., :T]
+
+
+def scatter_1d(words, ok):
+    """Flatten rows so the scatter is one [E*A, C] -> [E*A, T+1] op."""
+    w2 = words.reshape(E * A, C)
+    ok2 = ok.reshape(E * A, C)
+    rank = jnp.cumsum(ok2.astype(jnp.int32), axis=-1) - ok2.astype(jnp.int32)
+    idx = jnp.where(ok2, rank, T)
+    out = jnp.full((E * A, T + 1), -1, dtype=words.dtype)
+    r = jnp.arange(E * A)[:, None]
+    out = out.at[r, idx].set(w2, mode="drop", unique_indices=True, indices_are_sorted=True)
+    return out[..., :T].reshape(E, A, T)
+
+
+for name, fn in [
+    ("roll_compact (prod)", roll_compact),
+    ("roll_compact packed1", roll_compact_packed),
+    ("scatter sorted+unique", scatter_sorted),
+    ("scatter flat rows", scatter_1d),
+]:
+    t = time_carried(fn, words, ok)
+    print(f"{name}: {t*1e3:8.2f} ms", flush=True)
+
+
+# --- pallas kernel variant ---
+from mettagrid_tpu.engine.pallas_kernels import compact_rows_pallas
+
+def pallas_compact(words, ok):
+    w = jnp.where(ok, words, -1).reshape(E * A, C)
+    return compact_rows_pallas(w, T).reshape(E, A, T)
+
+# correctness vs prod
+ref = np.asarray(roll_compact(words, ok))
+got = np.asarray(pallas_compact(words, ok))
+print("pallas correct:", np.array_equal(ref, got), flush=True)
+
+for br in (128, 256, 512):
+    def fn(w, o, br=br):
+        return compact_rows_pallas(jnp.where(o, w, -1).reshape(E * A, C), T, block_rows=br).reshape(E, A, T)
+    t = time_carried(fn, words, ok)
+    print(f"pallas_compact block={br}: {t*1e3:8.2f} ms", flush=True)

@@ -1,0 +1,110 @@
+"""Micro-benchmarks: XLA scatter/gather vs one-hot matmul equivalents at the
+action-phase's shapes (E=4096, A=24, N=130, H=W=25)."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=10, warmup=2):
+    f = jax.jit(fn)
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+E, A, N, H, W = 4096, 24, 130, 25, 25
+key = jax.random.PRNGKey(0)
+arr = jax.random.randint(key, (E, N), 0, 100, dtype=jnp.int32)
+arr_r = jax.random.randint(key, (E, N), 0, 100, dtype=jnp.int32)
+grid = jax.random.randint(key, (E, H, W), -1, 100, dtype=jnp.int32)
+slot = jax.random.randint(key, (E, A), 0, N, dtype=jnp.int32)
+rr = jax.random.randint(key, (E, A), 0, H, dtype=jnp.int32)
+cc = jax.random.randint(key, (E, A), 0, W, dtype=jnp.int32)
+val = jax.random.randint(key, (E, A), 0, 100, dtype=jnp.int32)
+mask = jax.random.bernoulli(key, 0.7, (E, A))
+inv = jax.random.randint(key, (E, N, 10), 0, 100, dtype=jnp.int32)
+
+
+def scatter_xla(arr, slot, val, mask):
+    idx = jnp.where(mask, slot, N)
+    e = jnp.arange(E)[:, None]
+    return arr.at[e, idx].set(val, mode="drop")
+
+
+def scatter_onehot(arr, slot, val, mask):
+    oh = (slot[..., None] == jnp.arange(N)[None, None, :]) & mask[..., None]  # [E, A, N]
+    hit = oh.any(axis=1)
+    vals = jnp.einsum("ean,ea->en", oh.astype(jnp.int32), val)
+    return jnp.where(hit, vals, arr)
+
+
+def gather_xla(arr, slot):
+    return jnp.take_along_axis(arr, slot, axis=1)
+
+
+def gather_onehot(arr, slot):
+    oh = (slot[..., None] == jnp.arange(N)[None, None, :]).astype(jnp.int32)
+    return jnp.einsum("ean,en->ea", oh, arr)
+
+
+def grid_write_xla(grid, rr, cc, val, mask):
+    r2 = jnp.where(mask, rr, H)
+    e = jnp.arange(E)[:, None]
+    return grid.at[e, r2, cc].set(val, mode="drop")
+
+
+def grid_write_onehot(grid, rr, cc, val, mask):
+    r_oh = (rr[..., None] == jnp.arange(H)[None, None, :]) & mask[..., None]  # [E, A, H]
+    c_oh = cc[..., None] == jnp.arange(W)[None, None, :]  # [E, A, W]
+    cell = r_oh[..., :, None] & c_oh[..., None, :]  # [E, A, H, W]
+    hit = cell.any(axis=1)
+    vals = jnp.einsum("eahw,ea->ehw", cell.astype(jnp.int32), val)
+    return jnp.where(hit, vals, grid)
+
+
+def grid_read_xla(grid, rr, cc):
+    e = jnp.arange(E)[:, None]
+    return grid[e, rr, cc]
+
+
+def grid_read_onehot(grid, rr, cc):
+    r_oh = (rr[..., None] == jnp.arange(H)[None, None, :]).astype(jnp.int32)
+    c_oh = (cc[..., None] == jnp.arange(W)[None, None, :]).astype(jnp.int32)
+    tmp = jnp.einsum("eah,ehw->eaw", r_oh, grid)
+    return jnp.einsum("eaw,eaw->ea", c_oh, tmp)
+
+
+def gather_inv_xla(inv, slot):
+    return jnp.take_along_axis(inv, slot[..., None], axis=1)
+
+
+def gather_inv_onehot(inv, slot):
+    oh = (slot[..., None] == jnp.arange(N)[None, None, :]).astype(jnp.int32)
+    return jnp.einsum("ean,enr->ear", oh, inv)
+
+
+for name, fn, args in [
+    ("scatter_xla      [E,A]->[E,N]", scatter_xla, (arr, slot, val, mask)),
+    ("scatter_onehot   [E,A]->[E,N]", scatter_onehot, (arr, slot, val, mask)),
+    ("gather_xla       [E,N]->[E,A]", gather_xla, (arr, slot)),
+    ("gather_onehot    [E,N]->[E,A]", gather_onehot, (arr, slot)),
+    ("grid_write_xla   [E,A]->[E,H,W]", grid_write_xla, (grid, rr, cc, val, mask)),
+    ("grid_write_onehot[E,A]->[E,H,W]", grid_write_onehot, (grid, rr, cc, val, mask)),
+    ("grid_read_xla    [E,H,W]->[E,A]", grid_read_xla, (grid, rr, cc)),
+    ("grid_read_onehot [E,H,W]->[E,A]", grid_read_onehot, (grid, rr, cc)),
+    ("inv_gather_xla   [E,N,10]->[E,A,10]", gather_inv_xla, (inv, slot)),
+    ("inv_gather_onehot[E,N,10]->[E,A,10]", gather_inv_onehot, (inv, slot)),
+]:
+    t = timeit(fn, *args)
+    print(f"{name}: {t*1e3:8.3f} ms", flush=True)

@@ -1,0 +1,34 @@
+"""Post-optimization step cost."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.engine.actions_fast import make_action_phase_fast
+import mettagrid_tpu.engine.obs as obs_mod
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+perm = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (E, A))
+
+step = make_step(program, init, auto_reset=True, donate=False)
+t = time_fn_carry(lambda s: step(s, actions, vibes), state, k=8)
+print(f"full step:     {t*1e3:8.2f} ms ({E/t:,.0f} env-steps/s)", flush=True)
+
+phase = make_action_phase_fast(program)
+t = time_fn_carry(lambda s: phase(s, actions, vibes, perm), state, k=8)
+print(f"actions(fast): {t*1e3:8.2f} ms", flush=True)
+
+fn = obs_mod.make_obs_fn(program)
+t = time_fn_carry(fn, state, k=8)
+print(f"obs:           {t*1e3:8.2f} ms", flush=True)

@@ -1,0 +1,59 @@
+"""Bisect non-action non-obs step costs: auto-reset, perm, bookkeeping."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.engine.step import _device_init, _fresh_state_from_pool
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+pool = _device_init(init)
+P = init.pool_size
+
+def autoreset_block(s):
+    done = jnp.any(s.terminals | s.truncations, axis=1)
+    keys = jax.vmap(jax.random.split, in_axes=0)(s.rng)
+    rng_next, k_map = keys[:, 0], keys[:, 1]
+    map_idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
+    fresh = _fresh_state_from_pool(program, pool, map_idx, rng_next)
+    return jax.tree_util.tree_map(
+        lambda new, old: jnp.where(done.reshape((E,) + (1,) * (old.ndim - 1)), new, old),
+        fresh, s)
+
+t = time_fn_carry(autoreset_block, state, k=8)
+print(f"auto_reset block: {t*1e3:8.2f} ms", flush=True)
+
+def perm_block(s):
+    keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(s.rng)
+    rng_next, k_perm = keys[:, 0], keys[:, 1]
+    perm = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)
+    return s._replace(rng=rng_next, agent_swm=s.agent_swm + perm)
+
+t = time_fn_carry(perm_block, state, k=8)
+print(f"rng+perm block:   {t*1e3:8.2f} ms", flush=True)
+
+def perm_cheap(s):
+    keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(s.rng)
+    rng_next, k_perm = keys[:, 0], keys[:, 1]
+    # argsort-free permutation: random bits keyed sort via sorting network? here: top-k trick
+    bits = jax.vmap(lambda k: jax.random.randint(k, (A,), 0, 1 << 30))(k_perm)
+    perm = jnp.argsort(bits, axis=-1).astype(jnp.int32)
+    return s._replace(rng=rng_next, agent_swm=s.agent_swm + perm)
+
+t = time_fn_carry(perm_cheap, state, k=8)
+print(f"argsort perm:     {t*1e3:8.2f} ms", flush=True)
+
+def splits_only(s):
+    keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(s.rng)
+    return s._replace(rng=keys[:, 0], agent_swm=s.agent_swm + keys[:, 1, 0].astype(jnp.int32)[:, None])
+
+t = time_fn_carry(splits_only, state, k=8)
+print(f"key splits only:  {t*1e3:8.2f} ms", flush=True)

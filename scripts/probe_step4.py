@@ -1,0 +1,54 @@
+"""In-context attribution: monkeypatch step phases off one at a time."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+import mettagrid_tpu.engine.obs as obs_mod
+import mettagrid_tpu.engine.actions_fast as af
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+
+def timed_step(label, **patches):
+    saved = {}
+    for mod, name, repl in patches.get("swaps", []):
+        saved[(mod, name)] = getattr(mod, name)
+        setattr(mod, name, repl)
+    try:
+        step = step_mod.make_step(program, init, auto_reset=patches.get("auto_reset", True), donate=False)
+        t = time_fn_carry(lambda s: step(s, actions, vibes), state, k=8)
+        print(f"{label}: {t*1e3:8.2f} ms", flush=True)
+    finally:
+        for (mod, name), fn in saved.items():
+            setattr(mod, name, fn)
+
+T = program.num_tokens
+def fake_obs_maker(prog):
+    def fake_obs(s):
+        return (jnp.zeros((E, A, T, 3), dtype=jnp.uint8)
+                + (s.step_count[:, None, None, None] & 1).astype(jnp.uint8),
+                jnp.zeros((E, A), dtype=jnp.int32))
+    return fake_obs
+
+def fake_action_maker(prog):
+    def fake_phase(s, a, v, p):
+        return s._replace(agent_last_action=jnp.clip(a, 0, 4))
+    return fake_phase
+
+timed_step("full step (ref)")
+timed_step("no obs", swaps=[(step_mod, "make_obs_fn", fake_obs_maker)])
+timed_step("no actions", swaps=[(step_mod, "make_action_phase", fake_action_maker), (af, "make_action_phase_fast", fake_action_maker)])
+timed_step("no autoreset", auto_reset=False)
+timed_step("neither", swaps=[(step_mod, "make_obs_fn", fake_obs_maker), (af, "make_action_phase_fast", fake_action_maker)])

@@ -1,0 +1,110 @@
+"""Reliable timing on the tunneled TPU backend.
+
+block_until_ready does not actually block on this backend, and identical
+(program, args) pairs may be cached — so: chain k executions with perturbed
+inputs inside ONE jitted scan, reduce to a scalar, force a host readback,
+and divide by k after subtracting the readback RTT.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rtt_baseline(n: int = 3) -> float:
+    """Round-trip cost of a trivial jit + scalar readback."""
+    f = jax.jit(lambda x: x + 1.0)
+    np.asarray(f(jnp.float32(0.0)))
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def time_fn(fn, *args, k: int = 16, n: int = 3, perturb=None) -> float:
+    """Average per-execution seconds of fn(*args), excluding readback RTT.
+
+    fn must accept *args and return anything reducible via tree sum.
+    `perturb(args, i)` returns per-iteration args; default adds i to the
+    first array arg's first element (prevents result caching and DCE).
+    """
+
+    def default_perturb(args, i):
+        out = list(args)
+        for j, a in enumerate(out):
+            if isinstance(a, jnp.ndarray) and a.dtype != bool:
+                out[j] = a + (i % 2)
+                break
+        return tuple(out)
+
+    perturb = perturb or default_perturb
+
+    def reduce_out(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32) if leaf.dtype != jnp.float32 else leaf)
+            for leaf in leaves
+        )
+
+    @jax.jit
+    def chained(s0):
+        def body(carry, i):
+            it_args = perturb(args, i)
+            return carry + reduce_out(fn(*it_args)), None
+
+        total, _ = jax.lax.scan(body, s0, jnp.arange(k))
+        return total
+
+    np.asarray(chained(jnp.float32(0.0)))  # compile + warm
+    rtt = rtt_baseline()
+    ts = []
+    for run in range(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.float32(run + 1)))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - rtt) / k, 0.0)
+
+
+def time_fn_carry(fn, state, k: int = 8, n: int = 3, extra_args=()):
+    """Like time_fn, but threads a data dependence from each iteration's
+    output into the next iteration's state, so XLA cannot hoist any of the
+    body out of the scan. fn(state, *extra_args) -> output pytree (or a
+    (state, output) tuple; the new state is carried forward directly)."""
+
+    def reduce_out(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
+
+    @jax.jit
+    def chained(s0, state):
+        def body(carry, i):
+            cs, st = carry
+            out = fn(st, *extra_args)
+            if isinstance(out, tuple) and hasattr(out[0], "_replace") and hasattr(st, "_fields"):
+                new_state, rest = out[0], out[1:]
+                cs = cs + reduce_out(rest)
+            else:
+                new_state = st
+                cs = cs + reduce_out(out)
+                # Inject dependence: add a value that is provably-unknown-but-zero
+                dep = jnp.minimum(cs.astype(jnp.int32) - cs.astype(jnp.int32) + jnp.int32(0), 0)
+                # use min(|cs|,0)=0 but unknown to the compiler only via cs
+                dep = jnp.minimum(jnp.abs(cs).astype(jnp.int32), 0)
+                new_state = new_state._replace(step_count=new_state.step_count + dep)
+            return (cs, new_state), None
+
+        (total, final_state), _ = jax.lax.scan(body, (s0, state), jnp.arange(k))
+        return total + reduce_out(final_state)
+
+    np.asarray(chained(jnp.float32(0.0), state))
+    rtt = rtt_baseline()
+    ts = []
+    for run in range(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.float32(run + 1), state))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - rtt) / k, 0.0)
