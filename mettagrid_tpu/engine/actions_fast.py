@@ -38,6 +38,11 @@ from mettagrid_tpu.engine.program import (
 )
 from mettagrid_tpu.engine.state import EnvState
 
+# Waves unrolled inline before falling back to a lax.while_loop tail. With
+# random actions at arena densities the per-env wave count is <= 4 (p99),
+# so the tail almost never iterates.
+UNROLL_WAVES = 4
+
 _LOCAL_FILTERS = {
     "target_loc_empty",
     "target_is_usable",
@@ -301,10 +306,15 @@ def make_action_phase_fast(program: EngineProgram):
                         c_rec = jnp.where(settle, state.obj_c[:, :A], c_rec)
                         return state, unsettled & ~settle, success | succ, r_rec, c_rec
 
+                    # Unroll the typical wave count (XLA fuses/pipelines
+                    # unrolled waves far better than while_loop iterations);
+                    # a while_loop tail guarantees termination for deep
+                    # dependency chains (normally zero iterations).
+                    carry = (state, move_mask, jnp.zeros_like(move_mask), r0, c0)
+                    for _ in range(UNROLL_WAVES):
+                        carry = wave_body(carry)
                     state, _, move_succ, r_rec, c_rec = jax.lax.while_loop(
-                        wave_cond,
-                        wave_body,
-                        (state, move_mask, jnp.zeros_like(move_mask), r0, c0),
+                        wave_cond, wave_body, carry
                     )
                     settled_all = settled_now | move_mask
                     succ_all = succ_now | move_succ

@@ -1,0 +1,119 @@
+"""Carried-measurement of scatter/gather primitives at engine shapes.
+
+The first probe_scatter.py used the broken non-carried harness; these numbers
+supersede it."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timing import rtt_baseline
+
+E, A, N, H, W = 4096, 24, 130, 25, 25
+
+
+def time_carried(fn, arrs, k=16, n=3):
+    """arrs: dict of named arrays; fn(arrs, i) -> array whose sum feeds back."""
+
+    @jax.jit
+    def chained(s0):
+        def body(carry, i):
+            cs = carry
+            out = fn(cs.astype(jnp.int32) % 1, i)  # cs-dependent zero offset
+            s = jnp.sum(out.astype(jnp.float32))
+            return cs + s, None
+
+        total, _ = jax.lax.scan(body, s0, jnp.arange(k))
+        return total
+
+    np.asarray(chained(jnp.float32(0.0)))
+    rtt = rtt_baseline()
+    ts = []
+    for run in range(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.float32(run + 1)))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - rtt) / k, 0.0)
+
+
+key = jax.random.PRNGKey(0)
+arr = jax.random.randint(key, (E, N), 0, 100, dtype=jnp.int32)
+grid = jax.random.randint(key, (E, H, W), -1, 100, dtype=jnp.int32)
+slot = jax.random.randint(key, (E, A), 0, N, dtype=jnp.int32)
+rr = jax.random.randint(key, (E, A), 0, H, dtype=jnp.int32)
+cc = jax.random.randint(key, (E, A), 0, W, dtype=jnp.int32)
+val = jax.random.randint(key, (E, A), 0, 100, dtype=jnp.int32)
+mask_arr = jax.random.bernoulli(key, 0.7, (E, A))
+e_ids = jnp.arange(E, dtype=jnp.int32)[:, None]
+
+
+def scatter_xla(dep, i):
+    s = (slot + i + dep) % N
+    idx = jnp.where(mask_arr, s, N)
+    return arr.at[e_ids, idx].set(val, mode="drop")
+
+
+def scatter_onehot(dep, i):
+    s = (slot + i + dep) % N
+    oh = (s[..., None] == jnp.arange(N)[None, None, :]) & mask_arr[..., None]
+    hit = oh.any(axis=1)
+    vals = jnp.einsum("ean,ea->en", oh.astype(jnp.int32), val)
+    return jnp.where(hit, vals, arr)
+
+
+def grid_write_xla(dep, i):
+    r = (rr + i + dep) % H
+    r2 = jnp.where(mask_arr, r, H)
+    return grid.at[e_ids, r2, cc].set(val, mode="drop")
+
+
+def grid_write_onehot(dep, i):
+    r = (rr + i + dep) % H
+    p = r * W + cc  # [E, A] flat cell
+    oh = (p[..., None] == jnp.arange(H * W)[None, None, :]) & mask_arr[..., None]
+    hit = oh.any(axis=1)
+    vals = jnp.einsum("eap,ea->ep", oh.astype(jnp.int32), val)
+    return jnp.where(hit, vals, grid.reshape(E, H * W))
+
+
+def gather_xla(dep, i):
+    s = (slot + i + dep) % N
+    return jnp.take_along_axis(arr, s, axis=1)
+
+
+def gather_onehot(dep, i):
+    s = (slot + i + dep) % N
+    oh = (s[..., None] == jnp.arange(N)[None, None, :]).astype(jnp.int32)
+    return jnp.einsum("ean,en->ea", oh, arr)
+
+
+def grid_read_xla(dep, i):
+    r = (rr + i + dep) % H
+    return grid[e_ids, r, cc]
+
+
+def grid_read_onehot(dep, i):
+    r = (rr + i + dep) % H
+    p = r * W + cc
+    oh = (p[..., None] == jnp.arange(H * W)[None, None, :]).astype(jnp.int32)
+    return jnp.einsum("eap,ep->ea", oh, grid.reshape(E, H * W))
+
+
+for name, fn in [
+    ("scatter_xla     ", scatter_xla),
+    ("scatter_onehot  ", scatter_onehot),
+    ("grid_write_xla  ", grid_write_xla),
+    ("grid_write_onehot", grid_write_onehot),
+    ("gather_xla      ", gather_xla),
+    ("gather_onehot   ", gather_onehot),
+    ("grid_read_xla   ", grid_read_xla),
+    ("grid_read_onehot", grid_read_onehot),
+]:
+    t = time_carried(fn, None)
+    print(f"{name}: {t*1e3:8.3f} ms", flush=True)

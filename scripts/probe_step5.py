@@ -1,0 +1,32 @@
+"""Does the pallas compaction actually help in-context? Step with each."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+import mettagrid_tpu.engine.pallas_kernels as pk
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+
+step = step_mod.make_step(program, init, auto_reset=True, donate=False)
+t = time_fn_carry(lambda s: step(s, actions, vibes), state, k=8)
+print(f"step pallas-compact: {t*1e3:8.2f} ms", flush=True)
+
+pk_use = pk.use_pallas
+pk.use_pallas = lambda: False
+step2 = step_mod.make_step(program, init, auto_reset=True, donate=False)
+t = time_fn_carry(lambda s: step2(s, actions, vibes), state, k=8)
+print(f"step roll-compact:   {t*1e3:8.2f} ms", flush=True)
+pk.use_pallas = pk_use

@@ -1,0 +1,58 @@
+"""In-context action-phase bisect + window-extraction variants."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+import mettagrid_tpu.engine.obs as obs_mod
+import mettagrid_tpu.engine.actions_fast as af
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+
+# use a cheap obs so action changes dominate
+obs_mod._TAP = "cellimg"
+
+real_amb = af.apply_move_batch
+
+def timed(label, make_phase):
+    saved = af.make_action_phase_fast
+    af.make_action_phase_fast = make_phase
+    try:
+        step = step_mod.make_step(program, init, auto_reset=True, donate=False)
+        t = time_fn_carry(lambda s: step(s, actions, vibes), state, k=8)
+        print(f"{label}: {t*1e3:8.2f} ms", flush=True)
+    finally:
+        af.make_action_phase_fast = saved
+
+# full current phase
+timed("phase full        ", af.make_action_phase_fast.__wrapped__ if hasattr(af.make_action_phase_fast, "__wrapped__") else af.make_action_phase_fast)
+
+# phase with single wave (incorrect but measures per-wave cost scaling)
+def make_phase_1wave(program):
+    def phase(s, a, v, p):
+        # one unconditional apply_move_batch + bookkeeping-ish
+        arg = jnp.asarray(program.action_arg)[jnp.clip(a, 0, len(program.action_names) - 1)]
+        s2, succ = real_amb(program, s, jnp.ones_like(a, dtype=bool), arg)
+        return s2._replace(agent_last_action=jnp.where(succ, a, s2.agent_last_action))
+    return phase
+timed("1 move batch only ", make_phase_1wave)
+
+# phase with wave loop but NO handler machinery (relocate only hard-coded)
+def make_phase_noop(program):
+    def phase(s, a, v, p):
+        return s._replace(agent_last_action=jnp.clip(a, 0, 4))
+    return phase
+timed("no actions        ", make_phase_noop)
+obs_mod._TAP = None

@@ -1,0 +1,114 @@
+"""Window-extraction formulations, measured with position perturbation so
+nothing hoists. Shapes: E=4096, A=24, H=W=25, OH=OW=13, Ch=4."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timing import rtt_baseline
+
+E, A, H, W, OH, OW, Ch = 4096, 24, 25, 25, 13, 13, 4
+hr, wr = OH // 2, OW // 2
+key = jax.random.PRNGKey(0)
+cell_img = jax.random.randint(key, (E, H + 1, W, Ch), 0, 1 << 16, dtype=jnp.int32).astype(jnp.float32)
+agent_r = jax.random.randint(jax.random.PRNGKey(1), (E, A), 0, H, dtype=jnp.int32)
+agent_c = jax.random.randint(jax.random.PRNGKey(2), (E, A), 0, W, dtype=jnp.int32)
+
+
+def time_carried(fn, k=8, n=3):
+    @jax.jit
+    def chained(s0):
+        def body(carry, i):
+            cs, img = carry
+            ar = (agent_r + i) % H
+            ac = (agent_c + i) % W
+            out = fn(img, ar, ac)
+            s = jnp.sum(out.astype(jnp.float32))
+            dep = jnp.minimum(jnp.abs(s), 0.0)
+            return (cs + s, img + dep), None
+
+        (total, _), _ = jax.lax.scan(body, (s0, cell_img), jnp.arange(k))
+        return total
+
+    np.asarray(chained(jnp.float32(0.0)))
+    rtt = rtt_baseline()
+    ts = []
+    for run in range(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.float32(run + 1)))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - rtt) / k, 0.0)
+
+
+def v0_einsum(img, ar, ac):
+    """Current production: two one-hot einsums."""
+    rows = ar[:, :, None] + jnp.arange(-hr, hr + 1, dtype=jnp.int32)[None, None, :]
+    cols = ac[:, :, None] + jnp.arange(-wr, wr + 1, dtype=jnp.int32)[None, None, :]
+    rows = jnp.where((rows >= 0) & (rows < H), rows, H)
+    cols_valid = (cols >= 0) & (cols < W)
+    cols = jnp.clip(cols, 0, W - 1)
+    r_sel = (rows[..., None] == jnp.arange(H + 1)[None, None, None, :]).astype(jnp.float32)
+    c_sel = ((cols[..., None] == jnp.arange(W)[None, None, None, :]) & cols_valid[..., None]).astype(jnp.float32)
+    tmp = jnp.einsum("eauh,ehwc->eauwc", r_sel, img, preferred_element_type=jnp.float32)
+    win = jnp.einsum("eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32)
+    return win
+
+
+def v1_bf16(img, ar, ac):
+    """Same but bf16 operands with byte-split channels (exactness preserved:
+    values < 256 per channel)."""
+    lo = (img.astype(jnp.int32) & 0xFF).astype(jnp.bfloat16)
+    hi = ((img.astype(jnp.int32) >> 8) & 0xFF).astype(jnp.bfloat16)
+    img2 = jnp.concatenate([lo, hi], axis=-1)  # [E, H+1, W, 2Ch]
+    rows = ar[:, :, None] + jnp.arange(-hr, hr + 1, dtype=jnp.int32)[None, None, :]
+    cols = ac[:, :, None] + jnp.arange(-wr, wr + 1, dtype=jnp.int32)[None, None, :]
+    rows = jnp.where((rows >= 0) & (rows < H), rows, H)
+    cols_valid = (cols >= 0) & (cols < W)
+    cols = jnp.clip(cols, 0, W - 1)
+    r_sel = (rows[..., None] == jnp.arange(H + 1)[None, None, None, :]).astype(jnp.bfloat16)
+    c_sel = ((cols[..., None] == jnp.arange(W)[None, None, None, :]) & cols_valid[..., None]).astype(jnp.bfloat16)
+    tmp = jnp.einsum("eauh,ehwc->eauwc", r_sel, img2, preferred_element_type=jnp.float32)
+    win = jnp.einsum("eavw,eauwc->eauvc", c_sel, tmp.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    lo2 = win[..., :Ch]
+    hi2 = win[..., Ch:]
+    return lo2 + hi2 * 256.0
+
+
+def v2_row_gather(img, ar, ac):
+    """Padded flat image + whole-row take_along_axis over a major axis."""
+    # pad so a 13-wide slice never wraps: W' = W + OW
+    Wp = W + OW
+    imgp = jnp.pad(img, ((0, 0), (0, 0), (wr, OW - wr), (0, 0)))  # [E, H+1, Wp, Ch]
+    # 1) gather 13 rows per agent: indices [E, A*OH] into axis 1
+    rows = ar[:, :, None] + jnp.arange(-hr, hr + 1, dtype=jnp.int32)[None, None, :]
+    rows = jnp.where((rows >= 0) & (rows < H), rows, H)
+    flat_rows = rows.reshape(E, A * OH)
+    img_rows = jnp.take_along_axis(
+        imgp.reshape(E, H + 1, Wp * Ch), flat_rows[..., None], axis=1
+    )  # [E, A*OH, Wp*Ch]
+    # 2) per (e,a): slice 13 cols from Wp via second gather with payload OH*Ch
+    img_rows = img_rows.reshape(E, A, OH, Wp, Ch)
+    img_rows = jnp.swapaxes(img_rows, 2, 3).reshape(E * A, Wp, OH * Ch)
+    cols = (ac.reshape(E * A)[:, None] + jnp.arange(OW, dtype=jnp.int32)[None, :])  # base already padded by wr
+    win = jnp.take_along_axis(img_rows, cols[..., None], axis=1)  # [E*A, OW, OH*Ch]
+    win = win.reshape(E, A, OW, OH, Ch)
+    return jnp.swapaxes(win, 2, 3)  # [E, A, OH, OW, Ch]
+
+
+# correctness: compare v0/v1/v2 on a small case
+w0 = np.asarray(jax.jit(v0_einsum)(cell_img, agent_r, agent_c))
+w1 = np.asarray(jax.jit(v1_bf16)(cell_img, agent_r, agent_c))
+w2 = np.asarray(jax.jit(v2_row_gather)(cell_img, agent_r, agent_c))
+print("v1 == v0:", np.array_equal(w0, w1))
+# v2 has no col-validity masking (padded zeros serve); v0 masks OOB cols to 0
+print("v2 == v0:", np.array_equal(w0, w2))
+
+for name, fn in [("v0 einsum f32", v0_einsum), ("v1 einsum bf16", v1_bf16), ("v2 row gathers", v2_row_gather)]:
+    t = time_carried(fn)
+    print(f"{name}: {t*1e3:8.2f} ms", flush=True)
