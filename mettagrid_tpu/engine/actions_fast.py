@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mettagrid_tpu.engine.exec import Ctx, eval_filters, gather, scatter
+from mettagrid_tpu.engine.exec import Ctx, eval_filters, gather, grid_read, scatter
 from mettagrid_tpu.engine.handlers import apply_mutations
 from mettagrid_tpu.engine.ir import CompiledFilter, CompiledHandler, CompiledMutation
 from mettagrid_tpu.engine.program import (
@@ -143,7 +143,7 @@ def apply_move_batch(program: EngineProgram, state: EnvState, active: jnp.ndarra
                 cc = ac + dc * i
                 inb = (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
                 blocked = blocked | ~inb
-                slot_here = state.grid[e2, jnp.clip(cr, 0, H - 1), jnp.clip(cc, 0, W - 1)]
+                slot_here = grid_read(state.grid, cr, cc)
                 occupied = inb & ~blocked & (slot_here >= 0)
                 newly = occupied & ~found
                 cand_r = jnp.where(newly, cr, cand_r)
@@ -152,7 +152,7 @@ def apply_move_batch(program: EngineProgram, state: EnvState, active: jnp.ndarra
                 found = found | newly
             found = found & active
 
-        target = state.grid[e2, jnp.clip(cand_r, 0, H - 1), jnp.clip(cand_c, 0, W - 1)]
+        target = grid_read(state.grid, cand_r, cand_c)
         target = jnp.where(found, target, -1)
         ctx = Ctx(
             actor=slots,

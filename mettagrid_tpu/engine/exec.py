@@ -37,6 +37,23 @@ class Ctx(NamedTuple):
         return jnp.broadcast_to(t, self.actor.shape)
 
 
+# XLA:TPU lowers small data-dependent gathers/scatters 3-19x slower than the
+# equivalent one-hot contraction at engine shapes (scripts/probe_scatter2.py:
+# grid_read 1.6ms -> 0.09ms, scatter 0.6 -> 0.2 at E=4096). Use the one-hot
+# path whenever the [E, M, N] comparison tensor stays modest.
+_ONEHOT_BUDGET = 400_000_000  # max E*M*N bool elements for the one-hot path
+
+
+def _use_onehot(E: int, M: int, N: int) -> bool:
+    return E * M * N <= _ONEHOT_BUDGET
+
+
+def _sum_dtype(dtype) -> jnp.dtype:
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.float32
+    return jnp.int32
+
+
 def gather(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
     """arr[e, slot[e, ...], ...]: arr [E, N, *rest], slot [E, *B2] -> [E, *B2, *rest]."""
     E, N = arr.shape[0], arr.shape[1]
@@ -44,37 +61,61 @@ def gather(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
     flat = jnp.clip(slot.reshape(E, -1), 0, N - 1)  # [E, M]
     M = flat.shape[1]
     a2 = arr.reshape(E, N, -1)
-    out = jnp.take_along_axis(a2, flat[..., None], axis=1)  # [E, M, prod(rest)]
+    if _use_onehot(E, M, N):
+        sd = _sum_dtype(arr.dtype)
+        oh = (flat[..., None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]).astype(sd)
+        out = jnp.einsum("emn,enr->emr", oh, a2.astype(sd)).astype(arr.dtype)
+    else:
+        out = jnp.take_along_axis(a2, flat[..., None], axis=1)  # [E, M, prod(rest)]
     return out.reshape(slot.shape + rest)
 
 
 def scatter(arr: jnp.ndarray, slot: jnp.ndarray, value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked write arr[e, slot] = value. Masked-off entries are routed to an
-    out-of-bounds index and dropped (never a stale write-back, so a
-    masked-off duplicate cannot clobber a masked-on write). Masked-ON slots
-    within an env must be distinct (callers guarantee it)."""
+    """Masked write arr[e, slot] = value. Masked-off entries never write (no
+    stale write-backs). Masked-ON slots within an env must be distinct
+    (callers guarantee it)."""
     E, N = arr.shape[0], arr.shape[1]
     rest = arr.shape[2:]
     flat = slot.reshape(E, -1)  # [E, M]
     M = flat.shape[1]
     m = mask.reshape(E, M)
+    v = jnp.broadcast_to(value, slot.shape + rest).reshape((E, M) + rest)
+    if _use_onehot(E, M, N):
+        sd = _sum_dtype(arr.dtype)
+        oh = (jnp.clip(flat, 0, N - 1)[..., None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]) & m[..., None]
+        hit = oh.any(axis=1)  # [E, N]
+        vals = jnp.einsum("emn,emr->enr", oh.astype(sd), v.reshape(E, M, -1).astype(sd))
+        a2 = arr.reshape(E, N, -1)
+        out = jnp.where(hit[..., None], vals.astype(arr.dtype), a2)
+        return out.reshape(arr.shape)
     idx = jnp.where(m, jnp.clip(flat, 0, N - 1), N)  # N = OOB -> dropped
     e = jnp.arange(E, dtype=jnp.int32)[:, None]
-    v = jnp.broadcast_to(value, slot.shape + rest).reshape((E, M) + rest)
     return arr.at[e, idx].set(v, mode="drop")
 
 
 def grid_write(grid: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray, value, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked drop-mode write grid[e, r, c] = value for [E, *B2]-shaped
-    coordinates. Masked-off entries are dropped (no stale write-backs)."""
+    """Masked write grid[e, r, c] = value for [E, *B2]-shaped coordinates.
+    Masked-off entries never write."""
     E, H, W = grid.shape
     rf = r.reshape(E, -1)
     cf = c.reshape(E, -1)
     m = mask.reshape(E, -1)
+    M = rf.shape[1]
+    v = jnp.broadcast_to(value, mask.shape).reshape(E, -1)
+    if _use_onehot(E, M, H * W):
+        # Match the drop-mode path exactly: masked-on coordinates are
+        # clipped into bounds and written.
+        p = jnp.clip(rf, 0, H - 1) * W + jnp.clip(cf, 0, W - 1)
+        mm = m
+        sd = _sum_dtype(grid.dtype)
+        oh = (p[..., None] == jnp.arange(H * W, dtype=jnp.int32)[None, None, :]) & mm[..., None]
+        hit = oh.any(axis=1)
+        vals = jnp.einsum("emp,em->ep", oh.astype(sd), v.astype(sd))
+        out = jnp.where(hit, vals.astype(grid.dtype), grid.reshape(E, H * W))
+        return out.reshape(grid.shape)
     rr = jnp.where(m, jnp.clip(rf, 0, H - 1), H)  # OOB row -> dropped
     cc = jnp.clip(cf, 0, W - 1)
     e = jnp.arange(E, dtype=jnp.int32)[:, None]
-    v = jnp.broadcast_to(value, mask.shape).reshape(E, -1)
     return grid.at[e, rr, cc].set(v, mode="drop")
 
 
@@ -83,6 +124,13 @@ def grid_read(grid: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     E, H, W = grid.shape
     rf = jnp.clip(r.reshape(E, -1), 0, H - 1)
     cf = jnp.clip(c.reshape(E, -1), 0, W - 1)
+    M = rf.shape[1]
+    if _use_onehot(E, M, H * W):
+        p = rf * W + cf
+        sd = _sum_dtype(grid.dtype)
+        oh = (p[..., None] == jnp.arange(H * W, dtype=jnp.int32)[None, None, :]).astype(sd)
+        out = jnp.einsum("emp,ep->em", oh, grid.reshape(E, H * W).astype(sd)).astype(grid.dtype)
+        return out.reshape(r.shape)
     e = jnp.arange(E, dtype=jnp.int32)[:, None]
     return grid[e, rf, cf].reshape(r.shape)
 
