@@ -1,0 +1,49 @@
+"""Which dynamic_rotate configs does Mosaic accept? Compile-only probes."""
+import sys
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+E = 64
+
+def try_case(name, HP, WPC, rot0, rot1):
+    img = jnp.arange(E * HP * WPC, dtype=jnp.int32).reshape(E, HP, WPC) % 1000
+    r0 = jnp.full((E, 1), 3, dtype=jnp.int32)
+
+    def kernel(r_ref, img_ref, out_ref):
+        full = img_ref[0]
+        rr = r_ref[0, 0]
+        x = full
+        if rot0:
+            x = pltpu.roll(x, -rr, 0)
+        if rot1:
+            x = pltpu.roll(x, -rr * 8, 1)
+        out_ref[0] = x
+
+    try:
+        out = pl.pallas_call(
+            kernel,
+            grid=(E,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, HP, WPC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, HP, WPC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((E, HP, WPC), jnp.int32),
+        )(r0, img)
+        got = np.asarray(out)[0]
+        ref = np.asarray(img)[0]
+        if rot0:
+            ref = np.roll(ref, -3, axis=0)
+        if rot1:
+            ref = np.roll(ref, -24, axis=1)
+        print(f"{name}: OK correct={np.array_equal(got, ref)}", flush=True)
+    except Exception as exc:
+        msg = str(exc).split("\n")[0][:120]
+        print(f"{name}: FAIL {msg}", flush=True)
+
+try_case("rot1 lane w=384", 40, 384, False, True)
+try_case("rot0 subl h=40 ", 40, 384, True, False)
+try_case("both 40x384    ", 40, 384, True, True)
+try_case("rot1 lane w=256", 40, 256, False, True)

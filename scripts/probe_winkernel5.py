@@ -1,0 +1,54 @@
+"""Isolate: does dynamic_rotate work at all (no SMEM scalar input)?"""
+import sys
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+E, HP, WPC = 64, 40, 384
+img = (jnp.arange(E * HP * WPC, dtype=jnp.int32).reshape(E, HP, WPC)) % 1000
+
+def kernel(img_ref, out_ref):
+    i = pl.program_id(0)
+    full = img_ref[0]
+    x = pltpu.roll(full, -(i % 8), 0)
+    x = pltpu.roll(x, -(i % 8) * 8, 1)
+    out_ref[0] = x
+
+try:
+    out = pl.pallas_call(
+        kernel,
+        grid=(E,),
+        in_specs=[pl.BlockSpec((1, HP, WPC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, HP, WPC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, HP, WPC), jnp.int32),
+    )(img)
+    got = np.asarray(out)[3]
+    ref = np.roll(np.roll(np.asarray(img)[3], -3, axis=0), -24, axis=1)
+    print("no-smem rotate: OK correct=", np.array_equal(got, ref), flush=True)
+except Exception as exc:
+    print("no-smem rotate: FAIL", str(exc).split("\n")[0][:150], flush=True)
+
+# scalar via SMEM with (1, 128) block
+r0 = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[:, None] % 8, (E, 128))
+def kernel2(r_ref, img_ref, out_ref):
+    rr = r_ref[0, 0]
+    x = pltpu.roll(img_ref[0], -rr, 0)
+    out_ref[0] = x
+
+try:
+    out = pl.pallas_call(
+        kernel2,
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, HP, WPC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HP, WPC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, HP, WPC), jnp.int32),
+    )(r0, img)
+    got = np.asarray(out)[3]
+    ref = np.roll(np.asarray(img)[3], -3, axis=0)
+    print("smem(1,128) rotate: OK correct=", np.array_equal(got, ref), flush=True)
+except Exception as exc:
+    print("smem(1,128) rotate: FAIL", str(exc).split("\n")[0][:150], flush=True)

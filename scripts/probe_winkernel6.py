@@ -1,0 +1,73 @@
+"""Full window-slice via scalar-prefetch + dynamic rotates; verify + time."""
+import sys, time
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from timing import rtt_baseline
+
+E, A, H, W, OH, OW, CH = 4096, 24, 25, 25, 13, 13, 8
+HP = 40                      # rows padded to multiple of 8 >= H+OH-1=37
+WPC = 384                    # (W+OW-1)*CH = 296 -> padded to 384 (3x128)
+key = jax.random.PRNGKey(0)
+img = jax.random.randint(key, (E, HP, WPC), 0, 1 << 16, dtype=jnp.int32)
+r0 = jax.random.randint(jax.random.PRNGKey(1), (E, A), 0, H, dtype=jnp.int32)
+c0 = jax.random.randint(jax.random.PRNGKey(2), (E, A), 0, W, dtype=jnp.int32)
+
+BE = 16
+FW = OW * CH  # 104
+FWP = 128
+
+def kernel(r_ref, c_ref, img_ref, out_ref):
+    blk = pl.program_id(0)
+    for e in range(BE):
+        full = img_ref[e]
+        for a in range(A):
+            idx = (blk * BE + e) * A + a
+            rr = r_ref[idx]
+            cc = c_ref[idx]
+            x = pltpu.roll(full, -rr, 0)
+            x = pltpu.roll(x, -cc * CH, 1)
+            out_ref[e, a, :, :] = x[:16, :FWP]
+
+@jax.jit
+def run(img, r0, c0):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E // BE,),
+        in_specs=[pl.BlockSpec((BE, HP, WPC), lambda i, r, c: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BE, A, 16, FWP), lambda i, r, c: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, A, 16, FWP), jnp.int32),
+    )(r0.reshape(-1), c0.reshape(-1), img)
+
+out = np.asarray(run(img, r0, c0))
+e, a = 3, 5
+ri, ci = int(np.asarray(r0)[e, a]), int(np.asarray(c0)[e, a])
+ref = np.roll(np.roll(np.asarray(img)[e], -ri, axis=0), -ci * CH, axis=1)[:16, :FWP]
+print("correct(roll semantics):", np.array_equal(out[e, a], ref), flush=True)
+win_ref = np.asarray(img)[e, ri:ri+OH, ci*CH:ci*CH+FW]
+print("correct(window):", np.array_equal(out[e, a, :OH, :FW], win_ref), flush=True)
+
+def time_carried(k=8, n=3):
+    @jax.jit
+    def chained(s0):
+        def body(cs, i):
+            o = run(img, (r0 + i) % H, (c0 + i) % W)
+            return cs + jnp.sum(o.astype(jnp.float32)), None
+        total, _ = jax.lax.scan(body, s0, jnp.arange(k))
+        return total
+    np.asarray(chained(jnp.float32(0.0)))
+    rtt = rtt_baseline()
+    ts = []
+    for ri_ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.float32(ri_ + 1)))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - rtt) / k, 0.0)
+
+t = time_carried()
+print(f"window-slice kernel v6: {t*1e3:.2f} ms", flush=True)

@@ -1,0 +1,51 @@
+"""Diagnose pltpu.roll direction: find which np.roll matches."""
+import sys
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+E, HP, WPC = 8, 40, 384
+img = (jnp.arange(E * HP * WPC, dtype=jnp.int32).reshape(E, HP, WPC)) % 100003
+shifts = jnp.full((E,), 3, dtype=jnp.int32)
+
+def kernel(s_ref, img_ref, out_ref):
+    blk = pl.program_id(0)
+    s = s_ref[blk]
+    out_ref[0] = pltpu.roll(img_ref[0], s, 0)
+
+@jax.jit
+def run(img, shifts):
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E,),
+        in_specs=[pl.BlockSpec((1, HP, WPC), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, HP, WPC), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(kernel, grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((E, HP, WPC), jnp.int32))(shifts, img)
+
+got = np.asarray(run(img, shifts))[0]
+base = np.asarray(img)[0]
+for s in (3, -3):
+    print(f"np.roll axis0 {s}: {np.array_equal(got, np.roll(base, s, axis=0))}", flush=True)
+
+# lane axis
+def kernel1(s_ref, img_ref, out_ref):
+    blk = pl.program_id(0)
+    out_ref[0] = pltpu.roll(img_ref[0], s_ref[blk], 1)
+
+@jax.jit
+def run1(img, shifts):
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E,),
+        in_specs=[pl.BlockSpec((1, HP, WPC), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, HP, WPC), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(kernel1, grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((E, HP, WPC), jnp.int32))(shifts, img)
+
+got1 = np.asarray(run1(img, shifts))[0]
+for s in (3, -3):
+    print(f"np.roll axis1 {s}: {np.array_equal(got1, np.roll(base, s, axis=1))}", flush=True)
