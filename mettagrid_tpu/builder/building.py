@@ -1,0 +1,6 @@
+"""Object presets shared by environment builders
+(reference: python/src/mettagrid/builder/building.py)."""
+
+from mettagrid_tpu.config.game_config import WallConfig
+
+wall = WallConfig(name="wall")

@@ -33,6 +33,7 @@ from mettagrid_tpu.config.game_value import (
 )
 from mettagrid_tpu.config.id_map import IdMap, ObservationFeatureSpec
 from mettagrid_tpu.config.obs_config import GlobalObsConfig, ObsConfig
+from mettagrid_tpu.config.protocol import Protocol
 from mettagrid_tpu.config.reward_config import AgentReward, inventoryReward, reward
 
 __all__ = [
@@ -55,6 +56,7 @@ __all__ = [
     "MoveActionConfig",
     "NoopActionConfig",
     "ObsConfig",
+    "Protocol",
     "ObservationFeatureSpec",
     "ResourceLimitsConfig",
     "StatValue",

@@ -1,0 +1,28 @@
+"""Protocol descriptor: recipe metadata exposed to policies/observations
+(reference: cpp/include/mettagrid/objects/protocol.hpp:12-26, bound to Python
+at cpp/bindings/mettagrid_py.cpp bind_protocol).
+
+A protocol describes an interaction recipe on an object: minimum agents
+required, gating vibes, input resources consumed, output resources produced,
+and a cooldown. When `GameConfig.protocol_details_obs` is enabled, objects
+carrying protocols emit `protocol_input:<resource>` / `protocol_output:<resource>`
+observation tokens (see config/id_map.py feature allocation).
+"""
+
+from __future__ import annotations
+
+from pydantic import Field
+
+from mettagrid_tpu.base_config import Config
+
+
+class Protocol(Config):
+    min_agents: int = Field(default=0, ge=0, description="Minimum agents required to trigger")
+    vibes: list[str] = Field(default_factory=list, description="Vibes that gate the protocol")
+    input_resources: dict[str, int] = Field(
+        default_factory=dict, description="Resources consumed per activation"
+    )
+    output_resources: dict[str, int] = Field(
+        default_factory=dict, description="Resources produced per activation"
+    )
+    cooldown: int = Field(default=0, ge=0, description="Steps between activations")
