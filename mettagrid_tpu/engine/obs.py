@@ -104,6 +104,48 @@ def make_obs_fn(program: EngineProgram):
 
     type_is_agent_t = jnp.asarray(program.type_is_agent)
 
+    def _all_global_words(state: EnvState, E: int):
+        """Built-in globals + named game-value observations, as packed words
+        with validity (order: mettagrid_c.cpp:700-752)."""
+        g_words, g_ok = _global_tokens(program, state, global_slots, feat, E, A)
+        if program.value_obs:
+            from mettagrid_tpu.engine.exec import eval_value
+
+            agent_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+            v_words, v_oks = [], []
+            for _name, fids, cv in program.value_obs:
+                value = jnp.maximum(eval_value(program, state, cv, agent_slots), 0.0)
+                amount = jnp.floor(value).astype(jnp.int32)
+                for p, fid in enumerate(fids):
+                    div = base**p
+                    digit = (amount // div) % base
+                    v_words.append((GLOBAL_LOCATION << 16) | (fid << 8) | (digit & 0xFF))
+                    v_oks.append(amount >= max(div, 1))
+            g_words = jnp.concatenate([g_words, jnp.stack(v_words, axis=-1)], axis=-1)
+            g_ok = jnp.concatenate([g_ok, jnp.stack(v_oks, axis=-1)], axis=-1)
+        return g_words, g_ok
+
+    # ---- static tables for the fused pallas obs tail ----
+    KS = K * S
+    KS_pad = ((KS + 127) // 128) * 128
+    RP_f = ((max(OH, 8) + 7) // 8) * 8
+    LP_f = ((OW * S + 127) // 128) * 128
+    HP_f = ((H + OH + 7) // 8) * 8
+    WPC_f = (((W + OW) * S + 127) // 128) * 128
+    perm_np = np.zeros((RP_f, LP_f, KS_pad), dtype=np.float32)
+    for k in range(K):
+        u, v = uv_of_k[k]
+        for s in range(S):
+            perm_np[u, v * S + s, k * S + s] = 1.0
+    perm_fused_t = jnp.asarray(perm_np)
+
+    def make_loc_const(Gt: int):
+        loc_np = np.zeros((8, Gt + KS_pad), dtype=np.int32)
+        loc_np[:, :Gt] = GLOBAL_LOCATION << 16
+        for k in range(K):
+            loc_np[:, Gt + k * S : Gt + (k + 1) * S] = int(loc_k[k]) << 16
+        return jnp.asarray(loc_np)
+
     def compute_obs(state: EnvState):
         E, N = state.obj_type.shape
 
@@ -201,10 +243,52 @@ def make_obs_fn(program: EngineProgram):
         if _TAP == "cellimg":
             return cell_img, cell_img.sum()
         # ============ stage 3: window extraction ============
-        from mettagrid_tpu.engine.pallas_kernels import use_pallas, window_slices_pallas
+        from mettagrid_tpu.engine.pallas_kernels import (
+            obs_tail_pallas,
+            use_pallas,
+            window_slices_pallas,
+        )
 
         agent_r = state.obj_r[:, :A]  # [E, A]
         agent_c = state.obj_c[:, :A]
+
+        if _TAP is None and not has_aoe_mask and E % 8 == 0 and use_pallas():
+            # Fully-fused pallas tail: window slice -> Manhattan permute ->
+            # word assembly -> budget compaction in one VMEM-resident kernel.
+            gw, gok = _all_global_words(state, E)
+            Gt = gw.shape[-1]
+            # +1 word encoding: 0 marks an empty slot (feature ids may be 0).
+            gplus = jnp.where(gok, (gw & 0xFFFF) + 1, 0)
+            tok_int = cell_img[..., :S].astype(jnp.int32)
+            cnt_int = cell_img[..., S].astype(jnp.int32)
+            plus = (
+                jnp.arange(S, dtype=jnp.int32)[None, None, None, :] < cnt_int[..., None]
+            ).astype(jnp.int32)
+            body = (tok_int + plus)[:, :H].reshape(E, H, W * S)
+            imgp = jnp.zeros((E, HP_f, WPC_f), dtype=jnp.int32)
+            imgp = imgp.at[:, hr : hr + H, wr * S : (wr + W) * S].set(body)
+            T_pad = ((T + 127) // 128) * 128
+            out_words, attempted = obs_tail_pallas(
+                imgp,
+                agent_r,
+                agent_c * S,
+                gplus,
+                perm_fused_t,
+                make_loc_const(Gt),
+                T_pad,
+            )
+            out_words = out_words[..., :T]
+            empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
+            out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
+            out = jnp.stack(
+                [
+                    (out_words >> 16) & 0xFF,
+                    (out_words >> 8) & 0xFF,
+                    out_words & 0xFF,
+                ],
+                axis=-1,
+            ).astype(jnp.uint8)
+            return out, attempted
         if use_pallas() and E % 16 == 0:
             # Pallas: dynamic_rotate window slices in VMEM (~3 ms vs ~20 ms
             # for the one-hot einsum formulation at E=4096).
@@ -274,27 +358,7 @@ def make_obs_fn(program: EngineProgram):
         cell_oks = cell_oks.reshape(E, A, K * SLOTS)
 
         # ---- global tokens ----
-        g_words, g_ok = _global_tokens(program, state, global_slots, feat, E, A)
-
-        # named game-value observations (multi-token, after the built-in
-        # globals — mettagrid_c.cpp:752 _emit_obs_value_tokens)
-        if program.value_obs:
-            from mettagrid_tpu.engine.exec import eval_value
-
-            agent_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
-            v_words, v_oks = [], []
-            for _name, fids, cv in program.value_obs:
-                value = jnp.maximum(eval_value(program, state, cv, agent_slots), 0.0)
-                amount = jnp.floor(value).astype(jnp.int32)
-                for p, fid in enumerate(fids):
-                    div = base**p
-                    digit = (amount // div) % base
-                    v_words.append(
-                        (GLOBAL_LOCATION << 16) | (fid << 8) | (digit & 0xFF)
-                    )
-                    v_oks.append(amount >= max(div, 1))
-            g_words = jnp.concatenate([g_words, jnp.stack(v_words, axis=-1)], axis=-1)
-            g_ok = jnp.concatenate([g_ok, jnp.stack(v_oks, axis=-1)], axis=-1)
+        g_words, g_ok = _all_global_words(state, E)
 
         words = jnp.concatenate([g_words, cell_words], axis=-1)  # [E, A, C]
         ok = jnp.concatenate([g_ok, cell_oks], axis=-1)

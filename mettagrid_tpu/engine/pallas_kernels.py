@@ -171,3 +171,82 @@ def window_slices_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((E, A, RP, LP), jnp.int32),
     )(row0.reshape(-1), lane0.reshape(-1), img)
+
+
+@functools.partial(jax.jit, static_argnames=("T_pad", "block_envs"))
+def obs_tail_pallas(
+    imgp: jnp.ndarray,      # int32 [E, HP, WPC] cell image, +1-encoded words (0 = empty slot)
+    row0: jnp.ndarray,      # int32 [E, A] window start row
+    lane0: jnp.ndarray,     # int32 [E, A] window start lane (col * S)
+    gwords: jnp.ndarray,    # int32 [E, A, GP] +1-encoded global words (0 = invalid)
+    perm: jnp.ndarray,      # f32 [RP, LP, KS_pad] raster->Manhattan one-hot
+    loc_const: jnp.ndarray,  # int32 [8, GP + KS_pad] location bytes (<<16), row-broadcast
+    T_pad: int,
+    block_envs: int = 8,
+):
+    """Fused obs tail: window slice -> Manhattan permute (MXU) -> word build ->
+    budget compaction -> packed words, entirely in VMEM.
+
+    Returns (words int32 [E, A, T_pad] with -1 empty, attempted int32 [E, A]).
+    Replaces the slicer + XLA word-assembly + separate compaction kernel
+    (~24 ms in-context at E=4096).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, HP, WPC = imgp.shape
+    A = row0.shape[1]
+    GP = gwords.shape[2]
+    RP, LP, KS_pad = perm.shape
+    BE = block_envs
+    BA = BE * A
+    C = GP + KS_pad
+
+    def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, out_ref, att_ref, winf):
+        blk = pl.program_id(0)
+        for e in range(BE):
+            full = img_ref[e]
+            for a in range(A):
+                idx = (blk * BE + e) * A + a
+                x = pltpu.roll(full, HP - r_ref[idx], 0)
+                x = x[:RP, :]
+                x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                winf[e * A + a] = x[:, :LP].astype(jnp.float32)
+
+        lhs = winf[:].reshape(BA, RP * LP)
+        rhs = perm_ref[:].reshape(RP * LP, KS_pad)
+        cells = jnp.dot(
+            lhs, rhs, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact f32: words are 17-bit
+        ).astype(jnp.int32)  # [BA, KS_pad]
+        gw = gw_ref[:].reshape(BA, GP)
+        cand = jnp.concatenate([gw, cells], axis=-1)  # [BA, C]
+        ok = cand > 0
+        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, C))
+        words = jnp.where(ok, (cand - 1) | loc, -1)
+        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+        out_ref[:, :, :] = _compact_block(words, T_pad).reshape(BE, A, T_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((BE, HP, WPC), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, GP), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RP, LP, KS_pad), lambda i, r, l: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, A, T_pad), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((BA, RP, LP), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, A, T_pad), jnp.int32),
+            jax.ShapeDtypeStruct((E, A), jnp.int32),
+        ],
+    )(row0.reshape(-1), lane0.reshape(-1), imgp, gwords, perm, loc_const)
