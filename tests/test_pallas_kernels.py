@@ -1,0 +1,52 @@
+"""Unit tests for the pallas kernel fallbacks (CPU path).
+
+The TPU kernels themselves are verified bit-identical against these XLA
+fallbacks on hardware (see scripts/probe_obs17.py and the fused-obs
+verification runs); here we pin the fallback algorithms' semantics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.engine.pallas_kernels import _compact_block, _prefix_sum_lanes
+
+
+def ref_compact(row, T):
+    vals = [v for v in row if v >= 0][:T]
+    return vals + [-1] * (T - len(vals))
+
+
+def test_prefix_sum_lanes_matches_cumsum():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 5, size=(7, 33)), dtype=jnp.int32)
+    got = np.asarray(_prefix_sum_lanes(x))
+    want = np.cumsum(np.asarray(x), axis=-1)
+    assert np.array_equal(got, want)
+
+
+def test_compact_block_stable_front_packing():
+    rng = np.random.default_rng(1)
+    B, C, T = 16, 37, 24
+    words = rng.integers(0, 1 << 20, size=(B, C)).astype(np.int32)
+    mask = rng.random((B, C)) < 0.3
+    words[~mask] = -1
+    got = np.asarray(_compact_block(jnp.asarray(words), T))
+    for b in range(B):
+        assert got[b].tolist() == ref_compact(words[b].tolist(), T), b
+
+
+def test_compact_block_all_invalid_and_all_valid():
+    T = 8
+    empty = -np.ones((2, 12), dtype=np.int32)
+    got = np.asarray(_compact_block(jnp.asarray(empty), T))
+    assert (got == -1).all()
+
+    full = np.arange(24, dtype=np.int32).reshape(2, 12)
+    got = np.asarray(_compact_block(jnp.asarray(full), T))
+    assert np.array_equal(got, full[:, :T])
+
+
+def test_compact_block_overflow_drops_tail():
+    row = np.arange(20, dtype=np.int32)[None, :]
+    got = np.asarray(_compact_block(jnp.asarray(row), 5))
+    assert got[0].tolist() == [0, 1, 2, 3, 4]
