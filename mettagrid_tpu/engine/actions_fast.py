@@ -124,14 +124,56 @@ def apply_move_batch(program: EngineProgram, state: EnvState, active: jnp.ndarra
     dc = jnp.asarray(DIR_DC)[arg]
     e2 = jnp.arange(E, dtype=jnp.int32)[:, None]
 
+    # All-range-1 fast path: every handler scans the same adjacent cell, and
+    # wave agents are pairwise non-interacting, so one grid read serves every
+    # handler in this invocation (the grid at scanned cells cannot change
+    # between handlers except by the acting agent itself, which is masked out
+    # of later handlers after success). Guard: a FAILED handler must not have
+    # mutated the grid (no-rollback semantics allow partial application), so
+    # any handler whose chain mixes grid-moving mutations with later failable
+    # ones disables the shared read.
+    # Precisely: every handler before the last must be all-or-nothing — it
+    # fails only via filters (no mutation applied). Mutation chains without
+    # failable kinds (use_target/push_object/spawn_object) have exactly that
+    # property; the last handler may do anything (nothing reads after it).
+    _FAILABLE = {"use_target", "push_object", "spawn_object"}
+
+    def _no_failable(m) -> bool:
+        return m.kind not in _FAILABLE and all(_no_failable(s) for s in m.on_success)
+
+    def _all_or_nothing(h) -> bool:
+        if isinstance(h, CompiledHandler):
+            return all(_no_failable(m) for m in h.mutations)
+        return all(_all_or_nothing(c) for c in h.handlers)
+
+    shared = None
+    if all(mh.max_range == 1 for mh in program.move_handlers) and all(
+        _all_or_nothing(mh.handler) for mh in program.move_handlers[:-1]
+    ):
+        cr1 = ar + dr
+        cc1 = ac + dc
+        inb1 = (cr1 >= 0) & (cr1 < H) & (cc1 >= 0) & (cc1 < W)
+        slot1 = jnp.where(inb1, grid_read(state.grid, cr1, cc1), -1)
+        shared = (cr1, cc1, inb1, slot1)
+
     success = jnp.zeros((E, A), dtype=bool)
     for mh in program.move_handlers:
-        if mh.accepts_empty:
+        if shared is not None:
+            cr1, cc1, inb1, slot1 = shared
+            cand_r, cand_c = cr1, cc1
+            cand_dist = jnp.ones((E, A), dtype=jnp.int32)
+            if mh.accepts_empty:
+                found = active & inb1
+            else:
+                found = active & inb1 & (slot1 >= 0)
+            target = jnp.where(found, slot1, -1)
+        elif mh.accepts_empty:
             cr = ar + dr
             cc = ac + dc
             found = active & (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
             cand_r, cand_c = cr, cc
             cand_dist = jnp.ones((E, A), dtype=jnp.int32)
+            target = jnp.where(found, grid_read(state.grid, cand_r, cand_c), -1)
         else:
             found = jnp.zeros((E, A), dtype=bool)
             blocked = jnp.zeros((E, A), dtype=bool)
@@ -151,9 +193,7 @@ def apply_move_batch(program: EngineProgram, state: EnvState, active: jnp.ndarra
                 cand_dist = jnp.where(newly, i, cand_dist)
                 found = found | newly
             found = found & active
-
-        target = grid_read(state.grid, cand_r, cand_c)
-        target = jnp.where(found, target, -1)
+            target = jnp.where(found, grid_read(state.grid, cand_r, cand_c), -1)
         ctx = Ctx(
             actor=slots,
             target=target,
