@@ -6,16 +6,27 @@ from mettagrid_tpu.simulator.interface import (
     ObservationToken,
     SimulatorEventHandler,
 )
+from mettagrid_tpu.simulator.monologue_projection import (
+    compute_monologue_transcript_update,
+    strip_monologue_transcript_tail,
+)
 from mettagrid_tpu.simulator.simulator import Simulation, SimulationAgent, Simulator
 from mettagrid_tpu.simulator.stats import episode_stats
+from mettagrid_tpu.simulator.time_averaged_stats import TimeAveragedStatsHandler
+from mettagrid_tpu.types import Action, EpisodeStats
 
 __all__ = [
+    "Action",
     "AgentObservation",
+    "EpisodeStats",
     "Location",
     "ObservationToken",
     "Simulation",
     "SimulationAgent",
     "Simulator",
     "SimulatorEventHandler",
+    "TimeAveragedStatsHandler",
+    "compute_monologue_transcript_update",
     "episode_stats",
+    "strip_monologue_transcript_tail",
 ]

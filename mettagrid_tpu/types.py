@@ -1,0 +1,25 @@
+"""Core dependency-free types (reference: python/src/mettagrid/types.py)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TypedDict
+
+
+@dataclass
+class Action:
+    """An agent action: primary action name plus optional vibe/talk sidecars."""
+
+    name: str
+    vibe: str | None = None
+    talk: str | None = None
+
+
+StatsDict = dict[str, float]
+
+
+class EpisodeStats(TypedDict):
+    """Episode statistics payload (game-level plus per-agent)."""
+
+    game: StatsDict
+    agent: list[StatsDict]

@@ -1,5 +1,24 @@
 """Utilities (reference: python/src/mettagrid/util/)."""
 
+from mettagrid_tpu.util.dict_utils import unroll_nested_dict
+from mettagrid_tpu.util.diversity import calculate_diversity_bonus
+from mettagrid_tpu.util.module import load_symbol
 from mettagrid_tpu.util.tracer import NullTracer, Tracer
+from mettagrid_tpu.util.uri_resolvers import (
+    CheckpointMetadata,
+    checkpoint_metadata,
+    parse_uri,
+    resolve_latest_checkpoint,
+)
 
-__all__ = ["NullTracer", "Tracer"]
+__all__ = [
+    "CheckpointMetadata",
+    "NullTracer",
+    "Tracer",
+    "calculate_diversity_bonus",
+    "checkpoint_metadata",
+    "load_symbol",
+    "parse_uri",
+    "resolve_latest_checkpoint",
+    "unroll_nested_dict",
+]

@@ -1,0 +1,107 @@
+"""Tests for the small util/simulator modules: dict utils, diversity,
+monologue projection, URI resolvers, time-averaged stats, Action type."""
+
+import numpy as np
+
+from mettagrid_tpu.config import MettaGridConfig
+from mettagrid_tpu.simulator import (
+    Action,
+    Simulation,
+    TimeAveragedStatsHandler,
+    compute_monologue_transcript_update,
+    strip_monologue_transcript_tail,
+)
+from mettagrid_tpu.util import (
+    calculate_diversity_bonus,
+    checkpoint_metadata,
+    load_symbol,
+    parse_uri,
+    resolve_latest_checkpoint,
+    unroll_nested_dict,
+)
+
+
+def test_unroll_nested_dict():
+    d = {"a": 1, "b": {"c": 2, "d": {"e": 3}}}
+    assert dict(unroll_nested_dict(d)) == {"a": 1, "b/c": 2, "b/d/e": 3}
+
+
+def test_diversity_bonus_shapes_and_range():
+    rewards = np.array([1.0, 1.1, 5.0, 5.2])
+    groups = np.array([0, 0, 1, 1])
+    factors = calculate_diversity_bonus(rewards, groups, 0.5, 0.5)
+    assert factors.shape == (4,)
+    assert (factors >= 1.0).all()
+    # Agents near their group mean and far from the other group score high.
+    assert factors[0] > 1.5
+
+
+def test_diversity_bonus_single_group():
+    factors = calculate_diversity_bonus(np.array([1.0, 2.0]), np.array([0, 0]), 1.0, 1.0)
+    assert factors.shape == (2,)
+
+
+def test_monologue_update_cases():
+    assert compute_monologue_transcript_update("", "hello") == ("hello", False)
+    assert compute_monologue_transcript_update("hello", "hello world") == (" world", False)
+    # Window shifted: previous suffix overlaps current prefix.
+    assert compute_monologue_transcript_update("abcdef", "defghi") == ("ghi", False)
+    # Restart: no overlap.
+    assert compute_monologue_transcript_update("abc", "xyz") == ("xyz", True)
+    assert compute_monologue_transcript_update("same", "same") == ("", False)
+
+
+def test_strip_monologue_tail():
+    assert strip_monologue_transcript_tail(None) is None
+    infos = {"__monologue_transcript_tail": "x", "score": 1}
+    assert strip_monologue_transcript_tail(infos) == {"score": 1}
+    assert strip_monologue_transcript_tail({"__monologue_transcript_tail": "x"}) is None
+
+
+def test_parse_uri_schemes(tmp_path):
+    p = parse_uri("s3://bucket/path/run:v3.zip")
+    assert p.scheme == "s3" and p.bucket == "bucket"
+    assert p.checkpoint_info == ("run", 3)
+
+    f = parse_uri(str(tmp_path / "myrun:v7.pkl"))
+    assert f.scheme == "file"
+    assert f.checkpoint_info == ("myrun", 7)
+
+    h = parse_uri("https://example.com/ckpt/run:v2.zip")
+    assert h.scheme == "http" and h.checkpoint_info == ("run", 2)
+
+
+def test_checkpoint_metadata_and_latest(tmp_path):
+    meta = checkpoint_metadata("s3://b/k/run:v9.zip")
+    assert meta is not None and meta.epoch == 9 and meta.run_name == "run"
+
+    (tmp_path / "run:v1.pkl").touch()
+    (tmp_path / "run:v5.pkl").touch()
+    (tmp_path / "other.txt").touch()
+    latest = resolve_latest_checkpoint(str(tmp_path))
+    assert latest is not None and ("run:v5" in latest or "run%3Av5" in latest)
+
+
+def test_load_symbol():
+    cls = load_symbol("mettagrid_tpu.maps.ascii.AsciiMapBuilder.Config")
+    from mettagrid_tpu.maps.ascii import AsciiMapBuilderConfig
+
+    assert cls is AsciiMapBuilderConfig
+    assert load_symbol("no.such.module.X", strict=False) is None
+
+
+def test_action_dataclass_set_action():
+    sim = Simulation(MettaGridConfig.EmptyRoom(num_agents=1))
+    sim.agent(0).set_action(Action(name="move_east"))
+    sim.step()
+    assert sim.current_step == 1
+
+
+def test_time_averaged_stats_handler():
+    handler = TimeAveragedStatsHandler()
+    sim = Simulation(MettaGridConfig.EmptyRoom(num_agents=1), event_handlers=[handler])
+    for _ in range(3):
+        sim.agent(0).set_action("noop")
+        sim.step()
+    stats = handler.time_averaged_game_stats
+    assert isinstance(stats, dict)
