@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Canonical env-only perf benchmark with the reference's preset methodology
+(reference: benchmarks/perf/perf_benchmark.py — toy/arena presets, rounds with
+warmup, CV stability gate, JSON save/compare).
+
+Usage:
+    python benchmarks/perf_benchmark.py --preset toy --envs 1024
+    python benchmarks/perf_benchmark.py --preset arena --save out.json
+    python benchmarks/perf_benchmark.py --preset arena --compare base.json
+
+Exit codes (reference parity): 0 ok, 1 unstable (CV > 20%).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.config import (
+    ActionsConfig,
+    GameConfig,
+    MettaGridConfig,
+    MoveActionConfig,
+    NoopActionConfig,
+    ObsConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.action_config import ChangeVibeActionConfig
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.maps.random_map import RandomMapBuilder
+from mettagrid_tpu.perf.harness import PerfResult, run_performance
+
+PRESETS = {
+    "toy": "20 agents, move+noop, 40x40 random map, 11x11 obs (fast sanity check)",
+    "arena": "24 agents via make_arena (production training config)",
+}
+
+
+def make_toy(num_agents: int = 20, map_size: int = 40, density: float = 0.04) -> MettaGridConfig:
+    num_walls = int(map_size * map_size * density)
+    return MettaGridConfig(
+        label="toy",
+        game=GameConfig(
+            num_agents=num_agents,
+            max_steps=0,
+            obs=ObsConfig(width=11, height=11, num_tokens=200),
+            actions=ActionsConfig(
+                noop=NoopActionConfig(enabled=True),
+                move=MoveActionConfig(
+                    enabled=True,
+                    allowed_directions=[
+                        "north", "south", "east", "west",
+                        "northeast", "northwest", "southeast", "southwest",
+                    ],
+                ),
+                change_vibe=ChangeVibeActionConfig(enabled=False),
+            ),
+            objects={"wall": WallConfig()},
+            map_builder=RandomMapBuilder.Config(
+                agents=num_agents, width=map_size, height=map_size,
+                objects={"wall": num_walls}, border_width=1,
+            ),
+        ),
+    )
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--preset", choices=sorted(PRESETS), default="toy")
+    parser.add_argument("--envs", type=int, default=1024)
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--rounds", type=int, default=5)
+    parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument("--save", type=str, default=None)
+    parser.add_argument("--compare", type=str, default=None)
+    parser.add_argument("--platform", type=str, default=None, help="cpu|tpu (the box pre-forces a TPU platform; this overrides it)")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = make_toy() if args.preset == "toy" else make_arena(24, combat=False)
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    maps = [builder.build_for_num_agents(cfg.game.num_agents) for _ in range(4)]
+    init = build_env_init(program, maps)
+    reset = make_reset(program, init, args.envs)
+    step = make_step(program, init, auto_reset=True, donate=False)
+
+    try:
+        result = run_performance(
+            step, reset,
+            num_envs=args.envs,
+            num_agents=program.num_agents,
+            n_actions=len(program.action_names),
+            label=args.preset,
+            iters_per_round=args.iters,
+            rounds=args.rounds,
+            warmup_iters=args.warmup,
+        )
+    except RuntimeError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+
+    print(result.to_json())
+    if args.save:
+        result.save(args.save)
+    if args.compare:
+        baseline = PerfResult.load(args.compare)
+        print(json.dumps(result.compare(baseline)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,14 +79,16 @@ def run_performance(
 
     for i in range(warmup_iters):
         state, out = step_fn(state, bank[i % len(bank)], vibes)
-    jax.block_until_ready(out.rewards)
+    # Force a host readback: on the tunneled TPU backend block_until_ready
+    # returns before execution completes (see CLAUDE.md / scripts/timing.py).
+    float(np.asarray(jnp.sum(out.rewards)))
 
     round_sps: list[float] = []
     for r in range(rounds):
         t0 = time.perf_counter()
         for i in range(iters_per_round):
             state, out = step_fn(state, bank[i % len(bank)], vibes)
-        jax.block_until_ready(out.rewards)
+        float(np.asarray(jnp.sum(out.rewards)))  # real completion barrier
         dt = time.perf_counter() - t0
         round_sps.append(num_envs * iters_per_round / dt)
 
