@@ -146,8 +146,12 @@ class MettaGridVectorEnv:
         if vibe_actions is None:
             vibe_actions = self.buffers.vibe_actions
         vibes = np.asarray(vibe_actions, dtype=np.int32).reshape(E, A)
+        # .copy(): acts/vibes may BE the caller's shared
+        # buffer (np.asarray is zero-copy for matching dtype), jnp.asarray can
+        # alias it, and dispatch is async — the trainer overwriting actions
+        # for the next step would race this one.
         self._state, self._last = self._step_fn(
-            self._state, jnp.asarray(acts), jnp.asarray(vibes)
+            self._state, jnp.asarray(acts.copy()), jnp.asarray(vibes.copy())
         )
         self._sync_buffers()
         # Supervisor (teacher) labels for imitation targets

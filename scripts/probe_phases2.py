@@ -1,0 +1,100 @@
+"""Granular per-phase timing of the arena step at E=4096 (tunnel-safe)."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.engine.actions_fast import make_action_phase_fast
+from mettagrid_tpu.engine.events import make_event_phase
+from mettagrid_tpu.engine.aoe import make_aoe_phase
+from mettagrid_tpu.engine.territory import make_territory_phase
+from mettagrid_tpu.engine.rewards import make_reward_phase
+from mettagrid_tpu.engine.step import _device_init, _fresh_state_from_pool, make_agent_tick_phase, make_game_tick_phase
+import mettagrid_tpu.engine.obs as obs_mod
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+perm = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (E, A))
+
+def t(name, fn, carry=state, k=8):
+    dt = time_fn_carry(fn, carry, k=k)
+    print(f"{name:26s} {dt*1e3:8.2f} ms", flush=True)
+    return dt
+
+step_ar = make_step(program, init, auto_reset=True, donate=False)
+step_nr = make_step(program, init, auto_reset=False, donate=False)
+t("full step (auto_reset)", lambda s: step_ar(s, actions, vibes))
+t("full step (no reset)", lambda s: step_nr(s, actions, vibes))
+
+pool = _device_init(init)
+P = init.pool_size
+
+@jax.jit
+def reset_phase(s):
+    done = jnp.any(s.terminals | s.truncations, axis=1)
+    keys = jax.vmap(jax.random.split, in_axes=0)(s.rng)
+    rng_next, k_map = keys[:, 0], keys[:, 1]
+    map_idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
+    fresh = _fresh_state_from_pool(program, pool, map_idx, rng_next)
+    return jax.tree_util.tree_map(
+        lambda new, old: jnp.where(done.reshape((E,) + (1,) * (old.ndim - 1)), new, old),
+        fresh, s)
+t("auto-reset gather+where", reset_phase)
+
+@jax.jit
+def rng_phase(s):
+    keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(s.rng)
+    rng_next, k_perm, k_event = keys[:, 0], keys[:, 1], keys[:, 2]
+    p = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)
+    return s._replace(rng=rng_next + p.sum().astype(jnp.uint32))
+t("rng split+perm", rng_phase)
+
+phase = make_action_phase_fast(program)
+t("actions(fast)", lambda s: phase(s, actions, vibes, perm))
+
+ev = make_event_phase(program)
+if ev is not None:
+    k0 = jax.random.PRNGKey(7)
+    t("events", lambda s: ev(s, k0))
+else:
+    print("events: none")
+
+atp = make_agent_tick_phase(program)
+if atp is not None:
+    t("agent on_tick", atp)
+else:
+    print("agent on_tick: none")
+
+ap = make_aoe_phase(program)
+if ap is not None:
+    t("aoe", ap)
+else:
+    print("aoe: none")
+
+tp = make_territory_phase(program)
+if tp is not None:
+    t("territory", tp)
+else:
+    print("territory: none")
+
+gt = make_game_tick_phase(program)
+if gt is not None:
+    t("game on_tick", gt)
+else:
+    print("game on_tick: none")
+
+fn = obs_mod.make_obs_fn(program)
+t("obs", fn)
+
+rw = make_reward_phase(program)
+t("rewards", rw)
