@@ -1,0 +1,260 @@
+"""Cross-engine parity: step this framework and the reference C++ engine on
+matched configs/actions and diff their states.
+
+The driver metric is "signature-match rate vs C++ ref" — this module is the
+rate's numerator. Scenarios are expressed once as plain data (map rows +
+object specs + action scripts); `run_ours`/`run_reference` build the same
+scenario in each framework (the config APIs mirror each other by design) and
+return canonical summaries of comparable state:
+
+    per step:  action_success per agent, agent (r, c), agent inventory
+    at end:    objects (type, r, c, vibe, inventory), episode rewards
+
+Object comparison is position-keyed (slot ids are engine-internal).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class Scenario:
+    """Engine-neutral description of a parity scenario."""
+
+    map_data: List[List[str]]  # ObjectNameMapBuilder cell names
+    num_agents: int
+    scripts: List[List[str]]  # scripts[t][agent] = action name at step t
+    objects: Dict[str, Any] = field(default_factory=dict)  # name -> spec dict
+    agent_rewards: Dict[str, float] = field(default_factory=dict)  # game-value inventory rewards
+    max_steps: int = 1000
+    resources: Optional[List[str]] = None
+
+
+def _summary_ours(sim) -> Dict[str, Any]:
+    import numpy as np
+
+    program = sim._program
+    state = sim._state
+    alive = np.asarray(state.obj_alive[0])
+    types = np.asarray(state.obj_type[0])
+    rr = np.asarray(state.obj_r[0])
+    cc = np.asarray(state.obj_c[0])
+    vibe = np.asarray(state.obj_vibe[0])
+    inv = np.asarray(state.obj_inv[0])
+    objs = []
+    for slot in range(types.shape[0]):
+        if not alive[slot]:
+            continue
+        objs.append(
+            {
+                "type": program.type_names[int(types[slot])],
+                "r": int(rr[slot]),
+                "c": int(cc[slot]),
+                "vibe": int(vibe[slot]),
+                "inventory": {
+                    program.resource_names[r]: int(q)
+                    for r, q in enumerate(inv[slot])
+                    if q != 0
+                },
+            }
+        )
+    objs.sort(key=lambda o: (o["r"], o["c"], o["type"]))
+    return {
+        "objects": objs,
+        "episode_rewards": [round(float(x), 5) for x in np.asarray(state.episode_rewards[0])],
+    }
+
+
+def _summary_reference(ref_sim) -> Dict[str, Any]:
+    import numpy as np
+
+    resource_names = list(ref_sim.resource_names)
+    objs = []
+    for _oid, obj in sorted(ref_sim.grid_objects().items()):
+        inv = obj.get("inventory", {}) or {}
+        objs.append(
+            {
+                "type": str(obj["type_name"]),
+                "r": int(obj["r"]),
+                "c": int(obj["c"]),
+                "vibe": int(obj.get("vibe", 0)),
+                "inventory": {
+                    (resource_names[int(k)] if str(k).isdigit() else str(k)): int(v)
+                    for k, v in inv.items()
+                    if int(v) != 0
+                },
+            }
+        )
+    objs.sort(key=lambda o: (o["r"], o["c"], o["type"]))
+    return {
+        "objects": objs,
+        "episode_rewards": [round(float(x), 5) for x in np.asarray(ref_sim.episode_rewards)],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Scenario -> config builders (one per engine; the APIs mirror each other)
+# ---------------------------------------------------------------------------
+
+
+def _build_objects_ours(objects: Dict[str, Any]):
+    from mettagrid_tpu.config.game_config import GridObjectConfig, WallConfig
+    from mettagrid_tpu.config.handler_config import (
+        EntityTarget,
+        Handler,
+        ResourceDeltaMutation,
+    )
+
+    out = {"wall": WallConfig()}
+    for name, spec in objects.items():
+        if spec.get("kind") == "mine":
+            out[name] = GridObjectConfig(
+                name=name,
+                map_name=name,
+                on_use_handler=Handler(
+                    name=f"{name}_use",
+                    mutations=[
+                        ResourceDeltaMutation(
+                            target=EntityTarget.ACTOR, deltas=dict(spec["gives"])
+                        )
+                    ],
+                ),
+            )
+    return out
+
+
+def _build_objects_reference(objects: Dict[str, Any]):
+    from mettagrid.config.handler_config import Handler
+    from mettagrid.config.mettagrid_config import GridObjectConfig, WallConfig
+    from mettagrid.config.mutation import EntityTarget, ResourceDeltaMutation
+
+    out = {"wall": WallConfig()}
+    for name, spec in objects.items():
+        if spec.get("kind") == "mine":
+            out[name] = GridObjectConfig(
+                name=name,
+                map_name=name,
+                on_use_handler=Handler(
+                    name=f"{name}_use",
+                    mutations=[
+                        ResourceDeltaMutation(
+                            target=EntityTarget.ACTOR, deltas=dict(spec["gives"])
+                        )
+                    ],
+                ),
+            )
+    return out
+
+
+def run_ours(sc: Scenario) -> Dict[str, Any]:
+    from mettagrid_tpu.config.game_config import AgentConfig, GameConfig, MettaGridConfig
+    from mettagrid_tpu.config.reward_config import inventoryReward
+    from mettagrid_tpu.simulator import Simulation
+    from mettagrid_tpu.test_support import ObjectNameMapBuilder
+
+    agent = AgentConfig(
+        rewards={
+            f"inv_{res}": inventoryReward(res, weight=scale)
+            for res, scale in sc.agent_rewards.items()
+        }
+    )
+    game = GameConfig(
+        num_agents=sc.num_agents,
+        max_steps=sc.max_steps,
+        objects=_build_objects_ours(sc.objects),
+        agent=agent,
+        map_builder=ObjectNameMapBuilder.Config(map_data=sc.map_data),
+    )
+    if sc.resources is not None:
+        game = game.model_copy(update={"resource_names": list(sc.resources)})
+    sim = Simulation(MettaGridConfig(game=game))
+    trace = _drive(sim, sc, ours=True)
+    trace["final"] = _summary_ours(sim)
+    return trace
+
+
+def run_reference(sc: Scenario) -> Dict[str, Any]:
+    from mettagrid_tpu.parity.reference_oracle import load_reference
+
+    load_reference()
+    from mettagrid.config.mettagrid_config import AgentConfig, GameConfig, MettaGridConfig
+    from mettagrid.config.reward_config import inventoryReward
+    from mettagrid.simulator.simulator import Simulator
+    from mettagrid.test_support.map_builders import ObjectNameMapBuilder
+
+    agent = AgentConfig(
+        rewards={
+            f"inv_{res}": inventoryReward(res, weight=scale)
+            for res, scale in sc.agent_rewards.items()
+        }
+    )
+    game = GameConfig(
+        num_agents=sc.num_agents,
+        max_steps=sc.max_steps,
+        objects=_build_objects_reference(sc.objects),
+        agent=agent,
+        map_builder=ObjectNameMapBuilder.Config(map_data=sc.map_data),
+    )
+    if sc.resources is not None:
+        game = game.model_copy(update={"resource_names": list(sc.resources)})
+    sim = Simulator().new_simulation(MettaGridConfig(game=game), seed=0)
+    trace = _drive(sim, sc, ours=False)
+    trace["final"] = _summary_reference(sim)
+    return trace
+
+
+def _drive(sim, sc: Scenario, ours: bool) -> Dict[str, Any]:
+    import numpy as np
+
+    steps = []
+    for t, row in enumerate(sc.scripts):
+        for i, action in enumerate(row):
+            sim.agent(i).set_action(action)
+        sim.step()
+        if ours:
+            success = [bool(x) for x in np.asarray(sim.last_outputs.action_success[0])]
+            pos = [
+                (int(sim._state.obj_r[0, i]), int(sim._state.obj_c[0, i]))
+                for i in range(sc.num_agents)
+            ]
+            inv = [dict(sim.agent(i).inventory) for i in range(sc.num_agents)]
+            rew = [round(float(x), 5) for x in np.asarray(sim.last_outputs.rewards[0])]
+        else:
+            success = [bool(x) for x in np.asarray(sim.action_success)]
+            gos = sim.grid_objects()
+            by_agent = {
+                int(o["agent_id"]): o for o in gos.values() if o.get("agent_id") is not None
+            }
+            resource_names = list(sim.resource_names)
+            pos = [
+                (int(by_agent[i]["r"]), int(by_agent[i]["c"])) for i in range(sc.num_agents)
+            ]
+            inv = [
+                {
+                    (resource_names[int(k)] if str(k).isdigit() else str(k)): int(v)
+                    for k, v in (by_agent[i].get("inventory", {}) or {}).items()
+                    if int(v) != 0
+                }
+                for i in range(sc.num_agents)
+            ]
+            rew = [
+                round(float(by_agent[i].get("current_stat_reward", 0.0)), 5)
+                for i in range(sc.num_agents)
+            ]
+        steps.append({"t": t, "success": success, "pos": pos, "inv": inv, "rew": rew})
+    return {"steps": steps}
+
+
+def diff_traces(a: Dict[str, Any], b: Dict[str, Any]) -> List[str]:
+    """Human-readable mismatch list between run_ours and run_reference output."""
+    problems = []
+    for sa, sb in zip(a["steps"], b["steps"]):
+        for key in ("success", "pos", "inv"):
+            if sa[key] != sb[key]:
+                problems.append(f"step {sa['t']}: {key} ours={sa[key]} ref={sb[key]}")
+    for key in ("objects", "episode_rewards"):
+        if a["final"][key] != b["final"][key]:
+            problems.append(f"final {key}: ours={a['final'][key]} ref={b['final'][key]}")
+    return problems

@@ -1,0 +1,92 @@
+"""Load the reference C++ engine as an external parity oracle.
+
+The driver metric includes "signature-match rate vs C++ ref" — this module
+makes the actual reference engine (built by scripts/build_reference_oracle.sh
+into build/reference/mettagrid_c.so) importable so tests can step both
+engines on matched configs and compare end states directly instead of only
+checking self-consistency.
+
+Nothing here runs unless the oracle was built; tests skip otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Dict, Optional
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ORACLE_DIR = os.path.join(_REPO, "build", "reference")
+_REFERENCE_PY = os.environ.get("REFERENCE_DIR", "/root/reference") + "/python/src"
+
+_loaded: Optional[bool] = None
+
+
+def reference_available() -> bool:
+    return os.path.exists(os.path.join(_ORACLE_DIR, "mettagrid_c.so")) and os.path.isdir(
+        _REFERENCE_PY
+    )
+
+
+def load_reference():
+    """Import and return the reference `mettagrid` package (or raise).
+
+    Installs sys.path entries for the built extension, the dependency shims,
+    and the reference Python sources, and aliases the extension to
+    `mettagrid.mettagrid_c` (the name the package expects from its Bazel
+    build — reference BUILD.bazel pybind_extension "mettagrid_c").
+    """
+    global _loaded
+    if not reference_available():
+        raise RuntimeError(
+            "reference oracle not built — run scripts/build_reference_oracle.sh"
+        )
+    if _loaded is None:
+        for p in (_ORACLE_DIR, os.path.join(_ORACLE_DIR, "shims"), _REFERENCE_PY):
+            if p not in sys.path:
+                sys.path.append(p)
+        import mettagrid_c  # noqa: F401
+
+        sys.modules.setdefault("mettagrid.mettagrid_c", mettagrid_c)
+        _loaded = True
+    import mettagrid as ref_mettagrid
+
+    return ref_mettagrid
+
+
+def reference_state_summary(ref_sim) -> Dict[str, Any]:
+    """Canonical end-state summary of a reference Simulation, shaped like
+    parity.signature.state_summary so the two engines diff directly.
+
+    Uses grid_objects() (reference cpp/bindings/mettagrid_py.cpp:242-397
+    exposure) + episode_rewards + per-agent stats. Orderings canonicalized
+    (objects by (r, c, type), inventories by resource name, stats sorted) —
+    the reference's unordered_map iteration order is not deterministic
+    across builds (SURVEY.md §3.3).
+    """
+    import numpy as np
+
+    objs = []
+    for oid, obj in sorted(ref_sim.grid_objects().items()):
+        inv = obj.get("inventory", {}) or {}
+        resource_names = ref_sim.resource_names
+        objs.append(
+            {
+                "type": obj.get("type_name", obj.get("type")),
+                "r": int(obj.get("r", obj.get("row", -1))),
+                "c": int(obj.get("c", obj.get("col", -1))),
+                "vibe": int(obj.get("vibe", 0)),
+                "tags": sorted(obj.get("tags", []) or []),
+                "inventory": {
+                    (resource_names[k] if isinstance(k, int) else str(k)): int(v)
+                    for k, v in sorted(inv.items(), key=lambda kv: str(kv[0]))
+                    if int(v) != 0
+                },
+            }
+        )
+    objs.sort(key=lambda o: (o["r"], o["c"], str(o["type"])))
+    return {
+        "step": int(ref_sim.current_step),
+        "objects": objs,
+        "episode_rewards": [round(float(x), 6) for x in np.asarray(ref_sim.episode_rewards)],
+    }

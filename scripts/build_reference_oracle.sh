@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Build the reference C++ engine (/root/reference) as an importable CPython
+# extension so parity tests can compare this framework against the real
+# thing (SURVEY.md target: bit-exact episode-signature parity vs the C++
+# engine). The reference normally builds via Bazel (BUILD.bazel
+# pybind_extension); offline we compile the same sources directly with g++
+# against the pybind11 headers bundled inside the tensorflow wheel.
+#
+# Output: build/reference/mettagrid_c.so (+ pure-python dep shims).
+# Nothing from the reference tree is copied — the .so links read-only
+# sources in place and tests load them as an external oracle.
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+REF="${REFERENCE_DIR:-/root/reference}"
+OUT="$REPO/build/reference"
+PB11="$(python - <<'EOF'
+import glob, sys
+hits = glob.glob("/opt/venv/lib/python3.12/site-packages/tensorflow/include/external/pybind11/include")
+print(hits[0] if hits else "", end="")
+EOF
+)"
+PYINC="$(python - <<'EOF'
+import sysconfig
+print(sysconfig.get_paths()["include"], end="")
+EOF
+)"
+
+if [[ -z "$PB11" || ! -d "$REF/cpp" ]]; then
+  echo "reference oracle prerequisites missing (pybind11 headers or $REF)" >&2
+  exit 1
+fi
+
+mkdir -p "$OUT/shims/importnb" "$OUT/shims/boto3" "$OUT/shims/botocore"
+
+cat > "$OUT/shims/importnb/__init__.py" <<'EOF'
+# Minimal stub: the reference imports importnb for notebook symbol loading,
+# which parity tests never exercise.
+class Notebook:
+    @staticmethod
+    def load_file(*a, **k):
+        raise ImportError("importnb stub: notebook loading unavailable")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+EOF
+echo "# boto3 stub (S3 paths unused by parity tests)" > "$OUT/shims/boto3/__init__.py"
+echo "# botocore stub" > "$OUT/shims/botocore/__init__.py"
+cat > "$OUT/shims/botocore/exceptions.py" <<'EOF'
+class ClientError(Exception):
+    pass
+
+
+class NoCredentialsError(Exception):
+    pass
+EOF
+
+echo "compiling reference engine -> $OUT/mettagrid_c.so"
+g++ -O2 -std=c++20 -shared -fPIC \
+  -I"$PB11" -I"$PYINC" \
+  -I"$REF/cpp/include/mettagrid" -I"$REF/cpp" \
+  $(find "$REF/cpp/src" -name '*.cpp') \
+  "$REF/cpp/bindings/mettagrid_c.cpp" \
+  "$REF/cpp/bindings/mettagrid_py.cpp" \
+  "$REF/cpp/bindings/profiling_py.cpp" \
+  -o "$OUT/mettagrid_c.so"
+echo "ok"
