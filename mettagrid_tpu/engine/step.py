@@ -181,6 +181,7 @@ def make_step(
     auto_reset: bool = True,
     donate: bool = True,
     action_mode: str = "auto",
+    external_perm: bool = False,
 ):
     """Returns step(state, actions, vibe_actions) -> (state, StepOutputs).
 
@@ -191,6 +192,12 @@ def make_step(
     action_mode: "auto" uses the wave-parallel phase when provably
     sequential-equivalent (actions_fast.fast_mode_ok), "fast" forces it,
     "sequential" forces the per-agent fori loop.
+
+    external_perm: when True the returned step takes a fourth argument
+    perm[E, A] — the shuffled agent order (perm[e, i] = agent acting at
+    rank i) — instead of drawing it from the per-env PRNG. Parity mode
+    feeds the reference's MT19937 std::shuffle stream here
+    (mettagrid_c.cpp:957-960).
     """
     pool = _device_init(init)
     P = init.pool_size
@@ -207,7 +214,7 @@ def make_step(
     obs_fn = make_obs_fn(program)
     reward_phase = make_reward_phase(program)
 
-    def step(state: EnvState, actions: jnp.ndarray, vibe_actions: jnp.ndarray):
+    def step(state: EnvState, actions: jnp.ndarray, vibe_actions: jnp.ndarray, perm_in: jnp.ndarray = None):
         E = actions.shape[0]
 
         # --- auto-reset envs whose episode ended last step (PufferEnv
@@ -230,7 +237,10 @@ def make_step(
         # --- per-step RNG: agent order shuffle + event shuffles ---
         keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(state.rng)
         rng_next, k_perm, k_event = keys[:, 0], keys[:, 1], keys[:, 2]
-        perm = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)
+        if external_perm:
+            perm = perm_in
+        else:
+            perm = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)
 
         # --- reset phase (mettagrid_c.cpp:929-952) ---
         state = state._replace(

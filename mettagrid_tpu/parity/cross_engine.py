@@ -30,6 +30,10 @@ class Scenario:
     agent_rewards: Dict[str, float] = field(default_factory=dict)  # game-value inventory rewards
     max_steps: int = 1000
     resources: Optional[List[str]] = None
+    # Feed the reference's MT19937 std::shuffle agent order into our engine
+    # (required whenever agents can contend — the winner is order-dependent).
+    reference_shuffle: bool = False
+    seed: int = 0
 
 
 def _summary_ours(sim) -> Dict[str, Any]:
@@ -169,7 +173,9 @@ def run_ours(sc: Scenario) -> Dict[str, Any]:
     )
     if sc.resources is not None:
         game = game.model_copy(update={"resource_names": list(sc.resources)})
-    sim = Simulation(MettaGridConfig(game=game))
+    sim = Simulation(
+        MettaGridConfig(game=game), seed=sc.seed, reference_shuffle=sc.reference_shuffle
+    )
     trace = _drive(sim, sc, ours=True)
     trace["final"] = _summary_ours(sim)
     return trace
@@ -199,7 +205,7 @@ def run_reference(sc: Scenario) -> Dict[str, Any]:
     )
     if sc.resources is not None:
         game = game.model_copy(update={"resource_names": list(sc.resources)})
-    sim = Simulator().new_simulation(MettaGridConfig(game=game), seed=0)
+    sim = Simulator().new_simulation(MettaGridConfig(game=game), seed=sc.seed)
     trace = _drive(sim, sc, ours=False)
     trace["final"] = _summary_reference(sim)
     return trace

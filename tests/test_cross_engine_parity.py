@@ -103,6 +103,57 @@ def test_two_agents_disjoint_zones():
     check(sc)
 
 
+def test_contested_moves_reference_shuffle():
+    # Two agents repeatedly racing for the same cells: the winner each step
+    # is decided by the reference's per-step MT19937 agent shuffle, which our
+    # engine reproduces in parity mode (reference_shuffle=True).
+    sc = Scenario(
+        map_data=[
+            ["wall", "wall", "wall", "wall", "wall"],
+            ["wall", "agent.agent", "empty", "agent.agent", "wall"],
+            ["wall", "empty", "empty", "empty", "wall"],
+            ["wall", "wall", "wall", "wall", "wall"],
+        ],
+        num_agents=2,
+        reference_shuffle=True,
+        scripts=[
+            ["move_east", "move_west"],   # both target (1, 2): shuffle decides
+            ["move_west", "move_east"],   # retreat (loser may now succeed)
+            ["move_south", "move_south"],
+            ["move_east", "move_west"],   # race for (2, 2)
+            ["move_north", "move_north"],
+            ["move_east", "move_west"],
+            ["move_south", "move_west"],
+            ["move_west", "move_north"],
+        ],
+    )
+    check(sc)
+
+
+def test_contested_moves_many_seeds():
+    # Same contested layout across seeds: the shuffle stream differs per
+    # seed, so any divergence in shuffle reproduction shows up here.
+    for seed in (1, 7, 123, 99991):
+        sc = Scenario(
+            map_data=[
+                ["wall", "wall", "wall", "wall", "wall"],
+                ["wall", "agent.agent", "empty", "agent.agent", "wall"],
+                ["wall", "empty", "agent.agent", "empty", "wall"],
+                ["wall", "wall", "wall", "wall", "wall"],
+            ],
+            num_agents=3,
+            reference_shuffle=True,
+            seed=seed,
+            scripts=[
+                ["move_east", "move_west", "move_north"],
+                ["move_south", "move_south", "move_east"],
+                ["move_east", "move_west", "move_west"],
+                ["move_north", "move_north", "move_north"],
+            ],
+        )
+        check(sc)
+
+
 def test_change_vibe_and_noop():
     sc = Scenario(
         map_data=[
