@@ -3,20 +3,20 @@ matched configs/actions and diff their states.
 
 The driver metric is "signature-match rate vs C++ ref" — this module is the
 rate's numerator. Scenarios are expressed once as plain data (map rows +
-object specs + action scripts); `run_ours`/`run_reference` build the same
-scenario in each framework (the config APIs mirror each other by design) and
-return canonical summaries of comparable state:
+object/action specs + action scripts); because this framework's config API
+mirrors the reference's field-for-field, ONE builder constructs the scenario
+in either framework through a resolved module namespace (`_Api`), which
+guarantees the configs are actually identical.
 
-    per step:  action_success per agent, agent (r, c), agent inventory
-    at end:    objects (type, r, c, vibe, inventory), episode rewards
-
-Object comparison is position-keyed (slot ids are engine-internal).
+Per step the trace records action_success, agent (r, c), agent inventory,
+and optionally observation tokens; at the end, the canonical object/reward
+state. Object comparison is position-keyed (slot ids are engine-internal).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 
 @dataclass
@@ -27,13 +27,210 @@ class Scenario:
     num_agents: int
     scripts: List[List[str]]  # scripts[t][agent] = action name at step t
     objects: Dict[str, Any] = field(default_factory=dict)  # name -> spec dict
-    agent_rewards: Dict[str, float] = field(default_factory=dict)  # game-value inventory rewards
+    agent_rewards: Dict[str, float] = field(default_factory=dict)
+    attack: Optional[Dict[str, Any]] = None  # AttackActionConfig fields
+    change_vibe: bool = True
+    inventories: Dict[int, Dict[str, int]] = field(default_factory=dict)
     max_steps: int = 1000
     resources: Optional[List[str]] = None
+    compare_obs: bool = False
     # Feed the reference's MT19937 std::shuffle agent order into our engine
     # (required whenever agents can contend — the winner is order-dependent).
     reference_shuffle: bool = False
     seed: int = 0
+
+
+class _Api:
+    """The config/simulation symbols of one framework, resolved by name.
+
+    Both packages expose the same class names with the same fields (ours is
+    modeled on the reference's pydantic layer), so scenario construction is
+    written once against this namespace.
+    """
+
+    def __init__(self, ours: bool):
+        self.ours = ours
+        if ours:
+            from mettagrid_tpu.config import action_config as A
+            from mettagrid_tpu.config import game_config as G
+            from mettagrid_tpu.config import handler_config as H
+            from mettagrid_tpu.config import reward_config as R
+            from mettagrid_tpu.test_support import ObjectNameMapBuilder
+
+            self.MettaGridConfig = G.MettaGridConfig
+            self.GameConfig = G.GameConfig
+            self.AgentConfig = G.AgentConfig
+            self.GridObjectConfig = G.GridObjectConfig
+            self.WallConfig = G.WallConfig
+            self.Handler = H.Handler
+            self.EntityTarget = H.EntityTarget
+            self.ResourceDeltaMutation = H.ResourceDeltaMutation
+            self.ActionsConfig = A.ActionsConfig
+            self.NoopActionConfig = A.NoopActionConfig
+            self.MoveActionConfig = A.MoveActionConfig
+            self.AttackActionConfig = A.AttackActionConfig
+            self.AttackOutcome = A.AttackOutcome
+            self.ChangeVibeActionConfig = A.ChangeVibeActionConfig
+            self.inventoryReward = R.inventoryReward
+            self.ObjectNameMapBuilder = ObjectNameMapBuilder
+        else:
+            from mettagrid_tpu.parity.reference_oracle import load_reference
+
+            load_reference()
+            from mettagrid.config import action_config as A
+            from mettagrid.config import handler_config as H
+            from mettagrid.config import mettagrid_config as G
+            from mettagrid.config import mutation as MU
+            from mettagrid.config import reward_config as R
+            from mettagrid.test_support.map_builders import ObjectNameMapBuilder
+
+            self.MettaGridConfig = G.MettaGridConfig
+            self.GameConfig = G.GameConfig
+            self.AgentConfig = G.AgentConfig
+            self.GridObjectConfig = G.GridObjectConfig
+            self.WallConfig = G.WallConfig
+            self.Handler = H.Handler
+            self.EntityTarget = MU.EntityTarget
+            self.ResourceDeltaMutation = MU.ResourceDeltaMutation
+            self.ActionsConfig = A.ActionsConfig
+            self.NoopActionConfig = A.NoopActionConfig
+            self.MoveActionConfig = A.MoveActionConfig
+            self.AttackActionConfig = A.AttackActionConfig
+            self.AttackOutcome = A.AttackOutcome
+            self.ChangeVibeActionConfig = A.ChangeVibeActionConfig
+            self.inventoryReward = R.inventoryReward
+            self.ObjectNameMapBuilder = ObjectNameMapBuilder
+
+
+def _build_config(api: _Api, sc: Scenario):
+    objects: Dict[str, Any] = {"wall": api.WallConfig()}
+    for name, spec in sc.objects.items():
+        if spec.get("kind") == "mine":
+            objects[name] = api.GridObjectConfig(
+                name=name,
+                map_name=name,
+                on_use_handler=api.Handler(
+                    name=f"{name}_use",
+                    mutations=[
+                        api.ResourceDeltaMutation(
+                            target=api.EntityTarget.ACTOR, deltas=dict(spec["gives"])
+                        )
+                    ],
+                ),
+            )
+
+    agent = api.AgentConfig(
+        rewards={
+            f"inv_{res}": api.inventoryReward(res, weight=scale)
+            for res, scale in sc.agent_rewards.items()
+        }
+    )
+
+    kwargs: Dict[str, Any] = dict(
+        num_agents=sc.num_agents,
+        max_steps=sc.max_steps,
+        objects=objects,
+        agent=agent,
+        map_builder=api.ObjectNameMapBuilder.Config(map_data=sc.map_data),
+    )
+    if sc.attack is not None or not sc.change_vibe:
+        attack_spec = dict(sc.attack or {})
+        success = api.AttackOutcome(**attack_spec.pop("success", {}))
+        kwargs["actions"] = api.ActionsConfig(
+            noop=api.NoopActionConfig(),
+            move=api.MoveActionConfig(),
+            attack=(
+                api.AttackActionConfig(success=success, **attack_spec)
+                if sc.attack is not None
+                else api.AttackActionConfig(enabled=False)
+            ),
+            change_vibe=api.ChangeVibeActionConfig(enabled=sc.change_vibe),
+        )
+    game = api.GameConfig(**kwargs)
+    if sc.resources is not None:
+        game = game.model_copy(update={"resource_names": list(sc.resources)})
+    return api.MettaGridConfig(game=game)
+
+
+def run_ours(sc: Scenario) -> Dict[str, Any]:
+    from mettagrid_tpu.simulator import Simulation
+
+    cfg = _build_config(_Api(ours=True), sc)
+    sim = Simulation(cfg, seed=sc.seed, reference_shuffle=sc.reference_shuffle)
+    trace = _drive(sim, sc, ours=True)
+    trace["final"] = _summary_ours(sim)
+    return trace
+
+
+def run_reference(sc: Scenario) -> Dict[str, Any]:
+    from mettagrid_tpu.parity.reference_oracle import load_reference
+
+    load_reference()
+    from mettagrid.simulator.simulator import Simulator
+
+    cfg = _build_config(_Api(ours=False), sc)
+    sim = Simulator().new_simulation(cfg, seed=sc.seed)
+    trace = _drive(sim, sc, ours=False)
+    trace["final"] = _summary_reference(sim)
+    return trace
+
+
+def _obs_tokens(obs_row) -> List[List[int]]:
+    """Observation rows as a canonically sorted token list (drop empties).
+
+    Sorted because within-cell inventory token order follows unordered_map
+    iteration in the reference (SURVEY.md §3.3) — order is not part of the
+    contract, membership is.
+    """
+    toks = [
+        [int(a), int(b), int(c)] for a, b, c in obs_row if int(a) != 0xFF
+    ]
+    toks.sort()
+    return toks
+
+
+def _drive(sim, sc: Scenario, ours: bool) -> Dict[str, Any]:
+    import numpy as np
+
+    for i, inv in sc.inventories.items():
+        sim.agent(i).set_inventory(inv)
+    steps = []
+    for t, row in enumerate(sc.scripts):
+        for i, action in enumerate(row):
+            sim.agent(i).set_action(action)
+        sim.step()
+        if ours:
+            success = [bool(x) for x in np.asarray(sim.last_outputs.action_success[0])]
+            pos = [
+                (int(sim._state.obj_r[0, i]), int(sim._state.obj_c[0, i]))
+                for i in range(sc.num_agents)
+            ]
+            inv = [dict(sim.agent(i).inventory) for i in range(sc.num_agents)]
+            obs_arr = np.asarray(sim.last_outputs.observations[0]) if sc.compare_obs else None
+        else:
+            success = [bool(x) for x in np.asarray(sim.action_success)]
+            gos = sim.grid_objects()
+            by_agent = {
+                int(o["agent_id"]): o for o in gos.values() if o.get("agent_id") is not None
+            }
+            resource_names = list(sim.resource_names)
+            pos = [
+                (int(by_agent[i]["r"]), int(by_agent[i]["c"])) for i in range(sc.num_agents)
+            ]
+            inv = [
+                {
+                    (resource_names[int(k)] if str(k).isdigit() else str(k)): int(v)
+                    for k, v in (by_agent[i].get("inventory", {}) or {}).items()
+                    if int(v) != 0
+                }
+                for i in range(sc.num_agents)
+            ]
+            obs_arr = np.asarray(sim._c_sim.observations()) if sc.compare_obs else None
+        entry = {"t": t, "success": success, "pos": pos, "inv": inv}
+        if obs_arr is not None:
+            entry["obs"] = [_obs_tokens(obs_arr[i]) for i in range(sc.num_agents)]
+        steps.append(entry)
+    return {"steps": steps}
 
 
 def _summary_ours(sim) -> Dict[str, Any]:
@@ -98,161 +295,6 @@ def _summary_reference(ref_sim) -> Dict[str, Any]:
     }
 
 
-# ---------------------------------------------------------------------------
-# Scenario -> config builders (one per engine; the APIs mirror each other)
-# ---------------------------------------------------------------------------
-
-
-def _build_objects_ours(objects: Dict[str, Any]):
-    from mettagrid_tpu.config.game_config import GridObjectConfig, WallConfig
-    from mettagrid_tpu.config.handler_config import (
-        EntityTarget,
-        Handler,
-        ResourceDeltaMutation,
-    )
-
-    out = {"wall": WallConfig()}
-    for name, spec in objects.items():
-        if spec.get("kind") == "mine":
-            out[name] = GridObjectConfig(
-                name=name,
-                map_name=name,
-                on_use_handler=Handler(
-                    name=f"{name}_use",
-                    mutations=[
-                        ResourceDeltaMutation(
-                            target=EntityTarget.ACTOR, deltas=dict(spec["gives"])
-                        )
-                    ],
-                ),
-            )
-    return out
-
-
-def _build_objects_reference(objects: Dict[str, Any]):
-    from mettagrid.config.handler_config import Handler
-    from mettagrid.config.mettagrid_config import GridObjectConfig, WallConfig
-    from mettagrid.config.mutation import EntityTarget, ResourceDeltaMutation
-
-    out = {"wall": WallConfig()}
-    for name, spec in objects.items():
-        if spec.get("kind") == "mine":
-            out[name] = GridObjectConfig(
-                name=name,
-                map_name=name,
-                on_use_handler=Handler(
-                    name=f"{name}_use",
-                    mutations=[
-                        ResourceDeltaMutation(
-                            target=EntityTarget.ACTOR, deltas=dict(spec["gives"])
-                        )
-                    ],
-                ),
-            )
-    return out
-
-
-def run_ours(sc: Scenario) -> Dict[str, Any]:
-    from mettagrid_tpu.config.game_config import AgentConfig, GameConfig, MettaGridConfig
-    from mettagrid_tpu.config.reward_config import inventoryReward
-    from mettagrid_tpu.simulator import Simulation
-    from mettagrid_tpu.test_support import ObjectNameMapBuilder
-
-    agent = AgentConfig(
-        rewards={
-            f"inv_{res}": inventoryReward(res, weight=scale)
-            for res, scale in sc.agent_rewards.items()
-        }
-    )
-    game = GameConfig(
-        num_agents=sc.num_agents,
-        max_steps=sc.max_steps,
-        objects=_build_objects_ours(sc.objects),
-        agent=agent,
-        map_builder=ObjectNameMapBuilder.Config(map_data=sc.map_data),
-    )
-    if sc.resources is not None:
-        game = game.model_copy(update={"resource_names": list(sc.resources)})
-    sim = Simulation(
-        MettaGridConfig(game=game), seed=sc.seed, reference_shuffle=sc.reference_shuffle
-    )
-    trace = _drive(sim, sc, ours=True)
-    trace["final"] = _summary_ours(sim)
-    return trace
-
-
-def run_reference(sc: Scenario) -> Dict[str, Any]:
-    from mettagrid_tpu.parity.reference_oracle import load_reference
-
-    load_reference()
-    from mettagrid.config.mettagrid_config import AgentConfig, GameConfig, MettaGridConfig
-    from mettagrid.config.reward_config import inventoryReward
-    from mettagrid.simulator.simulator import Simulator
-    from mettagrid.test_support.map_builders import ObjectNameMapBuilder
-
-    agent = AgentConfig(
-        rewards={
-            f"inv_{res}": inventoryReward(res, weight=scale)
-            for res, scale in sc.agent_rewards.items()
-        }
-    )
-    game = GameConfig(
-        num_agents=sc.num_agents,
-        max_steps=sc.max_steps,
-        objects=_build_objects_reference(sc.objects),
-        agent=agent,
-        map_builder=ObjectNameMapBuilder.Config(map_data=sc.map_data),
-    )
-    if sc.resources is not None:
-        game = game.model_copy(update={"resource_names": list(sc.resources)})
-    sim = Simulator().new_simulation(MettaGridConfig(game=game), seed=sc.seed)
-    trace = _drive(sim, sc, ours=False)
-    trace["final"] = _summary_reference(sim)
-    return trace
-
-
-def _drive(sim, sc: Scenario, ours: bool) -> Dict[str, Any]:
-    import numpy as np
-
-    steps = []
-    for t, row in enumerate(sc.scripts):
-        for i, action in enumerate(row):
-            sim.agent(i).set_action(action)
-        sim.step()
-        if ours:
-            success = [bool(x) for x in np.asarray(sim.last_outputs.action_success[0])]
-            pos = [
-                (int(sim._state.obj_r[0, i]), int(sim._state.obj_c[0, i]))
-                for i in range(sc.num_agents)
-            ]
-            inv = [dict(sim.agent(i).inventory) for i in range(sc.num_agents)]
-            rew = [round(float(x), 5) for x in np.asarray(sim.last_outputs.rewards[0])]
-        else:
-            success = [bool(x) for x in np.asarray(sim.action_success)]
-            gos = sim.grid_objects()
-            by_agent = {
-                int(o["agent_id"]): o for o in gos.values() if o.get("agent_id") is not None
-            }
-            resource_names = list(sim.resource_names)
-            pos = [
-                (int(by_agent[i]["r"]), int(by_agent[i]["c"])) for i in range(sc.num_agents)
-            ]
-            inv = [
-                {
-                    (resource_names[int(k)] if str(k).isdigit() else str(k)): int(v)
-                    for k, v in (by_agent[i].get("inventory", {}) or {}).items()
-                    if int(v) != 0
-                }
-                for i in range(sc.num_agents)
-            ]
-            rew = [
-                round(float(by_agent[i].get("current_stat_reward", 0.0)), 5)
-                for i in range(sc.num_agents)
-            ]
-        steps.append({"t": t, "success": success, "pos": pos, "inv": inv, "rew": rew})
-    return {"steps": steps}
-
-
 def diff_traces(a: Dict[str, Any], b: Dict[str, Any]) -> List[str]:
     """Human-readable mismatch list between run_ours and run_reference output."""
     problems = []
@@ -260,6 +302,15 @@ def diff_traces(a: Dict[str, Any], b: Dict[str, Any]) -> List[str]:
         for key in ("success", "pos", "inv"):
             if sa[key] != sb[key]:
                 problems.append(f"step {sa['t']}: {key} ours={sa[key]} ref={sb[key]}")
+        if "obs" in sa and "obs" in sb and sa["obs"] != sb["obs"]:
+            for i, (oa, ob) in enumerate(zip(sa["obs"], sb["obs"])):
+                if oa != ob:
+                    only_ours = [t for t in oa if t not in ob]
+                    only_ref = [t for t in ob if t not in oa]
+                    problems.append(
+                        f"step {sa['t']} agent {i} obs: only_ours={only_ours[:8]} "
+                        f"only_ref={only_ref[:8]}"
+                    )
     for key in ("objects", "episode_rewards"):
         if a["final"][key] != b["final"][key]:
             problems.append(f"final {key}: ours={a['final'][key]} ref={b['final'][key]}")

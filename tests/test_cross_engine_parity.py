@@ -154,6 +154,113 @@ def test_contested_moves_many_seeds():
         check(sc)
 
 
+ATTACK = {
+    "vibes": ["swords"],
+    "consumed_resources": {"laser": 1},
+    "defense_resources": {"armor": 1},
+    "weapon_resources": {"laser": 1},
+    "armor_resources": {"shield": 2},
+    "success": {
+        "actor_inv_delta": {"loot_bag": 1},
+        "target_inv_delta": {"heart": -1},
+        "loot": ["gold"],
+    },
+}
+
+COMBAT_MAP = [
+    ["wall", "wall", "wall", "wall"],
+    ["wall", "agent.agent", "agent.agent", "wall"],
+    ["wall", "empty", "empty", "wall"],
+    ["wall", "wall", "wall", "wall"],
+]
+
+COMBAT_RESOURCES = ["laser", "armor", "shield", "heart", "gold", "loot_bag"]
+
+
+def test_attack_undefended():
+    sc = Scenario(
+        map_data=COMBAT_MAP,
+        num_agents=2,
+        resources=COMBAT_RESOURCES,
+        attack=ATTACK,
+        inventories={0: {"laser": 3}, 1: {"heart": 2, "gold": 4}},
+        reference_shuffle=True,
+        scripts=[
+            [["change_vibe_swords"], ["noop"]][0] + ["noop"],
+            ["move_east", "noop"],  # attack: no defense -> outcomes + loot
+            ["move_east", "noop"],  # attack again
+            ["noop", "noop"],
+        ],
+    )
+    check(sc)
+
+
+def test_attack_defended_consumes_defense():
+    sc = Scenario(
+        map_data=COMBAT_MAP,
+        num_agents=2,
+        resources=COMBAT_RESOURCES,
+        attack=ATTACK,
+        # weapon power = laser*1 = 2; armor power = shield*2 = 2;
+        # damage bonus = 0 -> cost to defend = defense (1 armor), consumed.
+        inventories={0: {"laser": 2}, 1: {"armor": 3, "shield": 1, "heart": 1}},
+        reference_shuffle=True,
+        scripts=[
+            ["change_vibe_swords", "noop"],
+            ["move_east", "noop"],  # blocked: armor 3 -> 2
+            ["move_east", "noop"],  # blocked: armor 2 -> 1
+            ["move_east", "noop"],  # blocked: armor 1 -> 0
+            ["move_east", "noop"],  # defense exhausted -> attack lands
+        ],
+    )
+    check(sc)
+
+
+def test_attack_weapon_beats_armor():
+    sc = Scenario(
+        map_data=COMBAT_MAP,
+        num_agents=2,
+        resources=COMBAT_RESOURCES,
+        attack=ATTACK,
+        # weapon power 5, armor power 2 -> damage bonus 3 ->
+        # cost to defend = 1 + 3 = 4 armor; target has 2 -> attack lands.
+        inventories={0: {"laser": 5}, 1: {"armor": 2, "shield": 1, "heart": 3, "gold": 1}},
+        reference_shuffle=True,
+        scripts=[
+            ["change_vibe_swords", "noop"],
+            ["move_east", "noop"],
+            ["noop", "move_south"],
+        ],
+    )
+    check(sc)
+
+
+def test_observation_tokens_match():
+    # Full token-observation comparison (the reference's hottest path):
+    # global tokens, Manhattan-ordered window scan, walls/agents/mine
+    # features, inventory tokens after a bump-use.
+    sc = Scenario(
+        map_data=[
+            ["wall", "wall", "wall", "wall", "wall"],
+            ["wall", "agent.agent", "empty", "mine", "wall"],
+            ["wall", "empty", "empty", "agent.agent", "wall"],
+            ["wall", "wall", "wall", "wall", "wall"],
+        ],
+        num_agents=2,
+        objects={"mine": {"kind": "mine", "gives": {"ore_red": 2}}},
+        agent_rewards={"ore_red": 0.25},
+        compare_obs=True,
+        reference_shuffle=True,
+        scripts=[
+            ["move_east", "noop"],
+            ["move_east", "move_west"],  # agent 0 bump-uses the mine
+            ["move_south", "move_west"],
+            ["noop", "move_north"],
+        ],
+    )
+    check(sc)
+
+
 def test_change_vibe_and_noop():
     sc = Scenario(
         map_data=[
