@@ -1,21 +1,83 @@
 """Scripted-agent SDK (reference: python/src/mettagrid/sdk/)."""
 
+from mettagrid_tpu.sdk.actions import (
+    ActionCatalog,
+    ActionDescriptor,
+    ActionOutcome,
+    MettagridActions,
+)
+from mettagrid_tpu.sdk.decode import (
+    DecodedObservation,
+    ObservationCell,
+    ObservationEnvelope,
+    decode_observation,
+)
+from mettagrid_tpu.sdk.directives import MacroDirective
+from mettagrid_tpu.sdk.helpers import (
+    HelperCapability,
+    HelperCatalog,
+    MettagridHelpers,
+    StateHelperCatalog,
+)
+from mettagrid_tpu.sdk.log import ListLogSink, LogRecord, LogSink, ReviewRequest
+from mettagrid_tpu.sdk.memory import (
+    BeliefMemoryRecord,
+    EventMemoryRecord,
+    InMemoryMemoryStore,
+    MemoryQuery,
+    MemoryRecord,
+    MemoryView,
+    PlanMemoryRecord,
+    RetrievedMemoryRecord,
+)
+from mettagrid_tpu.sdk.observation import build_state
+from mettagrid_tpu.sdk.progress import ProgressSnapshot
 from mettagrid_tpu.sdk.state import (
     GridPosition,
+    KnownWorldState,
     MettagridState,
     SelfState,
     SemanticEntity,
+    SemanticEvent,
     TeamMemberSummary,
     TeamSummary,
 )
-from mettagrid_tpu.sdk.observation import build_state
+from mettagrid_tpu.sdk.types import MettagridSDK, PlanView
 
 __all__ = [
+    "ActionCatalog",
+    "ActionDescriptor",
+    "ActionOutcome",
+    "BeliefMemoryRecord",
+    "DecodedObservation",
+    "EventMemoryRecord",
     "GridPosition",
+    "HelperCapability",
+    "HelperCatalog",
+    "InMemoryMemoryStore",
+    "KnownWorldState",
+    "ListLogSink",
+    "LogRecord",
+    "LogSink",
+    "MacroDirective",
+    "MemoryQuery",
+    "MemoryRecord",
+    "MemoryView",
+    "MettagridActions",
+    "MettagridHelpers",
+    "MettagridSDK",
     "MettagridState",
+    "ObservationCell",
+    "ObservationEnvelope",
+    "PlanMemoryRecord",
+    "PlanView",
+    "ProgressSnapshot",
+    "RetrievedMemoryRecord",
     "SelfState",
     "SemanticEntity",
+    "SemanticEvent",
     "TeamMemberSummary",
     "TeamSummary",
     "build_state",
+    "decode_observation",
 ]

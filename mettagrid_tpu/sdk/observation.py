@@ -64,5 +64,5 @@ def build_state(sim, agent_id: int, env: int = 0) -> MettagridState:
         step=sim.current_step,
         self_state=self_state,
         visible_entities=visible,
-        team=team,
+        team_summary=team,
     )

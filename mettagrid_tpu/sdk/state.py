@@ -38,6 +38,27 @@ class TeamSummary(BaseModel):
     team_id: str
     members: list[TeamMemberSummary] = Field(default_factory=list)
     shared_inventory: dict[str, int] = Field(default_factory=dict)
+    shared_objectives: list[str] = Field(default_factory=list)
+
+
+class KnownWorldState(BaseModel):
+    """Exploration bookkeeping (reference: sdk/agent/state.py KnownWorldState)."""
+
+    explored_regions: list[str] = Field(default_factory=list)
+    frontier_regions: list[str] = Field(default_factory=list)
+    contested_regions: list[str] = Field(default_factory=list)
+
+
+class SemanticEvent(BaseModel):
+    """A notable event surfaced to scripted agents."""
+
+    event_id: str
+    event_type: str
+    step: int
+    location: Optional[GridPosition] = None
+    importance: float = 0.0
+    summary: str
+    evidence: list[str] = Field(default_factory=list)
 
 
 class MettagridState(BaseModel):
@@ -47,4 +68,6 @@ class MettagridState(BaseModel):
     step: Optional[int] = None
     self_state: SelfState
     visible_entities: list[SemanticEntity] = Field(default_factory=list)
-    team: Optional[TeamSummary] = None
+    known_world: KnownWorldState = Field(default_factory=KnownWorldState)
+    team_summary: Optional[TeamSummary] = None
+    recent_events: list[SemanticEvent] = Field(default_factory=list)

@@ -1,0 +1,146 @@
+"""SDK tests: semantic state building, helpers, memory retrieval, token
+observation decoding (reference: sdk/agent/*)."""
+
+import numpy as np
+
+from mettagrid_tpu import MettaGridConfig
+from mettagrid_tpu.config.game_config import GameConfig, GridObjectConfig, WallConfig
+from mettagrid_tpu.config.handler_config import EntityTarget, Handler, ResourceDeltaMutation
+from mettagrid_tpu.sdk import (
+    GridPosition,
+    InMemoryMemoryStore,
+    MemoryQuery,
+    MemoryRecord,
+    MettagridState,
+    ObservationEnvelope,
+    ProgressSnapshot,
+    SelfState,
+    SemanticEntity,
+    StateHelperCatalog,
+    TeamSummary,
+    build_state,
+    decode_observation,
+)
+from mettagrid_tpu.simulator import Simulation
+from mettagrid_tpu.test_support import ObjectNameMapBuilder, move, use
+
+
+def make_sim():
+    mine = GridObjectConfig(
+        name="mine",
+        map_name="mine",
+        on_use_handler=Handler(
+            name="harvest",
+            mutations=[ResourceDeltaMutation(target=EntityTarget.ACTOR, deltas={"ore_red": 3})],
+        ),
+    )
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=2,
+            max_steps=50,
+            objects={"wall": WallConfig(), "mine": mine},
+            map_builder=ObjectNameMapBuilder.Config(
+                map_data=[
+                    ["wall", "wall", "wall", "wall", "wall"],
+                    ["wall", "agent.agent", "mine", "agent.agent", "wall"],
+                    ["wall", "wall", "wall", "wall", "wall"],
+                ]
+            ),
+        )
+    )
+    return Simulation(cfg)
+
+
+def test_build_state_and_helpers():
+    sim = make_sim()
+    use(sim, "east")  # agent 0 harvests the mine
+    state = build_state(sim, 0)
+    assert state.self_state.inventory.get("ore_red") == 3
+    helpers = StateHelperCatalog(state)
+    assert "mine" in helpers.visible_entity_counts()
+    nearest_mine = helpers.nearest_visible_entity(entity_type="mine")
+    assert nearest_mine is not None
+    assert helpers.distance_to_entity(nearest_mine.entity_id) == 1
+    assert helpers.visible_entity_ids(entity_type="wall")
+    summary = helpers.render_capability_summary(max_items=3)
+    assert summary.count("\n") == 2
+
+
+def test_helpers_team_objectives():
+    state = MettagridState(
+        game="test",
+        step=4,
+        self_state=SelfState(
+            entity_id="agent_0",
+            entity_type="agent",
+            position=GridPosition(x=1, y=1),
+            attributes={"agent_id": 7},
+        ),
+        team_summary=TeamSummary(
+            team_id="t0",
+            shared_inventory={"ore_red": 5},
+            shared_objectives=["seen_resource:gold", "missing_resource:heart", "other"],
+        ),
+    )
+    h = StateHelperCatalog(state)
+    assert h.agent_id() == 7
+    assert h.shared_inventory() == {"ore_red": 5}
+    assert h.seen_resources() == ["gold"]
+    assert h.missing_resources() == ["heart"]
+
+
+def test_memory_store_retrieval():
+    mem = InMemoryMemoryStore()
+    mem.add(
+        MemoryRecord(
+            record_id="m1", kind="event", summary="saw a mine", tags=["mine"], step=1,
+            importance=0.9,
+        )
+    )
+    mem.add(
+        MemoryRecord(
+            record_id="m2", kind="event", summary="hit a wall", tags=["wall"], step=8,
+        )
+    )
+    hits = mem.retrieve(MemoryQuery(step=10, target_tags=["mine"]), limit=2)
+    assert hits[0].record.record_id == "m1"
+    assert mem.recent_records(limit=1)[0].record_id == "m2"
+    ctx = mem.render_prompt_context(MemoryQuery(target_tags=["wall"]))
+    assert "wall" in ctx
+    mem.replace_scratchpad("plan A")
+    mem.append_scratchpad("step 2")
+    assert mem.read_scratchpad() == "plan A\nstep 2"
+    mem["key"] = 1
+    assert "key" in mem and mem["key"] == 1
+
+
+def test_decode_observation():
+    sim = make_sim()
+    use(sim, "east")
+    from mettagrid_tpu.policy.policy_env_interface import PolicyEnvInterface
+
+    env_info = PolicyEnvInterface.from_config(sim.config)
+    envelope = ObservationEnvelope(
+        raw_observation=sim.agent(0).observation,
+        policy_env_info=env_info,
+        step=sim.current_step,
+    )
+    decoded = decode_observation(envelope)
+    # The agent's own cell is at the window center with an inventory feature.
+    self_cell = decoded.self_cell
+    assert decoded.cells
+    assert self_cell.features.get("inv:ore_red") == 3
+    # Walls are visible with tags resolved to names (typeTag auto-tags).
+    assert any("type:wall" in c.tags for c in decoded.cells)
+    # Global features include the episode step info.
+    assert decoded.global_features
+
+
+def test_progress_render():
+    snap = ProgressSnapshot(
+        objective="gather", summary="going well", milestones=["found mine"],
+        metrics={"ore": 3},
+    )
+    text = snap.render()
+    assert "objective: gather" in text and "- ore: 3" in text
+    assert snap.metric("ore") == 3
