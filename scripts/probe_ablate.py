@@ -1,0 +1,82 @@
+"""Phase ablation: time full step vs step-with-a-phase-stubbed, in ONE
+process, so tunnel noise is shared. Differences = in-context phase cost
+(fusion-aware, unlike standalone phase timing)."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+import mettagrid_tpu.engine.obs as obs_mod
+import mettagrid_tpu.engine.actions_fast as af_mod
+import mettagrid_tpu.engine.rewards as rew_mod
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+
+orig_obs = obs_mod.make_obs_fn
+orig_act = af_mod.make_action_phase_fast
+orig_rew = rew_mod.make_reward_phase
+
+_obs_shapes = jax.eval_shape(orig_obs(program), state)
+
+def stub_obs(program):
+    def fn(state):
+        return (
+            jnp.zeros(_obs_shapes[0].shape, dtype=_obs_shapes[0].dtype),
+            jnp.zeros(_obs_shapes[1].shape, dtype=_obs_shapes[1].dtype),
+        )
+    return fn
+
+def stub_act(program):
+    def fn(state, actions, vibes, perm):
+        return state
+    return fn
+
+def stub_rew(program):
+    def fn(state):
+        return state
+    return fn
+
+def build(name, obs=orig_obs, act=orig_act, rew=orig_rew):
+    obs_mod.make_obs_fn = obs
+    step_mod.make_obs_fn = obs  # step.py imported the symbol directly
+    af_mod.make_action_phase_fast = act
+    rew_mod.make_reward_phase = rew
+    step_mod.make_reward_phase = rew
+    try:
+        import importlib
+        s = step_mod.make_step(program, init, auto_reset=True, donate=False)
+    finally:
+        obs_mod.make_obs_fn = orig_obs
+        step_mod.make_obs_fn = orig_obs
+        af_mod.make_action_phase_fast = orig_act
+        rew_mod.make_reward_phase = orig_rew
+        step_mod.make_reward_phase = orig_rew
+    return s
+
+variants = {
+    "full": build("full"),
+    "no_obs": build("no_obs", obs=stub_obs),
+    "no_actions": build("no_actions", act=stub_act),
+    "no_rewards": build("no_rewards", rew=stub_rew),
+    "no_obs_no_act": build("no_obs_no_act", obs=stub_obs, act=stub_act),
+}
+base = None
+for name, s in variants.items():
+    t = time_fn_carry(lambda st, s=s: s(st, actions, vibes), state, k=8)
+    if name == "full":
+        base = t
+        print(f"{name:14s} {t*1e3:8.2f} ms", flush=True)
+    else:
+        print(f"{name:14s} {t*1e3:8.2f} ms   (phase cost ~{(base-t)*1e3:6.2f} ms)", flush=True)

@@ -1,0 +1,26 @@
+"""Obs pipeline stage timing at arena E=4096 via the _TAP early-exit taps."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.obs as obs_mod
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+print(f"shapes: N={int(state.obj_type.shape[1])} S=? K={len(program.window_offsets)} "
+      f"T={program.num_tokens} H={program.height} W={program.width} "
+      f"obs={program.obs_height}x{program.obs_width}", flush=True)
+
+for tap in ("objtok", "cellimg", None):
+    obs_mod._TAP = tap
+    fn = obs_mod.make_obs_fn(program)
+    t = time_fn_carry(fn, state, k=8)
+    print(f"tap={str(tap):8s} {t*1e3:8.2f} ms", flush=True)
+obs_mod._TAP = None

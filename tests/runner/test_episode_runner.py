@@ -62,4 +62,4 @@ def test_sdk_semantic_state():
     assert state.self_state.entity_type == "agent"
     types = {e.entity_type for e in state.visible_entities}
     assert "wall" in types and "agent" in types
-    assert state.team is not None and len(state.team.members) == 2
+    assert state.team_summary is not None and len(state.team_summary.members) == 2
