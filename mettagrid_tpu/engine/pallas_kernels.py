@@ -173,7 +173,7 @@ def window_slices_pallas(
     )(row0.reshape(-1), lane0.reshape(-1), img)
 
 
-@functools.partial(jax.jit, static_argnames=("T_pad", "block_envs"))
+@functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "precision"))
 def obs_tail_pallas(
     imgp: jnp.ndarray,      # int32 [E, HP, WPC] cell image, +1-encoded words (0 = empty slot)
     row0: jnp.ndarray,      # int32 [E, A] window start row
@@ -183,6 +183,7 @@ def obs_tail_pallas(
     loc_const: jnp.ndarray,  # int32 [8, GP + KS_pad] location bytes (<<16), row-broadcast
     T_pad: int,
     block_envs: int = 8,
+    precision=None,
 ):
     """Fused obs tail: window slice -> Manhattan permute (MXU) -> word build ->
     budget compaction -> packed words, entirely in VMEM.
@@ -201,6 +202,12 @@ def obs_tail_pallas(
     BE = block_envs
     BA = BE * A
     C = GP + KS_pad
+    if precision is None:
+        # perm is one-hot with weights exactly 1.0, so reduced-precision MXU
+        # passes stay exact. "split" = permute the 16-bit payload as two 8-bit
+        # planes with single-pass bf16 matmuls (ints <= 255 are exact in
+        # bf16): 2 MXU passes vs HIGH's 3 and HIGHEST's 6.
+        precision = "split"
 
     def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, out_ref, att_ref, winf):
         blk = pl.program_id(0)
@@ -211,14 +218,27 @@ def obs_tail_pallas(
                 x = pltpu.roll(full, HP - r_ref[idx], 0)
                 x = x[:RP, :]
                 x = pltpu.roll(x, WPC - l_ref[idx], 1)
-                winf[e * A + a] = x[:, :LP].astype(jnp.float32)
+                winf[e * A + a] = x[:, :LP]
 
         lhs = winf[:].reshape(BA, RP * LP)
         rhs = perm_ref[:].reshape(RP * LP, KS_pad)
-        cells = jnp.dot(
-            lhs, rhs, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # exact f32: words are 17-bit
-        ).astype(jnp.int32)  # [BA, KS_pad]
+        if precision == "split":
+            hi = jnp.dot(
+                (lhs >> 8).astype(jnp.float32), rhs,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ).astype(jnp.int32)
+            lo = jnp.dot(
+                (lhs & 0xFF).astype(jnp.float32), rhs,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ).astype(jnp.int32)
+            cells = (hi << 8) | lo  # [BA, KS_pad]
+        else:
+            cells = jnp.dot(
+                lhs.astype(jnp.float32), rhs, preferred_element_type=jnp.float32,
+                precision=precision,
+            ).astype(jnp.int32)  # [BA, KS_pad]
         gw = gw_ref[:].reshape(BA, GP)
         cand = jnp.concatenate([gw, cells], axis=-1)  # [BA, C]
         ok = cand > 0
@@ -240,7 +260,7 @@ def obs_tail_pallas(
             pl.BlockSpec((BE, A, T_pad), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((BA, RP, LP), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BA, RP, LP), jnp.int32)],
     )
     return pl.pallas_call(
         kernel,

@@ -1,0 +1,40 @@
+"""Time obs_tail_pallas precision/block variants; verify bit-exactness vs HIGHEST."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import functools
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.obs as obs_mod
+import mettagrid_tpu.engine.pallas_kernels as pk
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+
+orig_tail = pk.obs_tail_pallas
+ref_out = None
+PRECS = {"HIGHEST": jax.lax.Precision.HIGHEST,
+         "HIGH": jax.lax.Precision.HIGH,
+         "split": "split"}
+names = sys.argv[1:] or ["HIGHEST", "HIGH"]
+for prec_name in names:
+    prec = PRECS[prec_name]
+    for be in (8,):
+        pk.obs_tail_pallas = functools.partial(orig_tail, precision=prec, block_envs=be)
+        fn = jax.jit(obs_mod.make_obs_fn(program))
+        out, att = fn(state)
+        out = np.asarray(jax.device_get(out)); att = np.asarray(jax.device_get(att))
+        if ref_out is None:
+            ref_out = (out, att)
+        else:
+            exact = bool((out == ref_out[0]).all() and (att == ref_out[1]).all())
+            print(f"  exact vs HIGHEST/8: {exact}", flush=True)
+        t = time_fn_carry(fn, state, k=8)
+        print(f"prec={prec_name:8s} BE={be:2d}  {t*1e3:7.2f} ms", flush=True)
+pk.obs_tail_pallas = orig_tail
