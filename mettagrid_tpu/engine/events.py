@@ -31,8 +31,10 @@ def _fire_table(program: EngineProgram, timesteps: tuple[int, ...]) -> np.ndarra
     return table
 
 
-def _apply_event(program, state: EnvState, ev, key: jnp.ndarray, env_fire: jnp.ndarray):
-    """Apply one event where env_fire[e]. Returns (state, applied_count[E])."""
+def _apply_event(program, state: EnvState, ev, keys: jnp.ndarray, env_fire: jnp.ndarray):
+    """Apply one event where env_fire[e]. keys: per-env uint32[E, 2] (the
+    reference has an independent mt19937 per env instance — mettagrid_c.cpp:51).
+    Returns (state, applied_count[E])."""
     E, N = state.obj_type.shape
     targets = eval_query_mask(program, state, ev.target_query)  # [E, N]
 
@@ -49,7 +51,7 @@ def _apply_event(program, state: EnvState, ev, key: jnp.ndarray, env_fire: jnp.n
 
     if ev.max_targets > 0:
         # Random ranking among passing targets; keep the max_targets smallest.
-        ranks = jax.random.uniform(key, (E, N))
+        ranks = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(keys)  # [E, N]
         ranks = jnp.where(passed, ranks, jnp.inf)
         before = (ranks[:, :, None] > ranks[:, None, :]).sum(axis=-1)  # [E, N]
         passed = passed & (before < ev.max_targets)
@@ -70,28 +72,46 @@ def make_event_phase(program: EngineProgram):
 
     tables = [jnp.asarray(_fire_table(program, ev.timesteps)) for ev in program.events]
     horizon = tables[0].shape[0]
+    n_ev = len(program.events)
 
-    def event_phase(state: EnvState, key: jnp.ndarray) -> EnvState:
+    # Fallback chains recurse in the reference (event.cpp:57-60); unroll to
+    # the longest acyclic fallback path so N-deep chains fire in one step.
+    depth = 0
+    for i in range(n_ev):
+        d, j, seen = 0, program.events[i].fallback, set()
+        while j >= 0 and j not in seen and d < n_ev:
+            seen.add(j)
+            d += 1
+            j = program.events[j].fallback
+        depth = max(depth, d)
+
+    def event_phase(state: EnvState, keys: jnp.ndarray) -> EnvState:
+        """keys: per-env uint32[E, 2] PRNG keys for this step's event phase."""
         E = state.grid.shape[0]
         t = jnp.clip(state.step_count, 0, horizon - 1)
-        keys = jax.random.split(key, len(program.events) * 2)
-        fallback_pending = [jnp.zeros(E, dtype=bool) for _ in program.events]
+        # Per-env subkeys: [E, n_ev * (depth + 1), 2].
+        subkeys = jax.vmap(lambda k: jax.random.split(k, n_ev * (depth + 1)))(keys)
+        pending = [jnp.zeros(E, dtype=bool) for _ in range(n_ev)]
 
         for i, ev in enumerate(program.events):
             fire = tables[i][t]  # [E]
-            state, applied = _apply_event(program, state, ev, keys[2 * i], fire)
+            state, applied = _apply_event(program, state, ev, subkeys[:, i], fire)
             state = set_game_stat(state, fire, ev.stat_id, applied.astype(jnp.float32), mode="add")
             if ev.fallback >= 0:
-                fallback_pending[ev.fallback] = fallback_pending[ev.fallback] | (
-                    fire & (applied == 0)
-                )
+                pending[ev.fallback] = pending[ev.fallback] | (fire & (applied == 0))
 
-        # One level of fallback (event.cpp:91-93 recurses; chains beyond one
-        # level are rare — compile could unroll deeper if configs need it).
-        for i, ev in enumerate(program.events):
-            pend = fallback_pending[i]
-            state, applied = _apply_event(program, state, ev, keys[2 * i + 1], pend)
-            state = set_game_stat(state, pend, ev.stat_id, applied.astype(jnp.float32), mode="add")
+        for level in range(depth):
+            cur, pending = pending, [jnp.zeros(E, dtype=bool) for _ in range(n_ev)]
+            for i, ev in enumerate(program.events):
+                pend = cur[i]
+                state, applied = _apply_event(
+                    program, state, ev, subkeys[:, n_ev * (level + 1) + i], pend
+                )
+                state = set_game_stat(
+                    state, pend, ev.stat_id, applied.astype(jnp.float32), mode="add"
+                )
+                if ev.fallback >= 0:
+                    pending[ev.fallback] = pending[ev.fallback] | (pend & (applied == 0))
 
         return state
 

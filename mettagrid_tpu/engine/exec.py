@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,11 +41,16 @@ class Ctx(NamedTuple):
 # XLA:TPU lowers small data-dependent gathers/scatters 3-19x slower than the
 # equivalent one-hot contraction at engine shapes (scripts/probe_scatter2.py:
 # grid_read 1.6ms -> 0.09ms, scatter 0.6 -> 0.2 at E=4096). Use the one-hot
-# path whenever the [E, M, N] comparison tensor stays modest.
+# path whenever the [E, M, N] comparison tensor stays modest. The path is a
+# TPU workaround: on other backends take_along_axis/at[].set are faster and
+# don't materialize the [E, M, N] comparison tensor.
 _ONEHOT_BUDGET = 400_000_000  # max E*M*N bool elements for the one-hot path
+_FORCE_ONEHOT = False  # test hook: exercise the one-hot path off-TPU
 
 
 def _use_onehot(E: int, M: int, N: int) -> bool:
+    if not (_FORCE_ONEHOT or jax.default_backend() == "tpu"):
+        return False
     return E * M * N <= _ONEHOT_BUDGET
 
 
@@ -52,6 +58,20 @@ def _sum_dtype(dtype) -> jnp.dtype:
     if jnp.issubdtype(dtype, jnp.floating):
         return jnp.float32
     return jnp.int32
+
+
+def _sel_precision(dtype):
+    """Matmul precision for one-hot selection with this payload dtype.
+
+    Integer payloads <=16 bits per plane are exact at DEFAULT (single bf16
+    MXU pass is exact for ints <=256; XLA splits i32 itself). Float payloads
+    need HIGHEST: the 3-way bf16 split covers f32's 24-bit mantissa, so a
+    one-hot selection matmul reconstructs the value exactly — DEFAULT would
+    silently round any stat >256 (ADVICE r1: exec.py one-hot precision).
+    """
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.floating):
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
 
 
 def gather(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +84,9 @@ def gather(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
     if _use_onehot(E, M, N):
         sd = _sum_dtype(arr.dtype)
         oh = (flat[..., None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]).astype(sd)
-        out = jnp.einsum("emn,enr->emr", oh, a2.astype(sd)).astype(arr.dtype)
+        out = jnp.einsum(
+            "emn,enr->emr", oh, a2.astype(sd), precision=_sel_precision(arr.dtype)
+        ).astype(arr.dtype)
     else:
         out = jnp.take_along_axis(a2, flat[..., None], axis=1)  # [E, M, prod(rest)]
     return out.reshape(slot.shape + rest)
@@ -84,7 +106,12 @@ def scatter(arr: jnp.ndarray, slot: jnp.ndarray, value: jnp.ndarray, mask: jnp.n
         sd = _sum_dtype(arr.dtype)
         oh = (jnp.clip(flat, 0, N - 1)[..., None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]) & m[..., None]
         hit = oh.any(axis=1)  # [E, N]
-        vals = jnp.einsum("emn,emr->enr", oh.astype(sd), v.reshape(E, M, -1).astype(sd))
+        vals = jnp.einsum(
+            "emn,emr->enr",
+            oh.astype(sd),
+            v.reshape(E, M, -1).astype(sd),
+            precision=_sel_precision(arr.dtype),
+        )
         a2 = arr.reshape(E, N, -1)
         out = jnp.where(hit[..., None], vals.astype(arr.dtype), a2)
         return out.reshape(arr.shape)
@@ -110,7 +137,9 @@ def grid_write(grid: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray, value, mask: j
         sd = _sum_dtype(grid.dtype)
         oh = (p[..., None] == jnp.arange(H * W, dtype=jnp.int32)[None, None, :]) & mm[..., None]
         hit = oh.any(axis=1)
-        vals = jnp.einsum("emp,em->ep", oh.astype(sd), v.astype(sd))
+        vals = jnp.einsum(
+            "emp,em->ep", oh.astype(sd), v.astype(sd), precision=_sel_precision(grid.dtype)
+        )
         out = jnp.where(hit, vals.astype(grid.dtype), grid.reshape(E, H * W))
         return out.reshape(grid.shape)
     rr = jnp.where(m, jnp.clip(rf, 0, H - 1), H)  # OOB row -> dropped
@@ -129,7 +158,12 @@ def grid_read(grid: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
         p = rf * W + cf
         sd = _sum_dtype(grid.dtype)
         oh = (p[..., None] == jnp.arange(H * W, dtype=jnp.int32)[None, None, :]).astype(sd)
-        out = jnp.einsum("emp,ep->em", oh, grid.reshape(E, H * W).astype(sd)).astype(grid.dtype)
+        out = jnp.einsum(
+            "emp,ep->em",
+            oh,
+            grid.reshape(E, H * W).astype(sd),
+            precision=_sel_precision(grid.dtype),
+        ).astype(grid.dtype)
         return out.reshape(r.shape)
     e = jnp.arange(E, dtype=jnp.int32)[:, None]
     return grid[e, rf, cf].reshape(r.shape)

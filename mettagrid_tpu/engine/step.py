@@ -260,8 +260,9 @@ def make_step(
 
         # --- events (mettagrid_c.cpp:1008-1011) ---
         if event_phase is not None:
-            # Event shuffles draw from env 0's stream (shapes are global).
-            state = event_phase(state, k_event[0])
+            # Per-env event RNG (each reference env instance owns an
+            # independent mt19937 — mettagrid_c.cpp:51-52).
+            state = event_phase(state, k_event)
 
         # --- per-agent on_tick (mettagrid_c.cpp:1018-1024) ---
         if agent_tick_phase is not None:

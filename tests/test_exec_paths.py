@@ -1,0 +1,84 @@
+"""One-hot vs gather/scatter path equivalence in engine/exec.py.
+
+The one-hot contraction is a TPU perf workaround (exec.py:_use_onehot); on
+CPU the take_along_axis/at[].set path runs instead. Both must be bit-equal —
+this is what lets CPU tests vouch for TPU semantics. Float payloads route
+through precision=HIGHEST selection matmuls so values needing more than bf16's
+8 mantissa bits survive exactly (ADVICE r1 high: stats counters > 256).
+"""
+
+import numpy as np
+import pytest
+
+import mettagrid_tpu.engine.exec as ex
+
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def force_onehot():
+    old = ex._FORCE_ONEHOT
+    ex._FORCE_ONEHOT = True
+    yield
+    ex._FORCE_ONEHOT = old
+
+
+def _rng():
+    return np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.uint8, np.float32])
+def test_gather_paths_bit_equal(force_onehot, dtype):
+    r = _rng()
+    E, N, M, R = 5, 17, 9, 3
+    if np.issubdtype(dtype, np.floating):
+        # values requiring full f32 mantissa (> 8 bits)
+        arr = (r.integers(0, 2**22, (E, N, R)) + 0.5).astype(dtype)
+    else:
+        arr = r.integers(0, 200, (E, N, R)).astype(dtype)
+    slot = r.integers(-1, N, (E, M)).astype(np.int32)
+    on = ex.gather(jnp.asarray(arr), jnp.asarray(slot))
+    ex._FORCE_ONEHOT = False
+    off = ex.gather(jnp.asarray(arr), jnp.asarray(slot))
+    np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.float32])
+def test_scatter_paths_bit_equal(force_onehot, dtype):
+    r = _rng()
+    E, N, M = 4, 13, 6
+    arr = (r.integers(0, 2**22, (E, N)) + (0.5 if dtype == np.float32 else 0)).astype(dtype)
+    # distinct masked-on slots per env (caller contract)
+    slot = np.stack([r.permutation(N)[:M] for _ in range(E)]).astype(np.int32)
+    val = (r.integers(0, 2**22, (E, M)) + (0.5 if dtype == np.float32 else 0)).astype(dtype)
+    mask = r.random((E, M)) < 0.7
+    on = ex.scatter(jnp.asarray(arr), jnp.asarray(slot), jnp.asarray(val), jnp.asarray(mask))
+    ex._FORCE_ONEHOT = False
+    off = ex.scatter(jnp.asarray(arr), jnp.asarray(slot), jnp.asarray(val), jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
+
+
+def test_grid_paths_bit_equal(force_onehot):
+    r = _rng()
+    E, H, W, M = 4, 7, 9, 5
+    grid = r.integers(-1, 30, (E, H, W)).astype(np.int32)
+    rr = np.stack([r.permutation(H * W)[:M] // W for _ in range(E)]).astype(np.int32)
+    cc = np.stack([r.permutation(H * W)[:M] % W for _ in range(E)]).astype(np.int32)
+    mask = r.random((E, M)) < 0.6
+    val = r.integers(0, 30, (E, M)).astype(np.int32)
+
+    w_on = ex.grid_write(jnp.asarray(grid), jnp.asarray(rr), jnp.asarray(cc), jnp.asarray(val), jnp.asarray(mask))
+    g_on = ex.grid_read(jnp.asarray(grid), jnp.asarray(rr), jnp.asarray(cc))
+    ex._FORCE_ONEHOT = False
+    w_off = ex.grid_write(jnp.asarray(grid), jnp.asarray(rr), jnp.asarray(cc), jnp.asarray(val), jnp.asarray(mask))
+    g_off = ex.grid_read(jnp.asarray(grid), jnp.asarray(rr), jnp.asarray(cc))
+    np.testing.assert_array_equal(np.asarray(w_on), np.asarray(w_off))
+    np.testing.assert_array_equal(np.asarray(g_on), np.asarray(g_off))
+
+
+def test_float_gather_exact_above_bf16_range(force_onehot):
+    """A float payload > 2^8 must survive the one-hot path exactly."""
+    arr = jnp.asarray(np.array([[[1048577.25], [3.0]]], dtype=np.float32))  # [1,2,1]
+    slot = jnp.asarray(np.array([[0]], dtype=np.int32))
+    out = ex.gather(arr, slot)
+    assert float(out[0, 0, 0]) == 1048577.25

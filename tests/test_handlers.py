@@ -359,6 +359,74 @@ def test_event_max_targets():
     assert int(np.asarray(env.state.obj_inv[0, :, rid]).sum()) == 2
 
 
+def test_event_rng_independent_per_env():
+    """Each env instance owns an independent RNG (mettagrid_c.cpp:51-52), so
+    max_targets subset selection must differ across envs in one batch."""
+    mine = GridObjectConfig(name="mine", map_name="m", tags=["refill"])
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "m": "m"}
+    env = make_env(
+        ["##########", "#@mmmmmmm#", "##########"],
+        objects={"mine": mine},
+        char_map=char_map,
+        num_envs=16,
+        events={
+            "refill": EventConfig(
+                name="refill",
+                target_query="refill",
+                timesteps=[1],
+                max_targets=2,
+                mutations=[updateTarget({"ore_red": 1})],
+            )
+        },
+    )
+    rid = env.program.resource_names.index("ore_red")
+    env.step()
+    inv = np.asarray(env.state.obj_inv[:, :, rid])  # [E, N]
+    assert (inv.sum(axis=1) == 2).all()  # every env applied to exactly 2
+    # Selected subsets must not be identical across all 16 envs (7 choose 2 =
+    # 21 subsets; P[all equal | independent] ~ 21^-15).
+    subsets = {tuple(np.nonzero(inv[e])[0].tolist()) for e in range(16)}
+    assert len(subsets) > 1
+
+
+def test_event_fallback_chain_two_deep():
+    """Fallback recursion (event.cpp:57-60): a -> b -> c chains until one
+    event applies to at least one target."""
+    mine = GridObjectConfig(name="mine", map_name="m", tags=["refill"])
+    ghost = GridObjectConfig(name="ghost", map_name="g", tags=["ghost"])
+    phantom = GridObjectConfig(name="phantom", map_name="p", tags=["phantom"])
+    char_map = {"#": "wall", ".": "empty", "@": "agent.agent", "m": "m"}
+    env = make_env(
+        ["#####", "#@m.#", "#####"],
+        objects={"mine": mine, "ghost": ghost, "phantom": phantom},
+        char_map=char_map,
+        events={
+            # 'a' and 'b' target object types absent from the map -> 0 applied.
+            "a": EventConfig(
+                name="a",
+                target_query="ghost",
+                timesteps=[1],
+                mutations=[updateTarget({"ore_red": 3})],
+                fallback="b",
+            ),
+            "b": EventConfig(
+                name="b",
+                target_query="phantom",
+                mutations=[updateTarget({"ore_red": 5})],
+                fallback="c",
+            ),
+            "c": EventConfig(
+                name="c",
+                target_query="refill",
+                mutations=[updateTarget({"ore_red": 7})],
+            ),
+        },
+    )
+    rid = env.program.resource_names.index("ore_red")
+    env.step()  # t=1: a fires -> 0 targets -> b -> 0 targets -> c applies
+    assert int(np.asarray(env.state.obj_inv[0, :, rid]).sum()) == 7
+
+
 # ---------------------------------------------------------------------
 # on_tick + stats
 # ---------------------------------------------------------------------
