@@ -159,6 +159,16 @@ class PeriodicFilter(Config):
     start_on: Optional[int] = Field(default=None, description="First timestep to pass on (defaults to period)")
 
 
+class QueryResourceFilter(Config):
+    """Passes when the objects found by a query hold at least the given total
+    of each resource (reference: handler/filters/query_resource_filter.hpp,
+    core/filter_config.hpp:101-105)."""
+
+    filter_type: Literal["query_resource"] = "query_resource"
+    query: dict = Field(description="Query whose results' inventories are summed")
+    resources: dict[str, int] = Field(description="Minimum summed amount per resource name")
+
+
 AnyFilter = Annotated[
     Union[
         VibeFilter,
@@ -173,6 +183,7 @@ AnyFilter = Annotated[
         TargetLocEmptyFilter,
         TargetIsUsableFilter,
         PeriodicFilter,
+        QueryResourceFilter,
     ],
     Field(discriminator="filter_type"),
 ]

@@ -52,7 +52,10 @@ class RaycastQuery(Config):
     max_range: Union[int, AnyGameValue] = Field(default=2)
     directions: list[str] = Field(default_factory=lambda: ["north", "south", "east", "west"])
     blocker: list[AnyFilter] = Field(default_factory=list, description="Filters identifying blockers")
-    include_blocker: bool = Field(default=False, description="Include blockers in results")
+    include_blocker: bool = Field(
+        default=True,
+        description="Whether the first blocker on each ray is included in results",
+    )
     max_items: Optional[Union[int, AnyGameValue]] = Field(default=None)
     order_by: Optional[Literal["random"]] = Field(default=None)
 

@@ -11,12 +11,17 @@ reference's deferred-delta batching, aoe_tracker.cpp:282-361).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mettagrid_tpu.engine.exec import Ctx, eval_filters, inv_update
 from mettagrid_tpu.engine.program import EngineProgram
 from mettagrid_tpu.engine.state import EnvState
+
+# Mutation kinds with exact vectorized fast paths below; everything else
+# routes through the general per-pair machinery (_apply_general_mutations).
+_FAST_TARGET_KINDS = ("change_vibe", "add_tag", "remove_tag")
 
 
 def make_aoe_phase(program: EngineProgram):
@@ -78,14 +83,13 @@ def make_aoe_phase(program: EngineProgram):
 
             # Per-tick mutations: resource deltas scale with the number of
             # passing sources (the reference nets them via the deferred-delta
-            # accumulator); other supported kinds apply once when any source
-            # passes.
+            # accumulator); idempotent kinds apply once when any source
+            # passes; everything else runs the general per-pair machinery.
             n_pass = passes.sum(axis=1)  # [E, A]
             any_pass = n_pass > 0
+            general: list = []
             for m in spec.mutations:
-                if m.kind == "resource_delta":
-                    if m.target_is_actor:
-                        raise NotImplementedError("AOE resource_delta targeting the source")
+                if m.kind == "resource_delta" and not m.target_is_actor:
                     agent_inv = state.obj_inv[:, :A, :]
                     for rid, delta in m.deltas:
                         agent_inv, _ = inv_update(
@@ -104,8 +108,57 @@ def make_aoe_phase(program: EngineProgram):
                         obj_tags=state.obj_tags.at[:, :A, m.tag_id].set(tags)
                     )
                 else:
-                    raise NotImplementedError(f"AOE mutation kind {m.kind!r} not supported yet")
+                    general.append(m)
+            if general:
+                state = _apply_general_mutations(
+                    program, state, general, passes, n_pass, A
+                )
 
         return state._replace(aoe_inside=new_inside)
 
     return aoe_phase
+
+
+def _apply_general_mutations(program, state, mutations, passes, n_pass, A):
+    """Run the full mutation machinery per (source, agent) passing pair.
+
+    The reference applies each AOE source's mutation chain per target with
+    ctx actor=source, target=target (aoe_tracker.cpp:99-115), per target in
+    agent order, sources in registration order. Here that becomes a
+    while_loop over "source waves" — wave w binds each agent's (w+1)-th
+    passing source (ascending slot, the registration-order analogue) as
+    actor — with agents applied in order inside each wave. Runs max_overlap
+    iterations at runtime, so disjoint sources cost a single wave. Filters
+    were evaluated at phase start (batch semantics; the reference re-checks
+    per pair mid-traversal).
+    """
+    from mettagrid_tpu.engine.handlers import apply_mutation
+
+    E = passes.shape[0]
+    csum = jnp.cumsum(passes.astype(jnp.int32), axis=1)  # [E, N, A]
+    max_overlap = n_pass.max()
+
+    def cond(carry):
+        _, w = carry
+        return w < max_overlap
+
+    def body(carry):
+        state, w = carry
+        sel = passes & (csum == (w + 1))  # [E, N, A]: one-hot over N
+        actor_slot = jnp.argmax(sel, axis=1).astype(jnp.int32)  # [E, A]
+        has = sel.any(axis=1)  # [E, A]
+        for a in range(A):
+            ctx = Ctx(
+                actor=actor_slot[:, a],
+                target=jnp.full((E,), a, dtype=jnp.int32),
+                target_r=state.obj_r[:, a],
+                target_c=state.obj_c[:, a],
+                distance=jnp.zeros((E,), dtype=jnp.int32),
+                timestep=state.step_count,
+            )
+            for m in mutations:
+                state, _ = apply_mutation(program, state, ctx, m, has[:, a])
+        return (state, w + 1)
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return state

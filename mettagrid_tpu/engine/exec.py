@@ -428,6 +428,17 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
     if kind == "periodic":
         t = ctx.bcast_timestep()
         return (t >= f.start_on) & ((t - f.start_on) % f.period == 0)
+    if kind == "query_resource":
+        # Sum inventories across query results; every (rid, min) requirement
+        # must be met (handler/filters/query_resource_filter.hpp:26-43).
+        qmask = eval_query_mask(program, state, f.query, ctx)  # [E, N]
+        ok = jnp.ones(B, dtype=bool)
+        extra = len(B) - 1
+        for rid, amount in f.resource_mins:
+            total = (state.obj_inv[..., rid] * qmask).sum(axis=-1)  # [E]
+            total = total.reshape((B[0],) + (1,) * extra)
+            ok = ok & (total >= amount)
+        return ok
     raise NotImplementedError(f"Filter kind {kind!r}")
 
 
@@ -462,9 +473,44 @@ def _object_ctx(program, state, ctx: Optional[Ctx]) -> Ctx:
     )
 
 
+def _env_slots(state, ctx: Optional[Ctx]) -> jnp.ndarray:
+    """Per-env [E] entity binding for env-level game-value resolution: the
+    calling actor when the context is env-shaped, else no entity."""
+    E = state.obj_type.shape[0]
+    if ctx is not None and ctx.actor.ndim == 1:
+        return ctx.actor
+    return jnp.full((E,), -1, dtype=jnp.int32)
+
+
+def _apply_query_limits(program, state, q: CompiledQuery, mask: jnp.ndarray, ctx: Optional[Ctx]) -> jnp.ndarray:
+    """Cap the result mask at max_items objects (query_system.cpp:75-87).
+
+    Results are kept in ascending slot order — the engine's canonical
+    analogue of the reference's tag-index registration order. order_by=
+    random (which only changes WHICH subset survives a cap) is applied by
+    callers that carry RNG (events); handler-context queries cap
+    deterministically.
+    """
+    E, N = mask.shape
+    if q.max_items_value is not None:
+        v = eval_value(program, state, q.max_items_value, _env_slots(state, ctx), ctx)  # [E]
+        cap = jnp.where(v < 0, N, jnp.floor(v)).astype(jnp.int32)  # -1 = unlimited
+    elif q.max_items > 0:
+        cap = jnp.full((E,), q.max_items, dtype=jnp.int32)
+    else:
+        return mask
+    m = mask.astype(jnp.int32)
+    rank = jnp.cumsum(m, axis=1) - m  # exclusive prefix count
+    return mask & (rank < cap[:, None])
+
+
 def eval_query_mask(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None) -> jnp.ndarray:
-    """Evaluate a query to a bool[E, N] object mask. max_items/order_random
-    are NOT applied here (callers that cap use the mask plus RNG)."""
+    """Evaluate a query to a bool[E, N] object mask, max_items applied."""
+    mask = _eval_query_mask_unlimited(program, state, q, ctx)
+    return _apply_query_limits(program, state, q, mask, ctx)
+
+
+def _eval_query_mask_unlimited(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None) -> jnp.ndarray:
     E, N = state.obj_type.shape
 
     if q.kind == "tag":
@@ -531,12 +577,20 @@ def eval_query_mask(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None)
             is_blocker = jnp.zeros((E, N), dtype=bool)
 
         H, W = state.grid.shape[1], state.grid.shape[2]
+        if q.max_range_value is not None:
+            # Runtime GameValue range (query_config.hpp:75): unroll to the
+            # grid bound, mask hops past the resolved per-env range.
+            bound = max(H, W)
+            rng_val = eval_value(program, state, q.max_range_value, _env_slots(state, ctx), ctx)  # [E]
+        else:
+            bound = q.max_hops
+            rng_val = None
         hits = jnp.zeros((E, N), dtype=bool)
         for d in q.directions:
             dr = int(DIR_DR[d])
             dc = int(DIR_DC[d])
             blocked = jnp.zeros((E, N), dtype=bool)  # per source ray state
-            for i in range(1, q.max_hops + 1):
+            for i in range(1, bound + 1):
                 rr = state.obj_r + dr * i  # [E, N] per-source positions
                 cc = state.obj_c + dc * i
                 inb = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
@@ -544,6 +598,8 @@ def eval_query_mask(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None)
                 e2 = jnp.arange(E, dtype=jnp.int32)[:, None]
                 slot = state.grid[e2, jnp.clip(rr, 0, H - 1), jnp.clip(cc, 0, W - 1)]
                 has = sources & ~blocked & (slot >= 0)
+                if rng_val is not None:
+                    has = has & (i <= rng_val)[:, None]
                 slot_s = jnp.clip(slot, 0, N - 1)
                 obj_blocks = jnp.take_along_axis(is_blocker, slot_s, axis=1)
                 hit_mask = has & (~obj_blocks | q.include_blocker)

@@ -63,12 +63,16 @@ class CompiledQuery:
     edge_filters: tuple["CompiledFilter", ...] = ()  # binary (actor=src, target=cand)
     max_hops: int = 8
     max_distance2: int = 2  # squared adjacency radius for closure edges
-    # max_items: 0 = unlimited (runtime GameValue in the reference; const here)
+    # max_items: 0 = unlimited (static); max_items_value resolves at runtime
+    # (query_config.hpp:25 GameValue max_items, -1 = unlimited)
     max_items: int = 0
+    max_items_value: Optional["CompiledValue"] = None
     order_random: bool = False
-    # raycast
+    # raycast; max_range_value resolves the per-step range at runtime
+    # (query_config.hpp:75 GameValue max_range), bounded by grid max(H, W)
     directions: tuple[int, ...] = ()
     include_blocker: bool = False
+    max_range_value: Optional["CompiledValue"] = None
 
 
 # =====================================================================

@@ -317,9 +317,13 @@ class _Compiler:
             raise NotImplementedError(f"Query config {type(q).__name__} not compiled")
         kind = q.get("query_type", "query")
         filters = tuple(self.compile_filter_cfg(f) for f in q.get("filters", []) or [])
-        max_items = q.get("max_items") or 0
-        if not isinstance(max_items, int):
-            raise NotImplementedError("dynamic max_items (game value) not compiled yet")
+        max_items_raw = q.get("max_items")
+        max_items, max_items_value = 0, None
+        if isinstance(max_items_raw, int):
+            max_items = max_items_raw
+        elif max_items_raw is not None:
+            # Runtime GameValue cap (query_config.hpp:25); -1 = unlimited.
+            max_items_value = self.compile_value(self._as_value(max_items_raw))
         order_random = q.get("order_by") == "random"
         if kind in ("query", "tag", "materialized"):
             src = q.get("tag") if kind == "tag" else q.get("source")
@@ -329,6 +333,7 @@ class _Compiler:
                     tag_id=self.tag_ids[src],
                     filters=filters,
                     max_items=max_items,
+                    max_items_value=max_items_value,
                     order_random=order_random,
                 )
             return CompiledQuery(
@@ -336,6 +341,7 @@ class _Compiler:
                 source=self.compile_query(src),
                 filters=filters,
                 max_items=max_items,
+                max_items_value=max_items_value,
                 order_random=order_random,
             )
         if kind == "closure":
@@ -353,21 +359,28 @@ class _Compiler:
                 max_hops=int(q.get("max_hops", 8)),
                 max_distance2=max_d2,
                 max_items=max_items,
+                max_items_value=max_items_value,
                 order_random=order_random,
             )
         if kind == "raycast":
             rng = q.get("max_range", 2)
+            max_range_value = None
             if not isinstance(rng, int):
-                raise NotImplementedError("dynamic raycast max_range not compiled yet")
+                # Runtime GameValue range (query_config.hpp:75); the hop
+                # unroll is bounded by grid max(H, W) at trace time.
+                max_range_value = self.compile_value(self._as_value(rng))
+                rng = 0
             dir_idx = {name: i for i, name in enumerate(DIRECTION_NAMES)}
             return CompiledQuery(
                 kind="raycast",
                 source=self.compile_query(q["source"]),
                 filters=tuple(self.compile_filter_cfg(f) for f in q.get("blocker", []) or []),
                 max_hops=rng,
+                max_range_value=max_range_value,
                 directions=tuple(dir_idx[d] for d in q.get("directions", ["north", "south", "east", "west"])),
-                include_blocker=bool(q.get("include_blocker", False)),
+                include_blocker=bool(q.get("include_blocker", True)),
                 max_items=max_items,
+                max_items_value=max_items_value,
                 order_random=order_random,
             )
         raise NotImplementedError(f"Query kind {kind!r} not compiled")
@@ -380,6 +393,15 @@ class _Compiler:
 
             f = TypeAdapter(AnyFilter).validate_python(f)
         return self.compile_filter(f)
+
+    def _as_value(self, gv: Any) -> Any:
+        """Validate a game value given as dict into its pydantic model."""
+        if isinstance(gv, dict):
+            from mettagrid_tpu.config.game_value import AnyGameValue
+            from pydantic import TypeAdapter
+
+            gv = TypeAdapter(AnyGameValue).validate_python(gv)
+        return gv
 
     # ---------------- filters ----------------
 
@@ -433,6 +455,11 @@ class _Compiler:
         if kind == "periodic":
             start = f.start_on if f.start_on is not None else f.period
             return CompiledFilter(kind=kind, period=f.period, start_on=start)
+        if kind == "query_resource":
+            # Sum the query results' inventories and require each minimum
+            # (handler/filters/query_resource_filter.hpp:26-43).
+            mins = tuple(sorted((self.resource_ids[name], amount) for name, amount in f.resources.items()))
+            return CompiledFilter(kind=kind, resource_mins=mins, query=self.compile_query(f.query))
         raise NotImplementedError(f"Filter type {kind!r} not yet compiled in the TPU engine")
 
     # ---------------- mutations ----------------

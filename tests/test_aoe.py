@@ -81,3 +81,105 @@ def test_two_sources_stack():
     env = aoe_env(["#####", "#b@b#", "#####"], heal_aoe(radius=1))
     env.step()
     assert inv(env, "heart") == 2  # both beacons tick
+
+
+def test_aoe_general_mutation_resource_transfer():
+    """Non-fast-path AOE mutations run the full per-pair machinery
+    (aoe_tracker.cpp:99-115): a beacon drains itself into the agent."""
+    from mettagrid_tpu.config.handler_config import ResourceTransferMutation
+
+    beacon = GridObjectConfig(name="beacon", map_name="b")
+    beacon.inventory.initial = {"ore_red": 3}
+    beacon.aoes = {
+        "drip": AOEConfig(
+            name="drip",
+            radius=2,
+            mutations=[
+                ResourceTransferMutation(
+                    from_target=EntityTarget.ACTOR,
+                    to_target=EntityTarget.TARGET,
+                    resources={"ore_red": 1},
+                )
+            ],
+        )
+    }
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=100,
+            objects={"wall": WallConfig(), "beacon": beacon},
+            map_builder=AsciiMapBuilder.Config(
+                map_data=["#####", "#@b.#", "#####"], char_to_map_name={"b": "b"}
+            ),
+        )
+    )
+    env = TinyEnv(cfg, num_envs=1)
+    rid = env.program.resource_names.index("ore_red")
+    btid = env.program.type_names.index("beacon")
+    env.step()
+    assert inv(env, "ore_red") == 1
+    types = np.asarray(env.state.obj_type[0])
+    assert np.asarray(env.state.obj_inv[0])[types == btid, rid].sum() == 2
+    env.step()
+    env.step()
+    env.step()  # beacon empty after 3 transfers; 4th transfers nothing
+    assert inv(env, "ore_red") == 3
+
+
+def test_aoe_general_mutation_two_sources_per_pair():
+    """Two overlapping sources each apply the chain (two source waves)."""
+    from mettagrid_tpu.config.handler_config import ResourceTransferMutation
+
+    beacon = GridObjectConfig(name="beacon", map_name="b")
+    beacon.inventory.initial = {"ore_red": 5}
+    beacon.aoes = {
+        "drip": AOEConfig(
+            name="drip",
+            radius=1,
+            mutations=[
+                ResourceTransferMutation(
+                    from_target=EntityTarget.ACTOR,
+                    to_target=EntityTarget.TARGET,
+                    resources={"ore_red": 1},
+                )
+            ],
+        )
+    }
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=100,
+            objects={"wall": WallConfig(), "beacon": beacon},
+            map_builder=AsciiMapBuilder.Config(
+                map_data=["#####", "#b@b#", "#####"], char_to_map_name={"b": "b"}
+            ),
+        )
+    )
+    env = TinyEnv(cfg, num_envs=1)
+    env.step()
+    assert inv(env, "ore_red") == 2  # one from each beacon
+
+
+def test_aoe_stats_mutation():
+    """StatsMutation through the AOE general path."""
+    from mettagrid_tpu.config.game_value import val
+    from mettagrid_tpu.config.handler_config import StatsEntity, StatsMutation, StatsTarget
+
+    aoes = {
+        "mark": AOEConfig(
+            name="mark",
+            radius=1,
+            mutations=[
+                StatsMutation(
+                    stat="inside_zone",
+                    target=StatsTarget.AGENT,
+                    entity=StatsEntity.TARGET,
+                    source=val(1.0),
+                )
+            ],
+        )
+    }
+    env = aoe_env(["####", "#@b#", "####"], aoes)
+    env.step()
+    names = env.program.agent_stat_names
+    assert np.asarray(env.state.agent_stats[0, 0])[names.index("inside_zone")] == 1.0

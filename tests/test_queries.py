@@ -128,3 +128,96 @@ def test_spawn_object_via_event():
     types = np.asarray(env.state.obj_type[0])
     alive = np.asarray(env.state.obj_alive[0])
     assert ((types == crystal_tid) & alive).sum() == 1
+
+
+# ---------------------------------------------------------------------
+# query_resource filter, max_items, dynamic raycast range
+# ---------------------------------------------------------------------
+
+
+def _count_reward_env(map_lines, objects, char_map, q, **kw):
+    """Env whose single agent is rewarded query_count(q) as a per-step delta
+    -> episode reward after step 1 equals the count."""
+    from mettagrid_tpu.config.game_value import QueryCountValue
+    from mettagrid_tpu.config.reward_config import reward
+
+    agent = AgentConfig(rewards={"count": reward(QueryCountValue(query=q.model_dump()), per_tick=True)})
+    return make_env(map_lines, objects=objects, char_map=char_map, agent=agent, **kw)
+
+
+def test_query_resource_filter():
+    """Handler gated on the summed inventory of a query's results
+    (handler/filters/query_resource_filter.hpp)."""
+    from mettagrid_tpu.config.handler_config import QueryResourceFilter
+
+    mine = GridObjectConfig(name="mine", map_name="m")
+    mine.inventory.initial = {"ore_red": 2}
+    bell = GridObjectConfig(
+        name="bell",
+        map_name="b",
+        on_use_handler=Handler(
+            name="ring",
+            filters=[
+                QueryResourceFilter(
+                    query=query(typeTag("mine")).model_dump(), resources={"ore_red": 3}
+                )
+            ],
+            mutations=[updateTarget({"ore_red": 1})],
+        ),
+    )
+    char_map = {"m": "m", "b": "b"}
+    # Two mines -> total 4 >= 3 -> handler passes.
+    env = make_env(["######", "#@bmm#", "######"], objects={"mine": mine, "bell": bell}, char_map=char_map)
+    env.step({0: "move_east"})
+    rid = env.program.resource_names.index("ore_red")
+    bell_tid = env.program.type_names.index("bell")
+    types = np.asarray(env.state.obj_type[0])
+    assert np.asarray(env.state.obj_inv[0])[types == bell_tid, rid].sum() == 1
+    # One mine -> total 2 < 3 -> handler blocked.
+    env2 = make_env(["######", "#@bm.#", "######"], objects={"mine": mine, "bell": bell}, char_map=char_map)
+    env2.step({0: "move_east"})
+    types2 = np.asarray(env2.state.obj_type[0])
+    assert np.asarray(env2.state.obj_inv[0])[types2 == bell_tid, rid].sum() == 0
+
+
+def test_query_static_max_items():
+    """max_items caps query results (query_system.cpp:75-87)."""
+    mine = GridObjectConfig(name="mine", map_name="m")
+    q = Query(source=typeTag("mine"), max_items=2)
+    env = _count_reward_env(
+        ["#######", "#@mmmm#", "#######"], {"mine": mine}, {"m": "m"}, q
+    )
+    out = env.step()
+    assert float(out.rewards[0, 0]) == 2.0
+
+
+def test_query_dynamic_max_items_game_value():
+    """max_items as a runtime GameValue (query_config.hpp:25)."""
+    from mettagrid_tpu.config.game_value import val
+
+    mine = GridObjectConfig(name="mine", map_name="m")
+    q = Query(source=typeTag("mine"), max_items=val(3))
+    env = _count_reward_env(
+        ["#######", "#@mmmm#", "#######"], {"mine": mine}, {"m": "m"}, q
+    )
+    out = env.step()
+    assert float(out.rewards[0, 0]) == 3.0
+
+
+def test_raycast_dynamic_max_range():
+    """Raycast max_range as a runtime GameValue (query_config.hpp:75)."""
+    from mettagrid_tpu.config.game_value import val
+    from mettagrid_tpu.config.query import RaycastQuery
+
+    hub = GridObjectConfig(name="hub", map_name="h")
+    crystal = GridObjectConfig(name="crystal", map_name="c")
+    q = RaycastQuery(source=typeTag("hub"), directions=["east"], max_range=val(2))
+    env = _count_reward_env(
+        ["#######", "#@hccc#", "#######"],
+        {"hub": hub, "crystal": crystal},
+        {"h": "h", "c": "c"},
+        q,
+    )
+    out = env.step()
+    # 3 crystals east of the hub, range 2 -> only the first two are hit.
+    assert float(out.rewards[0, 0]) == 2.0
