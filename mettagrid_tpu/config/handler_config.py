@@ -310,6 +310,26 @@ class AttackMutation(Mutation):
     on_success: list["AnyMutation"] = Field(default_factory=list)
 
 
+class DirectAttackMutation(Mutation):
+    """The C++-executable attack: flat weapon-vs-armor damage to a health
+    resource (handler/mutations/attack_mutation.hpp:16-42, bound at
+    handler_bindings.hpp:335-355).
+
+    damage = max(0, weapon * damage_multiplier_pct / 100 - armor), integer
+    math; applied as a clamped negative delta to the target's health
+    resource. Note the reference's *Python* AttackMutation model documents
+    richer defense/loot semantics but its converter silently drops it
+    (mettagrid_c_mutations.py convert_mutations has no branch for it) — this
+    mutation mirrors what the reference engine actually runs.
+    """
+
+    mutation_type: Literal["direct_attack"] = "direct_attack"
+    weapon_resource: str = Field(description="Attacker resource that sets weapon power")
+    armor_resource: str = Field(description="Target resource that reduces damage")
+    health_resource: str = Field(description="Target resource that takes the damage")
+    damage_multiplier_pct: int = Field(default=100, description="Weapon power percentage multiplier")
+
+
 class StatsMutation(Mutation):
     """Set a stat to a computed game value."""
 
@@ -430,6 +450,7 @@ AnyMutation = Annotated[
         ResourceTransferMutation,
         ClearInventoryMutation,
         AttackMutation,
+        DirectAttackMutation,
         StatsMutation,
         SetGameValueMutation,
         AddTagMutation,

@@ -64,6 +64,7 @@ _LOCAL_MUTATIONS = {
     "resource_transfer",
     "clear_inventory",
     "attack",
+    "direct_attack",
     "change_vibe",
     "add_tag",
     "remove_tag",

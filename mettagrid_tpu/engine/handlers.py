@@ -178,6 +178,18 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     if kind == "attack":
         return apply_attack(program, state, ctx, m, mask)
 
+    if kind == "direct_attack":
+        # Flat weapon-vs-armor damage to a health resource — the attack the
+        # reference engine actually executes (attack_mutation.hpp:20-38).
+        valid = mask & (ctx.actor >= 0) & (ctx.target >= 0)
+        weapon = gather(state.obj_inv, ctx.actor)[..., m.weapon_rid]
+        armor = gather(state.obj_inv, ctx.target)[..., m.armor_rid]
+        damage = jnp.maximum(0, (weapon * m.damage_pct) // 100 - armor)
+        state, _ = entity_inv_update(
+            program, state, ctx.target, m.health_rid, -damage, valid & (damage > 0)
+        )
+        return state, ok
+
     if kind == "change_vibe":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)

@@ -124,6 +124,11 @@ class CompiledMutation:
     vibe_bonus: Optional[np.ndarray] = None  # int32[n_vibes]
     vibe_matches_resource: Optional[np.ndarray] = None  # bool[n_vibes, R]
     on_success: tuple["CompiledMutation", ...] = ()
+    # direct_attack (the C++-executable attack_mutation.hpp:16-42)
+    weapon_rid: int = -1
+    armor_rid: int = -1
+    health_rid: int = -1
+    damage_pct: int = 100
     # stats / set_game_value
     stat_id: int = -1
     stat_is_game: bool = False

@@ -517,6 +517,14 @@ class _Compiler:
                 vibe_matches_resource=vibe_matches,
                 on_success=tuple(self.compile_mutation(s, type_limit_masks) for s in m.on_success),
             )
+        if kind == "direct_attack":
+            return CompiledMutation(
+                kind=kind,
+                weapon_rid=rids[m.weapon_resource],
+                armor_rid=rids[m.armor_resource],
+                health_rid=rids[m.health_resource],
+                damage_pct=m.damage_multiplier_pct,
+            )
         if kind == "stats":
             game_scope = m.target == StatsTarget.GAME
             return CompiledMutation(

@@ -29,6 +29,11 @@ class Scenario:
     objects: Dict[str, Any] = field(default_factory=dict)  # name -> spec dict
     agent_rewards: Dict[str, float] = field(default_factory=dict)
     attack: Optional[Dict[str, Any]] = None  # AttackActionConfig fields
+    # Custom move handlers — the reference's LIVE combat path (vibe-gated
+    # handler + C++ AttackMutationConfig via handler_bindings.hpp:544).
+    # Each spec: {"name", "actor_vibe", "direct_attack": {"weapon", "armor",
+    # "health", "pct"}}.
+    move_handlers: List[Dict[str, Any]] = field(default_factory=list)
     change_vibe: bool = True
     inventories: Dict[int, Dict[str, int]] = field(default_factory=dict)
     max_steps: int = 1000
@@ -65,6 +70,8 @@ class _Api:
             self.Handler = H.Handler
             self.EntityTarget = H.EntityTarget
             self.ResourceDeltaMutation = H.ResourceDeltaMutation
+            self.VibeFilter = H.VibeFilter
+            self.HandlerTarget = H.HandlerTarget
             self.ActionsConfig = A.ActionsConfig
             self.NoopActionConfig = A.NoopActionConfig
             self.MoveActionConfig = A.MoveActionConfig
@@ -84,6 +91,8 @@ class _Api:
             from mettagrid.config import reward_config as R
             from mettagrid.test_support.map_builders import ObjectNameMapBuilder
 
+            from mettagrid.config import filter as F
+
             self.MettaGridConfig = G.MettaGridConfig
             self.GameConfig = G.GameConfig
             self.AgentConfig = G.AgentConfig
@@ -92,6 +101,8 @@ class _Api:
             self.Handler = H.Handler
             self.EntityTarget = MU.EntityTarget
             self.ResourceDeltaMutation = MU.ResourceDeltaMutation
+            self.VibeFilter = F.VibeFilter
+            self.HandlerTarget = F.HandlerTarget
             self.ActionsConfig = A.ActionsConfig
             self.NoopActionConfig = A.NoopActionConfig
             self.MoveActionConfig = A.MoveActionConfig
@@ -126,6 +137,31 @@ def _build_config(api: _Api, sc: Scenario):
         }
     )
 
+    move_handlers = []
+    for spec in sc.move_handlers:
+        filters = []
+        if spec.get("actor_vibe"):
+            filters.append(
+                api.VibeFilter(target=api.HandlerTarget.ACTOR, vibe=spec["actor_vibe"])
+            )
+        mutations = []
+        if api.ours and spec.get("direct_attack"):
+            # The reference side attaches the bound C++ AttackMutationConfig
+            # post-conversion (see run_reference) because the reference's own
+            # convert_mutations silently drops its Python AttackMutation.
+            from mettagrid_tpu.config.handler_config import DirectAttackMutation
+
+            da = spec["direct_attack"]
+            mutations.append(
+                DirectAttackMutation(
+                    weapon_resource=da["weapon"],
+                    armor_resource=da["armor"],
+                    health_resource=da["health"],
+                    damage_multiplier_pct=da.get("pct", 100),
+                )
+            )
+        move_handlers.append(api.Handler(name=spec["name"], filters=filters, mutations=mutations))
+
     kwargs: Dict[str, Any] = dict(
         num_agents=sc.num_agents,
         max_steps=sc.max_steps,
@@ -133,12 +169,12 @@ def _build_config(api: _Api, sc: Scenario):
         agent=agent,
         map_builder=api.ObjectNameMapBuilder.Config(map_data=sc.map_data),
     )
-    if sc.attack is not None or not sc.change_vibe:
+    if sc.attack is not None or not sc.change_vibe or move_handlers:
         attack_spec = dict(sc.attack or {})
         success = api.AttackOutcome(**attack_spec.pop("success", {}))
         kwargs["actions"] = api.ActionsConfig(
             noop=api.NoopActionConfig(),
-            move=api.MoveActionConfig(),
+            move=api.MoveActionConfig(handlers=move_handlers),
             attack=(
                 api.AttackActionConfig(success=success, **attack_spec)
                 if sc.attack is not None
@@ -166,10 +202,40 @@ def run_reference(sc: Scenario) -> Dict[str, Any]:
     from mettagrid_tpu.parity.reference_oracle import load_reference
 
     load_reference()
+    import mettagrid.config.mettagrid_c_config as mcc
     from mettagrid.simulator.simulator import Simulator
 
     cfg = _build_config(_Api(ours=False), sc)
-    sim = Simulator().new_simulation(cfg, seed=sc.seed)
+
+    # The reference's convert_mutations has no AttackMutation branch (it is
+    # silently dropped), so its live combat path is the bound C++ config
+    # attached directly (handler_bindings.hpp:544 add_attack_mutation). Patch
+    # the converter to attach it to the named move handlers.
+    attack_by_handler = {
+        s["name"]: s["direct_attack"] for s in sc.move_handlers if s.get("direct_attack")
+    }
+    orig_convert = mcc.convert_mutations
+    if attack_by_handler:
+        from mettagrid.mettagrid_c import AttackMutationConfig as CppAttackMutationConfig
+
+        def patched(mutations, target_obj, id_maps, context=""):
+            orig_convert(mutations, target_obj, id_maps, context)
+            for name, da in attack_by_handler.items():
+                if context == f"handler '{name}'":
+                    target_obj.add_attack_mutation(
+                        CppAttackMutationConfig(
+                            weapon_resource=id_maps.resource_name_to_id[da["weapon"]],
+                            armor_resource=id_maps.resource_name_to_id[da["armor"]],
+                            health_resource=id_maps.resource_name_to_id[da["health"]],
+                            damage_multiplier_pct=da.get("pct", 100),
+                        )
+                    )
+
+        mcc.convert_mutations = patched
+    try:
+        sim = Simulator().new_simulation(cfg, seed=sc.seed)
+    finally:
+        mcc.convert_mutations = orig_convert
     trace = _drive(sim, sc, ours=False)
     trace["final"] = _summary_reference(sim)
     return trace

@@ -154,19 +154,6 @@ def test_contested_moves_many_seeds():
         check(sc)
 
 
-ATTACK = {
-    "vibes": ["swords"],
-    "consumed_resources": {"laser": 1},
-    "defense_resources": {"armor": 1},
-    "weapon_resources": {"laser": 1},
-    "armor_resources": {"shield": 2},
-    "success": {
-        "actor_inv_delta": {"loot_bag": 1},
-        "target_inv_delta": {"heart": -1},
-        "loot": ["gold"],
-    },
-}
-
 COMBAT_MAP = [
     ["wall", "wall", "wall", "wall"],
     ["wall", "agent.agent", "agent.agent", "wall"],
@@ -174,65 +161,159 @@ COMBAT_MAP = [
     ["wall", "wall", "wall", "wall"],
 ]
 
-COMBAT_RESOURCES = ["laser", "armor", "shield", "heart", "gold", "loot_bag"]
+COMBAT_RESOURCES = ["laser", "armor", "hp"]
+
+ATTACK_HANDLER = {
+    "name": "melee",
+    "actor_vibe": "swords",
+    "direct_attack": {"weapon": "laser", "armor": "armor", "health": "hp", "pct": 100},
+}
 
 
-def test_attack_undefended():
-    sc = Scenario(
-        map_data=COMBAT_MAP,
-        num_agents=2,
-        resources=COMBAT_RESOURCES,
-        attack=ATTACK,
-        inventories={0: {"laser": 3}, 1: {"heart": 2, "gold": 4}},
-        reference_shuffle=True,
-        scripts=[
-            [["change_vibe_swords"], ["noop"]][0] + ["noop"],
-            ["move_east", "noop"],  # attack: no defense -> outcomes + loot
-            ["move_east", "noop"],  # attack again
-            ["noop", "noop"],
-        ],
+def check_combat(sc: Scenario, victim: int, health: str = "hp"):
+    """check() plus a non-vacuousness guard: the REFERENCE trace must show
+    the victim's health decreasing, so the scenario provably attacks."""
+    ours = run_ours(sc)
+    ref = run_reference(sc)
+    problems = diff_traces(ours, ref)
+    assert not problems, "\n".join(problems)
+    hp_series = [step["inv"][victim].get(health, 0) for step in ref["steps"]]
+    assert any(b < a for a, b in zip(hp_series, hp_series[1:])), (
+        f"vacuous combat scenario: reference victim {health} never decreased: {hp_series}"
     )
-    check(sc)
+    return ours, ref
 
 
-def test_attack_defended_consumes_defense():
+def test_attack_via_move_handler_lands():
+    """Vibe-gated move handler carrying the C++ AttackMutation — the
+    reference's live combat path (handler_bindings.hpp:544). damage =
+    max(0, weapon - armor) off the victim's health, attacker stays put."""
     sc = Scenario(
         map_data=COMBAT_MAP,
         num_agents=2,
         resources=COMBAT_RESOURCES,
-        attack=ATTACK,
-        # weapon power = laser*1 = 2; armor power = shield*2 = 2;
-        # damage bonus = 0 -> cost to defend = defense (1 armor), consumed.
-        inventories={0: {"laser": 2}, 1: {"armor": 3, "shield": 1, "heart": 1}},
+        move_handlers=[ATTACK_HANDLER],
+        inventories={0: {"laser": 5}, 1: {"armor": 2, "hp": 20}},
         reference_shuffle=True,
         scripts=[
             ["change_vibe_swords", "noop"],
-            ["move_east", "noop"],  # blocked: armor 3 -> 2
-            ["move_east", "noop"],  # blocked: armor 2 -> 1
-            ["move_east", "noop"],  # blocked: armor 1 -> 0
-            ["move_east", "noop"],  # defense exhausted -> attack lands
+            ["move_east", "noop"],  # attack: damage 5-2=3 -> hp 17
+            ["move_east", "noop"],  # attack: hp 14
+            ["noop", "noop"],
         ],
     )
-    check(sc)
+    ours, ref = check_combat(sc, victim=1)
+    assert ref["steps"][1]["inv"][1]["hp"] == 17
+    assert ref["steps"][2]["inv"][1]["hp"] == 14
+    # Attacker never relocated (first-match handler consumed the move).
+    assert ref["steps"][2]["pos"][0] == ref["steps"][0]["pos"][0]
 
 
-def test_attack_weapon_beats_armor():
+def test_attack_damage_multiplier_and_armor_absorb():
     sc = Scenario(
         map_data=COMBAT_MAP,
         num_agents=2,
         resources=COMBAT_RESOURCES,
-        attack=ATTACK,
-        # weapon power 5, armor power 2 -> damage bonus 3 ->
-        # cost to defend = 1 + 3 = 4 armor; target has 2 -> attack lands.
-        inventories={0: {"laser": 5}, 1: {"armor": 2, "shield": 1, "heart": 3, "gold": 1}},
+        move_handlers=[
+            {
+                "name": "melee",
+                "actor_vibe": "swords",
+                "direct_attack": {"weapon": "laser", "armor": "armor", "health": "hp", "pct": 50},
+            }
+        ],
+        # damage = floor(7*50/100) - 2 = 1 per hit
+        inventories={0: {"laser": 7}, 1: {"armor": 2, "hp": 5}},
+        reference_shuffle=True,
+        scripts=[
+            ["change_vibe_swords", "noop"],
+            ["move_east", "noop"],  # hp 4
+            ["move_east", "noop"],  # hp 3
+            ["move_east", "noop"],  # hp 2
+        ],
+    )
+    ours, ref = check_combat(sc, victim=1)
+    assert ref["steps"][3]["inv"][1]["hp"] == 2
+
+
+def test_attack_requires_vibe_gate():
+    """Without the gating vibe the handler is skipped: the mover bumps into
+    the occupied cell (no relocate, no damage) — identical in both engines."""
+    sc = Scenario(
+        map_data=COMBAT_MAP,
+        num_agents=2,
+        resources=COMBAT_RESOURCES,
+        move_handlers=[ATTACK_HANDLER],
+        inventories={0: {"laser": 5}, 1: {"armor": 2, "hp": 20}},
+        reference_shuffle=True,
+        scripts=[
+            ["move_east", "noop"],  # not vibing -> no attack, blocked move
+            ["move_east", "noop"],
+        ],
+    )
+    ours = run_ours(sc)
+    ref = run_reference(sc)
+    problems = diff_traces(ours, ref)
+    assert not problems, "\n".join(problems)
+    assert ref["steps"][1]["inv"][1].get("hp", 0) == 20  # untouched
+
+
+def test_attack_both_directions_with_shuffle():
+    """Both agents vibe and attack each other across several steps — per-step
+    outcomes depend on the shuffled order our parity mode reproduces."""
+    sc = Scenario(
+        map_data=COMBAT_MAP,
+        num_agents=2,
+        resources=COMBAT_RESOURCES,
+        move_handlers=[ATTACK_HANDLER],
+        inventories={0: {"laser": 4, "armor": 1, "hp": 30}, 1: {"laser": 3, "armor": 2, "hp": 30}},
+        reference_shuffle=True,
+        scripts=[
+            ["change_vibe_swords", "change_vibe_swords"],
+            ["move_east", "move_west"],
+            ["move_east", "move_west"],
+            ["move_east", "move_west"],
+            ["noop", "move_west"],
+        ],
+    )
+    check_combat(sc, victim=1)
+
+
+def test_attack_action_config_is_inert():
+    """AttackActionConfig parity-by-absence: the reference's Attack action
+    contributes no actions and try_attack has no call sites (attack.hpp:81,
+    actions/attack.hpp create_actions returns {}), so configured 'combat'
+    through it changes nothing in either engine. Asserted, not assumed."""
+    sc = Scenario(
+        map_data=COMBAT_MAP,
+        num_agents=2,
+        resources=COMBAT_RESOURCES + ["heart", "gold", "shield", "loot_bag"],
+        attack={
+            "vibes": ["swords"],
+            "consumed_resources": {"laser": 1},
+            "defense_resources": {"armor": 1},
+            "weapon_resources": {"laser": 1},
+            "armor_resources": {"shield": 2},
+            "success": {
+                "actor_inv_delta": {"loot_bag": 1},
+                "target_inv_delta": {"heart": -1},
+                "loot": ["gold"],
+            },
+        },
+        inventories={0: {"laser": 3}, 1: {"heart": 2, "gold": 4}},
         reference_shuffle=True,
         scripts=[
             ["change_vibe_swords", "noop"],
             ["move_east", "noop"],
-            ["noop", "move_south"],
+            ["move_east", "noop"],
         ],
     )
-    check(sc)
+    ours = run_ours(sc)
+    ref = run_reference(sc)
+    problems = diff_traces(ours, ref)
+    assert not problems, "\n".join(problems)
+    # Explicitly inert: no inventory changed in the reference either.
+    assert ref["steps"][-1]["inv"][0] == {"laser": 3}
+    assert ref["steps"][-1]["inv"][1] == {"heart": 2, "gold": 4}
 
 
 def test_observation_tokens_match():
