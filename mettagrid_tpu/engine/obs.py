@@ -277,7 +277,14 @@ def make_obs_fn(program: EngineProgram):
                 make_loc_const(Gt),
                 T_pad,
             )
-            out_words = out_words[..., :T]
+            if out_words.shape[-1] < T:  # fewer candidates than budget
+                out_words = jnp.pad(
+                    out_words,
+                    ((0, 0), (0, 0), (0, T - out_words.shape[-1])),
+                    constant_values=_LANDED_EMPTY,
+                )
+            else:
+                out_words = out_words[..., :T]
             empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
             out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
             out = jnp.stack(
@@ -436,6 +443,9 @@ def _roll_compact(words: jnp.ndarray, ok: jnp.ndarray, T: int) -> jnp.ndarray:
         new_arr = jnp.where(move_in, src_a, jnp.where(moved_out, _LANDED_EMPTY, arr))
         new_g = jnp.where(move_in, src_g - shift, jnp.where(moved_out, _GAP_INVALID, g))
         arr, g = new_arr, new_g
+    if C < T:  # fewer candidates than budget: pad with empties
+        pad = [(0, 0)] * (arr.ndim - 1) + [(0, T - C)]
+        return jnp.pad(arr, pad, constant_values=_LANDED_EMPTY)
     return arr[..., :T]
 
 

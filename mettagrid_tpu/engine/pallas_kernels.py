@@ -84,8 +84,9 @@ def compact_rows_pallas(words: jnp.ndarray, T: int, block_rows: int = 256) -> jn
     from jax.experimental.pallas import tpu as pltpu
 
     R, C = words.shape
-    C_pad = _round_up(C, 128)
     T_pad = _round_up(T, 128)
+    # Fewer candidates than budget: pad columns so the [:, :T] slice exists.
+    C_pad = max(_round_up(C, 128), T_pad)
     R_pad = _round_up(R, block_rows)
     if C_pad != C or R_pad != R:
         words = jnp.pad(words, ((0, R_pad - R), (0, C_pad - C)), constant_values=-1)
@@ -202,6 +203,9 @@ def obs_tail_pallas(
     BE = block_envs
     BA = BE * A
     C = GP + KS_pad
+    # Fewer candidates than budget: the output can never hold more than C
+    # tokens, so clamp (the caller pads the [E, A, T_eff] result up to T).
+    T_pad = min(T_pad, C)
     if precision is None:
         # perm is one-hot with weights exactly 1.0, so reduced-precision MXU
         # passes stay exact. "split" = permute the 16-bit payload as two 8-bit

@@ -78,26 +78,53 @@ def pack_coordinate(row: int, col: int) -> int:
     return (row << 4) | col
 
 
+def within_observation_shape(dr: int, dc: int, height: int, width: int) -> bool:
+    """The reference's circular/elliptical vision mask
+    (src/.../core/observation_shape.cpp:19-52): a square obs window observes
+    the inscribed disc dr^2+dc^2 <= r^2, with the pure cardinal tips expanded
+    from 1 to 3 cells (dist_sq == r^2+1 on the r-row/col) for r >= 2;
+    non-square windows use the inscribed ellipse.
+    """
+    rr, cr = height // 2, width // 2
+    if rr == 0 and cr == 0:
+        return dr == 0 and dc == 0
+    if rr == 0:
+        return dr == 0 and abs(dc) <= cr
+    if cr == 0:
+        return dc == 0 and abs(dr) <= rr
+    if rr == cr:
+        d2 = dr * dr + dc * dc
+        if d2 <= rr * rr:
+            return True
+        return rr >= 2 and d2 == rr * rr + 1 and (abs(dr) == rr or abs(dc) == rr)
+    return dr * dr * cr * cr + dc * dc * rr * rr <= rr * rr * cr * cr
+
+
 def manhattan_window_offsets(height: int, width: int) -> list[tuple[int, int]]:
-    """Window offsets in increasing Manhattan-distance order.
+    """In-vision window offsets in increasing Manhattan-distance order.
 
     Reproduces the reference iteration order exactly
     (systems/packed_coordinate.hpp:87-156 ObservationPattern): for each
     distance d, rows dr ascending (0 only for d=0, then -d..d), and for each
-    dr the -dc column before +dc.
+    dr the -dc column before +dc — then filtered by the circular vision mask
+    (compute_observation_offsets, core/observation_shape.cpp:54-66), so a
+    13x13 window observes ~121 cells, not 169.
     """
     row_min, row_max = -(height // 2), height // 2
     col_min, col_max = -(width // 2), width // 2
     out: list[tuple[int, int]] = []
+    emitted = 0
     max_emitted = height * width
     d = 0
     dr_start = 0  # first shell starts at dr=0, later shells at -d
-    while len(out) < max_emitted:
+    while emitted < max_emitted:
         for dr in range(dr_start, d + 1):
             dc = d - abs(dr)
             for c in ([0] if dc == 0 else [-dc, dc]):
                 if row_min <= dr <= row_max and col_min <= c <= col_max:
-                    out.append((dr, c))
+                    emitted += 1
+                    if within_observation_shape(dr, c, height, width):
+                        out.append((dr, c))
         d += 1
         dr_start = -d
     return out

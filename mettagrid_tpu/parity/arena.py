@@ -1,0 +1,175 @@
+"""Arena-scale episode-signature parity vs the reference C++ engine.
+
+The driver's correctness metric is bit-exact signature parity on arena-scale
+episodes (reference: scripts/deterministic_episode_signature.py:50-120). This
+module runs the actual make_arena(24) preset in BOTH frameworks — the map is
+generated once by the REFERENCE's own MapGen (mapgen RNGs are independent
+implementations, so the literal map is pinned; everything else is the preset
+as shipped) — drives hundreds of steps of shared random actions under
+reproduced MT19937 agent shuffling, and compares per-checkpoint positions,
+inventories, action successes, observation tokens, and the full end-state
+signature (objects, vibes, inventories, rewards, per-agent stats).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+
+def build_arena_map(num_agents: int, map_seed: int) -> List[List[str]]:
+    """Generate the arena map with the reference's MapGen (host-side numpy)."""
+    from mettagrid_tpu.parity.reference_oracle import load_reference
+
+    load_reference()
+    from mettagrid.builder.envs import make_arena as ref_make_arena
+
+    cfg = ref_make_arena(num_agents)
+    mb_cfg = cfg.game.map_builder
+    if hasattr(mb_cfg, "seed"):
+        mb_cfg = mb_cfg.model_copy(update={"seed": map_seed})
+    gm = mb_cfg.create().build_for_num_agents(num_agents)
+    return [[str(c) for c in row] for row in np.asarray(gm.grid)]
+
+
+def _make_configs(map_data: List[List[str]], num_agents: int):
+    from mettagrid_tpu.builder.envs import make_arena as our_make_arena
+    from mettagrid_tpu.test_support import ObjectNameMapBuilder as OurMap
+
+    from mettagrid.builder.envs import make_arena as ref_make_arena
+    from mettagrid.test_support.map_builders import ObjectNameMapBuilder as RefMap
+
+    ours = our_make_arena(num_agents, map_builder=OurMap.Config(map_data=map_data))
+    ref = ref_make_arena(num_agents, map_builder=RefMap.Config(map_data=map_data))
+    return ours, ref
+
+
+def run_arena_parity(
+    map_seed: int,
+    action_seed: int,
+    steps: int = 500,
+    num_agents: int = 24,
+    checkpoint_every: int = 50,
+    compare_obs_every: int = 100,
+) -> List[str]:
+    """Run the arena preset in both engines; return a list of mismatches."""
+    from mettagrid_tpu.parity.cross_engine import _obs_tokens
+    from mettagrid_tpu.parity.reference_oracle import load_reference
+
+    load_reference()
+    from mettagrid.simulator.simulator import Simulator as RefSimulator
+
+    from mettagrid_tpu.simulator import Simulation as OurSimulation
+
+    map_data = build_arena_map(num_agents, map_seed)
+    our_cfg, ref_cfg = _make_configs(map_data, num_agents)
+
+    ours = OurSimulation(our_cfg, seed=action_seed, reference_shuffle=True)
+    ref = RefSimulator().new_simulation(ref_cfg, seed=action_seed)
+
+    our_actions = [n for n in ours.action_names if not n.startswith("change_vibe_")]
+    ref_actions = list(ref.action_names)
+    problems: List[str] = []
+    if our_actions != ref_actions:
+        return [f"action name tables differ: ours={our_actions} ref={ref_actions}"]
+
+    rng = np.random.default_rng(action_seed)
+    script = rng.integers(0, len(ref_actions), size=(steps, num_agents))
+
+    for t in range(steps):
+        for i in range(num_agents):
+            name = ref_actions[int(script[t, i])]
+            ours.agent(i).set_action(name)
+            ref.agent(i).set_action(name)
+        ours.step()
+        ref.step()
+        if (t + 1) % checkpoint_every == 0 or t == steps - 1:
+            problems += _diff_checkpoint(ours, ref, t, num_agents)
+            if problems:
+                return problems  # divergence compounds; report the first
+        if (t + 1) % compare_obs_every == 0:
+            a = np.asarray(ours.last_outputs.observations[0])
+            b = np.asarray(ref._c_sim.observations())
+            for i in range(num_agents):
+                ta, tb = _obs_tokens(a[i]), _obs_tokens(b[i])
+                if ta != tb:
+                    only_a = [x for x in ta if x not in tb][:6]
+                    only_b = [x for x in tb if x not in ta][:6]
+                    problems.append(
+                        f"t={t} agent {i} obs mismatch: only_ours={only_a} only_ref={only_b}"
+                    )
+            if problems:
+                return problems
+
+    problems += _diff_final(ours, ref)
+    return problems
+
+
+def _agent_state(ours, ref, num_agents: int):
+    import numpy as np
+
+    our_pos = [
+        (int(ours._state.obj_r[0, i]), int(ours._state.obj_c[0, i])) for i in range(num_agents)
+    ]
+    our_inv = [dict(ours.agent(i).inventory) for i in range(num_agents)]
+    our_succ = [bool(x) for x in np.asarray(ours.last_outputs.action_success[0])]
+
+    gos = ref.grid_objects()
+    by_agent = {int(o["agent_id"]): o for o in gos.values() if o.get("agent_id") is not None}
+    rnames = list(ref.resource_names)
+    ref_pos = [(int(by_agent[i]["r"]), int(by_agent[i]["c"])) for i in range(num_agents)]
+    ref_inv = [
+        {
+            (rnames[int(k)] if str(k).isdigit() else str(k)): int(v)
+            for k, v in (by_agent[i].get("inventory", {}) or {}).items()
+            if int(v) != 0
+        }
+        for i in range(num_agents)
+    ]
+    ref_succ = [bool(x) for x in np.asarray(ref.action_success)]
+    return (our_pos, our_inv, our_succ), (ref_pos, ref_inv, ref_succ)
+
+
+def _diff_checkpoint(ours, ref, t: int, num_agents: int) -> List[str]:
+    (op, oi, os_), (rp, ri, rs) = _agent_state(ours, ref, num_agents)
+    problems = []
+    if op != rp:
+        bad = [i for i in range(num_agents) if op[i] != rp[i]]
+        problems.append(f"t={t} pos mismatch agents {bad}: ours={[op[i] for i in bad]} ref={[rp[i] for i in bad]}")
+    if oi != ri:
+        problems.append(f"t={t} inventory mismatch: ours={oi} ref={ri}")
+    if os_ != rs:
+        bad = [i for i in range(num_agents) if os_[i] != rs[i]]
+        problems.append(f"t={t} action_success mismatch agents {bad}")
+    return problems
+
+
+def _diff_final(ours, ref) -> List[str]:
+    """Full end-state signature: objects + rewards + shared per-agent stats."""
+    from mettagrid_tpu.parity.cross_engine import _summary_ours, _summary_reference
+
+    problems = []
+    a, b = _summary_ours(ours), _summary_reference(ref)
+    for key in ("objects", "episode_rewards"):
+        if a[key] != b[key]:
+            problems.append(f"final {key} mismatch")
+
+    # Per-agent stats: compare every stat name both engines track.
+    import numpy as np
+
+    stats_ref = ref.episode_stats
+    ref_agent_stats = stats_ref["agent"]  # list of dicts
+    names = ours._program.agent_stat_names
+    ours_stats = np.asarray(ours._state.agent_stats[0])
+    shared = 0
+    for i, ref_d in enumerate(ref_agent_stats):
+        for k, v in ref_d.items():
+            if k in names:
+                shared += 1
+                mine = float(ours_stats[i, names.index(k)])
+                if abs(mine - float(v)) > 1e-6:
+                    problems.append(f"agent {i} stat {k!r}: ours={mine} ref={v}")
+    if shared == 0:
+        problems.append("no shared per-agent stat names — stats comparison vacuous")
+    return problems

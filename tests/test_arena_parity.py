@@ -1,0 +1,21 @@
+"""Arena-scale episode-signature parity vs the C++ reference — the driver's
+correctness metric (reference: scripts/deterministic_episode_signature.py,
+tests/simulator/test_deterministic_signature.py). Runs the actual
+make_arena(24) preset for hundreds of steps under reproduced MT19937 agent
+shuffling and diffs positions/inventories/successes/obs/end-state."""
+
+import pytest
+
+from mettagrid_tpu.parity.reference_oracle import reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference oracle not built"
+)
+
+
+@pytest.mark.parametrize("map_seed,action_seed", [(0, 42), (3, 7), (11, 99991)])
+def test_arena_signature_parity(map_seed, action_seed):
+    from mettagrid_tpu.parity.arena import run_arena_parity
+
+    problems = run_arena_parity(map_seed, action_seed, steps=500)
+    assert not problems, "\n".join(problems[:20])
