@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mettagrid_tpu.engine.exec import Ctx, eval_filters, gather, grid_read, scatter
+from mettagrid_tpu.engine.exec import Ctx, eval_filters, gather, grid_read, grid_write, scatter
 from mettagrid_tpu.engine.handlers import apply_mutations
 from mettagrid_tpu.engine.ir import CompiledFilter, CompiledHandler, CompiledMutation
 from mettagrid_tpu.engine.program import (
@@ -106,6 +106,34 @@ def fast_mode_ok(program: EngineProgram) -> bool:
     for h in program.on_after_use_handlers:
         if h is not None and not _handler_local(h):
             return False
+    return True
+
+
+def pure_move_ok(program: EngineProgram) -> bool:
+    """True when moves reduce to pure relocation: exactly the two default
+    move handlers (action_handler_factory.cpp:33-45) and no usable object
+    type, so the UseTarget handler can never pass. Then the whole move
+    phase is [E, A] arithmetic over agent cell ids: agents are the only
+    movable objects, each agent's target cell is fixed at phase start, and
+    success is just an occupancy test at settle time."""
+    mhs = program.move_handlers
+    if len(mhs) != 2:
+        return False
+    h0, h1 = mhs
+    if not (isinstance(h0.handler, CompiledHandler) and h0.max_range == 1 and h0.accepts_empty):
+        return False
+    if [f.kind for f in h0.handler.filters] != ["target_loc_empty"]:
+        return False
+    if [m.kind for m in h0.handler.mutations] != ["relocate"]:
+        return False
+    if not (isinstance(h1.handler, CompiledHandler) and h1.max_range == 1):
+        return False
+    if [f.kind for f in h1.handler.filters] != ["target_is_usable"]:
+        return False
+    if [m.kind for m in h1.handler.mutations] != ["use_target"]:
+        return False
+    if np.asarray(program.type_usable).any():
+        return False
     return True
 
 
@@ -211,8 +239,10 @@ def apply_move_batch(program: EngineProgram, state: EnvState, active: jnp.ndarra
     return state, success
 
 
-def make_action_phase_fast(program: EngineProgram):
-    """Wave-parallel action phase. Requires fast_mode_ok(program)."""
+def make_action_phase_fast(program: EngineProgram, pure_move: bool = False):
+    """Wave-parallel action phase. Requires fast_mode_ok(program); with
+    pure_move=True (requires pure_move_ok) the move waves run as pure [E, A]
+    cell-id arithmetic — no per-wave grid gathers/scatters."""
     n_actions = len(program.action_names)
     kind_t = jnp.asarray(program.action_kind)
     arg_t = jnp.asarray(program.action_arg)
@@ -322,7 +352,75 @@ def make_action_phase_fast(program: EngineProgram):
                 r_base = state.obj_r[:, :A]
                 c_base = state.obj_c[:, :A]
 
-                if program.move_handlers and stream_has_move:
+                if program.move_handlers and stream_has_move and pure_move:
+                    # --- pure-relocation fast path ---
+                    # Each agent's target cell is fixed at phase start (its
+                    # own position can't change before it settles: no swap /
+                    # push / spawn in pure-move programs), so the wave loop is
+                    # [E, A] cell-id arithmetic; the grid is read once (static
+                    # occupancy) and written once (agent relayout) per stream.
+                    move_mask = active & (kind == KIND_MOVE)
+                    H, W = state.grid.shape[1], state.grid.shape[2]
+                    dr = jnp.asarray(DIR_DR)[arg]
+                    dc = jnp.asarray(DIR_DC)[arg]
+                    tr = r_base + dr
+                    tc = c_base + dc
+                    inb = (tr >= 0) & (tr < H) & (tc >= 0) & (tc < W)
+                    tslot = grid_read(state.grid, tr, tc)  # one gather
+                    static_occ = inb & (tslot >= A)  # non-agent object there
+                    tcell = jnp.where(move_mask & inb, tr * W + tc, -1)
+                    alive_a = state.obj_alive[:, :A]
+                    pos0 = jnp.where(alive_a, r_base * W + c_base, -2)
+                    can = move_mask & inb & ~static_occ & alive_a
+                    earlier = rank[:, None, :] < rank[:, :, None]  # [E, i, j]
+
+                    def pure_cond(carry):
+                        _, unsettled, _ = carry
+                        return jnp.any(unsettled)
+
+                    def pure_body(carry):
+                        pos, unsettled, success = carry
+                        # x waits while an earlier unsettled mover y exists
+                        # that either AFFECTS x's target cell (t_y == t_x:
+                        # may arrive; p_y == t_x: may vacate) or WOULD BE
+                        # AFFECTED by x's move (p_x == t_y: x vacating its
+                        # cell must not happen before y — who acts first in
+                        # the sequential order — has observed x there).
+                        ty = tcell[:, None, :]  # [E, x, y]
+                        tx = tcell[:, :, None]
+                        py = pos[:, None, :]
+                        px = pos[:, :, None]
+                        dep = (
+                            unsettled[:, None, :]
+                            & earlier
+                            & ((ty == tx) | (py == tx) | (px == ty))
+                        ).any(axis=-1)
+                        settle = unsettled & ~dep
+                        occ = (pos[:, None, :] == tcell[:, :, None]).any(axis=-1)
+                        succ = settle & can & ~occ
+                        pos = jnp.where(succ, tcell, pos)
+                        return pos, unsettled & ~settle, success | succ
+
+                    carry = (pos0, move_mask, jnp.zeros_like(move_mask))
+                    for _ in range(UNROLL_WAVES):
+                        carry = pure_body(carry)
+                    pos, _, move_succ = jax.lax.while_loop(pure_cond, pure_body, carry)
+
+                    new_r = jnp.where(move_succ, pos // W, r_base)
+                    new_c = jnp.where(move_succ, pos % W, c_base)
+                    slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+                    grid = grid_write(state.grid, r_base, c_base, -1, move_succ)
+                    grid = grid_write(grid, new_r, new_c, slots, move_succ)
+                    state = state._replace(
+                        grid=grid,
+                        obj_r=state.obj_r.at[:, :A].set(new_r),
+                        obj_c=state.obj_c.at[:, :A].set(new_c),
+                    )
+                    settled_all = settled_now | move_mask
+                    succ_all = succ_now | move_succ
+                    r_at = jnp.where(move_mask, new_r, r_base)
+                    c_at = jnp.where(move_mask, new_c, c_base)
+                elif program.move_handlers and stream_has_move:
                     move_mask = active & (kind == KIND_MOVE)
                     r0 = r_base
                     c0 = c_base

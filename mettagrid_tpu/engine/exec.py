@@ -338,6 +338,62 @@ def eval_value(program, state, cv: CompiledValue, slots: jnp.ndarray, ctx: Optio
     raise NotImplementedError(f"Game value kind {cv.kind!r}")
 
 
+def eval_value_agents(program, state, cv: CompiledValue) -> jnp.ndarray:
+    """eval_value with the all-agents identity binding (slot i = agent i).
+
+    Agents occupy slots 0..A-1 by construction (engine/state.py), so the
+    leaf reads are direct [:, :A] slices instead of one-hot gathers — the
+    reward phase calls this every step for every entry, and the gather
+    formulation dominated its cost (~1.3 ms at E=4096). Returns f32[E, A].
+    """
+    A = program.num_agents
+
+    if cv.kind == "inventory":
+        return state.obj_inv[:, :A, cv.rid].astype(jnp.float32)
+    if cv.kind == "stat" and not cv.stat_is_game:
+        cur = state.agent_stats[:, :, cv.stat_id]
+        if cv.delta:
+            cur = cur - state.agent_stats_prev[:, :, cv.stat_id]
+        return cur
+    if cv.kind == "sum":
+        E = state.obj_type.shape[0]
+        total = jnp.zeros((E, A), dtype=jnp.float32)
+        for i, child in enumerate(cv.children):
+            term = eval_value_agents(program, state, child)
+            if cv.log:
+                term = jnp.log(term + 1.0)
+            w = cv.weights[i] if cv.weights else 1.0
+            total = total + w * term
+        if cv.clamp_min is not None:
+            total = jnp.maximum(total, cv.clamp_min)
+        if cv.clamp_max is not None:
+            total = jnp.minimum(total, cv.clamp_max)
+        return total
+    if cv.kind == "ratio":
+        num = eval_value_agents(program, state, cv.children[0])
+        den = eval_value_agents(program, state, cv.children[1])
+        return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), num)
+    if cv.kind == "max":
+        out = None
+        for child in cv.children:
+            term = eval_value_agents(program, state, child)
+            out = term if out is None else jnp.maximum(out, term)
+        if out is not None:
+            return out
+    if cv.kind == "min":
+        out = None
+        for child in cv.children:
+            term = eval_value_agents(program, state, child)
+            out = term if out is None else jnp.minimum(out, term)
+        if out is not None:
+            return out
+    # const / game stats / query values: env-global or trivially broadcast —
+    # the generic path is already cheap for these.
+    E = state.obj_type.shape[0]
+    slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+    return eval_value(program, state, cv, slots)
+
+
 # =====================================================================
 # Filters (reference: handler/filters/)
 # =====================================================================

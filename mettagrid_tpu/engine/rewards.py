@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from mettagrid_tpu.engine.exec import eval_value
+from mettagrid_tpu.engine.exec import eval_value_agents
 from mettagrid_tpu.engine.program import EngineProgram
 from mettagrid_tpu.engine.state import EnvState
 
@@ -22,15 +22,13 @@ def make_reward_phase(program: EngineProgram):
         if program.num_reward_entries == 0:
             return state._replace(episode_rewards=state.episode_rewards + state.rewards)
 
-        E = state.grid.shape[0]
-        agent_slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
         total = jnp.zeros_like(state.rewards)
         new_prev = state.reward_prev
 
         for cfg_idx, entries in enumerate(program.reward_programs):
             cfg_mask = state.agent_cfg == cfg_idx  # [E, A]
             for j, entry in enumerate(entries):
-                val = eval_value(program, state, entry.value, agent_slots)
+                val = eval_value_agents(program, state, entry.value)
                 prev = state.reward_prev[:, :, j]
                 delta = val if entry.accumulate else val - prev
                 total = total + jnp.where(cfg_mask, delta, 0.0)

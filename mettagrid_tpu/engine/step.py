@@ -202,10 +202,19 @@ def make_step(
     pool = _device_init(init)
     P = init.pool_size
     A = program.num_agents
-    from mettagrid_tpu.engine.actions_fast import fast_mode_ok, make_action_phase_fast
+    from mettagrid_tpu.engine.actions_fast import (
+        fast_mode_ok,
+        make_action_phase_fast,
+        pure_move_ok,
+    )
 
-    use_fast = action_mode == "fast" or (action_mode == "auto" and fast_mode_ok(program))
-    action_phase = make_action_phase_fast(program) if use_fast else make_action_phase(program)
+    use_fast = action_mode in ("fast", "pure") or (action_mode == "auto" and fast_mode_ok(program))
+    use_pure = action_mode == "pure" or (action_mode == "auto" and use_fast and pure_move_ok(program))
+    action_phase = (
+        make_action_phase_fast(program, pure_move=use_pure)
+        if use_fast
+        else make_action_phase(program)
+    )
     event_phase = make_event_phase(program)
     agent_tick_phase = make_agent_tick_phase(program)
     game_tick_phase = make_game_tick_phase(program)

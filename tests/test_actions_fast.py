@@ -60,3 +60,61 @@ def test_fast_matches_sequential(density):
         assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
     assert np.array_equal(np.asarray(out_a.observations), np.asarray(out_b.observations))
     assert np.array_equal(np.asarray(out_a.action_success), np.asarray(out_b.action_success))
+
+
+@pytest.mark.parametrize("density", ["sparse", "dense"])
+def test_pure_move_matches_sequential(density):
+    """The pure-relocation phase (cell-id arithmetic, no per-wave grid ops)
+    must be bit-identical to the sequential fori-loop emulation."""
+    from mettagrid_tpu.engine.actions_fast import pure_move_ok
+
+    num_agents = 6
+    size = 16 if density == "sparse" else 7
+    cfg = make_arena(
+        num_agents,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=num_agents, width=size, height=size, border_width=1, objects={"wall": 4}
+        ),
+    )
+    assert pure_move_ok(compile_program(cfg))
+
+    E = 16
+    program, reset_a, step_seq = build(cfg, E, "sequential")
+    _, reset_b, step_pure = build(cfg, E, "pure")
+
+    state_a, _ = reset_a(0)
+    state_b, _ = reset_b(0)
+    rng = np.random.default_rng(3)
+    n_actions = len(program.action_names)
+
+    for t in range(15):
+        acts = jnp.asarray(rng.integers(0, n_actions, size=(E, num_agents)), dtype=jnp.int32)
+        vibes = jnp.zeros((E, num_agents), dtype=jnp.int32)
+        state_a, out_a = step_seq(state_a, acts, vibes)
+        state_b, out_b = step_pure(state_b, acts, vibes)
+        assert np.array_equal(np.asarray(out_a.action_success), np.asarray(out_b.action_success))
+
+    for name in state_a._fields:
+        a, b = getattr(state_a, name), getattr(state_b, name)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
+
+
+def test_pure_move_gate_rejects_usable_and_custom_handlers():
+    from mettagrid_tpu.config.game_config import GridObjectConfig
+    from mettagrid_tpu.config.handler_config import Handler, updateActor
+    from mettagrid_tpu.engine.actions_fast import pure_move_ok
+
+    # usable object -> not pure
+    mine = GridObjectConfig(
+        name="mine",
+        map_name="mine",
+        on_use_handler=Handler(name="dig", mutations=[updateActor({"ore_red": 1})]),
+    )
+    cfg = make_arena(
+        4,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(agents=4, width=10, height=10, border_width=1),
+    )
+    cfg.game.objects["mine"] = mine
+    assert not pure_move_ok(compile_program(cfg))
