@@ -1,0 +1,93 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh (conftest).
+
+SURVEY §4 "Distributed/multi-node": the TPU build's analogue of the
+reference's multi-process tests is single- vs multi-device signature
+equality — the env batch axis shards over "data" with zero cross-device
+communication, so stepping the same envs sharded must be bit-identical to
+stepping them on one device — plus a sharded train step (the dryrun logic)
+exercised inside the suite itself.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.maps.random_map import RandomMapBuilder
+from mettagrid_tpu.parallel import make_mesh, shard_batch
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device conftest mesh"
+)
+
+
+def _build(num_agents=4, num_envs=16):
+    cfg = make_arena(
+        num_agents,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=num_agents, width=12, height=12, border_width=1, objects={"wall": 5}
+        ),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    maps = []
+    for i in range(4):
+        builder.config.seed = i
+        maps.append(builder.build_for_num_agents(num_agents))
+    init = build_env_init(program, maps)
+    reset = make_reset(program, init, num_envs)
+    step = make_step(program, init, auto_reset=True, donate=False)
+    return program, reset, step
+
+
+def test_sharded_step_signature_equals_single_device():
+    """Same seed, same actions: 8-way 'data'-sharded stepping must produce
+    bit-identical states and outputs to unsharded stepping."""
+    num_agents, num_envs = 4, 16
+    program, reset, step = _build(num_agents, num_envs)
+    mesh = make_mesh(8, model_parallel=1)
+
+    state_a, out_a = reset(0)
+    state_b = shard_batch(jax.device_get(state_a), mesh)
+    state_b = jax.tree_util.tree_map(jnp.asarray, state_b)
+
+    rng = np.random.default_rng(0)
+    n_actions = len(program.action_names)
+    for t in range(12):
+        acts = jnp.asarray(rng.integers(0, n_actions, (num_envs, num_agents)), dtype=jnp.int32)
+        vibes = jnp.zeros((num_envs, num_agents), dtype=jnp.int32)
+        state_a, out_a = step(state_a, acts, vibes)
+        state_b, out_b = step(state_b, shard_batch(acts, mesh), shard_batch(vibes, mesh))
+
+    for name in state_a._fields:
+        a = np.asarray(getattr(state_a, name))
+        b = np.asarray(getattr(state_b, name))
+        np.testing.assert_array_equal(a, b, err_msg=f"state field {name} diverged under sharding")
+    np.testing.assert_array_equal(np.asarray(out_a.observations), np.asarray(out_b.observations))
+    np.testing.assert_array_equal(np.asarray(out_a.rewards), np.asarray(out_b.rewards))
+
+
+def test_sharded_outputs_live_on_the_mesh():
+    """The sharded step's outputs keep the 'data' sharding (no silent
+    gather-to-host/replicate)."""
+    num_agents, num_envs = 4, 16
+    program, reset, step = _build(num_agents, num_envs)
+    mesh = make_mesh(8, model_parallel=1)
+    state, _ = reset(0)
+    state = shard_batch(jax.device_get(state), mesh)
+    acts = shard_batch(np.zeros((num_envs, num_agents), np.int32), mesh)
+    vibes = shard_batch(np.zeros((num_envs, num_agents), np.int32), mesh)
+    state, out = step(state, acts, vibes)
+    shard_devices = {s.device for s in out.observations.addressable_shards}
+    assert len(shard_devices) == 8, f"obs not spread over the mesh: {shard_devices}"
+
+
+def test_sharded_train_step_in_suite():
+    """The dryrun_multichip logic as a suite test: full actor-critic train
+    step over the 8-device mesh, two steps, finite loss."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
