@@ -6,9 +6,16 @@ from mettagrid_tpu.runner.policy_server.protocol import (
     decode_action_id,
     encode_action,
 )
-from mettagrid_tpu.runner.policy_server.server import LocalPolicyServer, RemotePolicy
+from mettagrid_tpu.runner.policy_server.server import (
+    LocalPolicyServer,
+    ProtobufPolicyServer,
+    ProtobufRemotePolicy,
+    RemotePolicy,
+)
 
 __all__ = [
+    "ProtobufPolicyServer",
+    "ProtobufRemotePolicy",
     "DecodedAction",
     "LocalPolicyServer",
     "PolicyStepError",

@@ -137,3 +137,152 @@ class RemotePolicy(MultiAgentPolicy):
             self._ws.recv()
         finally:
             self._ws.close()
+
+
+# ---------------------------------------------------------------------
+# sim.policy_v1 protobuf framing — wire-compatible with reference clients
+# (reference: runner/policy_server/websocket_transport.py:27-67; framing:
+# JSON PreparePolicyRequest text frame, then binary BatchStepRequest/
+# BatchStepResponse until disconnect).
+# ---------------------------------------------------------------------
+
+
+class ProtobufPolicyServer:
+    """Serves one MultiAgentPolicy over the sim.policy_v1 wire protocol."""
+
+    def __init__(self, policy: MultiAgentPolicy, host: str = "127.0.0.1", port: int = 0,
+                 num_tokens: int = 0):
+        self._policy = policy
+        self._host = host
+        self._port = port
+        self._num_tokens = num_tokens
+        self._server = None
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        assert self._server is not None, "server not started"
+        return self._server.socket.getsockname()[1]
+
+    @property
+    def uri(self) -> str:
+        return f"ws://{self._host}:{self.port}"
+
+    def start(self) -> None:
+        from websockets.sync.server import serve
+
+        self._server = serve(self._handle, self._host, self._port)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def _handle(self, ws) -> None:
+        from google.protobuf import json_format
+
+        from mettagrid_tpu.runner.policy_server import policy_v1_pb2 as pb
+
+        prepare_raw = ws.recv()
+        if not isinstance(prepare_raw, str):
+            raise RuntimeError("expected JSON PreparePolicyRequest text frame")
+        req = json_format.Parse(prepare_raw, pb.PreparePolicyRequest())
+        self._policy.reset()
+        ws.send(json_format.MessageToJson(pb.PreparePolicyResponse(), preserving_proto_field_name=True))
+
+        for message in ws:
+            if not isinstance(message, bytes):
+                raise RuntimeError("expected binary BatchStepRequest frame")
+            step_req = pb.BatchStepRequest.FromString(message)
+            if step_req.episode_id != req.episode_id:
+                raise RuntimeError(
+                    f"episode_id {step_req.episode_id!r} != prepared {req.episode_id!r}"
+                )
+            agent_ids = [ao.agent_id for ao in step_req.agent_observations]
+            rows = []
+            for ao in step_req.agent_observations:
+                trip = parse_triplets(ao.observations)
+                if self._num_tokens and len(trip) < self._num_tokens:
+                    pad = np.full((self._num_tokens - len(trip), 3), 0xFF, dtype=np.uint8)
+                    trip = np.concatenate([trip, pad])
+                rows.append(trip)
+            obs = np.stack(rows)
+            actions = np.zeros(len(agent_ids), dtype=np.int32)
+            self._policy.step_batch(obs, actions)
+            resp = pb.BatchStepResponse(
+                agent_actions=[
+                    pb.AgentActions(agent_id=a, action_id=[int(actions[i])])
+                    for i, a in enumerate(agent_ids)
+                ]
+            )
+            ws.send(resp.SerializeToString())
+
+
+class ProtobufRemotePolicy(MultiAgentPolicy):
+    """Client-side MultiAgentPolicy speaking sim.policy_v1 to any compliant
+    policy server (ours or the reference's)."""
+
+    def __init__(self, uri: str, policy_env_info=None, agent_ids=None,
+                 episode_id: str = "ws-episode"):
+        super().__init__(policy_env_info)
+        from google.protobuf import json_format
+        from websockets.sync.client import connect
+
+        from mettagrid_tpu.runner.policy_server import policy_v1_pb2 as pb
+
+        self._pb = pb
+        self._ws = connect(uri)
+        self._episode_id = episode_id
+        self._next_step_id = 0
+        game_rules = pb.GameRules()
+        env_iface = pb.PolicyEnvInterface()
+        if policy_env_info is not None:
+            for f in getattr(policy_env_info, "obs_features", []):
+                feat = pb.GameRules.Feature(id=f.id, name=f.name, normalization=f.normalization)
+                game_rules.features.append(feat)
+                env_iface.obs_features.append(feat)
+            names = list(getattr(policy_env_info, "action_names", []))
+            for i, name in enumerate(names):
+                game_rules.actions.append(pb.GameRules.Action(id=i, name=name))
+            env_iface.action_names.extend(names)
+        req = pb.PreparePolicyRequest(
+            episode_id=episode_id,
+            game_rules=game_rules,
+            agent_ids=list(agent_ids or []),
+            observations_format=pb.AgentObservations.TRIPLET_V1,
+            env_interface=env_iface,
+        )
+        # The reference's schema pins json_name to snake_case, and
+        # json_format.Parse only accepts json_name or the original field
+        # name — so emit snake_case (original names) for interop.
+        self._ws.send(json_format.MessageToJson(req, preserving_proto_field_name=True))
+        self._ws.recv()  # PreparePolicyResponse
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        pb = self._pb
+        req = pb.BatchStepRequest(
+            episode_id=self._episode_id,
+            step_id=self._next_step_id,
+            agent_observations=[
+                pb.AgentObservations(
+                    agent_id=a,
+                    observations=np.ascontiguousarray(
+                        raw_observations[a], dtype=np.uint8
+                    ).tobytes(),
+                )
+                for a in range(raw_observations.shape[0])
+            ],
+        )
+        self._next_step_id += 1
+        self._ws.send(req.SerializeToString())
+        resp = pb.BatchStepResponse.FromString(self._ws.recv())
+        for aa in resp.agent_actions:
+            if len(aa.action_id) != 1:
+                raise RuntimeError(f"agent {aa.agent_id} returned {len(aa.action_id)} actions")
+            raw_actions[aa.agent_id] = aa.action_id[0]
+
+    def close(self) -> None:
+        self._ws.close()

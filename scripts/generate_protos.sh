@@ -1,0 +1,9 @@
+#!/bin/sh
+# Regenerate policy_v1_pb2.py from the wire-contract proto (reference
+# analogue: scripts/generate_protos.py). tests/runner/test_proto_staleness.py
+# fails if the checked-in output drifts from this.
+set -e
+cd "$(dirname "$0")/.."
+protoc --python_out=mettagrid_tpu/runner/policy_server \
+  -I mettagrid_tpu/runner/policy_server \
+  mettagrid_tpu/runner/policy_server/policy_v1.proto

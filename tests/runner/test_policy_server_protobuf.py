@@ -1,0 +1,153 @@
+"""sim.policy_v1 protobuf policy-server tests: self roundtrip, wire
+compatibility against the reference's generated messages, and proto
+staleness (reference analogues: tests/runner/test_policy_server*.py,
+tests/test_proto_staleness.py)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.policy.policy import RandomMultiAgentPolicy
+from mettagrid_tpu.runner.policy_server import policy_v1_pb2 as pb
+from mettagrid_tpu.runner.policy_server.server import (
+    ProtobufPolicyServer,
+    ProtobufRemotePolicy,
+)
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+def test_proto_staleness(tmp_path):
+    """Checked-in policy_v1_pb2.py must match regenerating the .proto."""
+    src = REPO / "mettagrid_tpu/runner/policy_server/policy_v1.proto"
+    subprocess.run(
+        ["protoc", f"--python_out={tmp_path}", "-I", str(src.parent), str(src)],
+        check=True,
+    )
+    fresh = (tmp_path / "policy_v1_pb2.py").read_text()
+    checked_in = (REPO / "mettagrid_tpu/runner/policy_server/policy_v1_pb2.py").read_text()
+    assert fresh == checked_in, "run scripts/generate_protos.sh and commit the result"
+
+
+@pytest.mark.slow
+def test_protobuf_roundtrip():
+    policy = RandomMultiAgentPolicy(num_actions=3, seed=7)
+    server = ProtobufPolicyServer(policy, num_tokens=8)
+    server.start()
+    try:
+        client = ProtobufRemotePolicy(server.uri, agent_ids=[0, 1])
+        obs = np.full((2, 8, 3), 0xFF, dtype=np.uint8)
+        acts = np.zeros(2, dtype=np.int32)
+        client.step_batch(obs, acts)
+        assert acts.max() < 3
+        client.step_batch(obs, acts)
+        client.close()
+    finally:
+        server.stop()
+
+
+def _reference_pb2():
+    from mettagrid_tpu.parity.reference_oracle import load_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("reference oracle not built")
+    load_reference()
+    from mettagrid.protobuf.sim.policy_v1 import policy_pb2
+
+    return policy_pb2
+
+
+def test_binary_wire_compat_with_reference():
+    """Our BatchStepRequest/Response bytes parse losslessly with the
+    reference's generated code and vice versa (field-number contract)."""
+    ref = _reference_pb2()
+
+    ours = pb.BatchStepRequest(
+        episode_id="ep-1",
+        step_id=42,
+        agent_observations=[
+            pb.AgentObservations(
+                agent_id=3,
+                observations=b"\x01\x02\x03",
+                visible_talk=[pb.VisibleTalk(agent_id=1, row=2, col=3, remaining_steps=4, text="hi")],
+            )
+        ],
+    )
+    theirs = ref.BatchStepRequest.FromString(ours.SerializeToString())
+    assert theirs.episode_id == "ep-1" and theirs.step_id == 42
+    assert theirs.agent_observations[0].agent_id == 3
+    assert theirs.agent_observations[0].observations == b"\x01\x02\x03"
+    assert theirs.agent_observations[0].visible_talk[0].text == "hi"
+
+    ref_resp = ref.BatchStepResponse(
+        agent_actions=[ref.AgentActions(agent_id=7, action_id=[5], infos_json='{"a": 1}')]
+    )
+    mine = pb.BatchStepResponse.FromString(ref_resp.SerializeToString())
+    assert mine.agent_actions[0].agent_id == 7
+    assert list(mine.agent_actions[0].action_id) == [5]
+    assert mine.agent_actions[0].infos_json == '{"a": 1}'
+
+
+def test_json_prepare_compat_with_reference():
+    """The JSON prepare handshake cross-parses in both directions."""
+    from google.protobuf import json_format
+
+    ref = _reference_pb2()
+
+    ours = pb.PreparePolicyRequest(
+        episode_id="ep-2",
+        game_rules=pb.GameRules(
+            features=[pb.GameRules.Feature(id=1, name="tag", normalization=100.0)],
+            actions=[pb.GameRules.Action(id=0, name="noop")],
+        ),
+        agent_ids=[0, 1, 2],
+        observations_format=pb.AgentObservations.TRIPLET_V1,
+        env_interface=pb.PolicyEnvInterface(action_names=["noop"], num_agents=3),
+    )
+    as_json = json_format.MessageToJson(ours, preserving_proto_field_name=True)
+    theirs = json_format.Parse(as_json, ref.PreparePolicyRequest())
+    assert theirs.episode_id == "ep-2"
+    assert theirs.game_rules.features[0].name == "tag"
+    assert list(theirs.agent_ids) == [0, 1, 2]
+    assert theirs.observations_format == ref.AgentObservations.TRIPLET_V1
+    assert theirs.env_interface.num_agents == 3
+
+    back = json_format.Parse(json_format.MessageToJson(theirs), pb.PreparePolicyRequest())
+    assert back.episode_id == "ep-2"
+    assert back.game_rules.features[0].normalization == 100.0
+
+
+@pytest.mark.slow
+def test_reference_client_message_against_our_server():
+    """A step request built with the REFERENCE's generated code drives our
+    protobuf server end-to-end over a real WebSocket."""
+    from google.protobuf import json_format
+
+    from websockets.sync.client import connect
+
+    ref = _reference_pb2()
+    policy = RandomMultiAgentPolicy(num_actions=4, seed=3)
+    server = ProtobufPolicyServer(policy, num_tokens=8)
+    server.start()
+    try:
+        ws = connect(server.uri)
+        prep = ref.PreparePolicyRequest(episode_id="ws-episode", agent_ids=[0, 1])
+        ws.send(json_format.MessageToJson(prep, preserving_proto_field_name=True))
+        ws.recv()
+        step = ref.BatchStepRequest(
+            episode_id="ws-episode",
+            step_id=0,
+            agent_observations=[
+                ref.AgentObservations(agent_id=a, observations=b"\xff" * 24) for a in (0, 1)
+            ],
+        )
+        ws.send(step.SerializeToString())
+        resp = ref.BatchStepResponse.FromString(ws.recv())
+        assert {aa.agent_id for aa in resp.agent_actions} == {0, 1}
+        assert all(0 <= aa.action_id[0] < 4 for aa in resp.agent_actions)
+        ws.close()
+    finally:
+        server.stop()
