@@ -38,6 +38,11 @@ from mettagrid_tpu.engine.state import EnvState
 # fn returns early at that stage (scripts/probe_obs13.py).
 _TAP = None
 
+# Test hook: run the fused pallas obs tail in interpret mode on non-TPU
+# backends, so CI exercises the production kernel path bit-for-bit against
+# the XLA formulation (ADVICE r1: the fused tail was only tested on TPU).
+_FORCE_FUSED_INTERPRET = False
+
 
 def make_obs_fn(program: EngineProgram):
     from mettagrid_tpu.engine.obs_caps import compute_obs_caps, max_tokens_per_object
@@ -252,7 +257,7 @@ def make_obs_fn(program: EngineProgram):
         agent_r = state.obj_r[:, :A]  # [E, A]
         agent_c = state.obj_c[:, :A]
 
-        if _TAP is None and not has_aoe_mask and E % 8 == 0 and use_pallas():
+        if _TAP is None and not has_aoe_mask and E % 8 == 0 and (use_pallas() or _FORCE_FUSED_INTERPRET):
             # Fully-fused pallas tail: window slice -> Manhattan permute ->
             # word assembly -> budget compaction in one VMEM-resident kernel.
             gw, gok = _all_global_words(state, E)
@@ -276,6 +281,7 @@ def make_obs_fn(program: EngineProgram):
                 perm_fused_t,
                 make_loc_const(Gt),
                 T_pad,
+                interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
             )
             if out_words.shape[-1] < T:  # fewer candidates than budget
                 out_words = jnp.pad(

@@ -74,8 +74,8 @@ def pltpu_roll(x, shift):
     return jnp.roll(x, shift, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "block_rows"))
-def compact_rows_pallas(words: jnp.ndarray, T: int, block_rows: int = 256) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("T", "block_rows", "interpret"))
+def compact_rows_pallas(words: jnp.ndarray, T: int, block_rows: int = 256, interpret: bool = False) -> jnp.ndarray:
     """Stable front-compaction of each row's non-negative words.
 
     words: int32 [R, C] with -1 marking invalid slots. Returns int32 [R, T].
@@ -102,6 +102,7 @@ def compact_rows_pallas(words: jnp.ndarray, T: int, block_rows: int = 256) -> jn
         ],
         out_specs=pl.BlockSpec((block_rows, T_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R_pad, T_pad), jnp.int32),
+        interpret=interpret,
     )(words)
     return out[:R, :T]
 
@@ -174,7 +175,7 @@ def window_slices_pallas(
     )(row0.reshape(-1), lane0.reshape(-1), img)
 
 
-@functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "precision"))
+@functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "precision", "interpret"))
 def obs_tail_pallas(
     imgp: jnp.ndarray,      # int32 [E, HP, WPC] cell image, +1-encoded words (0 = empty slot)
     row0: jnp.ndarray,      # int32 [E, A] window start row
@@ -185,6 +186,7 @@ def obs_tail_pallas(
     T_pad: int,
     block_envs: int = 8,
     precision=None,
+    interpret: bool = False,
 ):
     """Fused obs tail: window slice -> Manhattan permute (MXU) -> word build ->
     budget compaction -> packed words, entirely in VMEM.
@@ -273,4 +275,5 @@ def obs_tail_pallas(
             jax.ShapeDtypeStruct((E, A, T_pad), jnp.int32),
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
+        interpret=interpret,
     )(row0.reshape(-1), lane0.reshape(-1), imgp, gwords, perm, loc_const)

@@ -49,9 +49,18 @@ class EpisodeReplay:
             "num_agents": sim.num_agents,
             "max_steps": sim.config.game.max_steps,
             "mg_config": sim.config.model_dump(mode="json"),
+            "policy_env_interface": self._policy_env_interface(sim),
             "objects": self.objects,
             "infos": {},
         }
+
+    @staticmethod
+    def _policy_env_interface(sim) -> Dict[str, Any]:
+        """Replay consumers parse observations with this
+        (reference: replay_log_writer.py:112,148)."""
+        from mettagrid_tpu.policy.policy_env_interface import PolicyEnvInterface
+
+        return PolicyEnvInterface.from_config(sim.config).model_dump(mode="json")
 
     def set_compression(self, compression: str) -> None:
         if compression == "zlib":
@@ -96,16 +105,22 @@ class EpisodeReplay:
             )
 
     def _format_object(self, obj: dict, actions: np.ndarray, rewards: np.ndarray) -> dict:
+        # Field names and value shapes mirror the reference formatter
+        # (util/grid_object_formatter.py:8-65) so v4 consumers see the same
+        # per-object timelines.
         update: dict[str, Any] = {
             "id": obj["id"],
-            "type_name": obj["type_name"],
-            "location": [obj["c"], obj["r"], 0],
             "alive": True,
-            "vibe": obj["vibe"],
+            "type_name": obj["type_name"],
+            "location": [obj["c"], obj["r"]],  # (x, y) order — the reference emits (col, row)
+            "orientation": 0,
             "inventory": sorted(
                 (self.sim.resource_names.index(k), v) for k, v in obj["inventory"].items()
             ),
-            "tags": sorted(
+            "inventory_max": obj.get("inventory_max", 0),
+            "color": 0,
+            "vibe": obj["vibe"],
+            "tag_ids": sorted(
                 self.replay_data["tags"][t] for t in obj["tags"] if t in self.replay_data["tags"]
             ),
         }
@@ -113,12 +128,19 @@ class EpisodeReplay:
         if agent_id is not None:
             update.update(
                 {
+                    "is_agent": True,
                     "agent_id": agent_id,
+                    "vision_size": self.sim.config.game.obs.width,
                     "group_id": obj.get("group", 0),
                     "action_id": int(actions[agent_id]) if len(actions) > agent_id else 0,
+                    "action_param": 0,
                     "action_success": bool(self.sim.action_success[agent_id]),
+                    "animation_id": 0,
                     "current_reward": float(rewards[agent_id]),
                     "total_reward": float(self.total_rewards[agent_id]),
+                    "vibe_id": obj["vibe"],
+                    "monologue_append": "",
+                    "monologue_reset": False,
                 }
             )
         return update

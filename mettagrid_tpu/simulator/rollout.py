@@ -39,6 +39,8 @@ class Rollout:
         event_handlers: Sequence[SimulatorEventHandler] = (),
         max_steps: Optional[int] = None,
         renderer=None,
+        max_action_time_ms: Optional[int] = 10000,
+        overage_budget_ms: Optional[int] = None,
     ):
         handlers = list(event_handlers)
         self._renderer = renderer
@@ -53,6 +55,20 @@ class Rollout:
         T = self._sim.num_observation_tokens
         self._obs_buf = np.zeros((A, T, 3), dtype=np.uint8)
         self._act_buf = np.zeros(A, dtype=np.int32)
+        # Per-policy action timeout + cumulative overage budget
+        # (reference: simulator/rollout.py:79-86, 399-417): a step slower
+        # than max_action_time_ms is replaced by noop and counted; overage
+        # past the budget disables the policy for the rest of the episode.
+        self._max_action_time_ms = max_action_time_ms or 10000
+        self._overage_remaining_ms: Optional[list[float]] = (
+            [float(overage_budget_ms)] * len(self._policies)
+            if overage_budget_ms is not None
+            else None
+        )
+        self.timeout_counts: list[int] = [0] * len(self._policies)
+        self.overage_exceeded_at: list[Optional[int]] = [None] * len(self._policies)
+        self._step_count = 0
+        self._noop_id = self._sim.action_names.index("noop") if "noop" in self._sim.action_names else 0
 
     @property
     def simulation(self) -> Simulation:
@@ -69,11 +85,28 @@ class Rollout:
                 return
         obs = np.asarray(sim.last_outputs.observations)[0]  # [A, T, 3]
         np.copyto(self._obs_buf, obs)
-        for policy, agent_ids in self._policies:
+        import time as _time
+
+        for pi, (policy, agent_ids) in enumerate(self._policies):
             ids = np.asarray(agent_ids)
+            if self.overage_exceeded_at[pi] is not None:
+                self._act_buf[ids] = self._noop_id  # disabled policy: noop
+                continue
             acts = self._act_buf[ids]
+            t0 = _time.perf_counter()
             policy.step_batch(self._obs_buf[ids], acts)
-            self._act_buf[ids] = acts
+            elapsed_ms = (_time.perf_counter() - t0) * 1000.0
+            overage = elapsed_ms - self._max_action_time_ms
+            if overage > 0:
+                # Timed out: this step becomes noop; overage eats the budget.
+                self.timeout_counts[pi] += 1
+                if self._overage_remaining_ms is not None:
+                    self._overage_remaining_ms[pi] -= overage
+                    if self._overage_remaining_ms[pi] <= 0:
+                        self.overage_exceeded_at[pi] = self._step_count
+                self._act_buf[ids] = self._noop_id
+            else:
+                self._act_buf[ids] = acts
         for agent_id in range(sim.num_agents):
             sim.agent(agent_id).set_action(int(self._act_buf[agent_id]))
         if renderer is not None and hasattr(renderer, "consume_user_actions"):
@@ -81,6 +114,7 @@ class Rollout:
             for agent_id, action in renderer.consume_user_actions().items():
                 sim.agent(agent_id).set_action(action)
         sim.step()
+        self._step_count += 1
 
     def run(self) -> RolloutResult:
         for policy, _ in self._policies:

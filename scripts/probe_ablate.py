@@ -38,7 +38,7 @@ def stub_obs(program):
         )
     return fn
 
-def stub_act(program):
+def stub_act(program, **kwargs):
     def fn(state, actions, vibes, perm):
         return state
     return fn

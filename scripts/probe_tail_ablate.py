@@ -1,0 +1,138 @@
+"""In-kernel ablation of the obs tail at bench shapes: time the fused kernel
+with each stage neutralized to locate the dominant cost.
+
+Variants (all BE=8, bf16x2, rolls — the production config):
+  full        window rolls + permute matmul + word build + compaction
+  no_compact  compaction replaced by a plain copy of the first T lanes
+  no_rolls    window extraction replaced by a static slice (img[:RP])
+  no_matmul   permute replaced by slicing the first KS_pad lanes
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn
+
+from mettagrid_tpu.engine.pallas_kernels import _round_up, _compact_block
+
+E, A = 4096, 24
+H, W, S = 25, 25, 3
+OH, OW = 13, 13
+HP = _round_up(H + OH, 8)
+WPC = _round_up((W + OW) * S, 128)
+RP = _round_up(max(OH, 8), 8)
+LP = _round_up(OW * S, 128)
+KS = 121 * S
+KS_pad = _round_up(KS, 128)
+GP = 8
+T = 500
+T_pad = min(_round_up(T, 128), GP + KS_pad)
+
+key = jax.random.PRNGKey(0)
+imgp = jax.random.randint(key, (E, HP, WPC), 0, 1 << 14, dtype=jnp.int32)
+row0 = jax.random.randint(jax.random.PRNGKey(1), (E, A), 0, H, dtype=jnp.int32)
+lane0 = jax.random.randint(jax.random.PRNGKey(2), (E, A), 0, W, dtype=jnp.int32) * S
+gwords = jax.random.randint(jax.random.PRNGKey(3), (E, A, GP), 0, 1 << 14, dtype=jnp.int32)
+perm_np = np.zeros((RP, LP, KS_pad), dtype=np.float32)
+rng = np.random.default_rng(0)
+slots = rng.permutation(RP * LP)[:KS]
+for k, s in enumerate(slots):
+    perm_np[s // LP, s % LP, k] = 1.0
+perm = jnp.asarray(perm_np)
+loc_const = jnp.asarray(rng.integers(0, 255, (8, GP + KS_pad)).astype(np.int32) << 16)
+
+
+def make_tail(compact=True, rolls=True, matmul=True):
+    @jax.jit
+    def tail(imgp, row0, lane0, gwords, perm, loc_const):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        E, HP, WPC = imgp.shape
+        A = row0.shape[1]
+        GP = gwords.shape[2]
+        RP, LP, KS_pad = perm.shape
+        BE = 8
+        BA = BE * A
+        C = GP + KS_pad
+        Tp = min(T_pad, C)
+
+        def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, out_ref, att_ref, winf):
+            for e in range(BE):
+                full = img_ref[e]
+                for a in range(A):
+                    idx = (pl.program_id(0) * BE + e) * A + a
+                    if rolls:
+                        x = pltpu.roll(full, HP - r_ref[idx], 0)
+                        x = x[:RP, :]
+                        x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                    else:
+                        x = full[:RP, :]
+                    winf[e * A + a] = x[:, :LP]
+
+            lhs = winf[:].reshape(BA, RP * LP)
+            if matmul:
+                rhs = perm_ref[:].reshape(RP * LP, KS_pad)
+                hi = jnp.dot((lhs >> 8).astype(jnp.float32), rhs, preferred_element_type=jnp.float32).astype(jnp.int32)
+                lo = jnp.dot((lhs & 0xFF).astype(jnp.float32), rhs, preferred_element_type=jnp.float32).astype(jnp.int32)
+                cells = (hi << 8) | lo
+            else:
+                cells = lhs[:, :KS_pad]
+            gw = gw_ref[:].reshape(BA, GP)
+            cand = jnp.concatenate([gw, cells], axis=-1)
+            ok = cand > 0
+            loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, C))
+            words = jnp.where(ok, (cand - 1) | loc, -1)
+            att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+            if compact:
+                out_ref[:, :, :] = _compact_block(words, Tp).reshape(BE, A, Tp)
+            else:
+                out_ref[:, :, :] = words[:, :Tp].reshape(BE, A, Tp)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(E // BE,),
+            in_specs=[
+                pl.BlockSpec((BE, HP, WPC), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BE, A, GP), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RP, LP, KS_pad), lambda i, r, l: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, C), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((BE, A, Tp), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((BA, RP, LP), jnp.int32)],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((E, A, Tp), jnp.int32),
+                jax.ShapeDtypeStruct((E, A), jnp.int32),
+            ],
+        )(row0.reshape(-1), lane0.reshape(-1), imgp, gwords, perm, loc_const)
+
+    return tail
+
+
+for name, fn in [
+    ("full      ", make_tail()),
+    ("no_compact", make_tail(compact=False)),
+    ("no_rolls  ", make_tail(rolls=False)),
+    ("no_matmul ", make_tail(matmul=False)),
+    ("only_rolls", make_tail(compact=False, matmul=False)),
+]:
+    try:
+        fn(imgp, row0, lane0, gwords, perm, loc_const)
+        t = time_fn(lambda im: fn(im, row0, lane0, gwords, perm, loc_const), imgp, k=16)
+        print(f"{name}: {t*1e3:.2f} ms", flush=True)
+    except Exception as ex:
+        print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:200]}", flush=True)

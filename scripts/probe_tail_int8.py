@@ -1,0 +1,155 @@
+"""Obs-tail matmul/block variants at bench shapes:
+(a) current (2x bf16 byte-plane passes, BE=8)
+(b) BE=16 (VMEM shrank with the disc mask: KS_pad 512->384)
+(c) int8 MXU passes (2x throughput if Mosaic lowers s8 dots)
+(d) dynslice rows + BE=16
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn
+
+from mettagrid_tpu.engine.pallas_kernels import obs_tail_pallas, _round_up, _compact_block
+
+E, A = 4096, 24
+H, W, S = 25, 25, 3
+OH, OW = 13, 13
+HP = _round_up(H + OH, 8)
+WPC = _round_up((W + OW) * S, 128)
+RP = _round_up(max(OH, 8), 8)
+LP = _round_up(OW * S, 128)
+KS = 121 * S
+KS_pad = _round_up(KS, 128)
+GP = 8
+T = 500
+T_pad = min(_round_up(T, 128), GP + KS_pad)
+
+key = jax.random.PRNGKey(0)
+imgp = jax.random.randint(key, (E, HP, WPC), 0, 1 << 14, dtype=jnp.int32)
+row0 = jax.random.randint(jax.random.PRNGKey(1), (E, A), 0, H, dtype=jnp.int32)
+lane0 = jax.random.randint(jax.random.PRNGKey(2), (E, A), 0, W, dtype=jnp.int32) * S
+gwords = jax.random.randint(jax.random.PRNGKey(3), (E, A, GP), 0, 1 << 14, dtype=jnp.int32)
+perm_np = np.zeros((RP, LP, KS_pad), dtype=np.float32)
+rng = np.random.default_rng(0)
+slots = rng.permutation(RP * LP)[:KS]
+for k, s in enumerate(slots):
+    perm_np[s // LP, s % LP, k] = 1.0
+perm = jnp.asarray(perm_np)
+loc_const = jnp.asarray(rng.integers(0, 255, (8, GP + KS_pad)).astype(np.int32) << 16)
+
+
+def make_tail(block_envs=8, matmul="bf16_split", rows="roll"):
+    @functools.partial(jax.jit, static_argnames=())
+    def tail(imgp, row0, lane0, gwords, perm, loc_const):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        E, HP, WPC = imgp.shape
+        A = row0.shape[1]
+        GP = gwords.shape[2]
+        RP, LP, KS_pad = perm.shape
+        BE = block_envs
+        BA = BE * A
+        C = GP + KS_pad
+        Tp = min(T_pad, C)
+        if matmul == "int8":
+            perm_in = perm.astype(jnp.int8)
+            # correction row: 128 * column-sum of perm (for the -128 shift)
+            corr = (128.0 * perm.reshape(RP * LP, KS_pad).sum(axis=0)).astype(jnp.int32)
+        else:
+            perm_in = perm
+            corr = jnp.zeros((KS_pad,), dtype=jnp.int32)
+        corr2d = jnp.broadcast_to(corr[None, :], (8, KS_pad))
+
+        def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, corr_ref, out_ref, att_ref, winf):
+            blk = pl.program_id(0)
+            for e in range(BE):
+                full = img_ref[e]
+                for a in range(A):
+                    idx = (blk * BE + e) * A + a
+                    if rows == "dynslice":
+                        x = img_ref[e, pl.ds(r_ref[idx], RP), :]
+                    else:
+                        x = pltpu.roll(full, HP - r_ref[idx], 0)
+                        x = x[:RP, :]
+                    x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                    winf[e * A + a] = x[:, :LP]
+
+            lhs = winf[:].reshape(BA, RP * LP)
+            rhs = perm_ref[:].reshape(RP * LP, KS_pad)
+            if matmul == "int8":
+                hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs, preferred_element_type=jnp.int32)
+                lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs, preferred_element_type=jnp.int32)
+                cr = corr_ref[0:1, :]
+                cells = ((hi + cr) << 8) | (lo + cr)
+            else:
+                hi = jnp.dot((lhs >> 8).astype(jnp.float32), rhs, preferred_element_type=jnp.float32).astype(jnp.int32)
+                lo = jnp.dot((lhs & 0xFF).astype(jnp.float32), rhs, preferred_element_type=jnp.float32).astype(jnp.int32)
+                cells = (hi << 8) | lo
+            gw = gw_ref[:].reshape(BA, GP)
+            cand = jnp.concatenate([gw, cells], axis=-1)
+            ok = cand > 0
+            loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, C))
+            words = jnp.where(ok, (cand - 1) | loc, -1)
+            att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+            out_ref[:, :, :] = _compact_block(words, Tp).reshape(BE, A, Tp)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(E // BE,),
+            in_specs=[
+                pl.BlockSpec((BE, HP, WPC), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BE, A, GP), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((RP, LP, KS_pad), lambda i, r, l: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, C), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((BE, A, Tp), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((BA, RP, LP), jnp.int32)],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((E, A, Tp), jnp.int32),
+                jax.ShapeDtypeStruct((E, A), jnp.int32),
+            ],
+        )(row0.reshape(-1), lane0.reshape(-1), imgp, gwords, perm_in, loc_const, corr2d)
+
+    return tail
+
+
+def run(name, fn):
+    try:
+        out = fn(imgp, row0, lane0, gwords, perm, loc_const)
+        got = [np.asarray(x) for x in out]
+        t = time_fn(lambda im: fn(im, row0, lane0, gwords, perm, loc_const), imgp, k=16)
+        print(f"{name}: {t*1e3:.2f} ms", flush=True)
+        return got
+    except Exception as ex:
+        print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:250]}", flush=True)
+        return None
+
+
+base = run("baseline BE=8 bf16x2     ", make_tail(8, "bf16_split", "roll"))
+for name, fn in [
+    ("BE=16 bf16x2             ", make_tail(16, "bf16_split", "roll")),
+    ("BE=8 int8x2              ", make_tail(8, "int8", "roll")),
+    ("BE=16 int8x2             ", make_tail(16, "int8", "roll")),
+    ("BE=16 int8x2 dynslice    ", make_tail(16, "int8", "dynslice")),
+    ("BE=32 int8x2 dynslice    ", make_tail(32, "int8", "dynslice")),
+]:
+    got = run(name, fn)
+    if base is not None and got is not None:
+        print("   bit-identical:", all(np.array_equal(a, b) for a, b in zip(base, got)), flush=True)

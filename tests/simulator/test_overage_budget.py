@@ -1,0 +1,96 @@
+"""Policy action timeouts + cumulative overage budget in Rollout
+(reference: simulator/rollout.py:79-86,399-417 and
+tests/simulator/test_overage_budget.py)."""
+
+import time
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.policy.policy import MultiAgentPolicy
+from mettagrid_tpu.simulator.rollout import Rollout
+
+
+class SlowPolicy(MultiAgentPolicy):
+    def __init__(self, sleep_ms: float):
+        super().__init__(None)
+        self._sleep_ms = sleep_ms
+        self.call_count = 0
+
+    def step_batch(self, raw_observations, raw_actions) -> None:
+        self.call_count += 1
+        time.sleep(self._sleep_ms / 1000.0)
+        raw_actions[:] = 1  # would move if allowed
+
+    def reset(self) -> None:
+        pass
+
+
+class FastPolicy(MultiAgentPolicy):
+    def __init__(self):
+        super().__init__(None)
+        self.call_count = 0
+
+    def step_batch(self, raw_observations, raw_actions) -> None:
+        self.call_count += 1
+        raw_actions[:] = 0
+
+    def reset(self) -> None:
+        pass
+
+
+def _cfg(num_agents=2):
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=num_agents,
+            max_steps=50,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(
+                map_data=["#####", "#@.@#", "#####"]
+            ),
+        )
+    )
+
+
+def test_timeout_replaces_action_with_noop_and_counts():
+    slow = SlowPolicy(sleep_ms=30)
+    r = Rollout(_cfg(), slow, max_action_time_ms=1)
+    for _ in range(3):
+        r.step()
+    assert r.timeout_counts[0] == 3
+    assert r.overage_exceeded_at[0] is None  # no budget configured
+    # timed-out steps became noop: agents never moved off spawn
+    sim = r.simulation
+    st = sim._state
+    assert np.array_equal(np.asarray(st.obj_r[0, :2]), np.asarray(st.agent_spawn_r[0]))
+    assert np.array_equal(np.asarray(st.obj_c[0, :2]), np.asarray(st.agent_spawn_c[0]))
+
+
+def test_overage_budget_disables_policy():
+    slow = SlowPolicy(sleep_ms=30)
+    # each step overspends by ~29ms; budget 50ms -> disabled on step 2
+    r = Rollout(_cfg(), slow, max_action_time_ms=1, overage_budget_ms=50)
+    for _ in range(6):
+        r.step()
+    assert r.overage_exceeded_at[0] is not None
+    calls_at_disable = slow.call_count
+    for _ in range(3):
+        r.step()
+    assert slow.call_count == calls_at_disable  # never stepped again
+
+
+def test_fast_policy_unaffected_alongside_slow():
+    slow, fast = SlowPolicy(sleep_ms=30), FastPolicy()
+    r = Rollout(
+        _cfg(),
+        [(slow, [0]), (fast, [1])],
+        max_action_time_ms=1,
+        overage_budget_ms=40,
+    )
+    for _ in range(6):
+        r.step()
+    assert r.overage_exceeded_at[0] is not None
+    assert r.overage_exceeded_at[1] is None
+    assert r.timeout_counts[1] == 0
+    assert fast.call_count == 6

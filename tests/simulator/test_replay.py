@@ -41,7 +41,7 @@ def test_in_memory_replay_records_episode():
     assert "move_east" in data["action_names"]
     agents = [o for o in data["objects"] if "agent_id" in o]
     assert len(agents) == 1
-    # Agent location timeline should show movement (list of [step, [x,y,z]])
+    # Agent location timeline should show movement (list of [step, [r,c]])
     loc = agents[0]["location"]
     assert isinstance(loc, list) and len(loc) >= 2
 

@@ -1,0 +1,123 @@
+"""Replay-v4 golden validation: the SAME episode recorded by our replay
+writer and the reference's must produce structurally identical replay JSON
+(VERDICT r1 #9 — the v4 claim was never validated against the reference;
+format pinned by nim/mettascope/src/mettascope/replays.nim:7)."""
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.parity.cross_engine import Scenario, _build_config, _Api
+from mettagrid_tpu.parity.reference_oracle import reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference oracle not built"
+)
+
+SC = Scenario(
+    map_data=[
+        ["wall", "wall", "wall", "wall"],
+        ["wall", "agent.agent", "mine", "wall"],
+        ["wall", "empty", "empty", "wall"],
+        ["wall", "wall", "wall", "wall"],
+    ],
+    num_agents=1,
+    objects={"mine": {"kind": "mine", "gives": {"ore_red": 1}}},
+    agent_rewards={"ore_red": 0.5},
+    scripts=[["move_east"], ["move_south"], ["move_east"], ["noop"], ["move_west"]],
+    max_steps=5,  # episode truncates at the last scripted step -> on_episode_end fires
+)
+
+
+def _ours_replay():
+    from mettagrid_tpu.simulator import Simulation
+    from mettagrid_tpu.simulator.replay_writer import InMemoryReplayWriter
+
+    w = InMemoryReplayWriter()
+    cfg = _build_config(_Api(ours=True), SC)
+    sim = Simulation(cfg, seed=0, event_handlers=[w])
+    for row in SC.scripts:
+        for i, action in enumerate(row):
+            sim.agent(i).set_action(action)
+        sim.step()
+    sim.close()
+    return w.get_completed_replays()[0].replay_data
+
+
+def _ref_replay():
+    from mettagrid_tpu.parity.reference_oracle import load_reference
+
+    load_reference()
+    from mettagrid.simulator.replay_log_writer import InMemoryReplayWriter
+    from mettagrid.simulator.simulator import Simulator
+
+    w = InMemoryReplayWriter()
+    s = Simulator()
+    s.add_event_handler(w)
+    cfg = _build_config(_Api(ours=False), SC)
+    sim = s.new_simulation(cfg, seed=0)
+    for row in SC.scripts:
+        for i, action in enumerate(row):
+            sim.agent(i).set_action(action)
+        sim.step()
+    sim.close()
+    return w.get_completed_replays()[0].replay_data
+
+
+def _canon(x):
+    import json
+
+    return json.loads(json.dumps(x))  # tuples -> lists
+
+
+def _timeline(objects, type_name, key):
+    """Timeline series of `key` for the first object of the given type."""
+    for o in objects:
+        tn = o.get("type_name")
+        name = tn[-1][1] if isinstance(tn, list) else tn
+        if name == type_name:
+            return o.get(key)
+    return None
+
+
+def test_replay_v4_structure_matches_reference():
+    ours = _ours_replay()
+    ref = _ref_replay()
+
+    # Top-level schema: the reference's keys must all exist with equal
+    # values for the static tables (mg_config differs textually by design).
+    for key in ("version", "action_names", "item_names",
+                "num_agents", "max_steps", "map_size"):
+        assert key in ours, f"missing top-level replay key {key!r}"
+        assert ours[key] == ref[key], f"replay {key!r}: ours={ours[key]} ref={ref[key]}"
+    # type_names: objects carry type_name strings; the reference pads its
+    # table with '' for unused internal type ids, so compare as sets.
+    assert set(ours["type_names"]) == set(ref["type_names"]) - {""}
+    assert ours["version"] == 4
+    assert set(ref.keys()) <= set(ours.keys()) | {"file_name"}, (
+        f"reference keys missing from ours: {set(ref.keys()) - set(ours.keys())}"
+    )
+
+    # Same object population.
+    assert len(ours["objects"]) == len(ref["objects"])
+
+    # The agent's dynamic timelines must match entry-for-entry: seq-key
+    # merged [step, value] series for location and inventory.
+    for key in ("location", "inventory", "total_reward", "current_reward"):
+        a = _timeline(ours["objects"], "agent", key)
+        b = _timeline(ref["objects"], "agent", key)
+        assert _canon(a) == _canon(b), f"agent timeline {key!r}: ours={a} ref={b}"
+
+    # The mine's inventory drains identically.
+    a = _timeline(ours["objects"], "mine", "inventory")
+    b = _timeline(ref["objects"], "mine", "inventory")
+    assert _canon(a) == _canon(b), f"mine inventory timeline: ours={a} ref={b}"
+
+
+def test_replay_compresses_and_loads_back():
+    import json
+    import zlib
+
+    ours = _ours_replay()
+    blob = zlib.compress(json.dumps(ours).encode())
+    back = json.loads(zlib.decompress(blob))
+    assert back["version"] == 4

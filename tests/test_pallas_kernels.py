@@ -50,3 +50,64 @@ def test_compact_block_overflow_drops_tail():
     row = np.arange(20, dtype=np.int32)[None, :]
     got = np.asarray(_compact_block(jnp.asarray(row), 5))
     assert got[0].tolist() == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------
+# Pallas-vs-XLA equivalence in CI via interpret mode (no TPU needed)
+# ---------------------------------------------------------------------
+
+
+def test_compact_rows_pallas_interpret_matches_xla():
+    from mettagrid_tpu.engine.pallas_kernels import compact_rows_pallas, compact_rows_xla
+
+    rng = np.random.default_rng(11)
+    for R, C, T in [(64, 200, 96), (32, 96, 128)]:  # C>T and C<T
+        words = rng.integers(-1, 1 << 20, (R, C)).astype(np.int32)
+        a = np.asarray(compact_rows_pallas(jnp.asarray(words), T, block_rows=32, interpret=True))
+        b = np.asarray(compact_rows_xla(jnp.asarray(np.pad(words, ((0, 0), (0, max(0, T - C))), constant_values=-1)), T))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_obs_tail_interpret_matches_xla_path():
+    """The production fused pallas obs tail (interpret mode) must be
+    bit-identical to the XLA formulation on a real stepped env state."""
+    import mettagrid_tpu.engine.obs as obs_mod
+    from mettagrid_tpu.builder import make_arena
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+    cfg = make_arena(
+        4,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=4, width=10, height=10, border_width=1, objects={"wall": 5}
+        ),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    builder.config.seed = 5
+    init = build_env_init(program, [builder.build_for_num_agents(4)])
+    E = 8
+    reset = make_reset(program, init, E)
+    step = make_step(program, init, auto_reset=False, donate=False)
+    state, out_xla = reset(0)
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        acts = jnp.asarray(rng.integers(0, len(program.action_names), (E, 4)), dtype=jnp.int32)
+        state, out_xla = step(state, acts, jnp.zeros((E, 4), jnp.int32))
+
+    from mettagrid_tpu.engine.pallas_kernels import use_pallas
+
+    assert not use_pallas(), "this test exercises interpret mode off-TPU"
+    obs_fn_xla = obs_mod.make_obs_fn(program)
+    obs_a, att_a = obs_fn_xla(state)
+
+    obs_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        obs_fn_fused = obs_mod.make_obs_fn(program)
+        obs_b, att_b = obs_fn_fused(state)
+    finally:
+        obs_mod._FORCE_FUSED_INTERPRET = False
+
+    np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
+    np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
