@@ -1,0 +1,135 @@
+"""Torch LSTM checkpoint interop: evaluate reference-trained policies here.
+
+The reference's `LSTMPolicy` is a torch net (flatten(obs)/255 -> Linear(128)
+-> ReLU -> Linear(128) -> LSTM(128) -> action/value heads) checkpointed as a
+torch state dict (reference: policy/lstm.py:24-41, 263-270). This module
+mirrors that architecture in flax with torch's exact LSTM gate math
+(gate order i,f,g,o; two summed biases), plus a converter from the reference
+state-dict layout, so reference checkpoints produce identical logits/values.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class TorchLSTMState(NamedTuple):
+    h: jnp.ndarray  # [..., hidden]
+    c: jnp.ndarray
+
+
+class TorchRefLSTMNet(nn.Module):
+    """Flax twin of the reference LSTMPolicyNet (policy/lstm.py:24-43)."""
+
+    num_actions: int
+    obs_size: int  # prod(observation_shape) = num_tokens * 3
+    hidden_size: int = 128
+
+    @nn.compact
+    def __call__(self, obs_flat: jnp.ndarray, state: TorchLSTMState):
+        """obs_flat: f32[..., obs_size] already /255-normalized."""
+        h = self.hidden_size
+        x = nn.Dense(h, name="net0")(obs_flat)
+        x = nn.relu(x)
+        x = nn.Dense(h, name="net2")(x)
+
+        # torch.nn.LSTM math: gates = W_ih x + b_ih + W_hh h + b_hh, split in
+        # torch order (i, f, g, o); c' = f*c + i*g; h' = o*tanh(c').
+        gates = nn.Dense(4 * h, name="ih")(x) + nn.Dense(4 * h, use_bias=False, name="hh")(state.h)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * state.c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(c)
+
+        logits = nn.Dense(self.num_actions, name="action_head")(new_h)
+        value = nn.Dense(1, name="value_head")(new_h)[..., 0]
+        return logits, value, TorchLSTMState(h=new_h, c=c)
+
+
+def torch_state_dict_to_params(state_dict: Dict[str, Any], hidden_size: int = 128) -> Dict:
+    """Convert the reference LSTMPolicyNet state dict to TorchRefLSTMNet params.
+
+    Key layout (policy/lstm.py): _net.0.*, _net.2.*, _rnn.weight_ih_l0,
+    _rnn.weight_hh_l0, _rnn.bias_ih_l0, _rnn.bias_hh_l0, _action_head.*,
+    _value_head.*. torch Linear stores [out, in]; flax Dense kernels are
+    [in, out]. torch LSTM has two biases, summed into the flax ih bias.
+    """
+
+    def arr(key):
+        v = state_dict[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    params = {
+        "net0": {"kernel": arr("_net.0.weight").T, "bias": arr("_net.0.bias")},
+        "net2": {"kernel": arr("_net.2.weight").T, "bias": arr("_net.2.bias")},
+        "ih": {
+            "kernel": arr("_rnn.weight_ih_l0").T,
+            "bias": arr("_rnn.bias_ih_l0") + arr("_rnn.bias_hh_l0"),
+        },
+        "hh": {"kernel": arr("_rnn.weight_hh_l0").T},
+        "action_head": {
+            "kernel": arr("_action_head.weight").T,
+            "bias": arr("_action_head.bias"),
+        },
+        "value_head": {
+            "kernel": arr("_value_head.weight").T,
+            "bias": arr("_value_head.bias"),
+        },
+    }
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+
+def load_torch_lstm_checkpoint(path: str, num_actions: int, obs_size: int,
+                               hidden_size: int = 128):
+    """Load a reference torch checkpoint -> (net, params)."""
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu")
+    net = TorchRefLSTMNet(num_actions=num_actions, obs_size=obs_size, hidden_size=hidden_size)
+    return net, torch_state_dict_to_params(state_dict, hidden_size)
+
+
+class TorchCompatLSTMPolicy:
+    """MultiAgentPolicy-compatible wrapper around a converted reference
+    checkpoint: maintains per-agent recurrent state, argmax or sampled
+    actions over the reference's own logits."""
+
+    short_names = ["torch_lstm"]
+
+    def __init__(self, num_actions: int, obs_size: int, checkpoint_path: Optional[str] = None,
+                 params: Optional[Dict] = None, hidden_size: int = 128,
+                 deterministic: bool = True, seed: int = 0):
+        self._net = TorchRefLSTMNet(num_actions=num_actions, obs_size=obs_size, hidden_size=hidden_size)
+        if checkpoint_path is not None:
+            _, params = load_torch_lstm_checkpoint(checkpoint_path, num_actions, obs_size, hidden_size)
+        assert params is not None, "need checkpoint_path or params"
+        self._params = params
+        self._hidden = hidden_size
+        self._obs_size = obs_size
+        self._deterministic = deterministic
+        self._key = jax.random.PRNGKey(seed)
+        self._state: Optional[TorchLSTMState] = None
+        self._apply = jax.jit(self._net.apply)
+
+    def reset(self) -> None:
+        self._state = None
+
+    def step_batch(self, raw_observations: np.ndarray, raw_actions: np.ndarray) -> None:
+        A = raw_observations.shape[0]
+        obs = jnp.asarray(raw_observations, dtype=jnp.float32).reshape(A, -1) / 255.0
+        if self._state is None:
+            z = jnp.zeros((A, self._hidden), jnp.float32)
+            self._state = TorchLSTMState(h=z, c=z)
+        logits, _value, self._state = self._apply(self._params, obs, self._state)
+        if self._deterministic:
+            acts = jnp.argmax(logits, axis=-1)
+        else:
+            self._key, sub = jax.random.split(self._key)
+            acts = jax.random.categorical(sub, logits)
+        raw_actions[:] = np.asarray(acts, dtype=raw_actions.dtype)

@@ -1,6 +1,7 @@
 """Profiling utilities (reference: python/src/mettagrid/profiling/)."""
 
 from mettagrid_tpu.profiling.monitor import MemoryMonitor, SystemMonitor
+from mettagrid_tpu.profiling.phase_timing import measure_step_phases
 from mettagrid_tpu.profiling.stopwatch import Stopwatch
 
-__all__ = ["MemoryMonitor", "Stopwatch", "SystemMonitor"]
+__all__ = ["MemoryMonitor", "Stopwatch", "SystemMonitor", "measure_step_phases"]

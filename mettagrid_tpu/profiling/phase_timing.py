@@ -1,0 +1,147 @@
+"""Per-phase step timing — the StepTimingStats analogue (reference:
+cpp/include/mettagrid/profiling.hpp:6-16, exposed as env.step_timing).
+
+A jitted step is one fused XLA program, so phases can't be timed in place
+without changing what's measured. Instead each phase is ablated (stubbed to
+a no-op) and the step re-jitted; the full-minus-ablated difference is the
+phase's IN-CONTEXT cost, which accounts for fusion across phase boundaries
+(the reference's per-phase wall clocks measure the same thing because its
+phases are serial). Timing uses the carried-dependence harness so neither
+XLA hoisting nor backend result-caching can skew it (see scripts/timing.py
+rationale; block_until_ready does not block on tunneled backends).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PHASES = ("actions", "obs", "rewards")
+
+
+def _time_fn_carry(fn, state, k: int = 8, n: int = 3) -> float:
+    """Per-call seconds of fn(state) with a carried data dependence."""
+
+    def reduce_out(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
+
+    @jax.jit
+    def chained(s0, state):
+        def body(carry, i):
+            cs, st = carry
+            new_state, rest = fn(st)
+            cs = cs + reduce_out(rest)
+            return (cs, new_state), None
+
+        (total, final_state), _ = jax.lax.scan(body, (s0, state), jnp.arange(k))
+        return total + reduce_out(jax.tree_util.tree_leaves(final_state)[0])
+
+    np.asarray(chained(jnp.float32(0.0), state))  # compile + warm
+    # RTT baseline: trivial jit + readback
+    trivial = jax.jit(lambda x: x + 1.0)
+    np.asarray(trivial(jnp.float32(0.0)))
+    rtts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(trivial(jnp.float32(i)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+    ts = []
+    for run in range(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.float32(run + 1), state))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - rtt) / k, 0.0)
+
+
+def measure_step_phases(
+    program,
+    init,
+    state,
+    actions,
+    vibe_actions=None,
+    k: int = 8,
+    phases=PHASES,
+) -> Dict[str, float]:
+    """In-context per-phase seconds of the jitted step.
+
+    Returns {"step": total, "<phase>": cost, ..., "other": remainder}.
+    Stubbing a phase changes downstream state, so costs are fusion-aware
+    differences, not a strict partition; "other" is total minus the sum.
+    """
+    import mettagrid_tpu.engine.obs as obs_mod
+    import mettagrid_tpu.engine.actions_fast as af_mod
+    import mettagrid_tpu.engine.rewards as rew_mod
+    import mettagrid_tpu.engine.step as step_mod
+
+    E, A = actions.shape
+    if vibe_actions is None:
+        vibe_actions = jnp.zeros_like(actions)
+
+    orig = {
+        "obs": (obs_mod.make_obs_fn, ("make_obs_fn", (obs_mod, step_mod))),
+        "actions": (af_mod.make_action_phase_fast, ("make_action_phase_fast", (af_mod,))),
+        "rewards": (rew_mod.make_reward_phase, ("make_reward_phase", (rew_mod, step_mod))),
+    }
+
+    obs_shapes = jax.eval_shape(obs_mod.make_obs_fn(program), state)
+
+    def stub_obs(program):
+        def fn(state):
+            return (
+                jnp.zeros(obs_shapes[0].shape, dtype=obs_shapes[0].dtype),
+                jnp.zeros(obs_shapes[1].shape, dtype=obs_shapes[1].dtype),
+            )
+
+        return fn
+
+    def stub_actions(program, **kwargs):
+        def fn(state, actions, vibes, perm):
+            return state
+
+        return fn
+
+    def stub_rewards(program):
+        def fn(state):
+            return state
+
+        return fn
+
+    stubs = {"obs": stub_obs, "actions": stub_actions, "rewards": stub_rewards}
+
+    def build(stubbed: Optional[str]):
+        patched = []
+        try:
+            if stubbed is not None:
+                fn = stubs[stubbed]
+                name, modules = orig[stubbed][1]
+                for m in modules:
+                    patched.append((m, name, getattr(m, name)))
+                    setattr(m, name, fn)
+            return step_mod.make_step(program, init, auto_reset=True, donate=False)
+        finally:
+            for m, name, old in patched:
+                setattr(m, name, old)
+
+    def runner(step):
+        def fn(st):
+            new_state, out = step(st, actions, vibe_actions)
+            return new_state, (out.rewards, out.terminals, out.observations[:, :, 0, :])
+
+        return fn
+
+    total = _time_fn_carry(runner(build(None)), state, k=k)
+    result: Dict[str, float] = {"step": total}
+    accounted = 0.0
+    for phase in phases:
+        t = _time_fn_carry(runner(build(phase)), state, k=k)
+        cost = max(total - t, 0.0)
+        result[phase] = cost
+        accounted += cost
+    result["other"] = max(total - accounted, 0.0)
+    return result

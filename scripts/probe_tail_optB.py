@@ -1,0 +1,155 @@
+"""Bisect B: Hillis-Steele rank + i16 move loop: int8 permute matmul + matmul-based compaction rank +
+16-bit-plane move loop + dynamic row slice. Verify bit-identity vs the
+production kernel and time it."""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn
+
+from mettagrid_tpu.engine.pallas_kernels import obs_tail_pallas, _round_up
+
+E, A = 4096, 24
+H, W, S = 25, 25, 3
+OH, OW = 13, 13
+HP = _round_up(H + OH, 8)
+WPC = _round_up((W + OW) * S, 128)
+RP = _round_up(max(OH, 8), 8)
+LP = _round_up(OW * S, 128)
+KS = 121 * S
+KS_pad = _round_up(KS, 128)
+GP = 8
+T = 500
+T_pad = min(_round_up(T, 128), GP + KS_pad)
+
+key = jax.random.PRNGKey(0)
+imgp = jax.random.randint(key, (E, HP, WPC), 0, 1 << 14, dtype=jnp.int32)
+row0 = jax.random.randint(jax.random.PRNGKey(1), (E, A), 0, H, dtype=jnp.int32)
+lane0 = jax.random.randint(jax.random.PRNGKey(2), (E, A), 0, W, dtype=jnp.int32) * S
+gwords = jax.random.randint(jax.random.PRNGKey(3), (E, A, GP), 0, 1 << 14, dtype=jnp.int32)
+perm_np = np.zeros((RP, LP, KS_pad), dtype=np.float32)
+rng = np.random.default_rng(0)
+slots = rng.permutation(RP * LP)[:KS]
+for k, s in enumerate(slots):
+    perm_np[s // LP, s % LP, k] = 1.0
+perm = jnp.asarray(perm_np)
+loc_const = jnp.asarray(rng.integers(0, 255, (8, GP + KS_pad)).astype(np.int32) << 16)
+
+_SENT = 1 << 14  # gap sentinel: bits 0..13 clear, fits int16
+
+
+def _compact_v2(words, T, tri):
+    """Log-shift compaction with matmul rank + int16 planes."""
+    B, C = words.shape
+    ok = words >= 0
+    from mettagrid_tpu.engine.pallas_kernels import _prefix_sum_lanes
+    inv = (~ok).astype(jnp.int32)
+    g32 = _prefix_sum_lanes(inv) - inv
+    g = jnp.where(ok, g32, _SENT).astype(jnp.int16)
+    w_lo = (words & 0xFFFF).astype(jnp.int16)
+    w_hi = ((words >> 16) & 0xFFFF).astype(jnp.int16)
+    bit = 1
+    while bit < C:
+        b16 = jnp.int16(bit)
+        rg = jnp.roll(g, -bit, axis=-1)
+        rlo = jnp.roll(w_lo, -bit, axis=-1)
+        rhi = jnp.roll(w_hi, -bit, axis=-1)
+        move = (g & b16) != 0
+        incoming = (rg & b16) != 0
+        w_lo = jnp.where(incoming, rlo, w_lo)
+        w_hi = jnp.where(incoming, rhi, w_hi)
+        g = jnp.where(incoming, rg & (~b16), jnp.where(move, jnp.int16(_SENT), g))
+        bit <<= 1
+    valid = g == 0
+    out = jnp.where(
+        valid, (w_hi.astype(jnp.int32) << 16) | (w_lo.astype(jnp.int32) & 0xFFFF), -1
+    )
+    return out[:, :T]
+
+
+@jax.jit
+def tail_opt(imgp, row0, lane0, gwords, perm, loc_const):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, HP, WPC = imgp.shape
+    A = row0.shape[1]
+    GP = gwords.shape[2]
+    RP, LP, KS_pad = perm.shape
+    BE = 8
+    BA = BE * A
+    C = GP + KS_pad
+    Tp = min(T_pad, C)
+    perm8 = perm.astype(jnp.int8)
+    corr = (128.0 * perm.reshape(RP * LP, KS_pad).sum(axis=0)).astype(jnp.int32)
+    corr2d = jnp.broadcast_to(corr[None, :], (8, KS_pad))
+
+    def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, corr_ref, out_ref, att_ref, winf):
+        for e in range(BE):
+            for a in range(A):
+                idx = (pl.program_id(0) * BE + e) * A + a
+                x = img_ref[e, pl.ds(r_ref[idx], RP), :]
+                x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                winf[e * A + a] = x[:, :LP]
+
+        lhs = winf[:].reshape(BA, RP * LP)
+        rhs = perm_ref[:].reshape(RP * LP, KS_pad)
+        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs, preferred_element_type=jnp.int32)
+        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs, preferred_element_type=jnp.int32)
+        cr = corr_ref[0:1, :]
+        cells = ((hi + cr) << 8) | (lo + cr)
+        gw = gw_ref[:].reshape(BA, GP)
+        cand = jnp.concatenate([gw, cells], axis=-1)
+        ok = cand > 0
+        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, C))
+        words = jnp.where(ok, (cand - 1) | loc, -1)
+        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        ).astype(jnp.int8)
+        out_ref[:, :, :] = _compact_v2(words, Tp, tri).reshape(BE, A, Tp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((BE, HP, WPC), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, GP), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RP, LP, KS_pad), lambda i, r, l: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, A, Tp), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((BA, RP, LP), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, A, Tp), jnp.int32),
+            jax.ShapeDtypeStruct((E, A), jnp.int32),
+        ],
+    )(row0.reshape(-1), lane0.reshape(-1), imgp, gwords, perm8, loc_const, corr2d)
+
+
+base = obs_tail_pallas(imgp, row0, lane0, gwords, perm, loc_const, T_pad)
+base = [np.asarray(x) for x in base]
+try:
+    got = tail_opt(imgp, row0, lane0, gwords, perm, loc_const)
+    got = [np.asarray(x) for x in got]
+    same = all(np.array_equal(a, b) for a, b in zip(base, got))
+    print("bit-identical:", same, flush=True)
+    t0 = time_fn(lambda im: obs_tail_pallas(im, row0, lane0, gwords, perm, loc_const, T_pad), imgp, k=16)
+    t1 = time_fn(lambda im: tail_opt(im, row0, lane0, gwords, perm, loc_const), imgp, k=16)
+    print(f"baseline: {t0*1e3:.2f} ms   optimized: {t1*1e3:.2f} ms", flush=True)
+except Exception as ex:
+    print("FAILED", type(ex).__name__, str(ex)[:400], flush=True)

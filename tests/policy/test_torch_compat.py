@@ -1,0 +1,91 @@
+"""Torch LSTM checkpoint interop: a reference-layout torch state dict must
+produce IDENTICAL logits/values through the flax twin, including recurrent
+state carried over steps (reference: policy/lstm.py:24-120, 263-270)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from mettagrid_tpu.policy.torch_compat import (
+    TorchCompatLSTMPolicy,
+    TorchLSTMState,
+    TorchRefLSTMNet,
+    torch_state_dict_to_params,
+)
+
+H = 32
+NUM_ACTIONS = 7
+OBS_TOKENS = 20
+OBS_SIZE = OBS_TOKENS * 3
+
+
+class RefNet(torch.nn.Module):
+    """The reference LSTMPolicyNet layout (policy/lstm.py:24-43), minus the
+    pufferlib layer_init wrapper (init only; same module tree/keys)."""
+
+    def __init__(self):
+        super().__init__()
+        self._net = torch.nn.Sequential(
+            torch.nn.Linear(OBS_SIZE, H),
+            torch.nn.ReLU(),
+            torch.nn.Linear(H, H),
+        )
+        self._rnn = torch.nn.LSTM(H, H, batch_first=True)
+        self._action_head = torch.nn.Linear(H, NUM_ACTIONS)
+        self._value_head = torch.nn.Linear(H, 1)
+
+    def forward(self, obs, state):
+        x = obs.reshape(obs.shape[0], -1).float() / 255.0
+        hidden = self._net(x)
+        out, new_state = self._rnn(hidden.unsqueeze(1), state)
+        out = out.squeeze(1)
+        return self._action_head(out), self._value_head(out).squeeze(-1), new_state
+
+
+def test_state_dict_conversion_matches_torch_forward():
+    torch.manual_seed(0)
+    ref = RefNet()
+    sd = ref.state_dict()
+    params = torch_state_dict_to_params(sd, hidden_size=H)
+    net = TorchRefLSTMNet(num_actions=NUM_ACTIONS, obs_size=OBS_SIZE, hidden_size=H)
+
+    rng = np.random.default_rng(1)
+    A = 5
+    obs = rng.integers(0, 256, (A, OBS_TOKENS, 3)).astype(np.uint8)
+
+    t_state = (torch.zeros(1, A, H), torch.zeros(1, A, H))
+    j_state = TorchLSTMState(h=jnp.zeros((A, H)), c=jnp.zeros((A, H)))
+
+    for step in range(4):  # recurrent state must track across steps
+        with torch.no_grad():
+            t_logits, t_value, t_state = ref(torch.from_numpy(obs.copy()), t_state)
+        j_obs = jnp.asarray(obs, jnp.float32).reshape(A, -1) / 255.0
+        j_logits, j_value, j_state = net.apply(params, j_obs, j_state)
+        np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(), atol=2e-5,
+                                   err_msg=f"logits diverged at step {step}")
+        np.testing.assert_allclose(np.asarray(j_value), t_value.numpy(), atol=2e-5)
+        obs = rng.integers(0, 256, (A, OBS_TOKENS, 3)).astype(np.uint8)
+
+
+def test_checkpoint_roundtrip_drives_policy(tmp_path):
+    torch.manual_seed(3)
+    ref = RefNet()
+    path = tmp_path / "ref_lstm.pt"
+    torch.save(ref.state_dict(), str(path))
+
+    policy = TorchCompatLSTMPolicy(
+        num_actions=NUM_ACTIONS, obs_size=OBS_SIZE, checkpoint_path=str(path), hidden_size=H
+    )
+    rng = np.random.default_rng(0)
+    obs = rng.integers(0, 256, (4, OBS_TOKENS, 3)).astype(np.uint8)
+    acts = np.zeros(4, dtype=np.int32)
+    policy.step_batch(obs, acts)
+    assert acts.min() >= 0 and acts.max() < NUM_ACTIONS
+
+    # deterministic actions == torch argmax on the same obs
+    with torch.no_grad():
+        t_logits, _, _ = ref(torch.from_numpy(obs.copy()), (torch.zeros(1, 4, H), torch.zeros(1, 4, H)))
+    np.testing.assert_array_equal(acts, t_logits.argmax(-1).numpy())

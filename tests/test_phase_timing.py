@@ -1,0 +1,34 @@
+"""In-engine per-phase step timing API (the StepTimingStats analogue —
+reference: profiling.hpp:6-16, env.step_timing)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.maps.random_map import RandomMapBuilder
+from mettagrid_tpu.profiling.phase_timing import measure_step_phases
+
+
+def test_measure_step_phases_smoke():
+    cfg = make_arena(
+        4,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(agents=4, width=10, height=10, border_width=1),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    builder.config.seed = 1
+    init = build_env_init(program, [builder.build_for_num_agents(4)])
+    E = 8
+    reset = make_reset(program, init, E)
+    state, _ = reset(0)
+    rng = np.random.default_rng(0)
+    actions = jnp.asarray(rng.integers(0, len(program.action_names), (E, 4)), dtype=jnp.int32)
+
+    timing = measure_step_phases(program, init, state, actions, k=2)
+    assert set(timing) == {"step", "actions", "obs", "rewards", "other"}
+    assert timing["step"] > 0
+    assert all(v >= 0 for v in timing.values())
+    # the parts never exceed the whole
+    assert timing["actions"] + timing["obs"] + timing["rewards"] <= timing["step"] + 1e-9
