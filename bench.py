@@ -42,18 +42,34 @@ def build_bench(num_envs: int = 4096, num_agents: int = 24, pool: int = 64, chun
     n_actions = len(program.action_names)
     A = program.num_agents
 
+    # The one-token-column DCE guard below is only sound when the obs tail is
+    # a single fused custom call (reading any output keeps the whole kernel
+    # live). Assert that path is active for the benchmarked config (ADVICE
+    # r1: on the non-fused path XLA could elide the other T-1 tokens).
+    from mettagrid_tpu.engine.obs import static_background_ok
+    from mettagrid_tpu.engine.pallas_kernels import use_pallas
+
+    if use_pallas():
+        assert num_envs % 8 == 0 and not program.territories, (
+            "bench config must take the fused obs-tail path for the DCE guard to be sound"
+        )
+        assert static_background_ok(program), "arena preset should qualify for the static background"
+
     def chunk_body(carry, actions):
         state, checksum = carry
         vibes = jnp.zeros((num_envs, A), dtype=jnp.int32)
         state, out = step(state, actions, vibes)
         # Fold a data-dependent slice of every output into the carry so the
-        # step isn't DCE'd. The obs tail is a single custom call, so reading
-        # one token column keeps the whole kernel live without paying a
-        # full-tensor reduction per step (the reference harness likewise
-        # keeps timing to the env step itself — perf/harness.py:20-100).
+        # step isn't DCE'd. The obs tail is a single custom call (asserted
+        # above), so reading one token column keeps the whole kernel live
+        # without paying a full-tensor reduction per step (the reference
+        # harness likewise keeps timing to the env step itself —
+        # perf/harness.py:20-100). tokens_attempted folds in the validity of
+        # every candidate token as a second, cheap guard.
         checksum = (
             checksum
             + jnp.sum(out.observations[:, :, 0, :].astype(jnp.uint32))
+            + jnp.sum(out.tokens_attempted).astype(jnp.uint32)
             + jnp.sum(out.rewards).astype(jnp.uint32)
             + jnp.sum(out.terminals).astype(jnp.uint32)
         )

@@ -117,11 +117,19 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         return state, ok
 
     if kind == "swap":
+        # Both entities must be AGENTS or the mutation no-ops
+        # (swap_mutation.hpp:16-18 dynamic_cast guards); the actor logs an
+        # "actions.swap" stat on success (:21).
+        A = program.num_agents
         ar = gather(state.obj_r, ctx.actor)
         ac = gather(state.obj_c, ctx.actor)
         tr = gather(state.obj_r, ctx.target)
         tc = gather(state.obj_c, ctx.target)
-        valid = mask & (ctx.target >= 0)
+        valid = mask & agent_slot_ok(ctx.actor, A) & agent_slot_ok(ctx.target, A)
+        if m.stat_id >= 0:
+            state = set_agent_stat(
+                state, ctx.actor, m.stat_id, jnp.ones(mask.shape, jnp.float32), valid, mode="add"
+            )
         grid = grid_write(state.grid, ar, ac, ctx.target, valid)
         grid = grid_write(grid, tr, tc, ctx.actor, valid)
         state = state._replace(

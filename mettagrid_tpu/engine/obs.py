@@ -44,7 +44,150 @@ _TAP = None
 _FORCE_FUSED_INTERPRET = False
 
 
-def make_obs_fn(program: EngineProgram):
+def static_background_ok(program: EngineProgram) -> bool:
+    """True when every non-agent object is provably inert for the whole
+    episode — tokens, position, and aliveness can never change — so its cell
+    image can be precomputed once per pooled map and gathered per env.
+
+    Sufficient conditions: moves are pure relocation (pure_move_ok: the only
+    executable mutation is agent Relocate; no usable types, so on_use chains
+    are unreachable) and there are no events / AOE / territories / on_tick
+    handlers / materialized-query recomputes. change_vibe only writes agent
+    vibes.
+    """
+    from mettagrid_tpu.engine.actions_fast import pure_move_ok
+
+    return (
+        pure_move_ok(program)
+        and not program.events
+        and not program.aoe_specs
+        and not program.territories
+        and program.game_on_tick is None
+        and all(h is None for h in program.on_tick_handlers)
+        and not program.materialized
+    )
+
+
+def build_static_bg(program: EngineProgram, init) -> jnp.ndarray:
+    """Precompute the static (non-agent) cell image per pooled map:
+    f32[P, H+1, W, S+1]. Requires static_background_ok(program)."""
+    import jax
+
+    cell_image = make_cell_image_fn(program)
+    A = program.num_agents
+    Np = init.obj_type.shape[1]
+    tid = jnp.asarray(init.obj_type)
+    alive = jnp.asarray(init.obj_alive) & (
+        jnp.arange(Np, dtype=jnp.int32)[None, :] >= A
+    )
+    B = tid.shape[0]
+    is_agent = jnp.zeros((B, Np), dtype=bool)
+    group = jnp.zeros((B, Np), dtype=jnp.int32)
+    slot_ids = jnp.broadcast_to(jnp.arange(Np, dtype=jnp.int32)[None, :], (B, Np))
+    return jax.jit(cell_image)(
+        tid,
+        jnp.asarray(init.obj_r),
+        jnp.asarray(init.obj_c),
+        jnp.asarray(init.obj_vibe),
+        jnp.asarray(init.obj_tags),
+        jnp.asarray(init.obj_inv),
+        alive,
+        is_agent,
+        group,
+        slot_ids,
+    )
+
+
+def make_cell_image_fn(program: EngineProgram):
+    """Stages 1+2 of the obs pipeline over an arbitrary slot set: per-object
+    token lists, scattered to a cell image f32[B, H+1, W, S+1]. Shape-generic
+    over the slot axis so the same code serves the full table, the dynamic
+    (agent) slice, and the per-map static background."""
+    from mettagrid_tpu.engine.obs_caps import compute_obs_caps, max_tokens_per_object
+
+    R = program.num_resources
+    P = program.num_inv_tokens
+    n_tags = program.num_tags
+    base = program.token_value_base
+    feat = program.feature_ids
+    H, W = program.height, program.width
+    caps = compute_obs_caps(program)
+    S = max_tokens_per_object(program, caps)
+    C_cell = n_tags + 1 + R * P + 2
+    cand_feat = np.empty(C_cell, dtype=np.int32)
+    cand_feat[:n_tags] = feat.tag
+    cand_feat[n_tags] = feat.vibe
+    for r in range(R):
+        for p in range(P):
+            cand_feat[n_tags + 1 + r * P + p] = feat.inv[r][p]
+    cand_feat[n_tags + 1 + R * P] = feat.group
+    cand_feat[n_tags + 1 + R * P + 1] = feat.agent_id
+    cand_feat_t = jnp.asarray(cand_feat)
+    inv_divisors = jnp.asarray(np.array([base**p for p in range(P)], dtype=np.int32))
+
+    def _cell_image(tid, rr_, cc_, vibe, tags, inv, alive, is_agent, group, slot_ids):
+        B, M = tid.shape
+
+        # ---- stage 1: per-object token lists [B, M, S] ----
+        vals = []
+        oks = []
+        vals.append(
+            jnp.broadcast_to(jnp.arange(n_tags, dtype=jnp.int32)[None, None, :], (B, M, n_tags))
+        )
+        oks.append(tags)
+        vals.append(vibe[..., None])
+        oks.append((vibe != 0)[..., None])
+        digits = (inv[..., None] // inv_divisors[None, None, None, :]) % base  # [B,M,R,P]
+        emit = inv[..., None] >= jnp.maximum(inv_divisors, 1)[None, None, None, :]
+        vals.append(digits.reshape(B, M, R * P))
+        oks.append(emit.reshape(B, M, R * P))
+        vals.append(group[..., None])
+        oks.append(is_agent[..., None])
+        vals.append(slot_ids[..., None])
+        oks.append(is_agent[..., None])
+
+        cand_val = jnp.concatenate(vals, axis=-1)  # [B, M, C_cell] int32
+        cand_ok = jnp.concatenate(oks, axis=-1) & alive[..., None]
+
+        # packed 16-bit word: feat<<8 | value
+        packed = (cand_feat_t[None, None, :] << 8) | (cand_val & 0xFF)
+
+        # compact C_cell candidates into the first-cnt of S slots via a small
+        # one-hot matmul (tokens beyond S are impossible by the obs_caps proof)
+        cnt_ = cand_ok.astype(jnp.int32)
+        pos = jnp.cumsum(cnt_, axis=-1) - cnt_  # [B, M, C_cell] exclusive
+        onehot = (pos[..., None] == jnp.arange(S)[None, None, None, :]) & cand_ok[..., None]
+        obj_tok = jnp.einsum(
+            "ens,enst->ent", packed.astype(jnp.float32), onehot.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [B, M, S] f32 (exact: 16-bit payloads)
+        obj_cnt = cnt_.sum(axis=-1)  # [B, M]
+
+        # ---- stage 2: scatter to cell image [B, H+1, W, S+1] ----
+        cell_src = jnp.concatenate(
+            [obj_tok, obj_cnt[..., None].astype(jnp.float32)], axis=-1
+        )  # [B, M, S+1]
+
+        # One object per cell, so the scatter is equivalent to a one-hot
+        # contraction over the object axis — XLA:TPU lowers the scatter
+        # pathologically (~22ms at E=4096) while the MXU does this in ~2ms.
+        rr = jnp.where(alive, rr_, H)  # dead -> padding row
+        cc = jnp.where(alive, cc_, 0)
+        r_oh = (rr[..., None] == jnp.arange(H + 1, dtype=jnp.int32)[None, None, :]).astype(
+            jnp.float32
+        )  # [B, M, H+1]
+        c_oh = (cc[..., None] == jnp.arange(W, dtype=jnp.int32)[None, None, :]).astype(
+            jnp.float32
+        )  # [B, M, W]
+        col_src = c_oh[..., :, None] * cell_src[..., None, :]  # [B, M, W, Ch0]
+        return jnp.einsum(
+            "enh,enwc->ehwc", r_oh, col_src, preferred_element_type=jnp.float32
+        )  # [B, H+1, W, Ch0]
+
+    return _cell_image
+
+
+def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     from mettagrid_tpu.engine.obs_caps import compute_obs_caps, max_tokens_per_object
 
     A = program.num_agents
@@ -135,7 +278,9 @@ def make_obs_fn(program: EngineProgram):
     KS_pad = ((KS + 127) // 128) * 128
     RP_f = ((max(OH, 8) + 7) // 8) * 8
     LP_f = ((OW * S + 127) // 128) * 128
-    HP_f = ((H + OH + 7) // 8) * 8
+    # The fused kernel loads windows via pl.ds(row0, RP_f): pad the image so
+    # row0 + RP_f <= HP_f for every agent row (row0 max = H - 1).
+    HP_f = ((max(H + OH, H + RP_f) + 7) // 8) * 8
     WPC_f = (((W + OW) * S + 127) // 128) * 128
     perm_np = np.zeros((RP_f, LP_f, KS_pad), dtype=np.float32)
     for k in range(K):
@@ -151,78 +296,60 @@ def make_obs_fn(program: EngineProgram):
             loc_np[:, Gt + k * S : Gt + (k + 1) * S] = int(loc_k[k]) << 16
         return jnp.asarray(loc_np)
 
+    _cell_image = make_cell_image_fn(program)
+
     def compute_obs(state: EnvState):
         E, N = state.obj_type.shape
 
-        # ============ stage 1: per-object token lists [E, N, S] ============
-        tid = state.obj_type
-        tags = state.obj_tags  # [E, N, n_tags]
-        vibe = state.obj_vibe
-        inv = state.obj_inv  # [E, N, R]
-        is_agent = type_is_agent_t[tid] & (
-            jnp.arange(N, dtype=jnp.int32)[None, :] < A
-        )
-
-        # candidate values + validity, in canonical cell order
-        vals = []
-        oks = []
-        vals.append(
-            jnp.broadcast_to(jnp.arange(n_tags, dtype=jnp.int32)[None, None, :], (E, N, n_tags))
-        )
-        oks.append(tags)
-        vals.append(vibe[..., None])
-        oks.append((vibe != 0)[..., None])
-        digits = (inv[..., None] // inv_divisors[None, None, None, :]) % base  # [E,N,R,P]
-        emit = inv[..., None] >= jnp.maximum(inv_divisors, 1)[None, None, None, :]
-        vals.append(digits.reshape(E, N, R * P))
-        oks.append(emit.reshape(E, N, R * P))
-        group_pad = jnp.pad(state.agent_group, ((0, 0), (0, N - A)))
-        vals.append(group_pad[..., None])
-        oks.append(is_agent[..., None])
-        vals.append(jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None], (E, N, 1)))
-        oks.append(is_agent[..., None])
-
-        cand_val = jnp.concatenate(vals, axis=-1)  # [E, N, C_cell] int32
-        cand_ok = jnp.concatenate(oks, axis=-1) & state.obj_alive[..., None]
-
-        # packed 16-bit word: feat<<8 | value
-        packed = (cand_feat_t[None, None, :] << 8) | (cand_val & 0xFF)
-
-        # compact C_cell candidates into the first-cnt of S slots via a small
-        # one-hot matmul (tokens beyond S are impossible by the obs_caps proof)
-        cnt_ = cand_ok.astype(jnp.int32)
-        pos = jnp.cumsum(cnt_, axis=-1) - cnt_  # [E, N, C_cell] exclusive
-        onehot = (pos[..., None] == jnp.arange(S)[None, None, None, :]) & cand_ok[..., None]
-        obj_tok = jnp.einsum(
-            "ens,enst->ent", packed.astype(jnp.float32), onehot.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )  # [E, N, S] f32 (exact: 16-bit payloads)
-        obj_cnt = cnt_.sum(axis=-1)  # [E, N]
+        if static_bg is not None:
+            # Static background precomputed per pooled map; only agent slots
+            # (0..A-1) go through stages 1-2 per step. The map gather is a
+            # one-hot matmul (values <= 65535 + counts: exact in f32).
+            slots_a = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+            dyn = _cell_image(
+                state.obj_type[:, :A],
+                state.obj_r[:, :A],
+                state.obj_c[:, :A],
+                state.obj_vibe[:, :A],
+                state.obj_tags[:, :A],
+                state.obj_inv[:, :A],
+                state.obj_alive[:, :A],
+                type_is_agent_t[state.obj_type[:, :A]],
+                state.agent_group,
+                slots_a,
+            )
+            Pm = static_bg.shape[0]
+            map_oh = (
+                state.map_idx[:, None] == jnp.arange(Pm, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            bg = jnp.einsum(
+                "ep,px->ex", map_oh, static_bg.reshape(Pm, -1),
+                preferred_element_type=jnp.float32,
+            ).reshape((E,) + static_bg.shape[1:])
+            cell_img = bg + dyn  # disjoint cells: agents never share a cell
+            obj_cnt_sum = None
+        else:
+            is_agent = type_is_agent_t[state.obj_type] & (
+                jnp.arange(N, dtype=jnp.int32)[None, :] < A
+            )
+            group_pad = jnp.pad(state.agent_group, ((0, 0), (0, N - A)))
+            slots_n = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (E, N))
+            cell_img = _cell_image(
+                state.obj_type,
+                state.obj_r,
+                state.obj_c,
+                state.obj_vibe,
+                state.obj_tags,
+                state.obj_inv,
+                state.obj_alive,
+                is_agent,
+                group_pad,
+                slots_n,
+            )
 
         if _TAP == "objtok":
-            return obj_tok, obj_cnt.sum()
-        # ============ stage 2: scatter to cell image [E, H+1, W, Ch] ============
-        # channels: [S tokens] + [cnt] (+ [wintag+1] appended below)
-        cell_src = jnp.concatenate(
-            [obj_tok, obj_cnt[..., None].astype(jnp.float32)], axis=-1
-        )  # [E, N, S+1]
-        Ch = cell_src.shape[-1]
-
-        # One object per cell, so the scatter is equivalent to a one-hot
-        # contraction over the object axis — XLA:TPU lowers the scatter
-        # pathologically (~22ms at E=4096) while the MXU does this in ~2ms.
-        rr = jnp.where(state.obj_alive, state.obj_r, H)  # dead -> padding row
-        cc = jnp.where(state.obj_alive, state.obj_c, 0)
-        r_oh = (rr[..., None] == jnp.arange(H + 1, dtype=jnp.int32)[None, None, :]).astype(
-            jnp.float32
-        )  # [E, N, H+1]
-        c_oh = (cc[..., None] == jnp.arange(W, dtype=jnp.int32)[None, None, :]).astype(
-            jnp.float32
-        )  # [E, N, W]
-        col_src = c_oh[..., :, None] * cell_src[..., None, :]  # [E, N, W, Ch]
-        cell_img = jnp.einsum(
-            "enh,enwc->ehwc", r_oh, col_src, preferred_element_type=jnp.float32
-        )  # [E, H+1, W, Ch]
+            return cell_img, cell_img.sum()
+        Ch = cell_img.shape[-1]
 
         if has_aoe_mask:
             from mettagrid_tpu.engine.territory import cell_ownership

@@ -45,16 +45,25 @@ def _prefix_sum_lanes(x):
     return x
 
 
-def _compact_block(w, T):
+def _compact_block(w, T, tri=None):
     """Log-shift stable compaction of rows in registers/VMEM.
 
     w: int32 [B, C]; invalid elements are -1. Returns [B, T]: valid elements
     front-packed in order, -1 elsewhere.
+
+    The per-element gap count (invalid slots before it) is an exclusive
+    prefix sum; with `tri` (strictly-upper-triangular ones [C, C] int8) it
+    runs as ONE int8 MXU matmul — exact in int32 accumulation — instead of
+    log2(C) Hillis-Steele roll passes (~0.8 ms saved per step at E=4096).
     """
     C = w.shape[-1]
     ok = w >= 0
-    inv = (~ok).astype(jnp.int32)
-    g = _prefix_sum_lanes(inv) - inv  # invalid slots before each element
+    if tri is not None:
+        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
+        g = jnp.dot(inv8, tri, preferred_element_type=jnp.int32)
+    else:
+        inv = (~ok).astype(jnp.int32)
+        g = _prefix_sum_lanes(inv) - inv  # invalid slots before each element
     g = jnp.where(ok, g, _BIG)
     bit = 1
     while bit < C:
@@ -194,6 +203,14 @@ def obs_tail_pallas(
     Returns (words int32 [E, A, T_pad] with -1 empty, attempted int32 [E, A]).
     Replaces the slicer + XLA word-assembly + separate compaction kernel
     (~24 ms in-context at E=4096).
+
+    Per-agent windows load via a dynamic-start sublane slice (the caller
+    guarantees row0 + RP <= HP via image padding); the permute runs as two
+    int8 MXU passes — byte planes shifted to signed range, corrected by
+    128 * colsum(perm), exact in int32 accumulation — and compaction rank
+    comes from an int8 matmul (see _compact_block). Probe-verified
+    bit-identical to the bf16/roll formulation, 5.7 -> 4.1 ms at E=4096
+    (scripts/probe_tail_opt.py).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -208,50 +225,40 @@ def obs_tail_pallas(
     # Fewer candidates than budget: the output can never hold more than C
     # tokens, so clamp (the caller pads the [E, A, T_eff] result up to T).
     T_pad = min(T_pad, C)
-    if precision is None:
-        # perm is one-hot with weights exactly 1.0, so reduced-precision MXU
-        # passes stay exact. "split" = permute the 16-bit payload as two 8-bit
-        # planes with single-pass bf16 matmuls (ints <= 255 are exact in
-        # bf16): 2 MXU passes vs HIGH's 3 and HIGHEST's 6.
-        precision = "split"
+    del precision  # one exact formulation; kept in the signature for compat
 
-    def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, out_ref, att_ref, winf):
+    # int8 planes cover 0..255 as (v - 128); the -128 shift contributes
+    # -128 * colsum(perm) per output, added back exactly in int32.
+    perm8 = perm.astype(jnp.int8)
+    corr = (128.0 * perm.reshape(RP * LP, KS_pad).sum(axis=0)).astype(jnp.int32)
+    corr2d = jnp.broadcast_to(corr[None, :], (8, KS_pad))
+
+    def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, corr_ref, out_ref, att_ref, winf):
         blk = pl.program_id(0)
         for e in range(BE):
-            full = img_ref[e]
             for a in range(A):
                 idx = (blk * BE + e) * A + a
-                x = pltpu.roll(full, HP - r_ref[idx], 0)
-                x = x[:RP, :]
+                x = img_ref[e, pl.ds(r_ref[idx], RP), :]
                 x = pltpu.roll(x, WPC - l_ref[idx], 1)
                 winf[e * A + a] = x[:, :LP]
 
         lhs = winf[:].reshape(BA, RP * LP)
         rhs = perm_ref[:].reshape(RP * LP, KS_pad)
-        if precision == "split":
-            hi = jnp.dot(
-                (lhs >> 8).astype(jnp.float32), rhs,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            ).astype(jnp.int32)
-            lo = jnp.dot(
-                (lhs & 0xFF).astype(jnp.float32), rhs,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            ).astype(jnp.int32)
-            cells = (hi << 8) | lo  # [BA, KS_pad]
-        else:
-            cells = jnp.dot(
-                lhs.astype(jnp.float32), rhs, preferred_element_type=jnp.float32,
-                precision=precision,
-            ).astype(jnp.int32)  # [BA, KS_pad]
+        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs, preferred_element_type=jnp.int32)
+        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs, preferred_element_type=jnp.int32)
+        cr = corr_ref[0:1, :]
+        cells = ((hi + cr) << 8) | (lo + cr)  # [BA, KS_pad]
         gw = gw_ref[:].reshape(BA, GP)
         cand = jnp.concatenate([gw, cells], axis=-1)  # [BA, C]
         ok = cand > 0
         loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, C))
         words = jnp.where(ok, (cand - 1) | loc, -1)
         att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
-        out_ref[:, :, :] = _compact_block(words, T_pad).reshape(BE, A, T_pad)
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        ).astype(jnp.int8)
+        out_ref[:, :, :] = _compact_block(words, T_pad, tri=tri).reshape(BE, A, T_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -261,6 +268,7 @@ def obs_tail_pallas(
             pl.BlockSpec((BE, A, GP), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RP, LP, KS_pad), lambda i, r, l: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((BE, A, T_pad), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -276,4 +284,4 @@ def obs_tail_pallas(
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
-    )(row0.reshape(-1), lane0.reshape(-1), imgp, gwords, perm, loc_const)
+    )(row0.reshape(-1), lane0.reshape(-1), imgp, gwords, perm8, loc_const, corr2d)

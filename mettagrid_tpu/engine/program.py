@@ -209,7 +209,6 @@ class EngineProgram:
     type_initial_inv: np.ndarray  # int32[n_types, R]
     type_is_agent: np.ndarray  # bool[n_types]
     type_usable: np.ndarray  # bool[n_types]
-    type_swappable: np.ndarray  # bool[n_types]
 
     # --- inventory limit groups (reference: objects/inventory.hpp:16-41) ---
     type_limit_group: np.ndarray  # int32[n_types, R]: group id per resource, -1 = none
@@ -499,7 +498,9 @@ class _Compiler:
         if kind == "use_target":
             return CompiledMutation(kind=kind)
         if kind == "swap":
-            return CompiledMutation(kind=kind)
+            # Swap requires both entities to be agents and logs a per-actor
+            # stat (swap_mutation.hpp:14-21).
+            return CompiledMutation(kind=kind, stat_id=self.intern_stat("actions.swap", game_scope=False))
         if kind == "push_object":
             return CompiledMutation(kind=kind)
         if kind == "resource_delta":
@@ -746,7 +747,6 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
             type_initial_inv[tid, rid] = amount
         type_is_agent[tid] = row["is_agent"]
         type_usable[tid] = row["usable"]
-    type_swappable = np.zeros(n_types, dtype=bool)
 
     # ---- inventory limit groups ----
     # Group ids are per-type; G = max group count over types. A resource with
@@ -1077,7 +1077,6 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         type_initial_inv=type_initial_inv,
         type_is_agent=type_is_agent,
         type_usable=type_usable,
-        type_swappable=type_swappable,
         type_limit_group=type_limit_group,
         type_group_member=type_group_member,
         type_group_modw=type_group_modw,

@@ -64,6 +64,9 @@ class EnvState(NamedTuple):
     # --- rng ---
     rng: jnp.ndarray  # uint32[E, 2]: per-env PRNG key
 
+    # --- map pool binding (which pooled map this env runs) ---
+    map_idx: jnp.ndarray  # int32[E]
+
     @property
     def num_envs(self) -> int:
         return self.grid.shape[0]

@@ -22,10 +22,17 @@ from mettagrid_tpu.engine.territory import make_territory_phase
 from mettagrid_tpu.engine.exec import Ctx
 from mettagrid_tpu.engine.handlers import try_apply
 from mettagrid_tpu.engine.init import EnvInit, stat_dims
-from mettagrid_tpu.engine.obs import make_obs_fn
+from mettagrid_tpu.engine.obs import build_static_bg, make_obs_fn, static_background_ok
 from mettagrid_tpu.engine.program import EngineProgram
 from mettagrid_tpu.engine.rewards import make_reward_phase
 from mettagrid_tpu.engine.state import EnvState, StepOutputs
+
+
+def _make_obs_fn_for(program: EngineProgram, init: EnvInit):
+    """Obs fn with the per-map static background baked in when every
+    non-agent object is provably inert (see obs.static_background_ok)."""
+    static_bg = build_static_bg(program, init) if static_background_ok(program) else None
+    return make_obs_fn(program, static_bg=static_bg)
 
 
 def _device_init(init: EnvInit):
@@ -87,6 +94,7 @@ def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndar
         truncations=jnp.zeros((E, A), dtype=bool),
         step_count=jnp.zeros((E,), dtype=jnp.int32),
         rng=rng,
+        map_idx=map_idx.astype(jnp.int32),
     )
     # Materialized query tags computed at init (mettagrid_c.cpp:163
     # QuerySystem::compute_all).
@@ -106,7 +114,7 @@ def make_reset(program: EngineProgram, init: EnvInit, num_envs: int):
     """
     pool = _device_init(init)
     P = init.pool_size
-    obs_fn = make_obs_fn(program)
+    obs_fn = _make_obs_fn_for(program, init)
 
     def reset(seed: int | jnp.ndarray):
         key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
@@ -220,7 +228,7 @@ def make_step(
     game_tick_phase = make_game_tick_phase(program)
     aoe_phase = make_aoe_phase(program)
     territory_phase = make_territory_phase(program)
-    obs_fn = make_obs_fn(program)
+    obs_fn = _make_obs_fn_for(program, init)
     reward_phase = make_reward_phase(program)
 
     def step(state: EnvState, actions: jnp.ndarray, vibe_actions: jnp.ndarray, perm_in: jnp.ndarray = None):

@@ -91,7 +91,7 @@ def measure_step_phases(
 
     obs_shapes = jax.eval_shape(obs_mod.make_obs_fn(program), state)
 
-    def stub_obs(program):
+    def stub_obs(program, **kwargs):
         def fn(state):
             return (
                 jnp.zeros(obs_shapes[0].shape, dtype=obs_shapes[0].dtype),

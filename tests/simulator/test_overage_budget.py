@@ -54,8 +54,8 @@ def _cfg(num_agents=2):
 
 
 def test_timeout_replaces_action_with_noop_and_counts():
-    slow = SlowPolicy(sleep_ms=30)
-    r = Rollout(_cfg(), slow, max_action_time_ms=1)
+    slow = SlowPolicy(sleep_ms=80)
+    r = Rollout(_cfg(), slow, max_action_time_ms=20)
     for _ in range(3):
         r.step()
     assert r.timeout_counts[0] == 3
@@ -68,9 +68,9 @@ def test_timeout_replaces_action_with_noop_and_counts():
 
 
 def test_overage_budget_disables_policy():
-    slow = SlowPolicy(sleep_ms=30)
-    # each step overspends by ~29ms; budget 50ms -> disabled on step 2
-    r = Rollout(_cfg(), slow, max_action_time_ms=1, overage_budget_ms=50)
+    slow = SlowPolicy(sleep_ms=80)
+    # each step overspends by ~60ms; budget 100ms -> disabled on step 2
+    r = Rollout(_cfg(), slow, max_action_time_ms=20, overage_budget_ms=100)
     for _ in range(6):
         r.step()
     assert r.overage_exceeded_at[0] is not None
@@ -81,12 +81,12 @@ def test_overage_budget_disables_policy():
 
 
 def test_fast_policy_unaffected_alongside_slow():
-    slow, fast = SlowPolicy(sleep_ms=30), FastPolicy()
+    slow, fast = SlowPolicy(sleep_ms=80), FastPolicy()
     r = Rollout(
         _cfg(),
         [(slow, [0]), (fast, [1])],
-        max_action_time_ms=1,
-        overage_budget_ms=40,
+        max_action_time_ms=20,
+        overage_budget_ms=100,
     )
     for _ in range(6):
         r.step()

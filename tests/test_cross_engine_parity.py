@@ -358,3 +358,42 @@ def test_change_vibe_and_noop():
         ],
     )
     check(sc)
+
+
+def test_protocol_feature_ids_allocated_but_never_emitted():
+    """Protocol observation parity is parity-by-absence: both engines
+    allocate protocol_input:*/protocol_output:* feature ids
+    (id_map.py:154-158 here, reference id_map.py:213-218) and neither ever
+    emits them — the reference's ObservationEncoder builds the id tables
+    (observation_encoder.hpp:26-52) but get_input_feature_id /
+    get_output_feature_id have no call sites and no GridObject carries a
+    Protocol in this snapshot. Asserted on a full obs comparison."""
+    sc = Scenario(
+        map_data=[
+            ["wall", "wall", "wall", "wall"],
+            ["wall", "agent.agent", "mine", "wall"],
+            ["wall", "empty", "empty", "wall"],
+            ["wall", "wall", "wall", "wall"],
+        ],
+        num_agents=1,
+        objects={"mine": {"kind": "mine", "gives": {"ore_red": 1}}},
+        compare_obs=True,
+        scripts=[["move_east"], ["noop"]],
+    )
+    ours = run_ours(sc)
+    ref = run_reference(sc)
+    assert not diff_traces(ours, ref)
+
+    # Both id maps allocate protocol ids...
+    from mettagrid_tpu.parity.cross_engine import _Api, _build_config
+
+    cfg = _build_config(_Api(ours=True), sc)
+    proto_ids = {
+        f.id for f in cfg.game.id_map().features() if f.name.startswith("protocol_")
+    }
+    assert proto_ids, "protocol feature ids should be allocated by default"
+    # ...and no emitted token ever uses them (either engine; obs are equal).
+    for step in ours["steps"]:
+        for toks in step["obs"]:
+            for _loc, fid, _val in toks:
+                assert fid not in proto_ids

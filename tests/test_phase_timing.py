@@ -30,5 +30,7 @@ def test_measure_step_phases_smoke():
     assert set(timing) == {"step", "actions", "obs", "rewards", "other"}
     assert timing["step"] > 0
     assert all(v >= 0 for v in timing.values())
-    # the parts never exceed the whole
-    assert timing["actions"] + timing["obs"] + timing["rewards"] <= timing["step"] + 1e-9
+    # each ablated cost is clamped to [0, step] by construction; the SUM can
+    # exceed step under wall-clock noise on a loaded CI box, so only bound
+    # the individual parts.
+    assert all(timing[k] <= timing["step"] for k in ("actions", "obs", "rewards"))
