@@ -41,6 +41,7 @@ class Rollout:
         renderer=None,
         max_action_time_ms: Optional[int] = 10000,
         overage_budget_ms: Optional[int] = None,
+        policy_group_keys: Optional[Sequence[object]] = None,
     ):
         handlers = list(event_handlers)
         self._renderer = renderer
@@ -69,6 +70,12 @@ class Rollout:
         self.overage_exceeded_at: list[Optional[int]] = [None] * len(self._policies)
         self._step_count = 0
         self._noop_id = self._sim.action_names.index("noop") if "noop" in self._sim.action_names else 0
+        # Policies sharing a group key step together; distinct groups run
+        # concurrently on a thread pool (reference: rollout.py:150-162).
+        if policy_group_keys is not None and len(policy_group_keys) != len(self._policies):
+            raise ValueError("policy_group_keys must have same length as policies")
+        self._policy_group_keys = list(policy_group_keys) if policy_group_keys is not None else None
+        self._pool = None
 
     @property
     def simulation(self) -> Simulation:
@@ -87,15 +94,44 @@ class Rollout:
         np.copyto(self._obs_buf, obs)
         import time as _time
 
-        for pi, (policy, agent_ids) in enumerate(self._policies):
+        def step_policy(pi):
+            """Run one policy; returns (pi, actions, elapsed_ms)."""
+            policy, agent_ids = self._policies[pi]
             ids = np.asarray(agent_ids)
-            if self.overage_exceeded_at[pi] is not None:
-                self._act_buf[ids] = self._noop_id  # disabled policy: noop
-                continue
             acts = self._act_buf[ids]
             t0 = _time.perf_counter()
             policy.step_batch(self._obs_buf[ids], acts)
-            elapsed_ms = (_time.perf_counter() - t0) * 1000.0
+            return pi, acts, (_time.perf_counter() - t0) * 1000.0
+
+        live = [pi for pi in range(len(self._policies)) if self.overage_exceeded_at[pi] is None]
+        for pi in range(len(self._policies)):
+            if self.overage_exceeded_at[pi] is not None:
+                self._act_buf[np.asarray(self._policies[pi][1])] = self._noop_id
+
+        if self._policy_group_keys is None or len(live) <= 1:
+            results = [step_policy(pi) for pi in live]
+        else:
+            # Distinct group keys dispatch concurrently; same-key policies
+            # step sequentially within their group (reference: grouped
+            # thread-pool stepping, rollout.py:150-182). Timeout accounting
+            # and action application stay on this thread.
+            from concurrent.futures import ThreadPoolExecutor
+
+            groups: dict = {}
+            for pi in live:
+                groups.setdefault(self._policy_group_keys[pi], []).append(pi)
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=max(len(groups), 1))
+
+            def run_group(pis):
+                return [step_policy(pi) for pi in pis]
+
+            results = []
+            for fut in [self._pool.submit(run_group, pis) for pis in groups.values()]:
+                results.extend(fut.result())
+
+        for pi, acts, elapsed_ms in results:
+            ids = np.asarray(self._policies[pi][1])
             overage = elapsed_ms - self._max_action_time_ms
             if overage > 0:
                 # Timed out: this step becomes noop; overage eats the budget.

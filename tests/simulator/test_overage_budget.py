@@ -94,3 +94,35 @@ def test_fast_policy_unaffected_alongside_slow():
     assert r.overage_exceeded_at[1] is None
     assert r.timeout_counts[1] == 0
     assert fast.call_count == 6
+
+
+def test_policy_groups_step_concurrently():
+    """Distinct group keys dispatch on the thread pool; results identical to
+    sequential stepping (reference: grouped stepping, rollout.py:150-182)."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=5)
+
+    class BarrierPolicy(MultiAgentPolicy):
+        def __init__(self):
+            super().__init__(None)
+            self.call_count = 0
+
+        def step_batch(self, raw_observations, raw_actions) -> None:
+            self.call_count += 1
+            barrier.wait()  # deadlocks unless both groups run concurrently
+            raw_actions[:] = 0
+
+        def reset(self) -> None:
+            pass
+
+    a, b = BarrierPolicy(), BarrierPolicy()
+    r = Rollout(
+        _cfg(),
+        [(a, [0]), (b, [1])],
+        policy_group_keys=["g0", "g1"],
+        max_action_time_ms=10000,
+    )
+    for _ in range(3):
+        r.step()
+    assert a.call_count == 3 and b.call_count == 3
