@@ -58,11 +58,17 @@ def run_performance(
     warmup_iters: int = 20,
     seed: int = 0,
     max_cv: Optional[float] = 0.2,
+    phase_timing: Optional[tuple] = None,
 ) -> PerfResult:
     """Benchmark a jitted step. step_fn(state, actions, vibes) -> (state, out).
 
     Raises RuntimeError when the coefficient of variation across rounds
     exceeds max_cv (the reference's stability gate: exit 1 if CV > 20%).
+
+    phase_timing: optional (program, init) — when given, per-phase step
+    timing (profiling.measure_step_phases, the StepTimingStats analogue) is
+    recorded under result.extra["phase_timing_s"], mirroring the reference
+    harness's per-phase ns aggregation (perf/harness.py:94-115).
     """
     import jax
     import jax.numpy as jnp
@@ -107,4 +113,11 @@ def run_performance(
     )
     if max_cv is not None and cv > max_cv:
         raise RuntimeError(f"unstable benchmark: CV={cv:.1%} > {max_cv:.0%}\n{result.to_json()}")
+    if phase_timing is not None:
+        from mettagrid_tpu.profiling.phase_timing import measure_step_phases
+
+        program, init = phase_timing
+        result.extra["phase_timing_s"] = measure_step_phases(
+            program, init, state, bank[0], vibes, k=4
+        )
     return result

@@ -30,7 +30,7 @@ orig_rew = rew_mod.make_reward_phase
 
 _obs_shapes = jax.eval_shape(orig_obs(program), state)
 
-def stub_obs(program):
+def stub_obs(program, **kwargs):
     def fn(state):
         return (
             jnp.zeros(_obs_shapes[0].shape, dtype=_obs_shapes[0].dtype),

@@ -1,0 +1,47 @@
+"""Split the in-context obs cost: full step vs step with the fused tail
+kernel stubbed (zeros), vs obs stubbed entirely. Difference = in-context
+cost of the tail vs the XLA glue around it."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax, jax.numpy as jnp, numpy as np
+from timing import time_fn_carry
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+import mettagrid_tpu.engine.obs as obs_mod
+import mettagrid_tpu.engine.pallas_kernels as pk
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+
+orig_tail = pk.obs_tail_pallas
+
+def stub_tail(imgp, row0, lane0, gwords, perm, loc_const, T_pad, **kw):
+    Ep, Aa = row0.shape
+    C = gwords.shape[2] + perm.shape[2]
+    Tp = min(T_pad, C)
+    # keep a data dependence on the inputs so the glue above isn't DCE'd
+    s = (imgp.sum() + gwords.sum()).astype(jnp.int32)
+    words = jnp.full((Ep, Aa, Tp), -1, dtype=jnp.int32) + jnp.minimum(jnp.abs(s), 0)
+    att = jnp.zeros((Ep, Aa), dtype=jnp.int32)
+    return words, att
+
+# jit traces lazily: the patch must stay active THROUGH the timed calls
+# (the obs fn imports obs_tail_pallas at trace time).
+pk.obs_tail_pallas = stub_tail
+stub = step_mod.make_step(program, init, auto_reset=True, donate=False)
+t_stub = time_fn_carry(lambda st: stub(st, actions, vibes), state, k=8)
+pk.obs_tail_pallas = orig_tail
+full = step_mod.make_step(program, init, auto_reset=True, donate=False)
+t_full = time_fn_carry(lambda st: full(st, actions, vibes), state, k=8)
+print(f"full step      {t_full*1e3:7.2f} ms", flush=True)
+print(f"tail stubbed   {t_stub*1e3:7.2f} ms   (in-context tail ~{(t_full-t_stub)*1e3:6.2f} ms)", flush=True)

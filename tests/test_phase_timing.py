@@ -34,3 +34,37 @@ def test_measure_step_phases_smoke():
     # exceed step under wall-clock noise on a loaded CI box, so only bound
     # the individual parts.
     assert all(timing[k] <= timing["step"] for k in ("actions", "obs", "rewards"))
+
+
+def test_harness_phase_timing_integration():
+    """run_performance(phase_timing=...) records the per-phase dict in
+    result.extra (the reference harness's per-phase aggregation)."""
+    from mettagrid_tpu.engine import make_step
+    from mettagrid_tpu.perf.harness import run_performance
+
+    cfg = make_arena(
+        2,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(agents=2, width=8, height=8, border_width=1),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    builder.config.seed = 2
+    init = build_env_init(program, [builder.build_for_num_agents(2)])
+    E = 4
+    reset = make_reset(program, init, E)
+    step = make_step(program, init, donate=False)
+    res = run_performance(
+        step,
+        reset,
+        num_envs=E,
+        num_agents=2,
+        n_actions=len(program.action_names),
+        iters_per_round=3,
+        rounds=2,
+        warmup_iters=2,
+        max_cv=None,
+        phase_timing=(program, init),
+    )
+    pt = res.extra["phase_timing_s"]
+    assert set(pt) == {"step", "actions", "obs", "rewards", "other"}
