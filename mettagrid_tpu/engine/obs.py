@@ -157,10 +157,15 @@ def make_cell_image_fn(program: EngineProgram):
         cnt_ = cand_ok.astype(jnp.int32)
         pos = jnp.cumsum(cnt_, axis=-1) - cnt_  # [B, M, C_cell] exclusive
         onehot = (pos[..., None] == jnp.arange(S)[None, None, None, :]) & cand_ok[..., None]
+        # HIGHEST: one-hot selection of 16-bit payloads — DEFAULT lowers f32
+        # dots to single-pass bf16 on TPU (8 mantissa bits) and silently
+        # rounds any word > 256; HIGHEST's 3-way bf16 split covers the f32
+        # mantissa, so selection is exact (verified TPU-vs-CPU bit equality).
         obj_tok = jnp.einsum(
             "ens,enst->ent", packed.astype(jnp.float32), onehot.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-        )  # [B, M, S] f32 (exact: 16-bit payloads)
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, M, S] f32
         obj_cnt = cnt_.sum(axis=-1)  # [B, M]
 
         # ---- stage 2: scatter to cell image [B, H+1, W, S+1] ----
@@ -181,7 +186,8 @@ def make_cell_image_fn(program: EngineProgram):
         )  # [B, M, W]
         col_src = c_oh[..., :, None] * cell_src[..., None, :]  # [B, M, W, Ch0]
         return jnp.einsum(
-            "enh,enwc->ehwc", r_oh, col_src, preferred_element_type=jnp.float32
+            "enh,enwc->ehwc", r_oh, col_src, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact 16-bit payloads
         )  # [B, H+1, W, Ch0]
 
     return _cell_image
@@ -325,6 +331,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             bg = jnp.einsum(
                 "ep,px->ex", map_oh, static_bg.reshape(Pm, -1),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact 16-bit payloads
             ).reshape((E,) + static_bg.shape[1:])
             cell_img = bg + dyn  # disjoint cells: agents never share a cell
             obj_cnt_sum = None
@@ -459,10 +466,12 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             ).astype(jnp.float32)  # [E, A, OW, W]
 
             tmp = jnp.einsum(
-                "eauh,ehwc->eauwc", r_sel, cell_img, preferred_element_type=jnp.float32
+                "eauh,ehwc->eauwc", r_sel, cell_img, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact 16-bit payloads
             )  # [E, A, OH, W, Ch]
             win = jnp.einsum(
-                "eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32
+                "eavw,eauwc->eauvc", c_sel, tmp, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [E, A, OH, OW, Ch]
             win = win.reshape(E, A, OH * OW, Ch)
             win = jnp.take(win, k_flat_t, axis=2)  # Manhattan order [E, A, K, Ch]

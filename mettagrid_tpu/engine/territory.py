@@ -72,7 +72,9 @@ def territory_scores(program: EngineProgram, state: EnvState, ti: int, pr: jnp.n
 
     oh = jax.nn.one_hot(jnp.clip(src_tag_idx, 0, max(Tt - 1, 0)), max(Tt, 1), dtype=score.dtype)
     oh = oh * (src_tag_idx >= 0)[..., None]
-    scores = jnp.einsum("enp,ent->ept", score, oh)
+    scores = jnp.einsum(
+        "enp,ent->ept", score, oh, precision=jax.lax.Precision.HIGHEST
+    )  # integer-scaled influence sums must be exact (values >> bf16 range)
     return scores, tag_ids
 
 

@@ -1,0 +1,76 @@
+"""TPU-vs-CPU observation bit-equality check (run on a TPU host).
+
+Runs the same multi-step episode twice — once on the TPU backend, once in a
+CPU-forced subprocess — and compares every observation byte. This is the
+check that caught the DEFAULT-matmul-precision corruption (f32 dots lower
+to single-pass bf16 on TPU, rounding any token word > 256): CPU tests are
+exact f32 and the pallas-vs-XLA equivalence tests share the same upstream
+cell image, so only a cross-backend comparison can see it.
+
+Usage: python scripts/verify_tpu_obs.py          # orchestrates both runs
+       python scripts/verify_tpu_obs.py cpu|tpu  # single leg (internal)
+"""
+
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+
+def run_leg(mode: str) -> None:
+    if mode == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mettagrid_tpu.builder import make_arena
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+    cfg = make_arena(
+        8,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=8, width=15, height=15, border_width=1, objects={"wall": 8}
+        ),
+    )
+    program = compile_program(cfg)
+    b = cfg.game.map_builder.create()
+    b.config.seed = 3
+    init = build_env_init(program, [b.build_for_num_agents(8)])
+    E = 8
+    reset = make_reset(program, init, E)
+    step = make_step(program, init, auto_reset=False, donate=False)
+    state, out = reset(0)
+    rng = np.random.default_rng(0)
+    obs_list = [np.asarray(out.observations)]
+    for _ in range(4):
+        acts = jnp.asarray(rng.integers(0, len(program.action_names), (E, 8)), dtype=jnp.int32)
+        state, out = step(state, acts, jnp.zeros((E, 8), jnp.int32))
+        obs_list.append(np.asarray(out.observations))
+    np.save(f"/tmp/verify_obs_{mode}.npy", np.stack(obs_list))
+    print(f"saved {mode}")
+
+
+def main() -> int:
+    import numpy as np
+
+    for mode in ("tpu", "cpu"):
+        subprocess.run([sys.executable, __file__, mode], check=True)
+    a = np.load("/tmp/verify_obs_tpu.npy")
+    b = np.load("/tmp/verify_obs_cpu.npy")
+    if np.array_equal(a, b):
+        print("OK: TPU observations bit-identical to CPU")
+        return 0
+    d = np.argwhere(a != b)
+    print(f"FAIL: {len(d)} differing bytes; first at {d[0]}")
+    return 1
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        run_leg(sys.argv[1])
+    else:
+        sys.exit(main())
