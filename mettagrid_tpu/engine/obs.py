@@ -125,10 +125,9 @@ def make_cell_image_fn(program: EngineProgram):
     cand_feat_t = jnp.asarray(cand_feat)
     inv_divisors = jnp.asarray(np.array([base**p for p in range(P)], dtype=np.int32))
 
-    def _cell_image(tid, rr_, cc_, vibe, tags, inv, alive, is_agent, group, slot_ids):
+    def _stage1(tid, vibe, tags, inv, alive, is_agent, group, slot_ids):
+        """Per-object token lists: (obj_tok f32[B, M, S], obj_cnt i32[B, M])."""
         B, M = tid.shape
-
-        # ---- stage 1: per-object token lists [B, M, S] ----
         vals = []
         oks = []
         vals.append(
@@ -166,7 +165,11 @@ def make_cell_image_fn(program: EngineProgram):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [B, M, S] f32
-        obj_cnt = cnt_.sum(axis=-1)  # [B, M]
+        return obj_tok, cnt_.sum(axis=-1)
+
+    def _cell_image(tid, rr_, cc_, vibe, tags, inv, alive, is_agent, group, slot_ids):
+        B, M = tid.shape
+        obj_tok, obj_cnt = _stage1(tid, vibe, tags, inv, alive, is_agent, group, slot_ids)
 
         # ---- stage 2: scatter to cell image [B, H+1, W, S+1] ----
         cell_src = jnp.concatenate(
@@ -190,6 +193,7 @@ def make_cell_image_fn(program: EngineProgram):
             precision=jax.lax.Precision.HIGHEST,  # exact 16-bit payloads
         )  # [B, H+1, W, Ch0]
 
+    _cell_image.stage1 = _stage1
     return _cell_image
 
 
@@ -303,9 +307,122 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         return jnp.asarray(loc_np)
 
     _cell_image = make_cell_image_fn(program)
+    _stage1 = _cell_image.stage1
+
+    # Prepadded +1-encoded static image for the fused kernel: skips the
+    # per-step encode/pad/scatter glue entirely (static part never changes).
+    imgp_static_flat = None
+    if static_bg is not None:
+        Pm_s = static_bg.shape[0]
+        tok_s = static_bg[..., :S].astype(jnp.int32)
+        cnt_s = static_bg[..., S].astype(jnp.int32)
+        plus_s = (
+            jnp.arange(S, dtype=jnp.int32)[None, None, None, :] < cnt_s[..., None]
+        ).astype(jnp.int32)
+        body_s = (tok_s + plus_s)[:, :H].reshape(Pm_s, H, W * S)
+        imgp_s = jnp.zeros((Pm_s, HP_f, WPC_f), dtype=jnp.float32)
+        imgp_s = imgp_s.at[:, hr : hr + H, wr * S : (wr + W) * S].set(
+            body_s.astype(jnp.float32)
+        )
+        imgp_static_flat = imgp_s.reshape(Pm_s, -1)
+
+    def _finish_fused(imgp, agent_r, agent_c, state, E):
+        """Shared fused-kernel invocation + output unpack."""
+        from mettagrid_tpu.engine.pallas_kernels import obs_tail_pallas, use_pallas
+
+        gw, gok = _all_global_words(state, E)
+        Gt = gw.shape[-1]
+        # +1 word encoding: 0 marks an empty slot (feature ids may be 0).
+        gplus = jnp.where(gok, (gw & 0xFFFF) + 1, 0)
+        T_pad = ((T + 127) // 128) * 128
+        out_words, attempted = obs_tail_pallas(
+            imgp,
+            agent_r,
+            agent_c * S,
+            gplus,
+            perm_fused_t,
+            make_loc_const(Gt),
+            T_pad,
+            interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
+        )
+        if out_words.shape[-1] < T:  # fewer candidates than budget
+            out_words = jnp.pad(
+                out_words,
+                ((0, 0), (0, 0), (0, T - out_words.shape[-1])),
+                constant_values=_LANDED_EMPTY,
+            )
+        else:
+            out_words = out_words[..., :T]
+        empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
+        out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
+        out = jnp.stack(
+            [
+                (out_words >> 16) & 0xFF,
+                (out_words >> 8) & 0xFF,
+                out_words & 0xFF,
+            ],
+            axis=-1,
+        ).astype(jnp.uint8)
+        return out, attempted
 
     def compute_obs(state: EnvState):
+        from mettagrid_tpu.engine.pallas_kernels import use_pallas
+
         E, N = state.obj_type.shape
+        fused_ok = (
+            _TAP is None
+            and not has_aoe_mask
+            and E % 8 == 0
+            and (use_pallas() or _FORCE_FUSED_INTERPRET)
+        )
+
+        if static_bg is not None and fused_ok:
+            # Fastest path: prepadded static image gathered per env + agents
+            # scattered DIRECTLY into padded +1-encoded layout — no full-size
+            # cell image, no per-step encode/pad passes.
+            agent_r = state.obj_r[:, :A]
+            agent_c = state.obj_c[:, :A]
+            slots_a = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+            tok_a, cnt_a = _stage1(
+                state.obj_type[:, :A],
+                state.obj_vibe[:, :A],
+                state.obj_tags[:, :A],
+                state.obj_inv[:, :A],
+                state.obj_alive[:, :A],
+                type_is_agent_t[state.obj_type[:, :A]],
+                state.agent_group,
+                slots_a,
+            )
+            plus_a = (
+                jnp.arange(S, dtype=jnp.int32)[None, None, :] < cnt_a[..., None]
+            ).astype(jnp.float32)
+            words_a = tok_a + plus_a  # f32, integer-valued, +1-encoded
+            cp = agent_c + wr  # padded col space, width W + OW
+            c_oh = (cp[..., None] == jnp.arange(W + OW, dtype=jnp.int32)[None, None, :]).astype(
+                jnp.float32
+            )  # [E, A, W+OW]
+            t1 = (c_oh[..., :, None] * words_a[..., None, :]).reshape(E, A, (W + OW) * S)
+            rp = agent_r + hr
+            r_oh = (rp[..., None] == jnp.arange(HP_f, dtype=jnp.int32)[None, None, :]).astype(
+                jnp.float32
+            )  # [E, A, HP_f]
+            dyn = jnp.einsum(
+                "eah,eax->ehx", r_oh, t1,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact 16-bit payloads
+            )  # [E, HP_f, (W+OW)*S]
+            dyn = jnp.pad(dyn, ((0, 0), (0, 0), (0, WPC_f - (W + OW) * S)))
+            Pm = imgp_static_flat.shape[0]
+            map_oh = (
+                state.map_idx[:, None] == jnp.arange(Pm, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            bg = jnp.einsum(
+                "ep,px->ex", map_oh, imgp_static_flat,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(E, HP_f, WPC_f)
+            imgp = (bg + dyn).astype(jnp.int32)
+            return _finish_fused(imgp, agent_r, agent_c, state, E)
 
         if static_bg is not None:
             # Static background precomputed per pooled map; only agent slots
@@ -391,13 +508,9 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         agent_r = state.obj_r[:, :A]  # [E, A]
         agent_c = state.obj_c[:, :A]
 
-        if _TAP is None and not has_aoe_mask and E % 8 == 0 and (use_pallas() or _FORCE_FUSED_INTERPRET):
+        if fused_ok:
             # Fully-fused pallas tail: window slice -> Manhattan permute ->
             # word assembly -> budget compaction in one VMEM-resident kernel.
-            gw, gok = _all_global_words(state, E)
-            Gt = gw.shape[-1]
-            # +1 word encoding: 0 marks an empty slot (feature ids may be 0).
-            gplus = jnp.where(gok, (gw & 0xFFFF) + 1, 0)
             tok_int = cell_img[..., :S].astype(jnp.int32)
             cnt_int = cell_img[..., S].astype(jnp.int32)
             plus = (
@@ -406,36 +519,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             body = (tok_int + plus)[:, :H].reshape(E, H, W * S)
             imgp = jnp.zeros((E, HP_f, WPC_f), dtype=jnp.int32)
             imgp = imgp.at[:, hr : hr + H, wr * S : (wr + W) * S].set(body)
-            T_pad = ((T + 127) // 128) * 128
-            out_words, attempted = obs_tail_pallas(
-                imgp,
-                agent_r,
-                agent_c * S,
-                gplus,
-                perm_fused_t,
-                make_loc_const(Gt),
-                T_pad,
-                interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
-            )
-            if out_words.shape[-1] < T:  # fewer candidates than budget
-                out_words = jnp.pad(
-                    out_words,
-                    ((0, 0), (0, 0), (0, T - out_words.shape[-1])),
-                    constant_values=_LANDED_EMPTY,
-                )
-            else:
-                out_words = out_words[..., :T]
-            empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
-            out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
-            out = jnp.stack(
-                [
-                    (out_words >> 16) & 0xFF,
-                    (out_words >> 8) & 0xFF,
-                    out_words & 0xFF,
-                ],
-                axis=-1,
-            ).astype(jnp.uint8)
-            return out, attempted
+            return _finish_fused(imgp, agent_r, agent_c, state, E)
         if use_pallas() and E % 16 == 0:
             # Pallas: dynamic_rotate window slices in VMEM (~3 ms vs ~20 ms
             # for the one-hot einsum formulation at E=4096).

@@ -153,3 +153,49 @@ def test_static_background_obs_matches_full_path():
     obs_b, att_b = static(state)
     np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
     np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
+
+
+def test_fused_static_path_interpret_matches_full():
+    """The COMPLETE production obs path (static background + fused kernel,
+    interpret mode) must be bit-identical to the plain XLA formulation."""
+    import mettagrid_tpu.engine.obs as obs_mod
+    from mettagrid_tpu.builder import make_arena
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+    cfg = make_arena(
+        4,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=4, width=11, height=11, border_width=1, objects={"wall": 6}
+        ),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    maps = []
+    for i in range(3):
+        builder.config.seed = 10 + i
+        maps.append(builder.build_for_num_agents(4))
+    init = build_env_init(program, maps)
+    E = 8
+    reset = make_reset(program, init, E)
+    step = make_step(program, init, auto_reset=False, donate=False)
+    state, _ = reset(1)
+    rng = np.random.default_rng(9)
+    for _ in range(3):
+        acts = jnp.asarray(rng.integers(0, len(program.action_names), (E, 4)), dtype=jnp.int32)
+        state, _ = step(state, acts, jnp.zeros((E, 4), jnp.int32))
+
+    full = obs_mod.make_obs_fn(program)
+    obs_a, att_a = full(state)
+
+    bg = obs_mod.build_static_bg(program, init)
+    obs_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        fused_static = obs_mod.make_obs_fn(program, static_bg=bg)
+        obs_b, att_b = fused_static(state)
+    finally:
+        obs_mod._FORCE_FUSED_INTERPRET = False
+
+    np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
+    np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
