@@ -185,6 +185,15 @@ class MettaGridVectorEnv:
     def _sync_buffers(self) -> None:
         E, A = self._num_envs, self.program.num_agents
         out = self._last
+        attempted = int(np.asarray(out.tokens_attempted).max())
+        if attempted > self.program.num_tokens:
+            # The reference throws mid-step on budget overflow
+            # (mettagrid_c.cpp:813-820); the device engine truncates, so the
+            # host boundary raises with the same diagnosis.
+            raise RuntimeError(
+                f"Observation token budget exceeded: budget={self.program.num_tokens} "
+                f"attempted={attempted}"
+            )
         np.copyto(self.buffers.observations, np.asarray(out.observations).reshape(E * A, -1, 3))
         np.copyto(self.buffers.rewards, np.asarray(out.rewards).reshape(-1))
         np.copyto(self.buffers.terminals, np.asarray(out.terminals).reshape(-1))

@@ -1,0 +1,128 @@
+"""Multi-handler dispatch + vibe-dependent on_tick behavior (reference:
+tests/test_multi_handler.py, test_inventory_regeneration.py)."""
+
+import numpy as np
+
+from tests.helpers import TinyEnv
+
+from mettagrid_tpu.config.action_config import ChangeVibeActionConfig
+from mettagrid_tpu.config.game_config import (
+    AgentConfig,
+    GameConfig,
+    GridObjectConfig,
+    MettaGridConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.handler_config import (
+    EntityTarget,
+    Handler,
+    HandlerTarget,
+    ResourceDeltaMutation,
+    ResourceFilter,
+    VibeFilter,
+    allOf,
+    firstMatch,
+    updateActor,
+)
+from mettagrid_tpu.config.vibes import Vibe
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+
+def make_env(map_lines, objects=None, agent=None, num_agents=1, char_map=None, **kw):
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=num_agents,
+            max_steps=100,
+            objects={"wall": WallConfig(), **(objects or {})},
+            agent=agent or AgentConfig(),
+            map_builder=AsciiMapBuilder.Config(
+                map_data=map_lines, char_to_map_name=char_map or {}
+            ),
+            **kw,
+        )
+    )
+    return TinyEnv(cfg, num_envs=1)
+
+
+def inv(env, name, agent=0):
+    rid = env.program.resource_names.index(name)
+    return int(env.state.obj_inv[0, agent, rid])
+
+
+def test_first_match_stops_at_first_passing_handler():
+    """FirstMatch applies only the first handler whose filters pass
+    (handler/multi_handler.hpp:24-49)."""
+    bell = GridObjectConfig(
+        name="bell",
+        map_name="b",
+        on_use_handler=firstMatch(
+            [
+                Handler(
+                    name="rich",
+                    filters=[ResourceFilter(target=HandlerTarget.ACTOR, resources={"blueprint": 1})],
+                    mutations=[updateActor({"ore_red": 10})],
+                ),
+                Handler(name="poor", mutations=[updateActor({"ore_red": 1})]),
+            ]
+        ),
+    )
+    env = make_env(["#####", "#@b.#", "#####"], objects={"bell": bell}, char_map={"b": "b"})
+    env.step({0: "move_east"})  # no gold -> first handler fails -> second applies
+    assert inv(env, "ore_red") == 1
+
+    env2 = make_env(["#####", "#@b.#", "#####"], objects={"bell": bell}, char_map={"b": "b"})
+    env2._step  # noqa: B018 - force built
+    from mettagrid_tpu.simulator import Simulation  # set inventory via state
+
+    gold = env2.program.resource_names.index("blueprint")
+    env2.state = env2.state._replace(obj_inv=env2.state.obj_inv.at[0, 0, gold].set(2))
+    env2.step({0: "move_east"})  # has gold -> first handler wins, second skipped
+    assert inv(env2, "ore_red") == 10
+
+
+def test_all_of_applies_every_passing_handler():
+    bell = GridObjectConfig(
+        name="bell",
+        map_name="b",
+        on_use_handler=allOf(
+            [
+                Handler(name="a", mutations=[updateActor({"ore_red": 1})]),
+                Handler(name="b", mutations=[updateActor({"battery_red": 2})]),
+            ]
+        ),
+    )
+    env = make_env(["#####", "#@b.#", "#####"], objects={"bell": bell}, char_map={"b": "b"})
+    env.step({0: "move_east"})
+    assert inv(env, "ore_red") == 1
+    assert inv(env, "battery_red") == 2
+
+
+def test_vibe_dependent_on_tick_regen_rates():
+    """Different vibes regenerate at different rates (reference:
+    test_inventory_regeneration.py)."""
+    agent = AgentConfig(
+        on_tick=allOf(
+            [
+                Handler(
+                    name="regen_default",
+                    filters=[VibeFilter(target=HandlerTarget.ACTOR, vibe="default")],
+                    mutations=[ResourceDeltaMutation(target=EntityTarget.ACTOR, deltas={"ore_red": 2})],
+                ),
+                Handler(
+                    name="regen_angry",
+                    filters=[VibeFilter(target=HandlerTarget.ACTOR, vibe="angry")],
+                    mutations=[ResourceDeltaMutation(target=EntityTarget.ACTOR, deltas={"ore_red": 10})],
+                ),
+            ]
+        )
+    )
+    env = make_env(
+        ["####", "#@.#", "####"],
+        agent=agent,
+    )
+    env.step()  # default vibe: +2
+    assert inv(env, "ore_red") == 2
+    env.step(vibe_actions={0: "change_vibe_angry"})  # vibe changes, then on_tick: +10
+    assert inv(env, "ore_red") == 12
+    env.step()  # still angry: +10
+    assert inv(env, "ore_red") == 22

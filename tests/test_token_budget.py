@@ -1,0 +1,35 @@
+"""Observation token budget overflow raises, like the reference
+(tests/test_observation_token_budget.py; mettagrid_c.cpp:813-820)."""
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.config.obs_config import ObsConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.simulator import Simulation
+
+
+def _cfg(num_tokens: int) -> MettaGridConfig:
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=5,
+            obs=ObsConfig(width=3, height=3, num_tokens=num_tokens),
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["###", "#@#", "###"]),
+        )
+    )
+
+
+def test_token_budget_overflow_raises():
+    with pytest.raises(RuntimeError, match=r"token budget exceeded.*budget=1.*attempted="):
+        Simulation(_cfg(num_tokens=1), seed=0)
+
+
+def test_token_budget_sufficient_is_fine():
+    sim = Simulation(_cfg(num_tokens=64), seed=0)
+    sim.agent(0).set_action("noop")
+    sim.step()
+    attempted = int(np.asarray(sim.last_outputs.tokens_attempted).max())
+    assert 0 < attempted <= 64
