@@ -373,6 +373,11 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             _TAP is None
             and not has_aoe_mask
             and E % 8 == 0
+            # The kernel scalar-prefetches row0/lane0 ([E*A] i32 each) into
+            # SMEM; beyond ~98k scalars the prefetch overflows scoped SMEM
+            # (E=8192 x A=24 fails to compile). Larger fleets fall back to
+            # the window-slices + XLA tail path.
+            and E * A <= 98304
             and (use_pallas() or _FORCE_FUSED_INTERPRET)
         )
 
