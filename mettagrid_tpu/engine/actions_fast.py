@@ -42,6 +42,9 @@ from mettagrid_tpu.engine.state import EnvState
 # random actions at arena densities the per-env wave count is <= 4 (p99),
 # so the tail almost never iterates.
 UNROLL_WAVES = 4
+# Pure-move waves are cheap [E, A, A] ops, so a shorter unroll + while tail
+# measures faster (7.29 -> 6.85 ms full step at E=4096).
+PURE_UNROLL_WAVES = 2
 
 _LOCAL_FILTERS = {
     "target_loc_empty",
@@ -402,7 +405,7 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False):
                         return pos, unsettled & ~settle, success | succ
 
                     carry = (pos0, move_mask, jnp.zeros_like(move_mask))
-                    for _ in range(UNROLL_WAVES):
+                    for _ in range(PURE_UNROLL_WAVES):
                         carry = pure_body(carry)
                     pos, _, move_succ = jax.lax.while_loop(pure_cond, pure_body, carry)
 

@@ -1,0 +1,37 @@
+"""Split the pure-move action phase cost: full step vs variants with parts
+of the phase neutralized (grid update, wave loop, bookkeeping)."""
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn_carry
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+import mettagrid_tpu.engine.actions_fast as af_mod
+
+E = 4096
+cfg = make_arena(24, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.zeros((E, A), dtype=jnp.int32)
+
+orig = af_mod.UNROLL_WAVES
+results = {}
+for waves in (4, 2, 6):
+    af_mod.UNROLL_WAVES = waves
+    step = step_mod.make_step(program, init, auto_reset=True, donate=False)
+    t = time_fn_carry(lambda st, s=step: s(st, actions, vibes), state, k=8)
+    print(f"UNROLL_WAVES={waves}: {t*1e3:.2f} ms", flush=True)
+af_mod.UNROLL_WAVES = orig
