@@ -236,20 +236,26 @@ def make_step(
 
         # --- auto-reset envs whose episode ended last step (PufferEnv
         # semantics: a fresh sim is built, then this step's actions apply to
-        # it — envs/mettagrid_puffer_env.py:296-302) ---
+        # it — envs/mettagrid_puffer_env.py:296-302). The rebuild + merge
+        # touches every state array, so it runs under a cond and is skipped
+        # entirely on the (common) steps where no env finished. ---
         if auto_reset:
             done = jnp.any(state.terminals | state.truncations, axis=1)  # [E]
-            keys = jax.vmap(jax.random.split, in_axes=0)(state.rng)
-            rng_next, k_map = keys[:, 0], keys[:, 1]
-            map_idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
-            fresh = _fresh_state_from_pool(program, pool, map_idx, rng_next)
-            state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    done.reshape((E,) + (1,) * (old.ndim - 1)), new, old
-                ),
-                fresh,
-                state,
-            )
+
+            def _do_reset(st):
+                keys = jax.vmap(jax.random.split, in_axes=0)(st.rng)
+                rng_next, k_map = keys[:, 0], keys[:, 1]
+                map_idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
+                fresh = _fresh_state_from_pool(program, pool, map_idx, rng_next)
+                return jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        done.reshape((E,) + (1,) * (old.ndim - 1)), new, old
+                    ),
+                    fresh,
+                    st,
+                )
+
+            state = jax.lax.cond(jnp.any(done), _do_reset, lambda st: st, state)
 
         # --- per-step RNG: agent order shuffle + event shuffles ---
         keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(state.rng)

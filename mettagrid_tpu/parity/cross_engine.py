@@ -36,6 +36,9 @@ class Scenario:
     move_handlers: List[Dict[str, Any]] = field(default_factory=list)
     change_vibe: bool = True
     inventories: Dict[int, Dict[str, int]] = field(default_factory=dict)
+    # Agent shared inventory limits: {limit_name: {"base": n, "resources": [..],
+    # "modifiers": {res: w}}} — exercises the clamp math cross-engine.
+    agent_limits: Dict[str, Dict[str, Any]] = field(default_factory=dict)
     max_steps: int = 1000
     resources: Optional[List[str]] = None
     compare_obs: bool = False
@@ -130,12 +133,21 @@ def _build_config(api: _Api, sc: Scenario):
                 ),
             )
 
-    agent = api.AgentConfig(
+    agent_kwargs: Dict[str, Any] = dict(
         rewards={
             f"inv_{res}": api.inventoryReward(res, weight=scale)
             for res, scale in sc.agent_rewards.items()
         }
     )
+    if sc.agent_limits:
+        if api.ours:
+            from mettagrid_tpu.config.game_config import InventoryConfig, ResourceLimitsConfig
+        else:
+            from mettagrid.config.mettagrid_config import InventoryConfig, ResourceLimitsConfig
+        agent_kwargs["inventory"] = InventoryConfig(
+            limits={name: ResourceLimitsConfig(**spec) for name, spec in sc.agent_limits.items()}
+        )
+    agent = api.AgentConfig(**agent_kwargs)
 
     move_handlers = []
     for spec in sc.move_handlers:

@@ -397,3 +397,53 @@ def test_protocol_feature_ids_allocated_but_never_emitted():
         for toks in step["obs"]:
             for _loc, fid, _val in toks:
                 assert fid not in proto_ids
+
+
+def test_inventory_limit_clamp_cross_engine():
+    """Shared-limit clamp math (inventory.cpp:38-88) end-to-end in both
+    engines: a mine pays 3/use into a base-7 limit — gains clamp at the cap
+    and the step-level rewards follow the clamped deltas."""
+    sc = Scenario(
+        map_data=[
+            ["wall", "wall", "wall", "wall"],
+            ["wall", "agent.agent", "mine", "wall"],
+            ["wall", "empty", "empty", "wall"],
+            ["wall", "wall", "wall", "wall"],
+        ],
+        num_agents=1,
+        objects={"mine": {"kind": "mine", "gives": {"ore_red": 3}}},
+        agent_rewards={"ore_red": 1.0},
+        agent_limits={"ore": {"base": 7, "resources": ["ore_red"]}},
+        scripts=[["move_east"]] * 4,  # 3, 6, 7 (clamped), 7
+    )
+    ours = run_ours(sc)
+    ref = run_reference(sc)
+    assert not diff_traces(ours, ref)
+    series = [step["inv"][0].get("ore_red", 0) for step in ref["steps"]]
+    assert series == [3, 6, 7, 7], series
+
+
+def test_modifier_raises_limit_cross_engine():
+    """Modifier items raise the effective limit at runtime
+    (SharedInventoryLimit::effective_limit, inventory.hpp:16-41)."""
+    sc = Scenario(
+        map_data=[
+            ["wall", "wall", "wall", "wall"],
+            ["wall", "agent.agent", "mine", "wall"],
+            ["wall", "empty", "empty", "wall"],
+            ["wall", "wall", "wall", "wall"],
+        ],
+        num_agents=1,
+        objects={"mine": {"kind": "mine", "gives": {"ore_red": 4}}},
+        agent_limits={
+            "ore": {"base": 5, "max": 20, "resources": ["ore_red"], "modifiers": {"blueprint": 6}}
+        },
+        inventories={0: {"blueprint": 1}},  # limit = max(5, 6*1) = 6... then cap
+        scripts=[["move_east"]] * 3,
+    )
+    ours = run_ours(sc)
+    ref = run_reference(sc)
+    assert not diff_traces(ours, ref)
+    series = [step["inv"][0].get("ore_red", 0) for step in ref["steps"]]
+    # effective limit = clamp(min(20, max(5, 6)), ...) = 6: gains 4, then 2.
+    assert series == [4, 6, 6], series
