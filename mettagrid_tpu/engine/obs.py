@@ -312,6 +312,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     # Prepadded +1-encoded static image for the fused kernel: skips the
     # per-step encode/pad/scatter glue entirely (static part never changes).
     imgp_static_flat = None
+    imgp_static_i32 = None
     if static_bg is not None:
         Pm_s = static_bg.shape[0]
         tok_s = static_bg[..., :S].astype(jnp.int32)
@@ -325,26 +326,18 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             body_s.astype(jnp.float32)
         )
         imgp_static_flat = imgp_s.reshape(Pm_s, -1)
+        # In-kernel assembly keeps the whole static pool VMEM-resident;
+        # only feasible while it fits comfortably (larger pools fall back
+        # to the XLA assembly path).
+        if Pm_s * HP_f * WPC_f * 4 <= 4 * 1024 * 1024:
+            imgp_static_i32 = imgp_s.astype(jnp.int32)
 
-    def _finish_fused(imgp, agent_r, agent_c, state, E):
-        """Shared fused-kernel invocation + output unpack."""
-        from mettagrid_tpu.engine.pallas_kernels import obs_tail_pallas, use_pallas
-
+    def _global_plus(state, E):
+        """+1-encoded global words (0 marks an empty slot)."""
         gw, gok = _all_global_words(state, E)
-        Gt = gw.shape[-1]
-        # +1 word encoding: 0 marks an empty slot (feature ids may be 0).
-        gplus = jnp.where(gok, (gw & 0xFFFF) + 1, 0)
-        T_pad = ((T + 127) // 128) * 128
-        out_words, attempted = obs_tail_pallas(
-            imgp,
-            agent_r,
-            agent_c * S,
-            gplus,
-            perm_fused_t,
-            make_loc_const(Gt),
-            T_pad,
-            interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
-        )
+        return jnp.where(gok, (gw & 0xFFFF) + 1, 0)
+
+    def _unpack_words(out_words, attempted):
         if out_words.shape[-1] < T:  # fewer candidates than budget
             out_words = jnp.pad(
                 out_words,
@@ -364,6 +357,25 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             axis=-1,
         ).astype(jnp.uint8)
         return out, attempted
+
+    def _finish_fused(imgp, agent_r, agent_c, state, E):
+        """Shared fused-kernel invocation + output unpack."""
+        from mettagrid_tpu.engine.pallas_kernels import obs_tail_pallas, use_pallas
+
+        gplus = _global_plus(state, E)
+        Gt = gplus.shape[-1]
+        T_pad = ((T + 127) // 128) * 128
+        out_words, attempted = obs_tail_pallas(
+            imgp,
+            agent_r,
+            agent_c * S,
+            gplus,
+            perm_fused_t,
+            make_loc_const(Gt),
+            T_pad,
+            interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
+        )
+        return _unpack_words(out_words, attempted)
 
     def compute_obs(state: EnvState):
         from mettagrid_tpu.engine.pallas_kernels import use_pallas
@@ -402,6 +414,35 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 jnp.arange(S, dtype=jnp.int32)[None, None, :] < cnt_a[..., None]
             ).astype(jnp.float32)
             words_a = tok_a + plus_a  # f32, integer-valued, +1-encoded
+
+            if imgp_static_i32 is not None:
+                # Fastest path: image assembled IN-KERNEL — static pool
+                # VMEM-resident, agents placed by an exact per-env matmul;
+                # the [E, HP, WPC] image never touches HBM.
+                from mettagrid_tpu.engine.pallas_kernels import (
+                    obs_tail_static_pallas,
+                    use_pallas,
+                )
+
+                gplus = _global_plus(state, E)
+                Gt = gplus.shape[-1]
+                T_pad = ((T + 127) // 128) * 128
+                out_words, attempted = obs_tail_static_pallas(
+                    imgp_static_i32,
+                    state.map_idx,
+                    agent_r,
+                    agent_c * S,
+                    agent_r + hr,
+                    (agent_c + wr) * S,
+                    words_a.astype(jnp.int32),
+                    gplus,
+                    perm_fused_t,
+                    make_loc_const(Gt),
+                    T_pad,
+                    interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
+                )
+                return _unpack_words(out_words, attempted)
+
             cp = agent_c + wr  # padded col space, width W + OW
             c_oh = (cp[..., None] == jnp.arange(W + OW, dtype=jnp.int32)[None, None, :]).astype(
                 jnp.float32

@@ -1,0 +1,179 @@
+"""Fully in-kernel image assembly: static map block (VMEM-resident, indexed
+by scalar-prefetched map_idx) + per-agent word placement via a tiny matmul —
+eliminates the [E, HP, WPC] imgp round-trip through HBM entirely.
+
+Verifies bit-identity against (XLA imgp assembly + current obs_tail_pallas)
+and times both compositions."""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn
+
+from mettagrid_tpu.engine.pallas_kernels import obs_tail_pallas, _round_up, _compact_block
+
+E, A = 4096, 24
+H, W, S = 25, 25, 3
+OH, OW = 13, 13
+hr, wr = OH // 2, OW // 2
+HP = _round_up(max(H + OH, H + 16), 8)
+WPC = _round_up((W + OW) * S, 128)
+RP = _round_up(max(OH, 8), 8)
+LP = _round_up(OW * S, 128)
+KS = 121 * S
+KS_pad = _round_up(KS, 128)
+GP = 8
+T = 500
+T_pad = min(_round_up(T, 128), GP + KS_pad)
+P = 64
+
+rng = np.random.default_rng(0)
+static_np = np.zeros((P, HP, WPC), dtype=np.int32)
+static_np[:, hr : hr + H, wr * S : (wr + W) * S] = rng.integers(
+    0, 1 << 14, (P, H, W * S)
+)
+static_imgp = jnp.asarray(static_np)
+map_idx = jnp.asarray(rng.integers(0, P, (E,)).astype(np.int32))
+agent_r = jnp.asarray(rng.integers(0, H, (E, A)).astype(np.int32))
+agent_c = jnp.asarray(rng.integers(0, W, (E, A)).astype(np.int32))
+# distinct cells per env so XLA scatter and kernel sum agree
+cells = np.stack([rng.permutation(H * W)[:A] for _ in range(E)])
+agent_r = jnp.asarray((cells // W).astype(np.int32))
+agent_c = jnp.asarray((cells % W).astype(np.int32))
+words = jnp.asarray(rng.integers(0, 1 << 14, (E, A, S)).astype(np.int32))
+gwords = jnp.asarray(rng.integers(0, 1 << 14, (E, A, GP)).astype(np.int32))
+perm_np = np.zeros((RP, LP, KS_pad), dtype=np.float32)
+slots = rng.permutation(RP * LP)[:KS]
+for k, s in enumerate(slots):
+    perm_np[s // LP, s % LP, k] = 1.0
+perm = jnp.asarray(perm_np)
+loc_const = jnp.asarray(rng.integers(0, 255, (8, GP + KS_pad)).astype(np.int32) << 16)
+
+row0 = agent_r
+lane0 = agent_c * S
+rext = agent_r + hr
+lext = (agent_c + wr) * S
+
+
+@jax.jit
+def composed(static_imgp, map_idx, words):
+    # XLA assembly: gather static by map, scatter agent words, run the kernel.
+    base = jnp.take(static_imgp, map_idx, axis=0)  # [E, HP, WPC]
+    e_idx = jnp.arange(E)[:, None, None]
+    a_r = rext[:, :, None]
+    a_l = lext[:, :, None] + jnp.arange(S)[None, None, :]
+    imgp = base.at[e_idx, a_r, a_l].add(words)
+    return obs_tail_pallas(imgp, row0, lane0, gwords, perm, loc_const, T_pad)
+
+
+@jax.jit
+def fused_static(static_imgp, map_idx, words):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BE = 8
+    BA = BE * A
+    C = GP + KS_pad
+    Tp = min(T_pad, C)
+    perm8 = perm.astype(jnp.int8)
+    corr = (128.0 * perm.reshape(RP * LP, KS_pad).sum(axis=0)).astype(jnp.int32)
+    corr2d = jnp.broadcast_to(corr[None, :], (8, KS_pad))
+
+    def kernel(r_ref, l_ref, m_ref, static_ref, gw_ref, perm_ref, loc_ref, corr_ref,
+               rext_ref, lext_ref, w_ref, out_ref, att_ref, imgs, winf):
+        blk = pl.program_id(0)
+        # ---- assemble per-env images in VMEM ----
+        for e in range(BE):
+            m = m_ref[blk * BE + e]
+            base = static_ref[m]  # [HP, WPC]
+            r_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (HP, A), 0)
+                == rext_ref[e][None, :]
+            ).astype(jnp.float32)  # [HP, A]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (A, WPC), 1)
+            base_l = lext_ref[e][:, None]
+            rhs = jnp.zeros((A, WPC), dtype=jnp.float32)
+            for s in range(S):
+                rhs = rhs + jnp.where(lane == base_l + s, w_ref[e, :, s][:, None].astype(jnp.float32), 0.0)
+            dyn = jax.lax.dot_general(
+                r_oh, rhs, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [HP, WPC]
+            imgs[e] = base + dyn.astype(jnp.int32)
+
+        for e in range(BE):
+            for a in range(A):
+                idx = (blk * BE + e) * A + a
+                x = imgs[e, pl.ds(r_ref[idx], RP), :]
+                x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                winf[e * A + a] = x[:, :LP]
+
+        lhs = winf[:].reshape(BA, RP * LP)
+        rhs2 = perm_ref[:].reshape(RP * LP, KS_pad)
+        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        cr = corr_ref[0:1, :]
+        cells = ((hi + cr) << 8) | (lo + cr)
+        gw = gw_ref[:].reshape(BA, GP)
+        cand = jnp.concatenate([gw, cells], axis=-1)
+        ok = cand > 0
+        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, C))
+        wrds = jnp.where(ok, (cand - 1) | loc, -1)
+        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        ).astype(jnp.int8)
+        out_ref[:, :, :] = _compact_block(wrds, Tp, tri=tri).reshape(BE, A, Tp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((P, HP, WPC), lambda i, r, l, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, GP), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RP, LP, KS_pad), lambda i, r, l, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, GP + KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, S), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, A, Tp), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BE, HP, WPC), jnp.int32),
+            pltpu.VMEM((BA, RP, LP), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, A, Tp), jnp.int32),
+            jax.ShapeDtypeStruct((E, A), jnp.int32),
+        ],
+    )(
+        row0.reshape(-1), lane0.reshape(-1), map_idx,
+        static_imgp, gwords, perm8, loc_const, corr2d, rext, lext, words,
+    )
+
+
+try:
+    a = [np.asarray(x) for x in composed(static_imgp, map_idx, words)]
+    b = [np.asarray(x) for x in fused_static(static_imgp, map_idx, words)]
+    print("bit-identical:", all(np.array_equal(x, y) for x, y in zip(a, b)), flush=True)
+    t0 = time_fn(lambda w: composed(static_imgp, map_idx, w), words, k=16)
+    t1 = time_fn(lambda w: fused_static(static_imgp, map_idx, w), words, k=16)
+    print(f"composed (XLA imgp + kernel): {t0*1e3:.2f} ms", flush=True)
+    print(f"fully in-kernel assembly:     {t1*1e3:.2f} ms", flush=True)
+except Exception as ex:
+    print("FAILED", type(ex).__name__, str(ex)[:500], flush=True)
