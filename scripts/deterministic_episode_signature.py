@@ -1,11 +1,17 @@
 """Deterministic episode signature CLI
 (reference: scripts/deterministic_episode_signature.py).
 
-Runs a fixed-seed arena episode and prints the end-state SHA-256. Running it
-in N fresh processes must produce one unique hash (the determinism gate —
-reference tests/simulator/test_deterministic_signature.py:14-17).
+Default mode: runs a fixed-seed arena episode and prints the end-state
+SHA-256. Running it in N fresh processes must produce one unique hash (the
+determinism gate — reference tests/simulator/test_deterministic_signature.py).
+
+--cross-engine: runs the actual make_arena(24) preset in BOTH this engine
+and the reference C++ engine (oracle required) for --steps steps under
+reproduced MT19937 agent shuffling and prints a JSON verdict — the driver's
+bit-exact signature-parity metric, end to end.
 
 Usage: python scripts/deterministic_episode_signature.py [--seed=0] [--steps=64]
+       python scripts/deterministic_episode_signature.py --cross-engine [--seeds=0,3,11] [--steps=500]
 """
 
 import os
@@ -23,14 +29,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def cross_engine(seeds, steps: int) -> int:
+    """Arena-scale signature parity vs the reference C++ engine."""
+    import json
+
+    from mettagrid_tpu.parity.arena import run_arena_parity
+    from mettagrid_tpu.parity.reference_oracle import reference_available
+
+    if not reference_available():
+        print(json.dumps({"error": "reference oracle not built (scripts/build_reference_oracle.sh)"}))
+        return 2
+    results = {}
+    for seed in seeds:
+        problems = run_arena_parity(map_seed=seed, action_seed=seed * 7 + 42, steps=steps)
+        results[seed] = problems
+    ok = all(not p for p in results.values())
+    print(
+        json.dumps(
+            {
+                "match": ok,
+                "preset": "make_arena(24)",
+                "steps": steps,
+                "seeds": list(seeds),
+                "problems": {s: p[:5] for s, p in results.items() if p},
+            }
+        )
+    )
+    return 0 if ok else 1
+
+
 def main() -> None:
     seed, steps = 0, 64
+    seeds = [0, 3, 11]
+    xengine = False
     for arg in sys.argv[1:]:
         k, _, v = arg.partition("=")
         if k == "--seed":
             seed = int(v)
         elif k == "--steps":
             steps = int(v)
+        elif k == "--seeds":
+            seeds = [int(x) for x in v.split(",")]
+        elif k == "--cross-engine":
+            xengine = True
+    if xengine:
+        sys.exit(cross_engine(seeds, steps if steps != 64 else 500))
 
     from mettagrid_tpu.builder import make_arena
     from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
