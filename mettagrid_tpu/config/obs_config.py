@@ -50,3 +50,11 @@ class ObsConfig(Config):
     # Optional per-tile AOE observability: emits `aoe_mask` tokens with
     # 1 = friendly influence, 2 = enemy, 0/no token = neutral.
     aoe_mask: bool = Field(default=False)
+
+    # TPU-engine extension (no reference analogue needed: the C++ encoder has
+    # no static token bound): disable the compile-time per-object token-bound
+    # proof (engine/obs_caps.py) and size the obs pipeline for every
+    # representable inventory. Required when inventories are injected from
+    # the host (SimulationAgent.set_inventory) beyond config-reachable
+    # amounts; costs obs-pipeline width, so leave off for production configs.
+    full_token_bounds: bool = Field(default=False)

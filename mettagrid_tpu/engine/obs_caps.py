@@ -82,6 +82,12 @@ def compute_obs_caps(program) -> ObsCaps:
     can_gain = np.zeros(R, dtype=bool)
     vibe_may = False
     tags_may = False
+    if getattr(program, "obs_full_bounds", False):
+        # Escape hatch for host-injected state (obs_config.full_token_bounds):
+        # every resource/vibe/tag may appear.
+        can_gain[:] = True
+        vibe_may = True
+        tags_may = True
     for m in iter_all_mutations(program):
         k = m.kind
         if k == "resource_delta":

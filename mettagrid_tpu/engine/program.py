@@ -174,6 +174,7 @@ class EngineProgram:
     obs_height: int
     obs_width: int
     num_tokens: int
+    obs_full_bounds: bool
     token_value_base: int
     num_inv_tokens: int
     max_steps: int
@@ -1051,6 +1052,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         obs_height=game.obs.height,
         obs_width=game.obs.width,
         num_tokens=game.obs.num_tokens,
+        obs_full_bounds=bool(getattr(game.obs, "full_token_bounds", False)),
         token_value_base=game.obs.token_value_base,
         num_inv_tokens=num_inv_tokens,
         max_steps=game.max_steps,

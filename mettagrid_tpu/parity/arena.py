@@ -33,7 +33,14 @@ def build_arena_map(num_agents: int, map_seed: int) -> List[List[str]]:
     return [[str(c) for c in row] for row in np.asarray(gm.grid)]
 
 
-def _make_configs(map_data: List[List[str]], num_agents: int):
+ATTACK_HANDLER_NAME = "melee"
+
+
+def _make_configs(map_data: List[List[str]], num_agents: int, combat: bool = False):
+    """Both frameworks' make_arena with the map pinned; combat=True adds a
+    vibe-gated move handler carrying the C++-executable attack (the
+    reference side's mutation is attached post-conversion in _ref_sim —
+    its own converter drops the Python AttackMutation)."""
     from mettagrid_tpu.builder.envs import make_arena as our_make_arena
     from mettagrid_tpu.test_support import ObjectNameMapBuilder as OurMap
 
@@ -42,7 +49,75 @@ def _make_configs(map_data: List[List[str]], num_agents: int):
 
     ours = our_make_arena(num_agents, map_builder=OurMap.Config(map_data=map_data))
     ref = ref_make_arena(num_agents, map_builder=RefMap.Config(map_data=map_data))
+
+    if combat:
+        from mettagrid_tpu.config.action_config import ChangeVibeActionConfig as OurCV
+        from mettagrid_tpu.config.handler_config import (
+            DirectAttackMutation,
+            Handler as OurHandler,
+            HandlerTarget as OurHT,
+            VibeFilter as OurVF,
+        )
+
+        from mettagrid.config.action_config import ChangeVibeActionConfig as RefCV
+        from mettagrid.config.filter import HandlerTarget as RefHT, VibeFilter as RefVF
+        from mettagrid.config.handler_config import Handler as RefHandler
+
+        ours.game.actions.change_vibe = OurCV()
+        ours.game.actions.move.handlers = [
+            OurHandler(
+                name=ATTACK_HANDLER_NAME,
+                filters=[OurVF(target=OurHT.ACTOR, vibe="angry")],
+                mutations=[
+                    DirectAttackMutation(
+                        weapon_resource="laser", armor_resource="armor", health_resource="heart"
+                    )
+                ],
+            )
+        ]
+        ours.game.obs.full_token_bounds = True  # host-injected loadouts below
+        ref.game.actions.change_vibe = RefCV()
+        ref.game.actions.move.handlers = [
+            RefHandler(
+                name=ATTACK_HANDLER_NAME,
+                filters=[RefVF(target=RefHT.ACTOR, vibe="angry")],
+                mutations=[],  # attached post-conversion (see _ref_sim)
+            )
+        ]
     return ours, ref
+
+
+def _ref_sim(ref_cfg, seed: int, combat: bool):
+    """Construct the reference Simulation, attaching the bound C++ attack
+    config to the named move handler when combat is on (the
+    handler_bindings.hpp:544 path — see parity/cross_engine.run_reference)."""
+    import mettagrid.config.mettagrid_c_config as mcc
+    from mettagrid.simulator.simulator import Simulator
+
+    if not combat:
+        return Simulator().new_simulation(ref_cfg, seed=seed)
+
+    from mettagrid.mettagrid_c import AttackMutationConfig as CppAttackMutationConfig
+
+    orig_convert = mcc.convert_mutations
+
+    def patched(mutations, target_obj, id_maps, context=""):
+        orig_convert(mutations, target_obj, id_maps, context)
+        if context == f"handler '{ATTACK_HANDLER_NAME}'":
+            target_obj.add_attack_mutation(
+                CppAttackMutationConfig(
+                    weapon_resource=id_maps.resource_name_to_id["laser"],
+                    armor_resource=id_maps.resource_name_to_id["armor"],
+                    health_resource=id_maps.resource_name_to_id["heart"],
+                    damage_multiplier_pct=100,
+                )
+            )
+
+    mcc.convert_mutations = patched
+    try:
+        return Simulator().new_simulation(ref_cfg, seed=seed)
+    finally:
+        mcc.convert_mutations = orig_convert
 
 
 def run_arena_parity(
@@ -52,27 +127,43 @@ def run_arena_parity(
     num_agents: int = 24,
     checkpoint_every: int = 50,
     compare_obs_every: int = 100,
+    combat: bool = False,
 ) -> List[str]:
-    """Run the arena preset in both engines; return a list of mismatches."""
+    """Run the arena preset in both engines; return a list of mismatches.
+
+    combat=True arms every agent (laser/armor/heart) and adds the vibe-gated
+    attack move handler, so the episode exercises the general wave-parallel
+    action path with real inventory-changing combat at scale.
+    """
     from mettagrid_tpu.parity.cross_engine import _obs_tokens
     from mettagrid_tpu.parity.reference_oracle import load_reference
 
     load_reference()
-    from mettagrid.simulator.simulator import Simulator as RefSimulator
-
     from mettagrid_tpu.simulator import Simulation as OurSimulation
 
     map_data = build_arena_map(num_agents, map_seed)
-    our_cfg, ref_cfg = _make_configs(map_data, num_agents)
+    our_cfg, ref_cfg = _make_configs(map_data, num_agents, combat=combat)
 
     ours = OurSimulation(our_cfg, seed=action_seed, reference_shuffle=True)
-    ref = RefSimulator().new_simulation(ref_cfg, seed=action_seed)
+    ref = _ref_sim(ref_cfg, seed=action_seed, combat=combat)
 
-    our_actions = [n for n in ours.action_names if not n.startswith("change_vibe_")]
-    ref_actions = list(ref.action_names)
+    if combat:
+        for i in range(num_agents):
+            loadout = {"laser": 3 + (i % 3), "armor": i % 4, "heart": 30}
+            ours.agent(i).set_inventory(loadout)
+            ref.agent(i).set_inventory(loadout)
+
+    our_primary = [n for n in ours.action_names if not n.startswith("change_vibe_")]
+    our_vibe = [n for n in ours.action_names if n.startswith("change_vibe_")]
+    ref_primary = [n for n in ref.action_names if not n.startswith("change_vibe_")]
+    ref_vibe = sorted(set(list(ref.vibe_action_names) + [n for n in ref.action_names if n.startswith("change_vibe_")]))
     problems: List[str] = []
-    if our_actions != ref_actions:
-        return [f"action name tables differ: ours={our_actions} ref={ref_actions}"]
+    if our_primary != ref_primary or sorted(our_vibe) != ref_vibe:
+        return [
+            f"action name tables differ: ours={our_primary}+{sorted(our_vibe)} "
+            f"ref={ref_primary}+{ref_vibe}"
+        ]
+    ref_actions = our_primary + sorted(our_vibe)  # shared script vocabulary
 
     rng = np.random.default_rng(action_seed)
     script = rng.integers(0, len(ref_actions), size=(steps, num_agents))

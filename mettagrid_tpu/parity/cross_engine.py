@@ -204,6 +204,11 @@ def run_ours(sc: Scenario) -> Dict[str, Any]:
     from mettagrid_tpu.simulator import Simulation
 
     cfg = _build_config(_Api(ours=True), sc)
+    if sc.inventories:
+        # Host-injected loadouts exceed the config-reachable token bound;
+        # widen the obs pipeline so observations stay complete (the
+        # reference has no static bound to widen).
+        cfg.game.obs.full_token_bounds = True
     sim = Simulation(cfg, seed=sc.seed, reference_shuffle=sc.reference_shuffle)
     trace = _drive(sim, sc, ours=True)
     trace["final"] = _summary_ours(sim)

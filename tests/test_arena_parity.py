@@ -19,3 +19,15 @@ def test_arena_signature_parity(map_seed, action_seed):
 
     problems = run_arena_parity(map_seed, action_seed, steps=500)
     assert not problems, "\n".join(problems[:20])
+
+
+@pytest.mark.parametrize("map_seed,action_seed", [(0, 5), (7, 19)])
+def test_arena_combat_signature_parity(map_seed, action_seed):
+    """Arena-scale COMBAT parity: 24 armed agents with a vibe-gated attack
+    move handler, random actions incl. change_vibe, reproduced shuffle —
+    exercises the general wave-parallel action path with real inventory
+    deltas at scale (not the pure-relocation specialization)."""
+    from mettagrid_tpu.parity.arena import run_arena_parity
+
+    problems = run_arena_parity(map_seed, action_seed, steps=250, combat=True)
+    assert not problems, "\n".join(problems[:20])
