@@ -26,8 +26,43 @@ from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, ma
 BASELINE_STEPS_PER_S = 10_000_000.0
 
 
-def build_bench(num_envs: int = 4096, num_agents: int = 24, pool: int = 64, chunk: int = 64):
+def make_general_cfg(num_agents: int):
+    """The combat-arena config from parity/arena.py: change_vibe enabled and a
+    vibe-gated DirectAttack move handler, so NEITHER gated specialization
+    (actions_fast.pure_move_ok, obs.static_background_ok) applies — this
+    benchmarks the general wave-parallel engine (VERDICT r2 weak #2)."""
+    from mettagrid_tpu.config.action_config import ChangeVibeActionConfig
+    from mettagrid_tpu.config.handler_config import (
+        DirectAttackMutation,
+        Handler,
+        HandlerTarget,
+        VibeFilter,
+    )
+
     cfg = make_arena(num_agents, combat=False)
+    cfg.game.actions.change_vibe = ChangeVibeActionConfig()
+    cfg.game.actions.move.handlers = [
+        Handler(
+            name="melee",
+            filters=[VibeFilter(target=HandlerTarget.ACTOR, vibe="angry")],
+            mutations=[
+                DirectAttackMutation(
+                    weapon_resource="laser", armor_resource="armor", health_resource="heart"
+                )
+            ],
+        )
+    ]
+    return cfg
+
+
+def build_bench(
+    num_envs: int = 4096,
+    num_agents: int = 24,
+    pool: int = 64,
+    chunk: int = 64,
+    general: bool = False,
+):
+    cfg = make_general_cfg(num_agents) if general else make_arena(num_agents, combat=False)
     program = compile_program(cfg)
     builder = cfg.game.map_builder.create()
     rng = np.random.default_rng(0)
@@ -46,6 +81,7 @@ def build_bench(num_envs: int = 4096, num_agents: int = 24, pool: int = 64, chun
     # a single fused custom call (reading any output keeps the whole kernel
     # live). Assert that path is active for the benchmarked config (ADVICE
     # r1: on the non-fused path XLA could elide the other T-1 tokens).
+    from mettagrid_tpu.engine.actions_fast import fast_mode_ok, pure_move_ok
     from mettagrid_tpu.engine.obs import static_background_ok
     from mettagrid_tpu.engine.pallas_kernels import use_pallas
 
@@ -53,11 +89,22 @@ def build_bench(num_envs: int = 4096, num_agents: int = 24, pool: int = 64, chun
         assert num_envs % 8 == 0 and not program.territories, (
             "bench config must take the fused obs-tail path for the DCE guard to be sound"
         )
+    if general:
+        # The general bench exists to measure the UN-specialized engine: the
+        # combat handlers must disqualify both gated fast paths while still
+        # allowing the wave-parallel action phase.
+        assert not static_background_ok(program), "general bench must not take the static-bg path"
+        assert not pure_move_ok(program), "general bench must not take the pure-move path"
+        assert fast_mode_ok(program), "general bench should use the wave-parallel action phase"
+    elif use_pallas():
         assert static_background_ok(program), "arena preset should qualify for the static background"
 
-    def chunk_body(carry, actions):
+    def chunk_body(carry, acts):
         state, checksum = carry
-        vibes = jnp.zeros((num_envs, A), dtype=jnp.int32)
+        if general:
+            actions, vibes = acts  # random vibe stream exercises change_vibe
+        else:
+            actions, vibes = acts, jnp.zeros((num_envs, A), dtype=jnp.int32)
         state, out = step(state, actions, vibes)
         # Fold a data-dependent slice of every output into the carry so the
         # step isn't DCE'd. The obs tail is a single custom call (asserted
@@ -84,7 +131,13 @@ def build_bench(num_envs: int = 4096, num_agents: int = 24, pool: int = 64, chun
         # Pre-generated random actions, as in the reference perf harness
         # (benchmarks/perf/perf_benchmark.py pre-rolls its action stream);
         # device-resident before the timed region.
-        return jax.random.randint(key, (chunk, num_envs, A), 0, n_actions, dtype=jnp.int32)
+        prim = jax.random.randint(key, (chunk, num_envs, A), 0, n_actions, dtype=jnp.int32)
+        if general:
+            vib = jax.random.randint(
+                jax.random.fold_in(key, 1), (chunk, num_envs, A), 0, n_actions, dtype=jnp.int32
+            )
+            return prim, vib
+        return prim
 
     return reset, run_chunk, jax.jit(make_actions)
 
@@ -95,6 +148,7 @@ def main() -> None:
     chunk = 64
     warmup_chunks = 2
     bench_chunks = 8
+    general = False
     for arg in sys.argv[1:]:
         k, _, v = arg.partition("=")
         if k == "--envs":
@@ -105,9 +159,11 @@ def main() -> None:
             chunk = int(v)
         elif k == "--chunks":
             bench_chunks = int(v)
+        elif k == "--general":
+            general = True
 
     reset, run_chunk, make_actions = build_bench(
-        num_envs=num_envs, num_agents=num_agents, chunk=chunk
+        num_envs=num_envs, num_agents=num_agents, chunk=chunk, general=general
     )
     state, _ = reset(0)
     checksum = jnp.zeros((), dtype=jnp.uint32)
@@ -135,10 +191,11 @@ def main() -> None:
     # axis (zero cross-chip communication — see parallel/ and
     # __graft_entry__.dryrun_multichip), so vs_baseline uses the 8-chip
     # linear projection; `value` stays the honest single-chip measurement.
+    variant = "general-path (combat handlers, no gated specializations)" if general else "single-chip"
     print(
         json.dumps(
             {
-                "metric": f"env_steps_per_s single-chip ({num_envs} envs x {num_agents} agents); vs_baseline = x8 chips projection vs 10M",
+                "metric": f"env_steps_per_s {variant} ({num_envs} envs x {num_agents} agents); vs_baseline = x8 chips projection vs 10M",
                 "value": round(sps, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(sps * 8 / BASELINE_STEPS_PER_S, 4),

@@ -541,11 +541,13 @@ def _env_slots(state, ctx: Optional[Ctx]) -> jnp.ndarray:
 def _apply_query_limits(program, state, q: CompiledQuery, mask: jnp.ndarray, ctx: Optional[Ctx]) -> jnp.ndarray:
     """Cap the result mask at max_items objects (query_system.cpp:75-87).
 
-    Results are kept in ascending slot order — the engine's canonical
-    analogue of the reference's tag-index registration order. order_by=
-    random (which only changes WHICH subset survives a cap) is applied by
-    callers that carry RNG (events); handler-context queries cap
-    deterministically.
+    With order_by=random, the surviving subset is chosen by a per-env random
+    ranking over the passing slots (the reference shuffles results with
+    ctx.rng before resizing — query_system.cpp:78-79); otherwise results are
+    kept in ascending slot order — the engine's canonical analogue of the
+    reference's tag-index registration order. Bit-parity with the reference
+    MT19937 stream additionally requires reference_rng mode (parity/rng.py);
+    outside it the subset is random but from the jax stream.
     """
     E, N = mask.shape
     if q.max_items_value is not None:
@@ -555,6 +557,20 @@ def _apply_query_limits(program, state, q: CompiledQuery, mask: jnp.ndarray, ctx
         cap = jnp.full((E,), q.max_items, dtype=jnp.int32)
     else:
         return mask
+    if q.order_random:
+        import jax
+
+        # Compile-time-stable salt (ir.CompiledQuery.rng_salt): distinct
+        # order_by=random queries draw independent ranks; state.rng is
+        # re-split every step, so subsets vary per step. The reference
+        # instead consumes the env mt19937 (query_system.cpp:78-79) — a
+        # repeated evaluation of the SAME query within one step reuses one
+        # rank draw here, a documented deviation outside reference_rng mode.
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, q.rng_salt))(state.rng)
+        ranks = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(keys)  # [E, N]
+        ranks = jnp.where(mask, ranks, jnp.inf)
+        before = (ranks[:, :, None] > ranks[:, None, :]).sum(axis=-1)  # [E, N]
+        return mask & (before < cap[:, None])
     m = mask.astype(jnp.int32)
     rank = jnp.cumsum(m, axis=1) - m  # exclusive prefix count
     return mask & (rank < cap[:, None])

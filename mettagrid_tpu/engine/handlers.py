@@ -336,14 +336,28 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         tr = gather(state.obj_r, ctx.target)
         tc = gather(state.obj_c, ctx.target)
         valid = mask & (ctx.target >= 0)
+        if m.max_range_value is not None:
+            # Dynamic GameValue range (mutation_config.hpp:123): unroll to the
+            # map bound; cells beyond the per-element resolved range mask off.
+            rv = jnp.floor(
+                eval_value(program, state, m.max_range_value, ctx.target, ctx)
+            ).astype(jnp.int32)
+            static_range = max(H, W)
+        else:
+            rv = None
+            static_range = m.max_range
         for d in m.directions:
             dr, dc = int(DIR_DR[d]), int(DIR_DC[d])
             blocked = jnp.zeros_like(valid)
-            for i in range(1, m.max_range + 1):
+            for i in range(1, static_range + 1):
                 rr = tr + dr * i
                 cc = tc + dc * i
                 inb = (rr >= 0) & (rr < H) & (cc >= 0) & (cc < W)
                 blocked = blocked | ~inb
+                if rv is not None:
+                    # Dynamic range: cells past the per-element resolved
+                    # range are out of the ray (ref: dist <= resolved_max_range).
+                    blocked = blocked | (jnp.asarray(i, dtype=rv.dtype) > rv)
                 slot_here = grid_read(state.grid, rr, cc)
                 occupied = slot_here >= 0
                 if m.blocker:
@@ -357,7 +371,10 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
                     )
                     hits_blocker = occupied & eval_filters(program, state, bctx, m.blocker)
                 else:
-                    hits_blocker = occupied
+                    # No blocker filters: occupied cells are skipped but do
+                    # NOT stop the ray (raycast_spawn_mutation.cpp:50-68 —
+                    # is_blocker stays false, `continue`).
+                    hits_blocker = jnp.zeros_like(occupied)
                 spawn_here = valid & ~blocked & ~occupied
                 sctx = ctx._replace(target_r=rr, target_c=cc)
                 state, _ = apply_spawn(program, state, sctx, m, spawn_here)

@@ -68,6 +68,9 @@ class CompiledQuery:
     max_items: int = 0
     max_items_value: Optional["CompiledValue"] = None
     order_random: bool = False
+    # compile-time-stable RNG salt so distinct order_by=random queries draw
+    # independent (but build-deterministic) ranks from the per-env stream
+    rng_salt: int = 0
     # raycast; max_range_value resolves the per-step range at runtime
     # (query_config.hpp:75 GameValue max_range), bounded by grid max(H, W)
     directions: tuple[int, ...] = ()
@@ -142,6 +145,7 @@ class CompiledMutation:
     spawn_type_id: int = -1
     directions: tuple[int, ...] = ()
     max_range: int = 0
+    max_range_value: Optional[CompiledValue] = None  # dynamic GameValue range
     blocker: tuple[CompiledFilter, ...] = ()
     # query_inventory
     query: Optional[CompiledQuery] = None

@@ -27,6 +27,8 @@ AgentId (grid_object.cpp write_obs_features, objects/agent.cpp:142-155).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +44,12 @@ _TAP = None
 # backends, so CI exercises the production kernel path bit-for-bit against
 # the XLA formulation (ADVICE r1: the fused tail was only tested on TPU).
 _FORCE_FUSED_INTERPRET = False
+
+# Switch for the v2 fused tail (packed single-int32 compaction + direct
+# unpacked permute). Default ON: byte-verified on hardware
+# (scripts/verify_tpu_obs.py) and faster than v1 (620k vs 595k env-steps/s
+# in-bench; scripts/probe_r3_tail.py). Set METTAGRID_TPU_OBS_V2=0 to compare.
+_OBS_V2 = os.environ.get("METTAGRID_TPU_OBS_V2", "1") not in ("0", "", "false")
 
 
 def static_background_ok(program: EngineProgram) -> bool:
@@ -288,9 +296,11 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     KS_pad = ((KS + 127) // 128) * 128
     RP_f = ((max(OH, 8) + 7) // 8) * 8
     LP_f = ((OW * S + 127) // 128) * 128
-    # The fused kernel loads windows via pl.ds(row0, RP_f): pad the image so
-    # row0 + RP_f <= HP_f for every agent row (row0 max = H - 1).
-    HP_f = ((max(H + OH, H + RP_f) + 7) // 8) * 8
+    # The fused kernels load windows via pl.ds(row0, RP_f | _V2_RPE): pad the
+    # image so row0 + rows <= HP_f for every agent row (row0 max = H - 1).
+    from mettagrid_tpu.engine.pallas_kernels import _V2_RPE as _V2_RPE_ROWS
+
+    HP_f = ((max(H + OH, H + RP_f, H - 1 + _V2_RPE_ROWS) + 7) // 8) * 8
     WPC_f = (((W + OW) * S + 127) // 128) * 128
     perm_np = np.zeros((RP_f, LP_f, KS_pad), dtype=np.float32)
     for k in range(K):
@@ -305,6 +315,47 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         for k in range(K):
             loc_np[:, Gt + k * S : Gt + (k + 1) * S] = int(loc_k[k]) << 16
         return jnp.asarray(loc_np)
+
+    # ---- static tables + gate for the v2 fused tail (pallas_kernels.py:
+    # obs_tail_static_v2_pallas — packed single-int32 compaction + direct
+    # unpacked permute; globals ride the kernel as G always-valid front
+    # lanes). Requires: always-valid globals, 7-bit feature ids, a budget
+    # that never truncates, and window/lane geometry. ----
+    from mettagrid_tpu.engine.pallas_kernels import _V2_RPE
+
+    _ALWAYS_VALID_GLOBALS = {"epct", "last_action", "last_action_move", "last_reward"}
+    OWS = OW * S
+    KS_pad2 = ((G + KS + 127) // 128) * 128  # candidate lanes incl. globals
+    v2_ok_static = (
+        not has_aoe_mask
+        and not program.value_obs
+        and all(slot in _ALWAYS_VALID_GLOBALS for slot in global_slots)
+        and (C_cell == 0 or int(cand_feat.max()) < 128)
+        and all(int(l) != 0xFF for l in loc_k)
+        and OH <= _V2_RPE
+        and OWS <= 128
+        and KS_pad2 <= 512
+        and T >= G + KS
+    )
+    perm2_t = tri2_t = loc15_t = None
+    if v2_ok_static:
+        # Unpacked raw-raster -> Manhattan permute: window row u, lane v*S+s
+        # sits at flat position u*128 + v*S+s of the extracted [RPE, 128]
+        # window (garbage rows/lanes hit all-zero columns). Output columns
+        # are offset by G: the kernel adds the always-valid global words at
+        # lanes 0..G-1, so compaction emits globals-then-window directly.
+        perm2_np = np.zeros((_V2_RPE * 128, KS_pad2), dtype=np.int8)
+        loc15_np = np.zeros((8, KS_pad2), dtype=np.int32)
+        loc15_np[:, :G] = GLOBAL_LOCATION << 15
+        for k in range(K):
+            u, v = uv_of_k[k]
+            for s in range(S):
+                perm2_np[u * 128 + v * S + s, G + k * S + s] = 1
+            loc15_np[:, G + k * S : G + (k + 1) * S] = int(loc_k[k]) << 15
+        tri2_np = np.triu(np.ones((KS_pad2, KS_pad2), dtype=np.int8), 1)
+        perm2_t = jnp.asarray(perm2_np)
+        tri2_t = jnp.asarray(tri2_np)
+        loc15_t = jnp.asarray(loc15_np)
 
     _cell_image = make_cell_image_fn(program)
     _stage1 = _cell_image.stage1
@@ -415,8 +466,38 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             ).astype(jnp.float32)
             words_a = tok_a + plus_a  # f32, integer-valued, +1-encoded
 
+            if imgp_static_i32 is not None and v2_ok_static and _OBS_V2:
+                # Fastest path: v2 fused tail — packed single-int32
+                # compaction + direct unpacked permute; image assembled
+                # in-kernel as in v1, globals injected as G always-valid
+                # front lanes (no XLA concat pass on the output).
+                from mettagrid_tpu.engine.pallas_kernels import (
+                    obs_tail_static_v2_pallas,
+                    use_pallas,
+                )
+
+                gplus = _global_plus(state, E)  # all-valid by gate
+                out_words, attempted = obs_tail_static_v2_pallas(
+                    imgp_static_i32,
+                    state.map_idx,
+                    agent_r,
+                    agent_c * S,
+                    agent_r + hr,
+                    (agent_c + wr) * S,
+                    words_a.astype(jnp.int32),
+                    gplus,
+                    perm2_t,
+                    tri2_t,
+                    loc15_t,
+                    OH,
+                    OWS,
+                    KS,
+                    interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
+                )
+                return _unpack_words(out_words, attempted)
+
             if imgp_static_i32 is not None:
-                # Fastest path: image assembled IN-KERNEL — static pool
+                # Fast path: image assembled IN-KERNEL — static pool
                 # VMEM-resident, agents placed by an exact per-env matmul;
                 # the [E, HP, WPC] image never touches HBM.
                 from mettagrid_tpu.engine.pallas_kernels import (
@@ -654,6 +735,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         out_words = _compact(words, ok, T)
         if _TAP == "rolled":
             return out_words, attempted
+        # (probe hook: static tables exposed below via compute_obs attributes)
         empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
         out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
 
@@ -667,6 +749,16 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         ).astype(jnp.uint8)
         return out, attempted
 
+    # Probe hooks: static tables for scripts/probe_* kernel microbenches.
+    compute_obs._tables = {
+        "S": S, "KS": KS, "KS_pad": KS_pad, "OH": OH, "OW": OW, "hr": hr, "wr": wr,
+        "HP_f": HP_f, "WPC_f": WPC_f, "T": T,
+        "perm_fused": perm_fused_t, "make_loc_const": make_loc_const,
+        "imgp_static_i32": imgp_static_i32,
+        "perm2": perm2_t, "tri2": tri2_t, "loc15": loc15_t,
+        "v2_ok": v2_ok_static, "global_plus": _global_plus, "stage1": _stage1,
+        "all_global_words": _all_global_words,
+    }
     return compute_obs
 
 

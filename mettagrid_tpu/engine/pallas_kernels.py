@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _BIG = 1 << 24  # gap sentinel for invalid slots; above any real shift bit
 
@@ -285,6 +286,187 @@ def obs_tail_pallas(
         ],
         interpret=interpret,
     )(row0.reshape(-1), lane0.reshape(-1), imgp, gwords, perm8, loc_const, corr2d)
+
+
+# ---------------------------------------------------------------------------
+# v2 fused tail: single-int32 packed compaction + direct unpacked permute.
+#
+# Formulational win over obs_tail_static_pallas (VERDICT r2 #1): the
+# budget-compaction move loop carries ONE int32 per element instead of an
+# (int32 word, int32 gap) pair: [g:9 | loc:8 | feat:7 | val:8]. Globals
+# (always-valid for the gated configs) are excluded, so the array is KS_pad
+# wide (384 for the arena) instead of 512-padded — together ~2.6x on the
+# dominant log-shift loop.
+#
+# The Manhattan permute contracts the RAW extracted window lanes
+# ([RPE*128] per agent, garbage rows/lanes hit zero columns): measured
+# (scripts/probe_r3_tail.py) the wider int8 matmul is ~free next to the
+# compaction, while every attempt to pre-pack 3 window rows per 128-lane
+# row scalarized in Mosaic (3D rolls lower per-2D-slice; 2D reshape-sum
+# repacks cost 10+ ms vs 3.4 ms for the whole nopack kernel).
+#
+# Gates (checked statically by the caller, obs.py):
+#   * every global slot is always-valid (epct / last_action /
+#     last_action_move / last_reward; no value_obs) — injected in-kernel as
+#     G always-valid front lanes (no XLA concat on the output)
+#   * max feature id < 128 (7-bit feat field), image words <= 0xFFFF
+#     (the int8 byte-plane split of the permute input is exact)
+#   * token budget T >= Gt + K*S (compaction never truncates)
+#   * OH <= _V2_RPE, OW*S <= 128 (window geometry), KS_pad <= 512 (9-bit g)
+# ---------------------------------------------------------------------------
+
+_V2_RPE = 24  # extraction rows: multiple of 8 (pl.ds granularity), >= OH
+_V2_INV = 0xFF << 15  # invalid marker: loc field 0xFF (impossible), g = 0
+
+
+def _compact_packed_v2(v, C):
+    """Single-array log-shift compaction of [g:9|loc:8|feat:7|val:8] words.
+
+    Invalid slots hold _V2_INV (g bits zero -> never move; loc 0xFF marks
+    them post-loop). Wrap-around injection is impossible: a wrapped source
+    at lane j < bit would need bit_b(g_j) set, but g_j <= j < bit.
+    """
+    bitconsts = [np.int32(np.uint32(1 << (23 + b))) for b in range(9)]
+    b = 0
+    while (1 << b) < C:
+        bit = 1 << b
+        sh = 23 + b
+        rolled = pltpu_roll(v, -bit)
+        incoming = ((rolled >> sh) & 1) == 1
+        move = ((v >> sh) & 1) == 1
+        v = jnp.where(incoming, rolled ^ bitconsts[b], jnp.where(move, _V2_INV, v))
+        b += 1
+    valid = ((v >> 15) & 0xFF) != 0xFF
+    word24 = (((v >> 15) & 0xFF) << 16) | (v & 0x7FFF)
+    return jnp.where(valid, word24, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("OH", "OWS", "KS", "block_envs", "interpret")
+)
+def obs_tail_static_v2_pallas(
+    static_imgp: jnp.ndarray,  # int32 [P, HP, WPC] prepadded +1-encoded static image
+    map_idx: jnp.ndarray,      # int32 [E]
+    row0: jnp.ndarray,         # int32 [E, A] window start row (= agent_r)
+    lane0: jnp.ndarray,        # int32 [E, A] window start lane (= agent_c * S)
+    rext: jnp.ndarray,         # int32 [E, A] agent image row
+    lext: jnp.ndarray,         # int32 [E, A] agent image lane
+    words: jnp.ndarray,        # int32 [E, A, S] +1-encoded agent token words
+    gplus: jnp.ndarray,        # int32 [E, A, G] +1-encoded global words (all valid)
+    perm8: jnp.ndarray,        # int8 [RPE*128, KS_pad] raw-raster -> Manhattan, cols offset by G
+    tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
+    loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << 15
+    OH: int,
+    OWS: int,                  # OW * S
+    KS: int,                   # real candidate count (K * S)
+    block_envs: int = 8,
+    interpret: bool = False,
+):
+    """Fused obs tail v2. Returns (token words int32 [E, A, KS_pad] with -1
+    empty — globals at 0..G-1, compacted window tokens after — and attempted
+    counts int32 [E, A] including globals)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, HP, WPC = static_imgp.shape
+    E, A = row0.shape
+    S = words.shape[2]
+    G = gplus.shape[2]
+    K_mat, KS_pad = perm8.shape
+    BE = block_envs
+    BA = BE * A
+    RPE = _V2_RPE
+
+    def kernel(r_ref, l_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
+               rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winraw):
+        blk = pl.program_id(0)
+        # ---- assemble per-env images in VMEM (agents via exact matmul) ----
+        for e in range(BE):
+            m = m_ref[blk * BE + e]
+            base = static_ref[m]  # [HP, WPC]
+            r_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (HP, A), 0) == rext_ref[e][None, :]
+            ).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (A, WPC), 1)
+            base_l = lext_ref[e][:, None]
+            rhs = jnp.zeros((A, WPC), dtype=jnp.float32)
+            for s in range(S):
+                rhs = rhs + jnp.where(
+                    lane == base_l + s, w_ref[e, :, s][:, None].astype(jnp.float32), 0.0
+                )
+            dyn = jax.lax.dot_general(
+                r_oh, rhs, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            imgs[e] = base + dyn.astype(jnp.int32)
+
+        # ---- per-agent window extraction (ds + roll only) ----
+        for e in range(BE):
+            for a in range(A):
+                idx = (blk * BE + e) * A + a
+                x = imgs[e, pl.ds(r_ref[idx], RPE), :]
+                x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                winraw[e * A + a] = x[:, :128]
+
+        # ---- Manhattan permute straight off the raw window lanes ----
+        lhs = winraw[:].reshape(BA, RPE * 128)
+        rhs2 = perm_ref[:]
+        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
+        cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
+        cells = ((hi + cr) << 8) | (lo + cr)  # [BA, KS_pad] word+1 (0 = empty)
+        # Globals ride as G always-valid front lanes: compaction leaves them
+        # at output positions 0..G-1 (they contribute no gaps).
+        g2 = g_ref[:].reshape(BA, G)
+        cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
+
+        # ---- packed word build + gap rank (int8 matmul) ----
+        ok = cells > 0
+        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
+        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
+        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
+        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
+
+        # ---- single-array compaction ----
+        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad).reshape(BE, A, KS_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((P, HP, WPC), lambda i, r, l, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_mat, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KS_pad, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, S), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, G), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, A, KS_pad), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BE, HP, WPC), jnp.int32),
+            pltpu.VMEM((BA, RPE, 128), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, A, KS_pad), jnp.int32),
+            jax.ShapeDtypeStruct((E, A), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        row0.reshape(-1), lane0.reshape(-1), map_idx,
+        static_imgp, perm8, tri8, loc15, rext, lext, words, gplus,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "interpret"))

@@ -352,6 +352,12 @@ class _Compiler:
             # Runtime GameValue cap (query_config.hpp:25); -1 = unlimited.
             max_items_value = self.compile_value(self._as_value(max_items_raw))
         order_random = q.get("order_by") == "random"
+        rng_salt = 0
+        if order_random:
+            # Stable per-compiled-query salt (build-deterministic; a fresh
+            # compile of the same config reproduces the same subsets).
+            self._query_salt = getattr(self, "_query_salt", 0) + 1
+            rng_salt = self._query_salt
         if kind in ("query", "tag", "materialized"):
             src = q.get("tag") if kind == "tag" else q.get("source")
             if isinstance(src, str) and src:
@@ -362,6 +368,7 @@ class _Compiler:
                     max_items=max_items,
                     max_items_value=max_items_value,
                     order_random=order_random,
+                rng_salt=rng_salt,
                 )
             return CompiledQuery(
                 kind="filtered",
@@ -370,6 +377,7 @@ class _Compiler:
                 max_items=max_items,
                 max_items_value=max_items_value,
                 order_random=order_random,
+                rng_salt=rng_salt,
             )
         if kind == "closure":
             edge = tuple(self.compile_filter_cfg(f) for f in q.get("edge_filters", []) or [])
@@ -388,6 +396,7 @@ class _Compiler:
                 max_items=max_items,
                 max_items_value=max_items_value,
                 order_random=order_random,
+                rng_salt=rng_salt,
             )
         if kind == "raycast":
             rng = q.get("max_range", 2)
@@ -409,6 +418,7 @@ class _Compiler:
                 max_items=max_items,
                 max_items_value=max_items_value,
                 order_random=order_random,
+                rng_salt=rng_salt,
             )
         raise NotImplementedError(f"Query kind {kind!r} not compiled")
 
@@ -621,14 +631,19 @@ class _Compiler:
                 transfer_stats=stats,
             )
         if kind == "raycast_spawn":
-            if not isinstance(m.max_range, int):
-                raise NotImplementedError("dynamic raycast_spawn max_range not compiled yet")
+            # max_range may be a runtime GameValue (mutation_config.hpp:123):
+            # the ray unrolls to the map-diagonal bound and masks per element.
+            if isinstance(m.max_range, int):
+                mr, mrv = m.max_range, None
+            else:
+                mr, mrv = 0, self.compile_value(self._as_value(m.max_range))
             dir_idx = {name: i for i, name in enumerate(DIRECTION_NAMES)}
             return CompiledMutation(
                 kind=kind,
                 spawn_type_id=self.type_names.index(m.object_type),
                 directions=tuple(dir_idx[d] for d in m.directions),
-                max_range=m.max_range,
+                max_range=mr,
+                max_range_value=mrv,
                 blocker=tuple(self.compile_filter_cfg(f) for f in m.blocker),
             )
         raise NotImplementedError(f"Mutation type {kind!r} not yet compiled in the TPU engine")

@@ -1,0 +1,81 @@
+"""Round-3 Mosaic primitive smoke tests (run on the TPU host).
+
+1. pltpu.roll with stride/stride_axis: per-sublane lane rotation — needed to
+   pack 3 window rows (39 lanes each) into one 128-lane row before the
+   permute matmul (K 2048 -> 640).
+2. Strided sublane slicing (x[0:15:3]) — the group-sum alternative to a
+   reshape-based row packing.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+print("backend:", jax.default_backend())
+
+
+def test_strided_roll():
+    x = np.arange(16 * 128, dtype=np.int32).reshape(16, 128)
+
+    def kernel(in_ref, out_ref):
+        out_ref[:] = pltpu.roll(in_ref[:], 0, 1, stride=39, stride_axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.int32),
+    )(jnp.asarray(x))
+    out = np.asarray(out)
+    ref = np.stack([np.roll(x[i], 39 * i) for i in range(16)])
+    print("strided_roll match(+39*i):", np.array_equal(out, ref))
+    if not np.array_equal(out, ref):
+        # maybe shift is negative-going or mod applied differently
+        for sgn in (-1, 1):
+            ref2 = np.stack([np.roll(x[i], sgn * ((39 * i) % 128)) for i in range(16)])
+            print("  alt sgn", sgn, np.array_equal(out, ref2))
+        print("  row1 out[:8]:", out[1, :8], "want:", ref[1, :8])
+
+
+def test_strided_slice_sum():
+    x = np.arange(16 * 128, dtype=np.int32).reshape(16, 128)
+
+    def kernel(in_ref, out_ref):
+        v = in_ref[:]
+        out_ref[:] = v[0:13:3] + v[1:14:3] + v[2:15:3]
+
+    try:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((5, 128), jnp.int32),
+        )(jnp.asarray(x))
+        out = np.asarray(out)
+        ref = x[0:13:3] + x[1:14:3] + x[2:15:3]
+        print("strided_slice_sum match:", np.array_equal(out, ref))
+    except Exception as e:
+        print("strided_slice_sum FAILED:", type(e).__name__, str(e)[:300])
+
+
+def test_reshape_group_sum():
+    x = np.arange(24 * 128, dtype=np.int32).reshape(24, 128)
+
+    def kernel(in_ref, out_ref):
+        v = in_ref[:]
+        out_ref[:] = v.reshape(8, 3, 128).sum(axis=1)
+
+    try:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        )(jnp.asarray(x))
+        out = np.asarray(out)
+        ref = x.reshape(8, 3, 128).sum(axis=1)
+        print("reshape_group_sum match:", np.array_equal(out, ref))
+    except Exception as e:
+        print("reshape_group_sum FAILED:", type(e).__name__, str(e)[:300])
+
+
+test_strided_roll()
+test_strided_slice_sum()
+test_reshape_group_sum()
+print("done")

@@ -1,0 +1,39 @@
+"""Infer pltpu.roll stride semantics: per-row actual shift amounts."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+print("backend:", jax.default_backend())
+
+
+def probe(shift, stride):
+    x = np.arange(16 * 128, dtype=np.int32).reshape(16, 128)
+
+    def kernel(in_ref, out_ref):
+        out_ref[:] = pltpu.roll(in_ref[:], shift, 1, stride=stride, stride_axis=0)
+
+    out = np.asarray(
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((16, 128), jnp.int32),
+        )(jnp.asarray(x))
+    )
+    amts = []
+    for i in range(16):
+        # find a such that out[i] == np.roll(x[i], a)
+        base = x[i, 0]
+        pos = int(np.where(out[i] == base)[0][0])
+        # np.roll right by a puts x[0] at index a
+        amts.append(pos)
+        assert np.array_equal(out[i], np.roll(x[i], pos)), f"row {i} not a pure roll"
+    print(f"shift={shift} stride={stride}: right-roll amounts per row:", amts)
+
+
+probe(0, 39)
+probe(0, 1)
+probe(5, 0)
+probe(3, 2)
+print("done")

@@ -1,0 +1,47 @@
+"""Composed strided rolls (31+8 = 39/row) and 15-row slice + group-sum."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+print("backend:", jax.default_backend())
+
+x = np.arange(16 * 128, dtype=np.int32).reshape(16, 128)
+
+
+def test_double_roll():
+    def kernel(in_ref, out_ref):
+        v = pltpu.roll(in_ref[:], 0, 1, stride=31, stride_axis=0)
+        out_ref[:] = pltpu.roll(v, 0, 1, stride=8, stride_axis=0)
+
+    out = np.asarray(
+        pl.pallas_call(kernel, out_shape=jax.ShapeDtypeStruct((16, 128), jnp.int32))(
+            jnp.asarray(x)
+        )
+    )
+    ref = np.stack([np.roll(x[i], 39 * i) for i in range(16)])
+    print("double strided roll (39*i) match:", np.array_equal(out, ref))
+
+
+def test_slice15_group_sum():
+    def kernel(in_ref, out_ref):
+        v = in_ref[:][0:15]
+        out_ref[:] = v.reshape(5, 3, 128).sum(axis=1)
+
+    try:
+        out = np.asarray(
+            pl.pallas_call(kernel, out_shape=jax.ShapeDtypeStruct((5, 128), jnp.int32))(
+                jnp.asarray(x)
+            )
+        )
+        ref = x[0:15].reshape(5, 3, 128).sum(axis=1)
+        print("slice15 + reshape group sum match:", np.array_equal(out, ref))
+    except Exception as e:
+        print("slice15 FAILED:", type(e).__name__, str(e)[:300])
+
+
+test_double_roll()
+test_slice15_group_sum()
+print("done")

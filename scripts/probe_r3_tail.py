@@ -1,0 +1,309 @@
+"""Round-3 obs-tail microbench: v1 vs v2 kernels + in-kernel stage ablations.
+
+Builds the real bench arena (E=4096 x 24), pulls the static tables off
+make_obs_fn, and times kernel variants with time_fn_carry (the only trusted
+harness on the tunneled backend). Stage knobs skip the compaction / permute
+so their in-context costs fall out by differencing.
+"""
+
+import functools
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from timing import rtt_baseline  # noqa: E402
+import time  # noqa: E402
+
+
+def time_carry_arr(fn, r0, k=8, n=3):
+    """Chained scan carrying an int array state; output folded into the carry
+    so XLA can neither cache nor hoist the kernel call."""
+
+    @jax.jit
+    def chained(s0, r):
+        def body(carry, i):
+            cs, rr = carry
+            r2, out = fn(rr)
+            cs = cs + sum(jnp.sum(o.astype(jnp.float32)) for o in jax.tree_util.tree_leaves(out))
+            dep = jnp.minimum(jnp.abs(cs).astype(jnp.int32), 0)  # 0, data-dependent
+            return (cs, r2 + dep), None
+
+        (total, rf), _ = jax.lax.scan(body, (s0, r), jnp.arange(k))
+        return total + jnp.sum(rf).astype(jnp.float32)
+
+    np.asarray(chained(jnp.float32(0.0), r0))
+    rtt = rtt_baseline()
+    ts = []
+    for run in range(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.float32(run + 1), r0))
+        ts.append(time.perf_counter() - t0)
+    return max((min(ts) - rtt) / k, 0.0)
+
+from mettagrid_tpu.builder import make_arena  # noqa: E402
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
+import mettagrid_tpu.engine.obs as obs_mod  # noqa: E402
+from mettagrid_tpu.engine.pallas_kernels import (  # noqa: E402
+    _compact_block,
+    _compact_packed_v2,
+    _V2_INV,
+    _V2_RPE,
+    obs_tail_static_pallas,
+    obs_tail_static_v2_pallas,
+)
+
+E = 4096
+A = 24
+
+
+def build():
+    cfg = make_arena(A, combat=False)
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    rng = np.random.default_rng(0)
+    maps = []
+    for _ in range(64):
+        builder.config.seed = int(rng.integers(0, 2**31 - 1))
+        maps.append(builder.build_for_num_agents(A))
+    init = build_env_init(program, maps)
+    bg = obs_mod.build_static_bg(program, init)
+    obs_fn = obs_mod.make_obs_fn(program, static_bg=bg)
+    tb = obs_fn._tables
+    reset = make_reset(program, init, E)
+    state, _ = reset(0)
+    return program, state, tb
+
+
+
+def _pack_windows_2d(xb, OH, OWS):
+    """Packing formulated on a single 2D [B*RPE, 128] plane (3D rolls get
+    scalarized per 2D slice by Mosaic — 8.7 ms vs this)."""
+    B, RPE, L = xb.shape
+    x2 = xb.reshape(B * RPE, L)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B * RPE, L), 0) % RPE
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B * RPE, L), 1)
+    keep = (row < OH) & (lane < OWS)
+    par = row % 3
+    x0 = jnp.where(keep & (par == 0), x2, 0)
+    x1 = jnp.roll(jnp.where(keep & (par == 1), x2, 0), OWS, axis=1)
+    xx2 = jnp.roll(jnp.where(keep & (par == 2), x2, 0), 2 * OWS, axis=1)
+    y = x0 + x1 + xx2
+    return y.reshape(B * RPE // 3, 3, L).sum(axis=1).reshape(B, RPE // 3, L)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("OH", "OWS", "KS", "stage", "compaction", "block_envs")
+)
+def v2_variant(
+    static_imgp, map_idx, row0, lane0, rext, lext, words, perm8, tri8, loc15,
+    OH, OWS, KS, stage="full", compaction="packed", block_envs=8,
+):
+    P, HP, WPC = static_imgp.shape
+    Ee, Aa = row0.shape
+    S = words.shape[2]
+    K_mat, KS_pad = perm8.shape
+    BE = block_envs
+    BA = BE * Aa
+    RPE = _V2_RPE
+
+    def kernel(r_ref, l_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
+               rext_ref, lext_ref, w_ref, out_ref, att_ref, imgs, winf):
+        blk = pl.program_id(0)
+        for e in range(BE):
+            m = m_ref[blk * BE + e]
+            base = static_ref[m]
+            r_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (HP, Aa), 0) == rext_ref[e][None, :]
+            ).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Aa, WPC), 1)
+            base_l = lext_ref[e][:, None]
+            rhs = jnp.zeros((Aa, WPC), dtype=jnp.float32)
+            for s in range(S):
+                rhs = rhs + jnp.where(
+                    lane == base_l + s, w_ref[e, :, s][:, None].astype(jnp.float32), 0.0
+                )
+            dyn = jax.lax.dot_general(
+                r_oh, rhs, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            imgs[e] = base + dyn.astype(jnp.int32)
+
+        RX = 16 if stage in ("extract16",) else RPE
+        for e in range(BE):
+            for a in range(Aa):
+                idx = (blk * BE + e) * Aa + a
+                x = imgs[e, pl.ds(r_ref[idx], RX), :]
+                x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                winf[e * Aa + a, :RX] = x[:, :128]
+
+        if stage in ("extractonly", "extract16"):
+            out_ref[:, :, :] = winf[:].reshape(BA, -1)[:, :KS_pad].reshape(BE, Aa, KS_pad)
+            att_ref[:, :] = jnp.zeros((BE, Aa), jnp.int32)
+            return
+
+        if stage.startswith("nopack"):
+            lhs = winf[:].reshape(BA, RPE * 128)[:, :K_mat]
+        else:
+            packed = _pack_windows_2d(winf[:], OH, OWS)
+            if stage == "packext":
+                out_ref[:, :, :] = packed.reshape(BA, -1)[:, :KS_pad].reshape(BE, Aa, KS_pad)
+                att_ref[:, :] = jnp.zeros((BE, Aa), jnp.int32)
+                return
+            lhs = packed.reshape(BA, (RPE // 3) * 128)[:, :K_mat]
+        if stage == "nopermute":
+            cells = jnp.pad(lhs, ((0, 0), (0, max(0, KS_pad - K_mat))))[:, :KS_pad]
+        else:
+            rhs2 = perm_ref[:]
+            hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+            lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
+            cr = jnp.where(col < KS, 128, 0)
+            cells = ((hi + cr) << 8) | (lo + cr)
+
+        ok = cells > 0
+        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, Aa)
+        if stage == "nocompact":
+            out_ref[:, :, :] = cells.reshape(BE, Aa, KS_pad)
+            return
+        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
+        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
+        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
+        if compaction == "packed":
+            v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
+            out = _compact_packed_v2(v, KS_pad)
+        else:
+            w = jnp.where(ok, (cells - 1) | (loc << 1), -1)  # 2 arrays, v1-style
+            tri_full = tri_ref[:]
+            del tri_full
+            out = _compact_block(w, KS_pad)
+        out_ref[:, :, :] = out.reshape(BE, Aa, KS_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Ee // BE,),
+        in_specs=[
+            pl.BlockSpec((P, HP, WPC), lambda i, r, l, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(perm8.shape, lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri8.shape, lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(loc15.shape, lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, Aa), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, Aa), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, Aa, S), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, Aa, KS_pad), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, Aa), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BE, HP, WPC), jnp.int32),
+            pltpu.VMEM((BA, RPE, 128), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Ee, Aa, KS_pad), jnp.int32),
+            jax.ShapeDtypeStruct((Ee, Aa), jnp.int32),
+        ],
+    )(row0.reshape(-1), lane0.reshape(-1), map_idx,
+      static_imgp, perm8, tri8, loc15, rext, lext, words)
+
+
+def main():
+    program, state, tb = build()
+    S, KS, KS_pad = tb["S"], tb["KS"], tb["KS_pad"]
+    OH, OW, hr, wr, T = tb["OH"], tb["OW"], tb["hr"], tb["wr"], tb["T"]
+    H = program.height
+    imgp = tb["imgp_static_i32"]
+    perm2, tri2, loc15 = tb["perm2"], tb["tri2"], tb["loc15"]
+    perm_v1 = tb["perm_fused"]
+    Gt = 3
+    loc_const = tb["make_loc_const"](Gt)
+
+    agent_r = state.obj_r[:, :A]
+    agent_c = state.obj_c[:, :A]
+    map_idx = state.map_idx
+    rng = np.random.default_rng(7)
+    words_a = jnp.asarray(rng.integers(1, 0x8000, (E, A, S)), dtype=jnp.int32)
+    gplus = jnp.asarray(rng.integers(1, 0x10000, (E, A, Gt)), dtype=jnp.int32)
+    T_pad = ((T + 127) // 128) * 128
+
+    def perturb_r(r, i):
+        return jnp.clip((r + i) % H, 0, H - 1)
+
+    def run_v1(r):
+        out, att = obs_tail_static_pallas(
+            imgp, map_idx, r, agent_c * S, r + hr, (agent_c + wr) * S,
+            words_a, gplus, perm_v1, loc_const, T_pad,
+        )
+        return perturb_r(r, 1), (out[:, :, 0], att)
+
+    def run_v2(r):
+        out, att = obs_tail_static_v2_pallas(
+            imgp, map_idx, r, agent_c * S, r + hr, (agent_c + wr) * S,
+            words_a, gplus, perm2, tri2, loc15, OH, OW * S, KS,
+        )
+        return perturb_r(r, 1), (out[:, :, 0], att)
+
+    def make_runner(stage, compaction="packed", perm=None):
+        permx = perm2 if perm is None else perm
+        def run(r):
+            out, att = v2_variant(
+                imgp, map_idx, r, agent_c * S, r + hr, (agent_c + wr) * S,
+                words_a, permx, tri2, loc15, OH, OW * S, KS,
+                stage=stage, compaction=compaction,
+            )
+            return perturb_r(r, 1), (out[:, :, 0], att)
+        return run
+
+    # Unpacked permute: raster position (u, v*S+s) at flat lane u*128 + v*S+s.
+    from mettagrid_tpu.engine.pallas_kernels import _V2_RPE as RPE_
+    import numpy as _np
+    KS_pad = perm2.shape[1]
+    uv = {}
+    off = _np.array(program.window_offsets, dtype=_np.int32)
+    for kk in range(off.shape[0]):
+        uv[kk] = (int(off[kk, 0]) + OH // 2, int(off[kk, 1]) + OW // 2)
+    perm_unpacked = _np.zeros((RPE_ * 128, KS_pad), dtype=_np.int8)
+    for kk, (u, v) in uv.items():
+        for s in range(S):
+            perm_unpacked[u * 128 + v * S + s, kk * S + s] = 1
+    perm_unpacked = jnp.asarray(perm_unpacked)
+
+    r0 = jnp.clip(agent_r, 0, H - 1)
+    results = {}
+    for name, fn in [
+        ("v1_prod", run_v1),
+        ("v2_prod", run_v2),
+        ("v2_packext2d", make_runner("packext")),
+        ("v2_full2d", make_runner("full")),
+        ("v2_nopack_full", make_runner("nopack_full", perm=perm_unpacked)),
+    ]:
+        try:
+            dt = time_carry_arr(fn, r0, k=8, n=3)
+            results[name] = dt * 1e3
+            print(f"{name:18s} {dt*1e3:7.3f} ms")
+        except Exception as e:
+            print(f"{name:18s} FAILED: {type(e).__name__} {str(e)[:200]}")
+
+    r = results
+    if "v2_extractonly" in r and "v2_extract16" in r:
+        print(f"-> extra 8 extraction rows: {r['v2_extractonly']-r['v2_extract16']:.3f} ms")
+    if "v2_packext" in r and "v2_extractonly" in r:
+        print(f"-> batched packing        : {r['v2_packext']-r['v2_extractonly']:.3f} ms")
+    if "v2_nocompact" in r and "v2_packext" in r:
+        print(f"-> permute+wordbuild      : {r['v2_nocompact']-r['v2_packext']:.3f} ms")
+    if "v2_full" in r and "v2_nocompact" in r:
+        print(f"-> packed compaction      : {r['v2_full']-r['v2_nocompact']:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Gate-soundness matrix for the two perf-critical specializations.
+
+CLAUDE.md's invariant: any mutation/handler kind that can move/alter/spawn
+NON-AGENT objects must make `obs.static_background_ok` (and where relevant
+`actions_fast.pure_move_ok`) return False, or the gated fast paths silently
+miscompute (bench.py assumes these gates). VERDICT r2 weak #3 / next #6:
+`pure_move_ok` had a must-disable test; `static_background_ok` only had a
+must-enable assert. This file is the full matrix: every disqualifying config
+family must provably flip the gates off, and the shipped presets' path
+assignments are pinned by enumeration.
+"""
+
+import pytest
+
+from mettagrid_tpu.builder import make_arena, make_navigation
+from mettagrid_tpu.config.event_config import EventConfig
+from mettagrid_tpu.config.game_config import AgentConfig, GridObjectConfig
+from mettagrid_tpu.config.handler_config import (
+    AOEConfig,
+    EntityTarget,
+    Handler,
+    PushObjectMutation,
+    ResourceDeltaMutation,
+    SpawnObjectMutation,
+    updateTarget,
+)
+from mettagrid_tpu.config.territory_config import TerritoryConfig, TerritoryControlConfig
+from mettagrid_tpu.engine import compile_program
+from mettagrid_tpu.engine.actions_fast import fast_mode_ok, pure_move_ok
+from mettagrid_tpu.engine.obs import static_background_ok
+from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+
+def small_arena():
+    return make_arena(
+        4,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=4, width=10, height=10, border_width=1, objects={"wall": 4}
+        ),
+    )
+
+
+def test_baseline_arena_qualifies_for_both_gates():
+    program = compile_program(small_arena())
+    assert pure_move_ok(program)
+    assert static_background_ok(program)
+
+
+# ---------------------------------------------------------------------------
+# static_background_ok must-disable matrix: anything that can change a
+# non-agent object's tokens/position/aliveness over the episode.
+# ---------------------------------------------------------------------------
+
+
+def _with_events(cfg):
+    cfg.game.objects["wall"].tags = ["refill"]
+    cfg.game.events = {
+        "refill": EventConfig(
+            name="refill",
+            target_query="refill",
+            timesteps=[2],
+            mutations=[updateTarget({"heart": 1})],
+        )
+    }
+    return cfg
+
+
+def _with_aoe(cfg):
+    cfg.game.objects["beacon"] = GridObjectConfig(
+        name="beacon",
+        map_name="beacon",
+        aoes={
+            "heal": AOEConfig(
+                radius=2,
+                mutations=[
+                    ResourceDeltaMutation(target=EntityTarget.TARGET, deltas={"heart": 1})
+                ],
+            )
+        },
+    )
+    return cfg
+
+
+def _with_territory(cfg):
+    cfg.game.territories = {"zone": TerritoryConfig(tag_prefix="team")}
+    cfg.game.objects["hub"] = GridObjectConfig(
+        name="hub",
+        map_name="hub",
+        tags=["team:red"],
+        territory_controls=[TerritoryControlConfig(territory="zone")],
+    )
+    return cfg
+
+
+def _with_game_on_tick(cfg):
+    cfg.game.on_tick = Handler(
+        name="tick", mutations=[updateTarget({"heart": 1})]
+    )
+    return cfg
+
+
+def _with_agent_on_tick(cfg):
+    cfg.game.agent = AgentConfig(
+        on_tick=Handler(name="drip", mutations=[updateTarget({"heart": 1})])
+    )
+    return cfg
+
+
+def _with_spawn_move_handler(cfg):
+    cfg.game.actions.move.handlers = [
+        Handler(
+            name="trailblaze",
+            mutations=[SpawnObjectMutation(object_type="wall")],
+        )
+    ]
+    return cfg
+
+
+def _with_push_move_handler(cfg):
+    cfg.game.actions.move.handlers = [
+        Handler(name="shove", mutations=[PushObjectMutation()])
+    ]
+    return cfg
+
+
+DISQUALIFIERS = {
+    "events": _with_events,
+    "aoe": _with_aoe,
+    "territory": _with_territory,
+    "game_on_tick": _with_game_on_tick,
+    "agent_on_tick": _with_agent_on_tick,
+    "spawn_object_move": _with_spawn_move_handler,
+    "push_object_move": _with_push_move_handler,
+}
+
+
+@pytest.mark.parametrize("name", sorted(DISQUALIFIERS))
+def test_static_background_gate_disqualifies(name):
+    cfg = DISQUALIFIERS[name](small_arena())
+    program = compile_program(cfg)
+    assert not static_background_ok(program), (
+        f"config family {name!r} can alter non-agent cells but "
+        "static_background_ok stayed True — the bench path would miscompute"
+    )
+
+
+@pytest.mark.parametrize("name", ["spawn_object_move", "push_object_move"])
+def test_pure_move_gate_disqualifies_grid_mutators(name):
+    cfg = DISQUALIFIERS[name](small_arena())
+    program = compile_program(cfg)
+    assert not pure_move_ok(program)
+
+
+# ---------------------------------------------------------------------------
+# Path enumeration: pin which shipped presets take which specialization.
+# A new mutation kind that silently keeps a gate open changes this table.
+# ---------------------------------------------------------------------------
+
+
+def _paths(program):
+    return (
+        "pure" if pure_move_ok(program) else ("fast" if fast_mode_ok(program) else "sequential"),
+        "static-bg" if static_background_ok(program) else "dynamic",
+    )
+
+
+def test_preset_path_assignments():
+    import bench
+
+    table = {
+        "arena": _paths(compile_program(make_arena(4, combat=False))),
+        "arena_combat": _paths(compile_program(make_arena(4, combat=True))),
+        "navigation": _paths(compile_program(make_navigation(4))),
+        "general_bench": _paths(compile_program(bench.make_general_cfg(4))),
+    }
+    assert table == {
+        # bench.py's headline config: both specializations (asserted there too)
+        "arena": ("pure", "static-bg"),
+        # combat arms the legacy attack action (inert in the reference as
+        # shipped, VERDICT r2 §2.1); moves stay pure relocation
+        "arena_combat": ("pure", "static-bg"),
+        "navigation": ("pure", "static-bg"),
+        # the general bench must exercise the un-specialized engine
+        "general_bench": ("fast", "dynamic"),
+    }, f"preset path assignments changed: {table}"

