@@ -31,12 +31,66 @@ def _fire_table(program: EngineProgram, timesteps: tuple[int, ...]) -> np.ndarra
     return table
 
 
-def _apply_event(program, state: EnvState, ev, keys: jnp.ndarray, env_fire: jnp.ndarray):
+def _apply_query_limits_mt(program, state: EnvState, q, mask: jnp.ndarray, active: jnp.ndarray):
+    """Reference-stream twin of exec._apply_query_limits: when
+    order_by=random, consume a libstdc++ std::shuffle of the result vector
+    from the per-env MT19937 and THEN resize (query_system.cpp:75-87) —
+    draws happen only where active (the reference only evaluates the query
+    when the event fires).
+
+    Returns (state, mask, order): order[e, s] is the slot's position in the
+    reference's result VECTOR (the event's max_targets shuffle permutes that
+    vector, so downstream consumers must compose with this order, not with
+    registration order). Surviving positions are contiguous 0..count-1."""
+    from mettagrid_tpu.engine.exec import _env_slots, eval_value
+    from mettagrid_tpu.engine.mt19937 import shuffle_perm
+
+    E, N = mask.shape
+    m = mask.astype(jnp.int32)
+    rank = jnp.cumsum(m, axis=1) - m  # registration-order rank of each result
+    if q.max_items_value is not None:
+        v = eval_value(program, state, q.max_items_value, _env_slots(state, None), None)
+        cap = jnp.where(v < 0, N, jnp.floor(v)).astype(jnp.int32)  # -1 = unlimited
+    elif q.max_items > 0:
+        cap = jnp.full((E,), q.max_items, dtype=jnp.int32)
+    else:
+        cap = jnp.full((E,), N, dtype=jnp.int32)
+    if not q.order_random:
+        if q.max_items_value is None and q.max_items <= 0:
+            return state, mask, rank
+        return state, mask & (rank < cap[:, None]), rank
+    n = mask.sum(axis=1).astype(jnp.int32)
+    mt, perm = shuffle_perm(state.mt, n, N, active)  # shuffles whenever random, even uncapped
+    state = state._replace(mt=mt)
+    inv = jnp.argsort(perm, axis=1).astype(jnp.int32)  # rank -> shuffled position
+    pos = jnp.take_along_axis(inv, rank, axis=1)
+    # resize() truncates the shuffled vector, so surviving positions stay
+    # contiguous and ARE the result-vector order.
+    return state, mask & (pos < cap[:, None]), pos
+
+
+def _apply_event(
+    program, state: EnvState, ev, keys: jnp.ndarray, env_fire: jnp.ndarray,
+    reference_rng: bool = False,
+):
     """Apply one event where env_fire[e]. keys: per-env uint32[E, 2] (the
     reference has an independent mt19937 per env instance — mettagrid_c.cpp:51).
+    In reference_rng mode the event instead consumes state.mt — the in-engine
+    std::mt19937 twin — exactly as Event::execute does (event.cpp:38-56):
+    target-query random caps first, then the max_targets shuffle, applying
+    the first max_targets FILTER-PASSING targets in shuffled order.
     Returns (state, applied_count[E])."""
     E, N = state.obj_type.shape
-    targets = eval_query_mask(program, state, ev.target_query)  # [E, N]
+    t_order = None
+    if reference_rng:
+        from mettagrid_tpu.engine.exec import _eval_query_mask_unlimited
+
+        raw = _eval_query_mask_unlimited(program, state, ev.target_query)  # [E, N]
+        state, targets, t_order = _apply_query_limits_mt(
+            program, state, ev.target_query, raw, env_fire
+        )
+    else:
+        targets = eval_query_mask(program, state, ev.target_query)  # [E, N]
 
     slots = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (E, N))
     ctx = Ctx(
@@ -49,7 +103,30 @@ def _apply_event(program, state: EnvState, ev, keys: jnp.ndarray, env_fire: jnp.
     )
     passed = targets & env_fire[:, None] & eval_filters(program, state, ctx, ev.handler.filters)
 
-    if ev.max_targets > 0:
+    if ev.max_targets > 0 and reference_rng:
+        from mettagrid_tpu.engine.mt19937 import shuffle_perm
+
+        # event.cpp:41-44: shuffle the target list only when it exceeds
+        # max_targets, then walk it applying the first max_targets targets
+        # whose filters pass (failures don't count against the cap).
+        n_t = targets.sum(axis=1).astype(jnp.int32)
+        do_shuf = env_fire & (n_t > ev.max_targets)
+        mt, perm = shuffle_perm(state.mt, n_t, N, do_shuf)
+        state = state._replace(mt=mt)
+        # Base order = the query's result-vector order (itself shuffled when
+        # the query is order_by=random); survivors' t_order is contiguous
+        # 0..n_t-1, so the event shuffle composes directly on it.
+        base = jnp.where(targets, t_order, N - 1)
+        inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
+        pos = jnp.take_along_axis(inv, base, axis=1)  # slot -> shuffled position
+        oh = (pos[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]) & targets[:, :, None]
+        pass_at_pos = jnp.einsum(
+            "esp,es->ep", oh.astype(jnp.int32), passed.astype(jnp.int32)
+        )
+        cum = jnp.cumsum(pass_at_pos, axis=1)
+        kept_at_pos = (pass_at_pos > 0) & (cum <= ev.max_targets)
+        passed = passed & jnp.take_along_axis(kept_at_pos, pos, axis=1)
+    elif ev.max_targets > 0:
         # Random ranking among passing targets; keep the max_targets smallest.
         ranks = jax.vmap(lambda k: jax.random.uniform(k, (N,)))(keys)  # [E, N]
         ranks = jnp.where(passed, ranks, jnp.inf)
@@ -65,8 +142,13 @@ def _apply_event(program, state: EnvState, ev, keys: jnp.ndarray, env_fire: jnp.
     return state, applied
 
 
-def make_event_phase(program: EngineProgram):
-    """Returns event_phase(state, key) -> state, or None when no events."""
+def make_event_phase(program: EngineProgram, reference_rng: bool = False):
+    """Returns event_phase(state, key) -> state, or None when no events.
+
+    reference_rng: consume the in-engine std::mt19937 twin (state.mt) for
+    target-query random caps and max_targets shuffles, in the reference's
+    exact stream order (agent shuffle first — step.py — then events in
+    declaration order per step)."""
     if not program.events:
         return None
 
@@ -95,7 +177,9 @@ def make_event_phase(program: EngineProgram):
 
         for i, ev in enumerate(program.events):
             fire = tables[i][t]  # [E]
-            state, applied = _apply_event(program, state, ev, subkeys[:, i], fire)
+            state, applied = _apply_event(
+                program, state, ev, subkeys[:, i], fire, reference_rng=reference_rng
+            )
             state = set_game_stat(state, fire, ev.stat_id, applied.astype(jnp.float32), mode="add")
             if ev.fallback >= 0:
                 pending[ev.fallback] = pending[ev.fallback] | (fire & (applied == 0))
@@ -105,7 +189,8 @@ def make_event_phase(program: EngineProgram):
             for i, ev in enumerate(program.events):
                 pend = cur[i]
                 state, applied = _apply_event(
-                    program, state, ev, subkeys[:, n_ev * (level + 1) + i], pend
+                    program, state, ev, subkeys[:, n_ev * (level + 1) + i], pend,
+                    reference_rng=reference_rng,
                 )
                 state = set_game_stat(
                     state, pend, ev.stat_id, applied.astype(jnp.float32), mode="add"

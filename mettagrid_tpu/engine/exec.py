@@ -173,6 +173,18 @@ def agent_slot_ok(slot: jnp.ndarray, num_agents: int) -> jnp.ndarray:
     return (slot >= 0) & (slot < num_agents)
 
 
+def true_grid(state, num_agents: int) -> jnp.ndarray:
+    """Grid with the agent layer rebuilt from positions. Under the lazy-grid
+    specialization (actions_fast.make_action_phase_fast lazy_grid) state.grid's
+    agent entries are stale — this is the canonical reconstruction for hosts
+    and tests that need real agent occupancy."""
+    E = state.grid.shape[0]
+    g = jnp.where((state.grid >= 0) & (state.grid < num_agents), -1, state.grid)
+    slots = jnp.broadcast_to(jnp.arange(num_agents, dtype=jnp.int32)[None, :], (E, num_agents))
+    alive = state.obj_alive[:, :num_agents]
+    return grid_write(g, state.obj_r[:, :num_agents], state.obj_c[:, :num_agents], slots, alive)
+
+
 # =====================================================================
 # Inventory math (reference: objects/inventory.cpp:38-88, inventory.hpp:16-41)
 # =====================================================================

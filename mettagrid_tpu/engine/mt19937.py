@@ -1,0 +1,182 @@
+"""Vectorized in-engine std::mt19937 with libstdc++ draw semantics.
+
+Bit-parity for RNG-consuming engine features (VERDICT r2 missing #1): the
+reference engine owns one std::mt19937 per env (mettagrid_c.cpp:51-52) and
+consumes it mid-step for agent-order shuffles (mettagrid_c.cpp:957-960),
+event max_targets shuffles (handler/event.cpp:41-44), and order_by=random
+query caps (core/query_system.cpp:78-79). Event/query consumption is
+data-dependent (draw counts depend on how many targets pass at that step),
+so the stream cannot be precomputed on the host the way the agent shuffle
+is (parity/rng.py + external_perm) — it must live in the jitted step.
+
+This module implements the exact algorithms over a per-env state array
+uint32[E, 625] (624 twister words + the cursor), all draws masked per env so
+only envs that would consume the reference stream advance:
+
+  * MT19937 seed/twist/temper exactly as std::mt19937.
+  * std::uniform_int_distribution's Lemire rejection path for 32-bit engines
+    (/usr/include/c++/12/bits/uniform_int_dist.h _S_nd<uint64, uint32>),
+    with the 32x32->64 product done in 16-bit limbs (no x64 dependency).
+  * libstdc++ std::shuffle (bits/stl_algo.h): for n < 65536 pairs of swap
+    positions come from ONE draw over [0, (i+1)(i+2)) (__gen_two_uniform_ints)
+    with a single range-2 draw first when n is even.
+
+Correctness is pinned against the native libstdc++ twin
+(parity/csrc/parity_rng.cpp) in tests/test_mt19937.py. Performance is a
+non-goal: this runs in reference_rng parity mode only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MT_N = 624
+MT_M = 397
+_MATRIX_A = np.uint32(0x9908B0DF)
+_UPPER = np.uint32(0x80000000)
+_LOWER = np.uint32(0x7FFFFFFF)
+_U32 = jnp.uint32
+
+
+def mt_init(seeds: jnp.ndarray) -> jnp.ndarray:
+    """Seed per-env twisters. seeds: uint32[E] -> state uint32[E, 625]."""
+    s0 = seeds.astype(_U32)
+
+    def body(prev, i):
+        nxt = _U32(1812433253) * (prev ^ (prev >> 30)) + i
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(body, s0, jnp.arange(1, MT_N, dtype=_U32))  # [623, E]
+    mt = jnp.concatenate([s0[:, None], rest.T], axis=1)  # [E, 624]
+    idx = jnp.full((s0.shape[0], 1), MT_N, dtype=_U32)
+    return jnp.concatenate([mt, idx], axis=1)
+
+
+def _twist(mt: jnp.ndarray) -> jnp.ndarray:
+    """One full generation (624 words), staged to honor the in-place
+    sequential dependencies: mt[(i+M)%N] reads UPDATED words for i >= N-M,
+    and i = N-1 reads the updated mt[0] in its y term."""
+    y = (mt & _UPPER) | (jnp.roll(mt, -1, axis=1) & _LOWER)
+    xa = (y >> 1) ^ jnp.where((y & 1) == 1, _MATRIX_A, _U32(0))
+    NM = MT_N - MT_M  # 227
+    n1 = mt[:, MT_M : MT_M + NM] ^ xa[:, :NM]          # i in [0, 227)
+    n2 = n1 ^ xa[:, NM : 2 * NM]                        # i in [227, 454)
+    n3 = n2[:, : MT_N - 1 - 2 * NM] ^ xa[:, 2 * NM : MT_N - 1]  # i in [454, 623)
+    y_last = (mt[:, MT_N - 1] & _UPPER) | (n1[:, 0] & _LOWER)
+    xl = (y_last >> 1) ^ jnp.where((y_last & 1) == 1, _MATRIX_A, _U32(0))
+    n_last = n2[:, (MT_N - 1 + MT_M) % MT_N - NM] ^ xl  # new[396] = n2[169]
+    return jnp.concatenate([n1, n2, n3, n_last[:, None]], axis=1)
+
+
+def _temper(y: jnp.ndarray) -> jnp.ndarray:
+    y = y ^ (y >> 11)
+    y = y ^ ((y << 7) & _U32(0x9D2C5680))
+    y = y ^ ((y << 15) & _U32(0xEFC60000))
+    return y ^ (y >> 18)
+
+
+def mt_next(state: jnp.ndarray, active: jnp.ndarray):
+    """Draw one tempered u32 per env where active; inactive envs neither
+    advance their cursor nor twist. Returns (state, u32[E])."""
+    mt, idx = state[:, :MT_N], state[:, MT_N]
+    need_twist = active & (idx >= MT_N)
+    mt = jnp.where(need_twist[:, None], _twist(mt), mt)
+    idx = jnp.where(need_twist, _U32(0), idx)
+    pos = jnp.minimum(idx, _U32(MT_N - 1)).astype(jnp.int32)
+    y = jnp.take_along_axis(mt, pos[:, None], axis=1)[:, 0]
+    idx = jnp.where(active, idx + 1, idx)
+    return jnp.concatenate([mt, idx[:, None]], axis=1), _temper(y)
+
+
+def _mul32_hi_lo(u: jnp.ndarray, r: jnp.ndarray):
+    """(u * r) as (lo32, hi32) in uint32 arithmetic (16-bit limbs)."""
+    ul, uh = u & _U32(0xFFFF), u >> 16
+    rl, rh = r & _U32(0xFFFF), r >> 16
+    t = ul * rl
+    t1 = uh * rl + (t >> 16)
+    t2 = ul * rh + (t1 & _U32(0xFFFF))
+    hi = uh * rh + (t1 >> 16) + (t2 >> 16)
+    return u * r, hi
+
+
+def uniform_int(state: jnp.ndarray, range_: jnp.ndarray, active: jnp.ndarray):
+    """std::uniform_int_distribution<uint64>(0, range-1) over the 32-bit
+    engine — the Lemire downscale with rejection (_S_nd<uint64, uint32>).
+    range_: uint32[E] >= 1 (envs with range 1 still consume one draw, as the
+    reference does). Returns (state, uint32[E] in [0, range))."""
+    r = range_.astype(_U32)
+    threshold = (_U32(0) - r) % r  # (2^32 - r) mod r
+    state, u = mt_next(state, active)
+    lo, hi = _mul32_hi_lo(u, r)
+    need = active & (lo < threshold)
+
+    def cond(c):
+        return jnp.any(c[3])
+
+    def body(c):
+        st, lo, hi, need = c
+        st, u = mt_next(st, need)
+        lo2, hi2 = _mul32_hi_lo(u, r)
+        lo = jnp.where(need, lo2, lo)
+        hi = jnp.where(need, hi2, hi)
+        return st, lo, hi, need & (lo < threshold)
+
+    state, lo, hi, _ = jax.lax.while_loop(cond, body, (state, lo, hi, need))
+    return state, jnp.where(active, hi, _U32(0))
+
+
+def _swap(perm: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, active: jnp.ndarray):
+    """perm[e, a[e]] <-> perm[e, b[e]] where active[e]."""
+    va = jnp.take_along_axis(perm, a[:, None], axis=1)[:, 0]
+    vb = jnp.take_along_axis(perm, b[:, None], axis=1)[:, 0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, perm.shape, 1)
+    act = active[:, None]
+    perm = jnp.where(act & (pos == a[:, None]), vb[:, None], perm)
+    return jnp.where(act & (pos == b[:, None]), va[:, None], perm)
+
+
+def shuffle_perm(state: jnp.ndarray, n: jnp.ndarray, max_n: int, active: jnp.ndarray):
+    """libstdc++ std::shuffle of identity[0..n) per env (n: int32[E] <= max_n,
+    must be < 65536 so the paired-draw path applies). Envs where not active
+    or n < 2 consume nothing and return identity. Returns
+    (state, perm int32[E, max_n]): perm[e, j] = original index at shuffled
+    position j (positions >= n[e] hold their identity)."""
+    E = n.shape[0]
+    n = n.astype(jnp.int32)
+    perm = jnp.broadcast_to(
+        jnp.arange(max_n, dtype=jnp.int32)[None, :], (E, max_n)
+    )
+    live = active & (n >= 2)
+    if max_n < 2:
+        return state, perm
+
+    # Even-n envs first draw uniform(0, 1) and swap positions (1, j)
+    # (stl_algo.h __shuffle: the leading __first[__d(...)] swap when
+    # (last - first) % 2 == 0).
+    even = live & (n % 2 == 0)
+    state, j0 = uniform_int(state, jnp.full((E,), 2, dtype=jnp.uint32), even)
+    perm = _swap(perm, jnp.ones((E,), jnp.int32), j0.astype(jnp.int32), even)
+
+    # Paired draws: p-th pair touches i = 2p (even n) / 2p - 1 (odd n);
+    # one draw over [0, (i+1)(i+2)) yields (x // (i+2), x % (i+2)).
+    # fori_loop keeps the trace constant-size (max_n can be the full slot
+    # count — unrolling hundreds of pair iterations would dominate compile).
+    def pair_body(p, carry):
+        state, perm = carry
+        i = jnp.where(n % 2 == 0, 2 * p, 2 * p - 1).astype(jnp.int32)
+        part = live & (i <= n - 2)
+        b1 = (i + 2).astype(jnp.uint32)
+        rng = (i + 1).astype(jnp.uint32) * b1
+        state, x = uniform_int(state, jnp.maximum(rng, 1), part)
+        p0 = (x // b1).astype(jnp.int32)
+        p1 = (x % b1).astype(jnp.int32)
+        perm = _swap(perm, i, p0, part)
+        perm = _swap(perm, i + 1, p1, part)
+        return state, perm
+
+    state, perm = jax.lax.fori_loop(
+        1, (max_n - 1) // 2 + 1, pair_body, (state, perm)
+    )
+    return state, perm

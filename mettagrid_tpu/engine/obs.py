@@ -388,17 +388,22 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         gw, gok = _all_global_words(state, E)
         return jnp.where(gok, (gw & 0xFFFF) + 1, 0)
 
-    def _unpack_words(out_words, attempted):
+    def _unpack_words(out_words, attempted, empty_mapped: bool = False):
+        """empty_mapped: the producer already emitted the EMPTY token word
+        (0xFFFFFF) for invalid slots (v2 kernel), so skip the sentinel
+        mapping pass and pad with the empty word directly."""
+        empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
+        pad_word = empty_word if empty_mapped else _LANDED_EMPTY
         if out_words.shape[-1] < T:  # fewer candidates than budget
             out_words = jnp.pad(
                 out_words,
                 ((0, 0), (0, 0), (0, T - out_words.shape[-1])),
-                constant_values=_LANDED_EMPTY,
+                constant_values=pad_word,
             )
         else:
             out_words = out_words[..., :T]
-        empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
-        out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
+        if not empty_mapped:
+            out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
         out = jnp.stack(
             [
                 (out_words >> 16) & 0xFF,
@@ -411,10 +416,30 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
 
     def _finish_fused(imgp, agent_r, agent_c, state, E):
         """Shared fused-kernel invocation + output unpack."""
-        from mettagrid_tpu.engine.pallas_kernels import obs_tail_pallas, use_pallas
+        from mettagrid_tpu.engine.pallas_kernels import (
+            obs_tail_dyn_v2_pallas,
+            obs_tail_pallas,
+            use_pallas,
+        )
 
         gplus = _global_plus(state, E)
         Gt = gplus.shape[-1]
+        if v2_ok_static and _OBS_V2:
+            # v2 tail over the per-env image (same gates as the static v2 —
+            # they constrain geometry/globals/feature-ids, not the
+            # background), globals injected in-kernel.
+            out_words, attempted = obs_tail_dyn_v2_pallas(
+                imgp,
+                agent_r,
+                agent_c * S,
+                gplus,
+                perm2_t,
+                tri2_t,
+                loc15_t,
+                KS,
+                interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
+            )
+            return _unpack_words(out_words, attempted, empty_mapped=True)
         T_pad = ((T + 127) // 128) * 128
         out_words, attempted = obs_tail_pallas(
             imgp,
@@ -494,7 +519,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                     KS,
                     interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
                 )
-                return _unpack_words(out_words, attempted)
+                return _unpack_words(out_words, attempted, empty_mapped=True)
 
             if imgp_static_i32 is not None:
                 # Fast path: image assembled IN-KERNEL — static pool

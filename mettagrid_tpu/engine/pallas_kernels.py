@@ -315,7 +315,7 @@ def obs_tail_pallas(
 #   * OH <= _V2_RPE, OW*S <= 128 (window geometry), KS_pad <= 512 (9-bit g)
 # ---------------------------------------------------------------------------
 
-_V2_RPE = 24  # extraction rows: multiple of 8 (pl.ds granularity), >= OH
+_V2_RPE = 16  # extraction rows: multiple of 8 (pl.ds granularity), >= OH
 _V2_INV = 0xFF << 15  # invalid marker: loc field 0xFF (impossible), g = 0
 
 
@@ -338,7 +338,10 @@ def _compact_packed_v2(v, C):
         b += 1
     valid = ((v >> 15) & 0xFF) != 0xFF
     word24 = (((v >> 15) & 0xFF) << 16) | (v & 0x7FFF)
-    return jnp.where(valid, word24, -1)
+    # Emit the reference EMPTY token word (0xFFFFFF) directly for invalid
+    # slots: the caller's byte-unpack then needs no sentinel mapping pass.
+    # Real words can never collide: loc 0xFF is excluded by the v2 gate.
+    return jnp.where(valid, word24, 0xFFFFFF)
 
 
 @functools.partial(
@@ -467,6 +470,97 @@ def obs_tail_static_v2_pallas(
         row0.reshape(-1), lane0.reshape(-1), map_idx,
         static_imgp, perm8, tri8, loc15, rext, lext, words, gplus,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("KS", "block_envs", "interpret"))
+def obs_tail_dyn_v2_pallas(
+    imgp: jnp.ndarray,         # int32 [E, HP, WPC] per-env prepadded +1-encoded image
+    row0: jnp.ndarray,         # int32 [E, A] window start row (= agent_r)
+    lane0: jnp.ndarray,        # int32 [E, A] window start lane (= agent_c * S)
+    gplus: jnp.ndarray,        # int32 [E, A, G] +1-encoded global words (all valid)
+    perm8: jnp.ndarray,        # int8 [RPE*128, KS_pad] raw-raster -> Manhattan, cols offset by G
+    tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
+    loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << 15
+    KS: int,                   # real candidate count (K * S)
+    block_envs: int = 8,
+    interpret: bool = False,
+):
+    """v2 fused tail over PER-ENV images (the non-static-background path):
+    same packed compaction + direct permute as obs_tail_static_v2_pallas,
+    minus the in-kernel assembly — the XLA glue already built the full image
+    (all objects + agents). The image block is staged through a VMEM scratch
+    before the dynamic-row extraction: Mosaic rejects a dynamic sublane
+    start on an INPUT block ref ("cannot statically prove index in dimension
+    1 is a multiple of 8") but accepts the identical pl.ds on a scratch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E2, HP, WPC = imgp.shape
+    E, A = row0.shape
+    G = gplus.shape[2]
+    K_mat, KS_pad = perm8.shape
+    BE = block_envs
+    BA = BE * A
+    RPE = _V2_RPE
+
+    def kernel(r_ref, l_ref, img_ref, perm_ref, tri_ref, loc_ref, g_ref,
+               out_ref, att_ref, imgs, winraw):
+        blk = pl.program_id(0)
+        for e in range(BE):
+            imgs[e] = img_ref[e]
+        for e in range(BE):
+            for a in range(A):
+                idx = (blk * BE + e) * A + a
+                x = imgs[e, pl.ds(r_ref[idx], RPE), :]
+                x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                winraw[e * A + a] = x[:, :128]
+
+        lhs = winraw[:].reshape(BA, RPE * 128)
+        rhs2 = perm_ref[:]
+        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
+        cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
+        cells = ((hi + cr) << 8) | (lo + cr)
+        g2 = g_ref[:].reshape(BA, G)
+        cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
+
+        ok = cells > 0
+        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
+        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
+        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
+        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
+        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad).reshape(BE, A, KS_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((BE, HP, WPC), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_mat, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KS_pad, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, G), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, A, KS_pad), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BE, HP, WPC), jnp.int32),
+            pltpu.VMEM((BA, RPE, 128), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, A, KS_pad), jnp.int32),
+            jax.ShapeDtypeStruct((E, A), jnp.int32),
+        ],
+        interpret=interpret,
+    )(row0.reshape(-1), lane0.reshape(-1), imgp, perm8, tri8, loc15, gplus)
 
 
 @functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "interpret"))

@@ -63,6 +63,9 @@ class EnvState(NamedTuple):
 
     # --- rng ---
     rng: jnp.ndarray  # uint32[E, 2]: per-env PRNG key
+    # reference-parity MT19937 (engine/mt19937.py): 624 twister words + the
+    # cursor per env; uint32[E, 0] when reference_rng mode is off
+    mt: jnp.ndarray  # uint32[E, 625] | uint32[E, 0]
 
     # --- map pool binding (which pooled map this env runs) ---
     map_idx: jnp.ndarray  # int32[E]

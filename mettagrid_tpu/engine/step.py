@@ -42,8 +42,17 @@ def _device_init(init: EnvInit):
     }
 
 
-def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndarray, rng: jnp.ndarray) -> EnvState:
-    """Gather per-env initial state from the map pool (map_idx: int32[E])."""
+def _fresh_state_from_pool(
+    program: EngineProgram,
+    pool: dict,
+    map_idx: jnp.ndarray,
+    rng: jnp.ndarray,
+    mt: jnp.ndarray = None,
+) -> EnvState:
+    """Gather per-env initial state from the map pool (map_idx: int32[E]).
+
+    mt: reference-parity MT19937 state (uint32[E, 625]); defaults to the
+    empty [E, 0] placeholder (reference_rng mode off)."""
     E = map_idx.shape[0]
     A = program.num_agents
     Sa, Sg = stat_dims(program)
@@ -94,6 +103,7 @@ def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndar
         truncations=jnp.zeros((E, A), dtype=bool),
         step_count=jnp.zeros((E,), dtype=jnp.int32),
         rng=rng,
+        mt=mt if mt is not None else jnp.zeros((E, 0), dtype=jnp.uint32),
         map_idx=map_idx.astype(jnp.int32),
     )
     # Materialized query tags computed at init (mettagrid_c.cpp:163
@@ -105,12 +115,15 @@ def _fresh_state_from_pool(program: EngineProgram, pool: dict, map_idx: jnp.ndar
     return state
 
 
-def make_reset(program: EngineProgram, init: EnvInit, num_envs: int):
+def make_reset(program: EngineProgram, init: EnvInit, num_envs: int, reference_rng: bool = False):
     """Returns reset(seed) -> (state, StepOutputs) with initial observations.
 
     Envs are assigned maps from the pool round-robin; per-env PRNG streams are
     derived from the seed (counter-based, unlike the reference's single
-    MT19937 — parity mode reproduces MT19937 separately).
+    MT19937). reference_rng=True additionally seeds a per-env std::mt19937
+    twin with the episode seed (each reference env instance owns one —
+    mettagrid_c.cpp:51-52) that the step consumes in-engine for agent
+    shuffles and event/query randomness (engine/mt19937.py).
     """
     pool = _device_init(init)
     P = init.pool_size
@@ -120,7 +133,13 @@ def make_reset(program: EngineProgram, init: EnvInit, num_envs: int):
         key = jax.random.PRNGKey(seed) if jnp.ndim(seed) == 0 else seed
         keys = jax.random.split(key, num_envs)
         map_idx = jnp.arange(num_envs, dtype=jnp.int32) % P
-        state = _fresh_state_from_pool(program, pool, map_idx, keys)
+        mt = None
+        if reference_rng:
+            from mettagrid_tpu.engine.mt19937 import mt_init
+
+            assert jnp.ndim(seed) == 0, "reference_rng reset requires a scalar seed"
+            mt = mt_init(jnp.full((num_envs,), jnp.asarray(seed).astype(jnp.uint32)))
+        state = _fresh_state_from_pool(program, pool, map_idx, keys, mt)
         obs, attempted = obs_fn(state)
         out = StepOutputs(
             observations=obs,
@@ -190,6 +209,7 @@ def make_step(
     donate: bool = True,
     action_mode: str = "auto",
     external_perm: bool = False,
+    reference_rng: bool = False,
 ):
     """Returns step(state, actions, vibe_actions) -> (state, StepOutputs).
 
@@ -218,12 +238,16 @@ def make_step(
 
     use_fast = action_mode in ("fast", "pure") or (action_mode == "auto" and fast_mode_ok(program))
     use_pure = action_mode == "pure" or (action_mode == "auto" and use_fast and pure_move_ok(program))
+    # Lazy agent-grid: under pure moves + static background nothing reads
+    # the grid's agent layer, so its per-step scatter maintenance is skipped
+    # (see make_action_phase_fast docstring; reconstruct via exec.true_grid).
+    lazy_grid = use_pure and static_background_ok(program)
     action_phase = (
-        make_action_phase_fast(program, pure_move=use_pure)
+        make_action_phase_fast(program, pure_move=use_pure, lazy_grid=lazy_grid)
         if use_fast
         else make_action_phase(program)
     )
-    event_phase = make_event_phase(program)
+    event_phase = make_event_phase(program, reference_rng=reference_rng)
     agent_tick_phase = make_agent_tick_phase(program)
     game_tick_phase = make_game_tick_phase(program)
     aoe_phase = make_aoe_phase(program)
@@ -246,7 +270,9 @@ def make_step(
                 keys = jax.vmap(jax.random.split, in_axes=0)(st.rng)
                 rng_next, k_map = keys[:, 0], keys[:, 1]
                 map_idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
-                fresh = _fresh_state_from_pool(program, pool, map_idx, rng_next)
+                # reference-parity MT19937 state is carried through resets
+                # (the reference seeds once per env instance).
+                fresh = _fresh_state_from_pool(program, pool, map_idx, rng_next, st.mt)
                 return jax.tree_util.tree_map(
                     lambda new, old: jnp.where(
                         done.reshape((E,) + (1,) * (old.ndim - 1)), new, old
@@ -260,7 +286,20 @@ def make_step(
         # --- per-step RNG: agent order shuffle + event shuffles ---
         keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(state.rng)
         rng_next, k_perm, k_event = keys[:, 0], keys[:, 1], keys[:, 2]
-        if external_perm:
+        if reference_rng:
+            # In-engine std::mt19937 + libstdc++ std::shuffle of the agent
+            # order, consumed per env (mettagrid_c.cpp:957-960); events and
+            # random query caps consume the same stream later this step.
+            from mettagrid_tpu.engine.mt19937 import shuffle_perm
+
+            mt, perm = shuffle_perm(
+                state.mt,
+                jnp.full((E,), A, dtype=jnp.int32),
+                A,
+                jnp.ones((E,), dtype=bool),
+            )
+            state = state._replace(mt=mt)
+        elif external_perm:
             perm = perm_in
         else:
             perm = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)

@@ -36,19 +36,77 @@ def build_arena_map(num_agents: int, map_seed: int) -> List[List[str]]:
 ATTACK_HANDLER_NAME = "melee"
 
 
-def _make_configs(map_data: List[List[str]], num_agents: int, combat: bool = False):
+def _shrine_map(map_data: List[List[str]], count: int = 8) -> List[List[str]]:
+    """Rename the first `count` interior wall cells (raster order) to
+    "shrine" so an event has a small, pinned target set in both engines
+    (registration order = map raster order, the same invariant obs parity
+    already relies on)."""
+    out = [list(row) for row in map_data]
+    H, W = len(out), len(out[0])
+    done = 0
+    for r in range(1, H - 1):
+        for c in range(1, W - 1):
+            if out[r][c] == "wall" and done < count:
+                out[r][c] = "shrine"
+                done += 1
+    assert done == count, f"only {done} interior walls available"
+    return out
+
+
+def _make_configs(
+    map_data: List[List[str]], num_agents: int, combat: bool = False, events: bool = False
+):
     """Both frameworks' make_arena with the map pinned; combat=True adds a
     vibe-gated move handler carrying the C++-executable attack (the
     reference side's mutation is attached post-conversion in _ref_sim —
-    its own converter drops the Python AttackMutation)."""
+    its own converter drops the Python AttackMutation). events=True renames
+    8 interior walls to "shrine" objects and adds a max_targets=3 event
+    firing every 25 steps — both engines' event RNG consumption
+    (event.cpp:41-44 std::shuffle) must then stay in lockstep (the TPU
+    engine's in-engine MT19937 twin, engine/mt19937.py)."""
     from mettagrid_tpu.builder.envs import make_arena as our_make_arena
     from mettagrid_tpu.test_support import ObjectNameMapBuilder as OurMap
 
     from mettagrid.builder.envs import make_arena as ref_make_arena
     from mettagrid.test_support.map_builders import ObjectNameMapBuilder as RefMap
 
+    if events:
+        map_data = _shrine_map(map_data)
     ours = our_make_arena(num_agents, map_builder=OurMap.Config(map_data=map_data))
     ref = ref_make_arena(num_agents, map_builder=RefMap.Config(map_data=map_data))
+
+    if events:
+        from mettagrid_tpu.config.event_config import EventConfig as OurEvent
+        from mettagrid_tpu.config.game_config import GridObjectConfig as OurObj
+        from mettagrid_tpu.config.handler_config import updateTarget as our_update
+        from mettagrid_tpu.config.tag import typeTag as our_type_tag
+
+        from mettagrid.config.event_config import EventConfig as RefEvent
+        from mettagrid.config.handler_config import updateTarget as ref_update
+        from mettagrid.config.mettagrid_config import GridObjectConfig as RefObj
+        from mettagrid.config.tag import typeTag as ref_type_tag
+
+        ts = list(range(10, 501, 25))
+        ours.game.objects["shrine"] = OurObj(name="shrine", map_name="shrine")
+        ref.game.objects["shrine"] = RefObj(name="shrine", map_name="shrine")
+        ours.game.events = {
+            "enrich": OurEvent(
+                name="enrich",
+                target_query=our_type_tag("shrine"),
+                timesteps=ts,
+                max_targets=3,
+                mutations=[our_update({"heart": 1})],
+            )
+        }
+        ref.game.events = {
+            "enrich": RefEvent(
+                name="enrich",
+                target_query=ref_type_tag("shrine"),
+                timesteps=ts,
+                max_targets=3,
+                mutations=[ref_update({"heart": 1})],
+            )
+        }
 
     if combat:
         from mettagrid_tpu.config.action_config import ChangeVibeActionConfig as OurCV
@@ -128,6 +186,7 @@ def run_arena_parity(
     checkpoint_every: int = 50,
     compare_obs_every: int = 100,
     combat: bool = False,
+    events: bool = False,
 ) -> List[str]:
     """Run the arena preset in both engines; return a list of mismatches.
 
@@ -142,7 +201,7 @@ def run_arena_parity(
     from mettagrid_tpu.simulator import Simulation as OurSimulation
 
     map_data = build_arena_map(num_agents, map_seed)
-    our_cfg, ref_cfg = _make_configs(map_data, num_agents, combat=combat)
+    our_cfg, ref_cfg = _make_configs(map_data, num_agents, combat=combat, events=events)
 
     ours = OurSimulation(our_cfg, seed=action_seed, reference_shuffle=True)
     ref = _ref_sim(ref_cfg, seed=action_seed, combat=combat)

@@ -1,0 +1,103 @@
+"""Two-process jax.distributed CPU rig (SURVEY §7 step 8 analogue).
+
+Each process owns 4 virtual CPU devices; jax.distributed stitches them into
+one 8-device global mesh with Gloo collectives crossing the process boundary
+(the DCN stand-in no TPU pod is needed for). The rig asserts:
+
+  1. engine signature parity: stepping envs sharded over the 2-process mesh
+     is bit-identical to the same envs stepped on one local device;
+  2. train-step gradients: the psum'd actor-critic update over the global
+     mesh matches the single-device update bit-for-bit.
+
+Run directly (the test harness spawns it twice):
+    python scripts/multiproc_rig.py <process_id> <coordinator_port>
+Prints RIG_OK on success; any assertion kills the exit code.
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    proc = int(sys.argv[1])
+    port = int(sys.argv[2])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=proc
+    )
+    assert len(jax.local_devices()) == 4 and len(jax.devices()) == 8
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mettagrid_tpu.builder import make_arena
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+    from mettagrid_tpu.parallel import make_mesh, shard_batch
+
+    num_agents, num_envs = 4, 16
+    cfg = make_arena(
+        num_agents,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=num_agents, width=12, height=12, border_width=1, objects={"wall": 5}
+        ),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    maps = []
+    for i in range(4):
+        builder.config.seed = i
+        maps.append(builder.build_for_num_agents(num_agents))
+    init = build_env_init(program, maps)
+    reset = make_reset(program, init, num_envs)
+    step = make_step(program, init, auto_reset=True, donate=False)
+
+    mesh = make_mesh(8, model_parallel=1)  # global mesh across both processes
+
+    # --- 1. engine signature parity across the process boundary ---
+    state_local, _ = reset(0)  # single local device, full batch
+    # Global sharded twin: both processes hold the identical full-batch host
+    # data; host_local_array_to_global_array carves out each process's shards.
+    state_global = shard_batch(jax.device_get(state_local), mesh)
+    state_global = jax.tree_util.tree_map(jnp.asarray, state_global)
+
+    rng = np.random.default_rng(0)
+    n_actions = len(program.action_names)
+    for _ in range(10):
+        acts = jnp.asarray(
+            rng.integers(0, n_actions, (num_envs, num_agents)), dtype=jnp.int32
+        )
+        vibes = jnp.zeros((num_envs, num_agents), dtype=jnp.int32)
+        state_local, out_local = step(state_local, acts, vibes)
+        state_global, out_global = step(
+            state_global, shard_batch(acts, mesh), shard_batch(vibes, mesh)
+        )
+
+    for name in state_local._fields:
+        want = np.asarray(getattr(state_local, name))
+        got = np.asarray(multihost_utils.process_allgather(getattr(state_global, name), tiled=True))
+        assert np.array_equal(want, got), f"state field {name} diverged across processes"
+    obs_g = np.asarray(multihost_utils.process_allgather(out_global.observations, tiled=True))
+    assert np.array_equal(np.asarray(out_local.observations), obs_g), "obs diverged"
+
+    # --- 2. train-step gradient parity (psum rides Gloo across processes):
+    # the losses print with full bit-precision; the pytest wrapper compares
+    # them against a single-process 8-device run of the same mesh. ---
+    import __graft_entry__ as g
+
+    loss1, loss2 = g.train_losses_multichip(8)
+    print(f"RIG_LOSSES {loss1.hex()} {loss2.hex()}", flush=True)
+
+    print(f"RIG_OK proc={proc}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

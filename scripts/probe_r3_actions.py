@@ -1,0 +1,126 @@
+"""Actions-phase cost split at bench shapes: grid one-hot read/writes,
+bookkeeping one-hots, wave loop, rank scatter — standalone in-context costs
+to target the ~2 ms the step ablation attributes to the action phase."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from timing import time_fn_carry  # noqa: E402
+
+from mettagrid_tpu.builder import make_arena  # noqa: E402
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
+from mettagrid_tpu.engine.exec import grid_read, grid_write  # noqa: E402
+
+E = 4096
+A = 24
+
+cfg = make_arena(A, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(A)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+H, W = state.grid.shape[1], state.grid.shape[2]
+Sa = max(len(program.agent_stat_names), 1)
+print(f"H={H} W={W} HW={H*W} Sa={Sa}", flush=True)
+
+
+def perturb(st):
+    return st._replace(
+        obj_r=jnp.clip((st.obj_r + 1) % H, 0, H - 1),
+        obj_c=jnp.clip((st.obj_c + 1) % W, 0, W - 1),
+    )
+
+
+@jax.jit
+def op_read(st):
+    r = st.obj_r[:, :A]
+    c = st.obj_c[:, :A]
+    v = grid_read(st.grid, r, c)
+    return perturb(st), (v,)
+
+
+@jax.jit
+def op_write2(st):
+    r = st.obj_r[:, :A]
+    c = st.obj_c[:, :A]
+    slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+    m = (r + c) % 2 == 0
+    g = grid_write(st.grid, r, c, -1, m)
+    g = grid_write(g, r, (c + 1) % W, slots, m)
+    return perturb(st._replace(grid=g)), (g[:, 0, 0],)
+
+
+@jax.jit
+def op_bookkeeping(st):
+    a = (st.obj_r[:, :A] + st.obj_c[:, :A]) % 5
+    succ = a % 2 == 0
+    active = jnp.ones((E, A), dtype=bool)
+    stats = st.agent_stats
+    sid = jnp.where(succ, a, a + 1)
+    onehot = jax.nn.one_hot(sid, Sa, dtype=stats.dtype)
+    stats = stats + jnp.where(active[..., None], onehot, 0.0)
+    failed_oh = jax.nn.one_hot(jnp.full_like(a, 2), Sa, dtype=stats.dtype)
+    stats = stats + jnp.where((active & ~succ)[..., None], failed_oh, 0.0)
+    return perturb(st._replace(agent_stats=stats)), (stats[:, 0, 0],)
+
+
+@jax.jit
+def op_waves(st):
+    r_base = st.obj_r[:, :A]
+    c_base = st.obj_c[:, :A]
+    rank = (r_base * 7 + c_base) % A
+    tcell = jnp.where((r_base + c_base) % 3 > 0, ((r_base + 1) % H) * W + c_base, -1)
+    pos0 = r_base * W + c_base
+    move_mask = tcell >= 0
+    can = move_mask
+    earlier = rank[:, None, :] < rank[:, :, None]
+
+    def body(carry):
+        pos, unsettled, success = carry
+        ty = tcell[:, None, :]
+        tx = tcell[:, :, None]
+        py = pos[:, None, :]
+        px = pos[:, :, None]
+        dep = (unsettled[:, None, :] & earlier & ((ty == tx) | (py == tx) | (px == ty))).any(axis=-1)
+        settle = unsettled & ~dep
+        occ = (pos[:, None, :] == tcell[:, :, None]).any(axis=-1)
+        succ = settle & can & ~occ
+        pos = jnp.where(succ, tcell, pos)
+        return pos, unsettled & ~settle, success | succ
+
+    carry = (pos0, move_mask, jnp.zeros_like(move_mask))
+    for _ in range(2):
+        carry = body(carry)
+    pos, _, succ = jax.lax.while_loop(lambda c: jnp.any(c[1]), body, carry)
+    return perturb(st), (pos, succ)
+
+
+@jax.jit
+def op_rank_scatter(st):
+    perm = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+    perm = (perm + st.obj_r[:, :1]) % A
+    rank = jnp.zeros((E, A), dtype=jnp.int32)
+    rank = rank.at[jnp.arange(E)[:, None], perm].set(
+        jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+    )
+    return perturb(st), (rank,)
+
+
+for name, fn in [
+    ("grid_read x1", op_read),
+    ("grid_write x2", op_write2),
+    ("bookkeeping", op_bookkeeping),
+    ("waves(2+wl)", op_waves),
+    ("rank_scatter", op_rank_scatter),
+]:
+    try:
+        t = time_fn_carry(lambda s, fn=fn: fn(s), state, k=8)
+        print(f"{name:16s} {t*1e3:8.3f} ms", flush=True)
+    except Exception as e:
+        print(f"{name:16s} FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)

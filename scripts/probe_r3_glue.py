@@ -1,0 +1,122 @@
+"""Obs-glue breakdown: the step ablation shows obs costs ~4.7 ms in-context
+while the v2 kernel is ~2.3 ms standalone — this times the XLA glue around
+it: stage-1 agent tokens, global words, and the output unpack."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from timing import time_fn_carry  # noqa: E402
+
+from mettagrid_tpu.builder import make_arena  # noqa: E402
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
+import mettagrid_tpu.engine.obs as obs_mod  # noqa: E402
+
+E = 4096
+A = 24
+
+cfg = make_arena(A, combat=False)
+program = compile_program(cfg)
+builder = cfg.game.map_builder.create()
+rng = np.random.default_rng(0)
+maps = []
+for _ in range(64):
+    builder.config.seed = int(rng.integers(0, 2**31 - 1))
+    maps.append(builder.build_for_num_agents(A))
+init = build_env_init(program, maps)
+bg = obs_mod.build_static_bg(program, init)
+obs_fn = obs_mod.make_obs_fn(program, static_bg=bg)
+tb = obs_fn._tables
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+S, T = tb["S"], tb["T"]
+KS_pad2 = tb["perm2"].shape[1]
+stage1 = tb["stage1"]
+global_plus = tb["global_plus"]
+
+from mettagrid_tpu.engine.program import EMPTY_TOKEN_BYTE  # noqa: E402
+
+type_is_agent_t = jnp.asarray(
+    [1 if t else 0 for t in getattr(program, "type_is_agent", [])] or [0], jnp.int32
+)
+
+
+# 1. full obs fn (kernel + glue), perturbing obj_r so nothing hoists
+@jax.jit
+def full_obs(st):
+    obs, att = obs_fn(st)
+    st = st._replace(obj_r=(st.obj_r + jnp.sum(obs[0, 0, 0]).astype(jnp.int32) % 1) % program.height)
+    st = st._replace(obj_r=jnp.clip((st.obj_r + 1) % program.height, 0, program.height - 1))
+    return st, (obs[:, :, 0, 0], att)
+
+
+# 2. stage1 + words build only
+@jax.jit
+def glue_stage1(st):
+    slots_a = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+    tok_a, cnt_a = stage1(
+        st.obj_type[:, :A], st.obj_vibe[:, :A], st.obj_tags[:, :A],
+        st.obj_inv[:, :A], st.obj_alive[:, :A],
+        jnp.ones((E, A), dtype=bool),  # agents are agents
+        st.agent_group, slots_a,
+    )
+    plus_a = (jnp.arange(S, dtype=jnp.int32)[None, None, :] < cnt_a[..., None]).astype(jnp.float32)
+    words_a = tok_a + plus_a
+    # Perturb the arrays stage1 READS, or XLA hoists the whole stage
+    # (docs/perf_findings.md stage-probe gotcha).
+    st = st._replace(obj_inv=(st.obj_inv + 1) % 5, obj_vibe=(st.obj_vibe + 1) % 3)
+    return st, (words_a[:, :, 0],)
+
+
+# 3. global words only
+@jax.jit
+def glue_globals(st):
+    gp = global_plus(st, E)
+    st = st._replace(
+        step_count=st.step_count + 1,
+        rewards=st.rewards + 1.0,
+        agent_last_action=(st.agent_last_action + 1) % 3,
+    )
+    return st, (gp[:, :, 0],)
+
+
+# 4. unpack only: [E, A, KS_pad2] int32 -> [E, A, T, 3] uint8
+words_in = jnp.asarray(
+    np.where(np.random.default_rng(3).random((E, A, KS_pad2)) < 0.12,
+             np.random.default_rng(4).integers(0, 1 << 24, (E, A, KS_pad2)), -1),
+    dtype=jnp.int32,
+)
+
+_LANDED_EMPTY = -1
+empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
+
+
+def glue_unpack(st):
+    # reuse the EnvState carry contract: stash the words in obj_inv-like use
+    w = words_in + st.step_count[0].astype(jnp.int32)[None, None, None] * 0 + st.obj_r[0, 0] * 0
+    w = w + (st.step_count.sum() % 2).astype(jnp.int32)  # genuinely iteration-dependent
+    out_words = jnp.pad(w, ((0, 0), (0, 0), (0, T - w.shape[-1])), constant_values=-1)
+    out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
+    out = jnp.stack(
+        [(out_words >> 16) & 0xFF, (out_words >> 8) & 0xFF, out_words & 0xFF],
+        axis=-1,
+    ).astype(jnp.uint8)
+    st = st._replace(step_count=st.step_count + 1)
+    return st, (out[:, :, 0, 0], out[:, :, -1, 0])
+
+
+for name, fn, arg in [
+    ("full_obs", full_obs, state),
+    ("stage1+words", glue_stage1, state),
+    ("globals", glue_globals, state),
+    ("unpack", glue_unpack, state),
+]:
+    try:
+        t = time_fn_carry(lambda s, fn=fn: fn(s), arg, k=8)
+        print(f"{name:14s} {t*1e3:8.3f} ms", flush=True)
+    except Exception as e:
+        print(f"{name:14s} FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)

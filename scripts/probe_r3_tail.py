@@ -1,13 +1,19 @@
-"""Round-3 obs-tail microbench: v1 vs v2 kernels + in-kernel stage ablations.
+"""Round-3 obs-tail microbench: production v2 kernel + in-kernel stage ablations.
 
 Builds the real bench arena (E=4096 x 24), pulls the static tables off
-make_obs_fn, and times kernel variants with time_fn_carry (the only trusted
-harness on the tunneled backend). Stage knobs skip the compaction / permute
-so their in-context costs fall out by differencing.
+make_obs_fn, and times kernel variants with a chained-carry scan (the only
+trusted harness on the tunneled backend). Stage knobs stop the kernel early
+so each stage's in-context cost falls out by differencing:
+
+  extractonly        assembly + window extraction (ds + roll)
+  nopermute          + word build + compaction on RAW lanes (no matmul)
+  nocompact          + permute matmul + word build (no move loop)
+  full               everything (should match v2_prod)
 """
 
 import functools
 import sys
+import time
 
 import numpy as np
 import jax
@@ -18,7 +24,6 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, ".")
 sys.path.insert(0, "scripts")
 from timing import rtt_baseline  # noqa: E402
-import time  # noqa: E402
 
 
 def time_carry_arr(fn, r0, k=8, n=3):
@@ -46,11 +51,11 @@ def time_carry_arr(fn, r0, k=8, n=3):
         ts.append(time.perf_counter() - t0)
     return max((min(ts) - rtt) / k, 0.0)
 
+
 from mettagrid_tpu.builder import make_arena  # noqa: E402
 from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
 import mettagrid_tpu.engine.obs as obs_mod  # noqa: E402
 from mettagrid_tpu.engine.pallas_kernels import (  # noqa: E402
-    _compact_block,
     _compact_packed_v2,
     _V2_INV,
     _V2_RPE,
@@ -80,29 +85,12 @@ def build():
     return program, state, tb
 
 
-
-def _pack_windows_2d(xb, OH, OWS):
-    """Packing formulated on a single 2D [B*RPE, 128] plane (3D rolls get
-    scalarized per 2D slice by Mosaic — 8.7 ms vs this)."""
-    B, RPE, L = xb.shape
-    x2 = xb.reshape(B * RPE, L)
-    row = jax.lax.broadcasted_iota(jnp.int32, (B * RPE, L), 0) % RPE
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B * RPE, L), 1)
-    keep = (row < OH) & (lane < OWS)
-    par = row % 3
-    x0 = jnp.where(keep & (par == 0), x2, 0)
-    x1 = jnp.roll(jnp.where(keep & (par == 1), x2, 0), OWS, axis=1)
-    xx2 = jnp.roll(jnp.where(keep & (par == 2), x2, 0), 2 * OWS, axis=1)
-    y = x0 + x1 + xx2
-    return y.reshape(B * RPE // 3, 3, L).sum(axis=1).reshape(B, RPE // 3, L)
-
-
 @functools.partial(
-    jax.jit, static_argnames=("OH", "OWS", "KS", "stage", "compaction", "block_envs")
+    jax.jit, static_argnames=("OH", "OWS", "KS", "G", "stage", "block_envs")
 )
 def v2_variant(
-    static_imgp, map_idx, row0, lane0, rext, lext, words, perm8, tri8, loc15,
-    OH, OWS, KS, stage="full", compaction="packed", block_envs=8,
+    static_imgp, map_idx, row0, lane0, rext, lext, words, gplus, perm8, tri8,
+    loc15, OH, OWS, KS, G, stage="full", block_envs=8,
 ):
     P, HP, WPC = static_imgp.shape
     Ee, Aa = row0.shape
@@ -113,7 +101,7 @@ def v2_variant(
     RPE = _V2_RPE
 
     def kernel(r_ref, l_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
-               rext_ref, lext_ref, w_ref, out_ref, att_ref, imgs, winf):
+               rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winf):
         blk = pl.program_id(0)
         for e in range(BE):
             m = m_ref[blk * BE + e]
@@ -135,55 +123,41 @@ def v2_variant(
             )
             imgs[e] = base + dyn.astype(jnp.int32)
 
-        RX = 16 if stage in ("extract16",) else RPE
         for e in range(BE):
             for a in range(Aa):
                 idx = (blk * BE + e) * Aa + a
-                x = imgs[e, pl.ds(r_ref[idx], RX), :]
+                x = imgs[e, pl.ds(r_ref[idx], RPE), :]
                 x = pltpu.roll(x, WPC - l_ref[idx], 1)
-                winf[e * Aa + a, :RX] = x[:, :128]
+                winf[e * Aa + a] = x[:, :128]
 
-        if stage in ("extractonly", "extract16"):
+        if stage == "extractonly":
             out_ref[:, :, :] = winf[:].reshape(BA, -1)[:, :KS_pad].reshape(BE, Aa, KS_pad)
             att_ref[:, :] = jnp.zeros((BE, Aa), jnp.int32)
             return
 
-        if stage.startswith("nopack"):
-            lhs = winf[:].reshape(BA, RPE * 128)[:, :K_mat]
-        else:
-            packed = _pack_windows_2d(winf[:], OH, OWS)
-            if stage == "packext":
-                out_ref[:, :, :] = packed.reshape(BA, -1)[:, :KS_pad].reshape(BE, Aa, KS_pad)
-                att_ref[:, :] = jnp.zeros((BE, Aa), jnp.int32)
-                return
-            lhs = packed.reshape(BA, (RPE // 3) * 128)[:, :K_mat]
         if stage == "nopermute":
-            cells = jnp.pad(lhs, ((0, 0), (0, max(0, KS_pad - K_mat))))[:, :KS_pad]
+            cells = winf[:].reshape(BA, RPE * 128)[:, :KS_pad]
         else:
+            lhs = winf[:].reshape(BA, RPE * 128)
             rhs2 = perm_ref[:]
             hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
             lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
             col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
-            cr = jnp.where(col < KS, 128, 0)
+            cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
             cells = ((hi + cr) << 8) | (lo + cr)
+            g2 = g_ref[:].reshape(BA, G)
+            cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
 
         ok = cells > 0
         att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, Aa)
-        if stage == "nocompact":
-            out_ref[:, :, :] = cells.reshape(BE, Aa, KS_pad)
-            return
         inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
         g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
         loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
-        if compaction == "packed":
-            v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
-            out = _compact_packed_v2(v, KS_pad)
-        else:
-            w = jnp.where(ok, (cells - 1) | (loc << 1), -1)  # 2 arrays, v1-style
-            tri_full = tri_ref[:]
-            del tri_full
-            out = _compact_block(w, KS_pad)
-        out_ref[:, :, :] = out.reshape(BE, Aa, KS_pad)
+        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
+        if stage == "nocompact":
+            out_ref[:, :, :] = v.reshape(BE, Aa, KS_pad)
+            return
+        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad).reshape(BE, Aa, KS_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -196,6 +170,7 @@ def v2_variant(
             pl.BlockSpec((BE, Aa), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, Aa), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, Aa, S), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, Aa, words.shape[2] * 0 + gplus.shape[2]), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((BE, Aa, KS_pad), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -214,12 +189,12 @@ def v2_variant(
             jax.ShapeDtypeStruct((Ee, Aa), jnp.int32),
         ],
     )(row0.reshape(-1), lane0.reshape(-1), map_idx,
-      static_imgp, perm8, tri8, loc15, rext, lext, words)
+      static_imgp, perm8, tri8, loc15, rext, lext, words, gplus)
 
 
 def main():
     program, state, tb = build()
-    S, KS, KS_pad = tb["S"], tb["KS"], tb["KS_pad"]
+    S, KS = tb["S"], tb["KS"]
     OH, OW, hr, wr, T = tb["OH"], tb["OW"], tb["hr"], tb["wr"], tb["T"]
     H = program.height
     imgp = tb["imgp_static_i32"]
@@ -253,56 +228,43 @@ def main():
         )
         return perturb_r(r, 1), (out[:, :, 0], att)
 
-    def make_runner(stage, compaction="packed", perm=None):
-        permx = perm2 if perm is None else perm
+    def make_runner(stage):
         def run(r):
             out, att = v2_variant(
                 imgp, map_idx, r, agent_c * S, r + hr, (agent_c + wr) * S,
-                words_a, permx, tri2, loc15, OH, OW * S, KS,
-                stage=stage, compaction=compaction,
+                words_a, gplus, perm2, tri2, loc15, OH, OW * S, KS, Gt,
+                stage=stage,
             )
             return perturb_r(r, 1), (out[:, :, 0], att)
         return run
-
-    # Unpacked permute: raster position (u, v*S+s) at flat lane u*128 + v*S+s.
-    from mettagrid_tpu.engine.pallas_kernels import _V2_RPE as RPE_
-    import numpy as _np
-    KS_pad = perm2.shape[1]
-    uv = {}
-    off = _np.array(program.window_offsets, dtype=_np.int32)
-    for kk in range(off.shape[0]):
-        uv[kk] = (int(off[kk, 0]) + OH // 2, int(off[kk, 1]) + OW // 2)
-    perm_unpacked = _np.zeros((RPE_ * 128, KS_pad), dtype=_np.int8)
-    for kk, (u, v) in uv.items():
-        for s in range(S):
-            perm_unpacked[u * 128 + v * S + s, kk * S + s] = 1
-    perm_unpacked = jnp.asarray(perm_unpacked)
 
     r0 = jnp.clip(agent_r, 0, H - 1)
     results = {}
     for name, fn in [
         ("v1_prod", run_v1),
         ("v2_prod", run_v2),
-        ("v2_packext2d", make_runner("packext")),
-        ("v2_full2d", make_runner("full")),
-        ("v2_nopack_full", make_runner("nopack_full", perm=perm_unpacked)),
+        ("v2_extractonly", make_runner("extractonly")),
+        ("v2_nopermute", make_runner("nopermute")),
+        ("v2_nocompact", make_runner("nocompact")),
+        ("v2_full", make_runner("full")),
     ]:
         try:
             dt = time_carry_arr(fn, r0, k=8, n=3)
             results[name] = dt * 1e3
-            print(f"{name:18s} {dt*1e3:7.3f} ms")
+            print(f"{name:18s} {dt*1e3:7.3f} ms", flush=True)
         except Exception as e:
-            print(f"{name:18s} FAILED: {type(e).__name__} {str(e)[:200]}")
+            print(f"{name:18s} FAILED: {type(e).__name__} {str(e)[:200]}", flush=True)
 
     r = results
-    if "v2_extractonly" in r and "v2_extract16" in r:
-        print(f"-> extra 8 extraction rows: {r['v2_extractonly']-r['v2_extract16']:.3f} ms")
-    if "v2_packext" in r and "v2_extractonly" in r:
-        print(f"-> batched packing        : {r['v2_packext']-r['v2_extractonly']:.3f} ms")
-    if "v2_nocompact" in r and "v2_packext" in r:
-        print(f"-> permute+wordbuild      : {r['v2_nocompact']-r['v2_packext']:.3f} ms")
-    if "v2_full" in r and "v2_nocompact" in r:
-        print(f"-> packed compaction      : {r['v2_full']-r['v2_nocompact']:.3f} ms")
+    if "v2_full" in r:
+        if "v2_extractonly" in r:
+            print(f"-> assembly+extraction : {r['v2_extractonly']:.3f} ms")
+        if "v2_nocompact" in r and "v2_extractonly" in r:
+            print(f"-> permute+wordbuild   : {r['v2_nocompact']-r['v2_extractonly']:.3f} ms")
+        if "v2_nocompact" in r:
+            print(f"-> compaction          : {r['v2_full']-r['v2_nocompact']:.3f} ms")
+        if "v2_nopermute" in r and "v2_nocompact" in r:
+            print(f"-> matmul (vs raw)     : {r['v2_nocompact']-r['v2_nopermute']:.3f} ms (negative = permute cheaper than raw)")
 
 
 if __name__ == "__main__":

