@@ -195,7 +195,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"env_steps_per_s {variant} ({num_envs} envs x {num_agents} agents); vs_baseline = x8 chips projection vs 10M",
+                "metric": f"env_steps_per_s {variant} ({num_envs} envs x {num_agents} agents); vs_baseline = x8 chips projection vs 10M assuming {num_envs} envs PER CHIP (per-env throughput varies with E — docs/perf_findings.md)",
                 "value": round(sps, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(sps * 8 / BASELINE_STEPS_PER_S, 4),

@@ -121,26 +121,88 @@ def _make_configs(
         from mettagrid.config.filter import HandlerTarget as RefHT, VibeFilter as RefVF
         from mettagrid.config.handler_config import Handler as RefHandler
 
+        from mettagrid_tpu.config.handler_config import (
+            EntityTarget as OurET,
+            ResourceDeltaMutation as OurRD,
+            ResourceTransferMutation as OurRT,
+            SwapMutation as OurSwap,
+        )
+
+        from mettagrid.config.mutation import (
+            ResourceDeltaMutation as RefRD,
+            ResourceTransferMutation as RefRT,
+            SwapMutation as RefSwap,
+        )
+        from mettagrid.config.handler_config import EntityTarget as RefET
+
+        # Full combat semantics at scale (VERDICT r2 next #7), expressed in
+        # BOTH DSLs and actually converted by the reference:
+        #   shield_break — a shielding target consumes armor instead of
+        #       taking damage (defense-consumption analogue; vibe interplay)
+        #   melee — loot transfer (target -> actor ore) THEN the bound C++
+        #       attack (the reference's add_attack_mutation appends after
+        #       the converted list, so ours lists the attack last too)
+        #   bump_swap — clown-vibed actors swap places with the bump target
+        #       (agents only; swap_mutation.hpp:16-18 guards)
         ours.game.actions.change_vibe = OurCV()
         ours.game.actions.move.handlers = [
+            OurHandler(
+                name="shield_break",
+                filters=[
+                    OurVF(target=OurHT.ACTOR, vibe="angry"),
+                    OurVF(target=OurHT.TARGET, vibe="shield"),
+                ],
+                mutations=[OurRD(target=OurET.TARGET, deltas={"armor": -1})],
+            ),
             OurHandler(
                 name=ATTACK_HANDLER_NAME,
                 filters=[OurVF(target=OurHT.ACTOR, vibe="angry")],
                 mutations=[
+                    OurRT(
+                        from_target=OurET.TARGET,
+                        to_target=OurET.ACTOR,
+                        resources={"ore_red": 1},
+                    ),
                     DirectAttackMutation(
                         weapon_resource="laser", armor_resource="armor", health_resource="heart"
-                    )
+                    ),
                 ],
-            )
+            ),
+            OurHandler(
+                name="bump_swap",
+                filters=[OurVF(target=OurHT.ACTOR, vibe="clown")],
+                mutations=[OurSwap()],
+            ),
         ]
         ours.game.obs.full_token_bounds = True  # host-injected loadouts below
         ref.game.actions.change_vibe = RefCV()
         ref.game.actions.move.handlers = [
             RefHandler(
+                name="shield_break",
+                filters=[
+                    RefVF(target=RefHT.ACTOR, vibe="angry"),
+                    RefVF(target=RefHT.TARGET, vibe="shield"),
+                ],
+                mutations=[RefRD(target=RefET.TARGET, deltas={"armor": -1})],
+            ),
+            RefHandler(
                 name=ATTACK_HANDLER_NAME,
                 filters=[RefVF(target=RefHT.ACTOR, vibe="angry")],
-                mutations=[],  # attached post-conversion (see _ref_sim)
-            )
+                # loot converts normally; the C++ attack is attached
+                # post-conversion and lands AFTER it (see _ref_sim)
+                mutations=[
+                    RefRT(
+                        from_target=RefET.TARGET,
+                        to_target=RefET.ACTOR,
+                        resources={"ore_red": 1},
+                    )
+                ],
+            ),
+            RefHandler(
+                name="bump_swap",
+                filters=[RefVF(target=RefHT.ACTOR, vibe="clown")],
+                mutations=[RefSwap()],
+            ),
         ]
     return ours, ref
 
@@ -208,7 +270,7 @@ def run_arena_parity(
 
     if combat:
         for i in range(num_agents):
-            loadout = {"laser": 3 + (i % 3), "armor": i % 4, "heart": 30}
+            loadout = {"laser": 3 + (i % 3), "armor": i % 4, "heart": 30, "ore_red": 2 + (i % 2)}
             ours.agent(i).set_inventory(loadout)
             ref.agent(i).set_inventory(loadout)
 
@@ -225,7 +287,24 @@ def run_arena_parity(
     ref_actions = our_primary + sorted(our_vibe)  # shared script vocabulary
 
     rng = np.random.default_rng(action_seed)
-    script = rng.integers(0, len(ref_actions), size=(steps, num_agents))
+    if combat:
+        # Bias the script so the combat handlers actually engage: uniform
+        # over ALL vibes leaves agents angry ~1/len(vibes) of the time.
+        # 60% movement/noop, 40% one of the four combat-relevant vibes.
+        prim_ids = np.asarray(
+            [i for i, n in enumerate(ref_actions) if not n.startswith("change_vibe_")]
+        )
+        focus = np.asarray(
+            [ref_actions.index(f"change_vibe_{v}") for v in ("angry", "shield", "clown", "default")]
+        )
+        pick_prim = rng.random((steps, num_agents)) < 0.6
+        script = np.where(
+            pick_prim,
+            prim_ids[rng.integers(0, len(prim_ids), size=(steps, num_agents))],
+            focus[rng.integers(0, len(focus), size=(steps, num_agents))],
+        )
+    else:
+        script = rng.integers(0, len(ref_actions), size=(steps, num_agents))
 
     for t in range(steps):
         for i in range(num_agents):
@@ -251,6 +330,16 @@ def run_arena_parity(
                     )
             if problems:
                 return problems
+
+    if combat:
+        # The scenario must actually fight: hearts drop on damage, ore moves
+        # on loot. A zero-engagement run would vacuously "pass".
+        hearts = sum(ours.agent(i).inventory.get("heart", 0) for i in range(num_agents))
+        ores = [ours.agent(i).inventory.get("ore_red", 0) for i in range(num_agents)]
+        if hearts >= 30 * num_agents:
+            problems.append("combat never engaged: no heart damage recorded")
+        if ores == [2 + (i % 2) for i in range(num_agents)]:
+            problems.append("loot never transferred: ore distribution unchanged")
 
     problems += _diff_final(ours, ref)
     return problems

@@ -221,10 +221,10 @@ def main():
         )
         return perturb_r(r, 1), (out[:, :, 0], att)
 
-    def run_v2(r):
+    def run_v2(r, be=8):
         out, att = obs_tail_static_v2_pallas(
             imgp, map_idx, r, agent_c * S, r + hr, (agent_c + wr) * S,
-            words_a, gplus, perm2, tri2, loc15, OH, OW * S, KS,
+            words_a, gplus, perm2, tri2, loc15, OH, OW * S, KS, block_envs=be,
         )
         return perturb_r(r, 1), (out[:, :, 0], att)
 
@@ -243,6 +243,8 @@ def main():
     for name, fn in [
         ("v1_prod", run_v1),
         ("v2_prod", run_v2),
+        ("v2_be16", lambda r: run_v2(r, be=16)),
+        ("v2_be32", lambda r: run_v2(r, be=32)),
         ("v2_extractonly", make_runner("extractonly")),
         ("v2_nopermute", make_runner("nopermute")),
         ("v2_nocompact", make_runner("nocompact")),

@@ -1,0 +1,64 @@
+"""Standalone HTML replay viewer (renderer/replay_viewer.py): embeds a
+replay-v4 episode into a single self-contained page — the toolchain-free
+counterpart of mettascope (nim/mettascope/src/mettascope/replays.nim:7)."""
+
+import json
+import re
+
+from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+from mettagrid_tpu.renderer.replay_viewer import write_viewer
+from mettagrid_tpu.simulator import Simulation
+from mettagrid_tpu.simulator.replay_writer import InMemoryReplayWriter, ReplayLogWriter
+
+
+def _cfg(max_steps=4):
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=max_steps,
+            objects={"wall": WallConfig()},
+            map_builder=AsciiMapBuilder.Config(map_data=["#####", "#@..#", "#####"]),
+        )
+    )
+
+
+def _run(writer):
+    sim = Simulation(_cfg(), event_handlers=[writer])
+    while not sim.is_done:
+        sim.agent(0).set_action("move_east")
+        sim.step()
+    return sim
+
+
+def _embedded(html: str) -> dict:
+    m = re.search(r"const R = (\{.*?\});\n", html, re.DOTALL)
+    assert m, "embedded replay payload not found"
+    return json.loads(m.group(1).replace("<\\/", "</"))
+
+
+def test_viewer_embeds_replay_dict(tmp_path):
+    writer = InMemoryReplayWriter()
+    _run(writer)
+    data = writer.get_completed_replays()[0].finalize()
+    out = write_viewer(data, tmp_path / "replay.html")
+    html = out.read_text()
+    emb = _embedded(html)
+    assert emb["version"] == 4
+    assert emb["map_size"] == [5, 3]
+    assert any("agent_id" in o for o in emb["objects"])
+    # The page must be self-contained: no external scripts or stylesheets.
+    assert "src=" not in html.split("<script>")[0]
+    assert "http" not in html.split("</style>")[0].split("<style>")[1]
+
+
+def test_viewer_reads_compressed_replay_file(tmp_path):
+    writer = ReplayLogWriter(str(tmp_path))
+    _run(writer)
+    path = writer.get_written_replay_paths()[0]
+    out = write_viewer(path, tmp_path / "from_file.html")
+    emb = _embedded(out.read_text())
+    assert emb["version"] == 4
+    # The agent's location timeline survived embedding (movement recorded).
+    agent = next(o for o in emb["objects"] if "agent_id" in o)
+    assert isinstance(agent["location"], list) and len(agent["location"]) >= 2

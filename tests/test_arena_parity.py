@@ -21,15 +21,18 @@ def test_arena_signature_parity(map_seed, action_seed):
     assert not problems, "\n".join(problems[:20])
 
 
-@pytest.mark.parametrize("map_seed,action_seed", [(0, 5), (7, 19)])
+@pytest.mark.parametrize("map_seed,action_seed", [(0, 5), (7, 19), (11, 23)])
 def test_arena_combat_signature_parity(map_seed, action_seed):
-    """Arena-scale COMBAT parity: 24 armed agents with a vibe-gated attack
-    move handler, random actions incl. change_vibe, reproduced shuffle —
-    exercises the general wave-parallel action path with real inventory
-    deltas at scale (not the pure-relocation specialization)."""
+    """Arena-scale FULL-combat parity: 24 armed agents, FirstMatch handler
+    chain shield_break (defense consumption on shielding targets) / melee
+    (loot transfer then the bound C++ attack) / bump_swap (vibe-gated
+    position swap), biased vibe script so every handler engages — the
+    general wave-parallel action path with real inventory deltas, vibe
+    interplay, and position mutations at scale, 500 steps x 3 seeds
+    (VERDICT r2 next #7)."""
     from mettagrid_tpu.parity.arena import run_arena_parity
 
-    problems = run_arena_parity(map_seed, action_seed, steps=250, combat=True)
+    problems = run_arena_parity(map_seed, action_seed, steps=500, combat=True)
     assert not problems, "\n".join(problems[:20])
 
 
