@@ -1,0 +1,213 @@
+"""Behavior tests for engine features that previously had only compile-path
+coverage: push_object kick chains (reference tests/test_push_object_mutation.py),
+the periodic filter (test_periodic_filter.py), closure queries
+(test_closure_query.py), and the last_action_move global token
+(test_last_action_move_observation.py)."""
+
+import numpy as np
+
+from mettagrid_tpu.config.action_config import (
+    ActionsConfig,
+    MoveActionConfig,
+    NoopActionConfig,
+)
+from mettagrid_tpu.config.game_config import (
+    GameConfig,
+    GridObjectConfig,
+    MettaGridConfig,
+    WallConfig,
+)
+from mettagrid_tpu.config.event_config import EventConfig
+from mettagrid_tpu.config.handler_config import (
+    Handler,
+    maxDistance,
+    PeriodicFilter,
+    PushObjectMutation,
+    RelocateMutation,
+    TargetLocEmptyFilter,
+    isA,
+    updateTarget,
+)
+from mettagrid_tpu.config.query import ClosureQuery
+from mettagrid_tpu.config.tag import typeTag
+from mettagrid_tpu.simulator import Simulation
+from mettagrid_tpu.test_support import ObjectNameMapBuilder
+from mettagrid_tpu.test_support.actions import get_agent_position
+
+KICK_HANDLERS = [
+    Handler(name="kick_box", filters=[isA("box")], mutations=[PushObjectMutation(), RelocateMutation()]),
+    Handler(name="move", filters=[TargetLocEmptyFilter()], mutations=[RelocateMutation()]),
+]
+
+
+def _kick_sim(map_data):
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            max_steps=50,
+            num_agents=1,
+            actions=ActionsConfig(
+                noop=NoopActionConfig(), move=MoveActionConfig(handlers=KICK_HANDLERS)
+            ),
+            objects={"wall": WallConfig(), "box": GridObjectConfig(name="box", map_name="box")},
+            map_builder=ObjectNameMapBuilder.Config(map_data=map_data),
+        )
+    )
+    return Simulation(cfg, seed=42)
+
+
+def _positions(sim, type_name):
+    return [(o["r"], o["c"]) for o in sim.grid_objects().values() if o.get("type_name") == type_name]
+
+
+def test_push_box_into_empty_cell():
+    sim = _kick_sim([
+        ["wall", "wall", "wall", "wall", "wall"],
+        ["wall", "agent.agent", "box", "empty", "wall"],
+        ["wall", "wall", "wall", "wall", "wall"],
+    ])
+    sim.agent(0).set_action("move_east")
+    sim.step()
+    assert get_agent_position(sim, 0) == (1, 2), "agent steps into the vacated box cell"
+    assert _positions(sim, "box") == [(1, 3)], "box pushed one cell east"
+
+
+def test_push_box_into_wall_fails():
+    """push fails -> the kick handler aborts -> fallback move also fails
+    (box occupies the target): everything stays put
+    (push_object_mutation.hpp failure semantics)."""
+    sim = _kick_sim([
+        ["wall", "wall", "wall", "wall"],
+        ["wall", "agent.agent", "box", "wall"],
+        ["wall", "wall", "wall", "wall"],
+    ])
+    sim.agent(0).set_action("move_east")
+    sim.step()
+    assert get_agent_position(sim, 0) == (1, 1)
+    assert _positions(sim, "box") == [(1, 2)]
+
+
+def test_push_box_into_other_box_fails():
+    sim = _kick_sim([
+        ["wall", "wall", "wall", "wall", "wall"],
+        ["wall", "agent.agent", "box", "box", "wall"],
+        ["wall", "wall", "wall", "wall", "wall"],
+    ])
+    sim.agent(0).set_action("move_east")
+    sim.step()
+    assert get_agent_position(sim, 0) == (1, 1)
+    assert sorted(_positions(sim, "box")) == [(1, 2), (1, 3)]
+
+
+def test_periodic_filter_fires_on_schedule():
+    """(t - start_on) % period == 0 and t >= start_on (start_on defaults to
+    the period) — reference handler/filters/periodic_filter.hpp."""
+    mine = GridObjectConfig(name="mine", map_name="mine")
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=20,
+            objects={"wall": WallConfig(), "mine": mine},
+            map_builder=ObjectNameMapBuilder.Config(
+                map_data=[
+                    ["wall", "wall", "wall"],
+                    ["wall", "agent.agent", "wall"],
+                    ["wall", "mine", "wall"],
+                    ["wall", "wall", "wall"],
+                ]
+            ),
+            events={
+                "drip": EventConfig(
+                    name="drip",
+                    target_query=typeTag("mine"),
+                    timesteps=list(range(1, 20)),  # fires every step...
+                    filters=[PeriodicFilter(period=3)],  # ...gated periodically
+                    mutations=[updateTarget({"heart": 1})],
+                )
+            },
+        )
+    )
+    sim = Simulation(cfg, seed=0)
+    counts = []
+    for _ in range(7):
+        sim.agent(0).set_action("noop")
+        sim.step()
+        mine_obj = next(o for o in sim.grid_objects().values() if o["type_name"] == "mine")
+        counts.append(mine_obj["inventory"].get("heart", 0))
+    # Steps are 1-based in the tick phase; fires at t=3 and t=6.
+    assert counts == [0, 0, 1, 1, 1, 2, 2], counts
+
+
+def test_closure_query_counts_connected_component():
+    """BFS from the hub through adjacent crystals: only the chain touching
+    the hub joins the network (core/query_system.cpp closure evaluation)."""
+    from mettagrid_tpu.config.game_value import QueryCountValue
+    from mettagrid_tpu.config.reward_config import reward
+    from mettagrid_tpu.config.game_config import AgentConfig
+
+    hub = GridObjectConfig(name="hub", map_name="hub")
+    crystal = GridObjectConfig(name="crystal", map_name="crystal")
+    q = ClosureQuery(
+        source=typeTag("hub"),
+        candidates=typeTag("crystal"),
+        edge_filters=[maxDistance(1)],
+    )
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=10,
+            objects={"wall": WallConfig(), "hub": hub, "crystal": crystal},
+            agent=AgentConfig(
+                rewards={"net": reward(QueryCountValue(query=q.model_dump()), per_tick=True)}
+            ),
+            map_builder=ObjectNameMapBuilder.Config(
+                map_data=[
+                    # hub-crystal-crystal chain, then a gap, then an island crystal
+                    ["wall"] * 8,
+                    ["wall", "agent.agent", "hub", "crystal", "crystal", "empty", "crystal", "wall"],
+                    ["wall"] * 8,
+                ]
+            ),
+        )
+    )
+    sim = Simulation(cfg, seed=0)
+    sim.agent(0).set_action("noop")
+    sim.step()
+    # hub + 2 chained crystals = 3; the island crystal is unreachable.
+    assert float(np.asarray(sim.last_outputs.rewards)[0, 0]) == 3.0
+
+
+def test_last_action_move_global_token():
+    """last_action_move reports whether the previous action CHANGED the
+    agent's location (reference test_last_action_move_observation.py — a
+    failed move emits 0)."""
+    from mettagrid_tpu.config.obs_config import GlobalObsConfig, ObsConfig
+
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=10,
+            obs=ObsConfig(global_obs=GlobalObsConfig(last_action_move=True)),
+            objects={"wall": WallConfig()},
+            map_builder=ObjectNameMapBuilder.Config(
+                map_data=[
+                    ["wall", "wall", "wall", "wall"],
+                    ["wall", "agent.agent", "empty", "wall"],
+                    ["wall", "wall", "wall", "wall"],
+                ]
+            ),
+        )
+    )
+    fid = next(f.id for f in cfg.game.id_map().features() if f.name == "last_action_move")
+    sim = Simulation(cfg, seed=0)
+
+    def lam_value():
+        obs = np.asarray(sim.last_outputs.observations)[0, 0]  # [T, 3]
+        vals = obs[obs[:, 1] == fid]
+        return int(vals[0, 2]) if len(vals) else 0
+
+    sim.agent(0).set_action("move_east")
+    sim.step()
+    assert lam_value() == 1, "successful relocation -> 1"
+    sim.agent(0).set_action("move_east")  # blocked by the wall
+    sim.step()
+    assert lam_value() == 0, "failed move (no location change) -> 0"

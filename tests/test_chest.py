@@ -1,0 +1,117 @@
+"""Chest/extractor semantics (modeled on the reference's tests/test_chest.py):
+withdraw with remove_source_when_empty deletes the depleted object from the
+grid; deposit transfers the actor's resources into the target up to its
+limits (handler_config withdraw/deposit helpers, engine/handlers.py
+resource_transfer)."""
+
+from mettagrid_tpu.config.game_config import (
+    GridObjectConfig,
+    InventoryConfig,
+    MettaGridConfig,
+    ResourceLimitsConfig,
+)
+from mettagrid_tpu.config.handler_config import Handler, deposit, withdraw
+from mettagrid_tpu.simulator import Simulation
+
+
+def _base(extra_objects, char_map, rows):
+    cfg = MettaGridConfig.EmptyRoom(num_agents=1, with_walls=True)
+    cfg.game.resource_names = ["gold"]
+    cfg.game.agent.inventory.initial = {}
+    cfg.game.objects.update(extra_objects)
+    cfg = cfg.with_ascii_map(rows, char_to_map_name=char_map)
+    return cfg
+
+
+def test_withdraw_remove_when_empty_deletes_object():
+    extractor = GridObjectConfig(
+        name="extractor",
+        on_use_handler=Handler(
+            name="extract",
+            mutations=[withdraw({"gold": 5}, remove_when_empty=True)],
+        ),
+        inventory=InventoryConfig(
+            initial={"gold": 5},
+            limits={"gold": ResourceLimitsConfig(base=100, resources=["gold"])},
+        ),
+    )
+    cfg = _base(
+        {"extractor": extractor},
+        {"#": "wall", "@": "agent.agent", ".": "empty", "E": "extractor"},
+        [
+            ["#", "#", "#", "#", "#"],
+            ["#", ".", ".", ".", "#"],
+            ["#", ".", "E", ".", "#"],
+            ["#", ".", "@", ".", "#"],
+            ["#", "#", "#", "#", "#"],
+        ],
+    )
+    sim = Simulation(cfg)
+    assert sum(1 for o in sim.grid_objects().values() if o["type_name"] == "extractor") == 1
+
+    sim.agent(0).set_action("move_north")
+    sim.step()
+
+    assert sim.agent(0).inventory.get("gold", 0) == 5, "agent should loot all 5 gold"
+    after = [o for o in sim.grid_objects().values() if o["type_name"] == "extractor"]
+    assert not after, "depleted extractor must be removed from the grid"
+
+
+def test_withdraw_partial_keeps_object():
+    extractor = GridObjectConfig(
+        name="extractor",
+        on_use_handler=Handler(
+            name="extract",
+            mutations=[withdraw({"gold": 2}, remove_when_empty=True)],
+        ),
+        inventory=InventoryConfig(
+            initial={"gold": 5},
+            limits={"gold": ResourceLimitsConfig(base=100, resources=["gold"])},
+        ),
+    )
+    cfg = _base(
+        {"extractor": extractor},
+        {"#": "wall", "@": "agent.agent", ".": "empty", "E": "extractor"},
+        [
+            ["#", "#", "#"],
+            ["#", "E", "#"],
+            ["#", "@", "#"],
+            ["#", "#", "#"],
+        ],
+    )
+    sim = Simulation(cfg)
+    sim.agent(0).set_action("move_north")
+    sim.step()
+    assert sim.agent(0).inventory.get("gold", 0) == 2
+    exts = [o for o in sim.grid_objects().values() if o["type_name"] == "extractor"]
+    assert len(exts) == 1, "extractor with remaining gold stays on the grid"
+    assert exts[0]["inventory"].get("gold", 0) == 3
+
+
+def test_deposit_into_chest_respects_limits():
+    chest = GridObjectConfig(
+        name="chest",
+        on_use_handler=Handler(name="stash", mutations=[deposit({"gold": 10})]),
+        inventory=InventoryConfig(
+            initial={},
+            limits={"gold": ResourceLimitsConfig(base=4, resources=["gold"])},
+        ),
+    )
+    cfg = _base(
+        {"chest": chest},
+        {"#": "wall", "@": "agent.agent", ".": "empty", "C": "chest"},
+        [
+            ["#", "#", "#"],
+            ["#", "C", "#"],
+            ["#", "@", "#"],
+            ["#", "#", "#"],
+        ],
+    )
+    cfg.game.agent.inventory.initial = {"gold": 7}
+    sim = Simulation(cfg)
+    sim.agent(0).set_action("move_north")
+    sim.step()
+    chest_obj = next(o for o in sim.grid_objects().values() if o["type_name"] == "chest")
+    # Transfer is clamped by the chest's limit of 4; the rest stays on the agent.
+    assert chest_obj["inventory"].get("gold", 0) == 4
+    assert sim.agent(0).inventory.get("gold", 0) == 3
