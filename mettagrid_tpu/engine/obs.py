@@ -45,6 +45,16 @@ _TAP = None
 # the XLA formulation (ADVICE r1: the fused tail was only tested on TPU).
 _FORCE_FUSED_INTERPRET = False
 
+# Probe/test hook: pin the static fused tail to one kernel generation
+# (None = fastest eligible; "v3" | "v2" | "v1" — "v1" via _OBS_V2=False).
+# Settable via METTAGRID_TPU_STATIC_TAIL for bench comparisons.
+_FORCE_STATIC_TAIL = os.environ.get("METTAGRID_TPU_STATIC_TAIL") or None
+
+# v3 (paired-row) tail: interpret-verified; hardware byte-verification
+# (scripts/verify_tpu_obs.py) pending — flip the default once it passes
+# (EXACTNESS INVARIANT in CLAUDE.md).
+_OBS_V3 = os.environ.get("METTAGRID_TPU_OBS_V3", "0") not in ("0", "", "false")
+
 # Switch for the v2 fused tail (packed single-int32 compaction + direct
 # unpacked permute). Default ON: byte-verified on hardware
 # (scripts/verify_tpu_obs.py) and faster than v1 (620k vs 595k env-steps/s
@@ -357,12 +367,30 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         tri2_t = jnp.asarray(tri2_np)
         loc15_t = jnp.asarray(loc15_np)
 
+    # ---- v3 (paired-row) static-tail geometry: window rows 2k/2k+1 share a
+    # 128-lane row at offsets 0/OWS, halving the permute contraction to
+    # 8*128 lanes. Requires pairs to fit a lane row and the window to fit 8
+    # paired rows; agents must sit strictly below image row 0 (hr >= 1). ----
+    HP2_v3 = (((H - 1) // 2 + 8) + 7) // 8 * 8
+    v3_ok_static = (
+        v2_ok_static and 2 * OWS <= 128 and OH <= 15 and hr >= 1
+    )
+    perm3_t = None
+    if v3_ok_static:
+        perm3_np = np.zeros((8 * 128, KS_pad2), dtype=np.int8)
+        for k in range(K):
+            u, v = uv_of_k[k]
+            for s in range(S):
+                perm3_np[(u >> 1) * 128 + (u & 1) * OWS + v * S + s, G + k * S + s] = 1
+        perm3_t = jnp.asarray(perm3_np)
+
     _cell_image = make_cell_image_fn(program)
     _stage1 = _cell_image.stage1
 
     # Prepadded +1-encoded static image for the fused kernel: skips the
     # per-step encode/pad/scatter glue entirely (static part never changes).
     imgp_static_flat = None
+    imgp_paired_i32 = None
     imgp_static_i32 = None
     if static_bg is not None:
         Pm_s = static_bg.shape[0]
@@ -382,6 +410,25 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         # to the XLA assembly path).
         if Pm_s * HP_f * WPC_f * 4 <= 4 * 1024 * 1024:
             imgp_static_i32 = imgp_s.astype(jnp.int32)
+        # Row-paired pool for the v3 tail: even region row u = [img(2u) |
+        # img(2u+1)], odd region row u = [img(2u+1) | img(2u+2)] — windows
+        # of either start-row parity read 8 contiguous paired rows.
+        if (
+            imgp_static_i32 is not None
+            and v3_ok_static
+            and Pm_s * 2 * HP2_v3 * 2 * WPC_f * 4 <= 8 * 1024 * 1024
+        ):
+            need = 2 * HP2_v3 + 2
+            src = imgp_s
+            if src.shape[1] < need:
+                src = jnp.pad(src, ((0, 0), (0, need - src.shape[1]), (0, 0)))
+            even = jnp.concatenate(
+                [src[:, 0 : 2 * HP2_v3 : 2], src[:, 1 : 2 * HP2_v3 : 2]], axis=2
+            )
+            odd = jnp.concatenate(
+                [src[:, 1 : 2 * HP2_v3 + 1 : 2], src[:, 2 : 2 * HP2_v3 + 2 : 2]], axis=2
+            )
+            imgp_paired_i32 = jnp.concatenate([even, odd], axis=1).astype(jnp.int32)
 
     def _global_plus(state, E):
         """+1-encoded global words (0 marks an empty slot)."""
@@ -491,8 +538,44 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             ).astype(jnp.float32)
             words_a = tok_a + plus_a  # f32, integer-valued, +1-encoded
 
-            if imgp_static_i32 is not None and v2_ok_static and _OBS_V2:
-                # Fastest path: v2 fused tail — packed single-int32
+            if (
+                imgp_paired_i32 is not None
+                and v3_ok_static
+                and _OBS_V2
+                and (_OBS_V3 or _FORCE_STATIC_TAIL == "v3")
+                and _FORCE_STATIC_TAIL in (None, "v3")
+            ):
+                # Fastest path: v3 fused tail — v2's packed compaction with
+                # ROW-PAIRED windows (permute contracts 1024 lanes, not 2048).
+                from mettagrid_tpu.engine.pallas_kernels import (
+                    obs_tail_static_v3_pallas,
+                    use_pallas,
+                )
+
+                gplus = _global_plus(state, E)  # all-valid by gate
+                out_words, attempted = obs_tail_static_v3_pallas(
+                    imgp_paired_i32,
+                    state.map_idx,
+                    agent_r,
+                    agent_c * S,
+                    agent_r + hr,
+                    (agent_c + wr) * S,
+                    words_a.astype(jnp.int32),
+                    gplus,
+                    perm3_t,
+                    tri2_t,
+                    loc15_t,
+                    OH,
+                    OWS,
+                    KS,
+                    WPC_f,
+                    HP2_v3,
+                    interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
+                )
+                return _unpack_words(out_words, attempted, empty_mapped=True)
+
+            if imgp_static_i32 is not None and v2_ok_static and _OBS_V2 and _FORCE_STATIC_TAIL in (None, "v2", "v3"):
+                # Fast path: v2 fused tail — packed single-int32
                 # compaction + direct unpacked permute; image assembled
                 # in-kernel as in v1, globals injected as G always-valid
                 # front lanes (no XLA concat pass on the output).
@@ -781,6 +864,8 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         "perm_fused": perm_fused_t, "make_loc_const": make_loc_const,
         "imgp_static_i32": imgp_static_i32,
         "perm2": perm2_t, "tri2": tri2_t, "loc15": loc15_t,
+        "perm3": perm3_t, "imgp_paired_i32": imgp_paired_i32,
+        "HP2_v3": HP2_v3, "v3_ok": v3_ok_static, "WPC_f": WPC_f,
         "v2_ok": v2_ok_static, "global_plus": _global_plus, "stage1": _stage1,
         "all_global_words": _all_global_words,
     }

@@ -472,6 +472,157 @@ def obs_tail_static_v2_pallas(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("OH", "OWS", "KS", "WPCF", "HP2", "block_envs", "interpret")
+)
+def obs_tail_static_v3_pallas(
+    static_paired: jnp.ndarray,  # int32 [P, 2*HP2, 2*WPCF]: row-paired +1-encoded static image, even-aligned pairs then odd-aligned
+    map_idx: jnp.ndarray,        # int32 [E]
+    row0: jnp.ndarray,           # int32 [E, A] window start row in image space (= agent_r)
+    lane0: jnp.ndarray,          # int32 [E, A] window start lane (= agent_c * S)
+    rext: jnp.ndarray,           # int32 [E, A] agent image row (agent_r + hr)
+    lext: jnp.ndarray,           # int32 [E, A] agent image lane ((agent_c + wr) * S)
+    words: jnp.ndarray,          # int32 [E, A, S] +1-encoded agent token words
+    gplus: jnp.ndarray,          # int32 [E, A, G] +1-encoded global words (all valid)
+    perm8: jnp.ndarray,          # int8 [8*128, KS_pad]: paired-raster -> Manhattan, cols offset by G
+    tri8: jnp.ndarray,           # int8 [KS_pad, KS_pad]
+    loc15: jnp.ndarray,          # int32 [8, KS_pad]
+    OH: int,
+    OWS: int,
+    KS: int,
+    WPCF: int,                   # unpaired image width (lanes)
+    HP2: int,                    # paired rows per parity region
+    block_envs: int = 8,
+    interpret: bool = False,
+):
+    """v3 fused tail: obs_tail_static_v2_pallas with ROW-PAIRED windows.
+
+    The static pool stores two half-row-offset copies of each image with map
+    rows 2u,2u+1 (even region) / 2u+1,2u+2 (odd region) side by side in one
+    2*WPCF lane row. A window starting at image row r reads 8 paired rows of
+    the r&1 region from row r>>1 — covering all OH<=15 window rows — so the
+    Manhattan permute contracts 8*128=1024 lanes instead of 16*128 (the
+    paired row packs window rows 2k/2k+1 at lane offsets 0/OWS via two rolls
+    per agent). Requires 2*OWS <= 128; everything else as v2.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, HP2x2, WPC2 = static_paired.shape
+    E, A = row0.shape
+    S = words.shape[2]
+    G = gplus.shape[2]
+    K_mat, KS_pad = perm8.shape
+    BE = block_envs
+    BA = BE * A
+
+    def kernel(r_ref, l_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
+               rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winraw):
+        blk = pl.program_id(0)
+        # ---- assemble per-env paired images (agents placed in BOTH parity
+        # regions by one exact matmul; an agent at image row R sits at
+        # even-region row R>>1 lane (R&1)*WPCF+L and odd-region row
+        # HP2+(R-1)>>1 lane ((R-1)&1)*WPCF+L; R=0 yields odd row -1 which
+        # matches no one-hot row). ----
+        for e in range(BE):
+            m = m_ref[blk * BE + e]
+            base = static_ref[m]  # [2*HP2, WPC2]
+            R = rext_ref[e]  # [A]
+            L = lext_ref[e]
+            rows_e = R >> 1
+            rows_o = HP2 + ((R - 1) >> 1)
+            lanes_e = (R & 1) * WPCF + L
+            lanes_o = ((R - 1) & 1) * WPCF + L
+            riota = jax.lax.broadcasted_iota(jnp.int32, (HP2x2, 2 * A), 0)
+            rtarget = jnp.concatenate([rows_e, rows_o])[None, :]
+            r_oh = (riota == rtarget).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (2 * A, WPC2), 1)
+            ltarget = jnp.concatenate([lanes_e, lanes_o])[:, None]
+            w2 = jnp.concatenate([w_ref[e], w_ref[e]], axis=0)  # [2A, S]
+            rhs = jnp.zeros((2 * A, WPC2), dtype=jnp.float32)
+            for s in range(S):
+                rhs = rhs + jnp.where(
+                    lane == ltarget + s, w2[:, s][:, None].astype(jnp.float32), 0.0
+                )
+            dyn = jax.lax.dot_general(
+                r_oh, rhs, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            imgs[e] = base + dyn.astype(jnp.int32)
+
+        # ---- per-agent paired-window extraction: one 8-row ds + two rolls
+        # put window rows 2k / 2k+1 at lane offsets 0 / OWS ----
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, WPC2), 1)
+        for e in range(BE):
+            for a in range(A):
+                idx = (blk * BE + e) * A + a
+                r = r_ref[idx]
+                l = l_ref[idx]
+                base_row = (r & 1) * HP2 + (r >> 1)
+                x = imgs[e, pl.ds(base_row, 8), :]
+                x1 = pltpu.roll(x, WPC2 - l, 1)  # left-half window -> lane 0
+                # right-half (next map row) window -> lane OWS; shift kept in
+                # [OWS, WPC2) since OWS < WPCF and l <= WPCF
+                x2 = pltpu.roll(x, WPC2 + OWS - WPCF - l, 1)
+                y = jnp.where(lane128 < OWS, x1, jnp.where(lane128 < 2 * OWS, x2, 0))
+                winraw[e * A + a] = y[:, :128]
+
+        # ---- Manhattan permute + packed word build + compaction (as v2) ----
+        lhs = winraw[:].reshape(BA, 8 * 128)
+        rhs2 = perm_ref[:]
+        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
+        cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
+        cells = ((hi + cr) << 8) | (lo + cr)
+        g2 = g_ref[:].reshape(BA, G)
+        cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
+
+        ok = cells > 0
+        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
+        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
+        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
+        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
+        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad).reshape(BE, A, KS_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((P, HP2x2, WPC2), lambda i, r, l, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_mat, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KS_pad, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, S), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, G), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, A, KS_pad), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BE, HP2x2, WPC2), jnp.int32),
+            pltpu.VMEM((BA, 8, 128), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, A, KS_pad), jnp.int32),
+            jax.ShapeDtypeStruct((E, A), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        row0.reshape(-1), lane0.reshape(-1), map_idx,
+        static_paired, perm8, tri8, loc15, rext, lext, words, gplus,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("KS", "block_envs", "interpret"))
 def obs_tail_dyn_v2_pallas(
     imgp: jnp.ndarray,         # int32 [E, HP, WPC] per-env prepadded +1-encoded image

@@ -109,11 +109,34 @@ def glue_unpack(st):
     return st, (out[:, :, 0, 0], out[:, :, -1, 0])
 
 
+def glue_unpack_bcast(st):
+    """Broadcast-shift formulation: one op instead of 3 shifts + stack."""
+    w = words_in + (st.step_count.sum() % 2).astype(jnp.int32)
+    out_words = jnp.pad(w, ((0, 0), (0, 0), (0, T - w.shape[-1])), constant_values=empty_word)
+    shifts = jnp.asarray([16, 8, 0], dtype=jnp.int32)
+    out = ((out_words[..., None] >> shifts) & 0xFF).astype(jnp.uint8)
+    st = st._replace(step_count=st.step_count + 1)
+    return st, (out[:, :, 0, 0], out[:, :, -1, 0])
+
+
+def glue_unpack_prefix(st):
+    """Write only the provable 384-token prefix as bytes; the 0xFF tail is a
+    constant pad fused into the store."""
+    w = words_in + (st.step_count.sum() % 2).astype(jnp.int32)
+    shifts = jnp.asarray([16, 8, 0], dtype=jnp.int32)
+    pre = ((w[..., None] >> shifts) & 0xFF).astype(jnp.uint8)  # [E,A,384,3]
+    out = jnp.pad(pre, ((0, 0), (0, 0), (0, T - w.shape[-1]), (0, 0)), constant_values=0xFF)
+    st = st._replace(step_count=st.step_count + 1)
+    return st, (out[:, :, 0, 0], out[:, :, -1, 0])
+
+
 for name, fn, arg in [
     ("full_obs", full_obs, state),
     ("stage1+words", glue_stage1, state),
     ("globals", glue_globals, state),
     ("unpack", glue_unpack, state),
+    ("unpack_bcast", glue_unpack_bcast, state),
+    ("unpack_prefix", glue_unpack_prefix, state),
 ]:
     try:
         t = time_fn_carry(lambda s, fn=fn: fn(s), arg, k=8)

@@ -228,6 +228,16 @@ def main():
         )
         return perturb_r(r, 1), (out[:, :, 0], att)
 
+    def run_v3(r):
+        from mettagrid_tpu.engine.pallas_kernels import obs_tail_static_v3_pallas
+
+        out, att = obs_tail_static_v3_pallas(
+            tb["imgp_paired_i32"], map_idx, r, agent_c * S, r + hr, (agent_c + wr) * S,
+            words_a, gplus, tb["perm3"], tri2, loc15, OH, OW * S, KS,
+            tb["WPC_f"], tb["HP2_v3"],
+        )
+        return perturb_r(r, 1), (out[:, :, 0], att)
+
     def make_runner(stage):
         def run(r):
             out, att = v2_variant(
@@ -243,6 +253,7 @@ def main():
     for name, fn in [
         ("v1_prod", run_v1),
         ("v2_prod", run_v2),
+        ("v3_prod", run_v3),
         ("v2_be16", lambda r: run_v2(r, be=16)),
         ("v2_be32", lambda r: run_v2(r, be=32)),
         ("v2_extractonly", make_runner("extractonly")),

@@ -158,11 +158,12 @@ def test_static_background_obs_matches_full_path():
 import pytest
 
 
-@pytest.mark.parametrize("v2", [False, True])
-def test_fused_static_path_interpret_matches_full(v2):
+@pytest.mark.parametrize("tail", ["v1", "v2", "v3"])
+def test_fused_static_path_interpret_matches_full(tail):
     """The COMPLETE production obs path (static background + fused kernel,
     interpret mode) must be bit-identical to the plain XLA formulation —
-    both the v1 tail and the opt-in v2 packed tail (obs._OBS_V2)."""
+    for every static-tail generation (v1 word/gap pair, v2 packed, v3
+    paired-row)."""
     import mettagrid_tpu.engine.obs as obs_mod
     from mettagrid_tpu.builder import make_arena
     from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
@@ -196,16 +197,21 @@ def test_fused_static_path_interpret_matches_full(v2):
 
     bg = obs_mod.build_static_bg(program, init)
     obs_mod._FORCE_FUSED_INTERPRET = True
-    old_v2 = obs_mod._OBS_V2
-    obs_mod._OBS_V2 = v2
+    old_v2, old_force = obs_mod._OBS_V2, obs_mod._FORCE_STATIC_TAIL
+    obs_mod._OBS_V2 = tail != "v1"
+    obs_mod._FORCE_STATIC_TAIL = tail if tail != "v1" else None
     try:
         fused_static = obs_mod.make_obs_fn(program, static_bg=bg)
-        if v2:
+        if tail == "v2":
             assert fused_static._tables["v2_ok"], "arena config should qualify for v2"
+        if tail == "v3":
+            assert fused_static._tables["v3_ok"], "arena config should qualify for v3"
+            assert fused_static._tables["imgp_paired_i32"] is not None
         obs_b, att_b = fused_static(state)
     finally:
         obs_mod._FORCE_FUSED_INTERPRET = False
         obs_mod._OBS_V2 = old_v2
+        obs_mod._FORCE_STATIC_TAIL = old_force
 
     np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
     np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
