@@ -211,3 +211,73 @@ def test_last_action_move_global_token():
     sim.agent(0).set_action("move_east")  # blocked by the wall
     sim.step()
     assert lam_value() == 0, "failed move (no location change) -> 0"
+
+
+def test_tag_lifecycle_add_then_remove():
+    """add_tag registers the tag (visible to tag queries/filters the same
+    step order the reference uses); remove_tag reverses it
+    (reference tests/test_tag_mutation.py, tag_index.hpp)."""
+    from mettagrid_tpu.config.game_config import GameConfig as GC
+    from mettagrid_tpu.config.handler_config import (
+        AddTagMutation,
+        EntityTarget,
+        HandlerTarget,
+        RemoveTagMutation,
+        TagFilter,
+    )
+
+    crate = GridObjectConfig(
+        name="crate",
+        map_name="crate",
+        on_use_handler=Handler(
+            name="mark", mutations=[AddTagMutation(target=EntityTarget.TARGET, tag="marked")]
+        ),
+    )
+    cfg = MettaGridConfig(
+        game=GC(
+            num_agents=1,
+            max_steps=20,
+            tags=["marked"],
+            objects={"wall": WallConfig(), "crate": crate},
+            map_builder=ObjectNameMapBuilder.Config(
+                map_data=[
+                    ["wall", "wall", "wall"],
+                    ["wall", "crate", "wall"],
+                    ["wall", "agent.agent", "wall"],
+                    ["wall", "wall", "wall"],
+                ]
+            ),
+            events={
+                "unmark": EventConfig(
+                    name="unmark",
+                    target_query="marked",
+                    timesteps=[3],
+                    mutations=[RemoveTagMutation(tag="marked")],
+                ),
+                "bless_marked": EventConfig(
+                    name="bless_marked",
+                    target_query=typeTag("crate"),
+                    timesteps=[2, 4],
+                    filters=[TagFilter(target=HandlerTarget.TARGET, tag="marked")],
+                    mutations=[updateTarget({"heart": 1})],
+                ),
+            },
+        )
+    )
+    sim = Simulation(cfg, seed=0)
+
+    def crate_obj():
+        return next(o for o in sim.grid_objects().values() if o["type_name"] == "crate")
+
+    sim.agent(0).set_action("move_north")  # bump -> on_use adds "marked" (t=1)
+    sim.step()
+    assert "marked" in crate_obj()["tags"]
+    sim.agent(0).set_action("noop")
+    sim.step()  # t=2: bless fires while marked
+    assert crate_obj()["inventory"].get("heart", 0) == 1
+    sim.agent(0).set_action("noop")
+    sim.step()  # t=3: unmark removes the tag
+    assert "marked" not in crate_obj()["tags"]
+    sim.agent(0).set_action("noop")
+    sim.step()  # t=4: bless filtered out now
+    assert crate_obj()["inventory"].get("heart", 0) == 1
