@@ -148,7 +148,14 @@ def make_event_phase(program: EngineProgram, reference_rng: bool = False):
     reference_rng: consume the in-engine std::mt19937 twin (state.mt) for
     target-query random caps and max_targets shuffles, in the reference's
     exact stream order (agent shuffle first — step.py — then events in
-    declaration order per step)."""
+    declaration order per step).
+
+    Known stream-order deviation: the reference executes a FALLBACK event
+    recursively inside the failing event (event.cpp:57-60), so its draws
+    land BEFORE the next declared event's; this unroll runs all level-0
+    events first, so a config where a falling-back event precedes another
+    RNG-consuming event in the same step cannot be signature-matched. No
+    shipped preset does this; revisit if one appears."""
     if not program.events:
         return None
 
