@@ -1,0 +1,48 @@
+"""Benchmarks-as-tests (SURVEY §4: the reference runs pytest-benchmark step
+perf parametrized over 1-16 agents as CI regression tests —
+benchmarks/test_mettagrid_env_benchmark.py). Here the perf harness drives
+tiny configs across agent counts and asserts sane, stable throughput; the
+absolute numbers are CPU-noise so only structural properties are pinned."""
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.builder import make_arena
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+from mettagrid_tpu.maps.random_map import RandomMapBuilder
+from mettagrid_tpu.perf.harness import run_performance
+
+
+@pytest.mark.parametrize("num_agents", [1, 4, 16])
+def test_step_perf_across_agent_counts(num_agents):
+    size = max(10, int((num_agents * 6) ** 0.5) + 6)
+    cfg = make_arena(
+        num_agents,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=num_agents, width=size, height=size, border_width=1, objects={"wall": 4}
+        ),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    builder.config.seed = 3
+    init = build_env_init(program, [builder.build_for_num_agents(num_agents)])
+    E = 8
+    reset = make_reset(program, init, E)
+    step = make_step(program, init, auto_reset=True, donate=False)
+    result = run_performance(
+        step,
+        reset,
+        num_envs=E,
+        num_agents=num_agents,
+        n_actions=len(program.action_names),
+        label=f"agents{num_agents}",
+        iters_per_round=20,
+        rounds=3,
+        warmup_iters=5,
+        max_cv=None,  # CPU CI boxes are too noisy for the 20% CV gate
+    )
+    assert result.env_steps_per_s > 0 and np.isfinite(result.env_steps_per_s)
+    assert result.label == f"agents{num_agents}"
+    d = result.to_json()
+    assert "env_steps_per_s" in d
