@@ -41,6 +41,11 @@ class Scenario:
     agent_limits: Dict[str, Dict[str, Any]] = field(default_factory=dict)
     max_steps: int = 1000
     resources: Optional[List[str]] = None
+    # Timestep events: {name: {"target_type", "timesteps", "max_targets"?,
+    # "mutations": [{"kind": "raycast_spawn", "object_type", "directions",
+    # "max_range", "blocker_types"?: [...]} | {"kind": "update_target",
+    # "deltas": {...}}]}}
+    events: Dict[str, Dict[str, Any]] = field(default_factory=dict)
     compare_obs: bool = False
     # Feed the reference's MT19937 std::shuffle agent order into our engine
     # (required whenever agents can contend — the winner is order-dependent).
@@ -83,6 +88,19 @@ class _Api:
             self.ChangeVibeActionConfig = A.ChangeVibeActionConfig
             self.inventoryReward = R.inventoryReward
             self.ObjectNameMapBuilder = ObjectNameMapBuilder
+            from mettagrid_tpu.config.event_config import EventConfig
+            from mettagrid_tpu.config.handler_config import (
+                RaycastSpawnMutation,
+                isA,
+                updateTarget,
+            )
+            from mettagrid_tpu.config.tag import typeTag
+
+            self.EventConfig = EventConfig
+            self.RaycastSpawnMutation = RaycastSpawnMutation
+            self.updateTarget = updateTarget
+            self.isA = isA
+            self.typeTag = typeTag
         else:
             from mettagrid_tpu.parity.reference_oracle import load_reference
 
@@ -114,12 +132,25 @@ class _Api:
             self.ChangeVibeActionConfig = A.ChangeVibeActionConfig
             self.inventoryReward = R.inventoryReward
             self.ObjectNameMapBuilder = ObjectNameMapBuilder
+            from mettagrid.config.event_config import EventConfig
+            from mettagrid.config.filter import isA
+            from mettagrid.config.handler_config import updateTarget
+            from mettagrid.config.mutation import RaycastSpawnMutation
+            from mettagrid.config.tag import typeTag
+
+            self.EventConfig = EventConfig
+            self.RaycastSpawnMutation = RaycastSpawnMutation
+            self.updateTarget = updateTarget
+            self.isA = isA
+            self.typeTag = typeTag
 
 
 def _build_config(api: _Api, sc: Scenario):
     objects: Dict[str, Any] = {"wall": api.WallConfig()}
     for name, spec in sc.objects.items():
-        if spec.get("kind") == "mine":
+        if spec.get("kind") == "plain":
+            objects[name] = api.GridObjectConfig(name=name, map_name=name)
+        elif spec.get("kind") == "mine":
             objects[name] = api.GridObjectConfig(
                 name=name,
                 map_name=name,
@@ -194,6 +225,34 @@ def _build_config(api: _Api, sc: Scenario):
             ),
             change_vibe=api.ChangeVibeActionConfig(enabled=sc.change_vibe),
         )
+    if sc.events:
+        events = {}
+        for ename, espec in sc.events.items():
+            mutations = []
+            for m in espec["mutations"]:
+                if m["kind"] == "raycast_spawn":
+                    mutations.append(
+                        api.RaycastSpawnMutation(
+                            object_type=m["object_type"],
+                            directions=list(m["directions"]),
+                            max_range=m["max_range"],
+                            blocker=[api.isA(t) for t in m.get("blocker_types", [])],
+                        )
+                    )
+                elif m["kind"] == "update_target":
+                    mutations.append(api.updateTarget(dict(m["deltas"])))
+                else:
+                    raise ValueError(f"unknown event mutation kind {m['kind']!r}")
+            ekw = dict(
+                name=ename,
+                target_query=api.typeTag(espec["target_type"]),
+                timesteps=list(espec["timesteps"]),
+                mutations=mutations,
+            )
+            if espec.get("max_targets") is not None:
+                ekw["max_targets"] = espec["max_targets"]
+            events[ename] = api.EventConfig(**ekw)
+        kwargs["events"] = events
     game = api.GameConfig(**kwargs)
     if sc.resources is not None:
         game = game.model_copy(update={"resource_names": list(sc.resources)})

@@ -201,3 +201,20 @@ def write_viewer(replay: Union[str, Path, Dict[str, Any]], out_html: Union[str, 
     out = Path(out_html)
     out.write_text(html, encoding="utf-8")
     return out
+
+
+def main() -> None:
+    """CLI: python -m mettagrid_tpu.renderer.replay_viewer <replay> [out.html]"""
+    import sys
+
+    if len(sys.argv) < 2:
+        print(__doc__)
+        raise SystemExit(2)
+    src = sys.argv[1]
+    out = sys.argv[2] if len(sys.argv) > 2 else str(Path(src).with_suffix("")) + ".html"
+    path = write_viewer(src, out)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -447,3 +447,88 @@ def test_modifier_raises_limit_cross_engine():
     series = [step["inv"][0].get("ore_red", 0) for step in ref["steps"]]
     # effective limit = clamp(min(20, max(5, 6)), ...) = 6: gains 4, then 2.
     assert series == [4, 6, 6], series
+
+
+def test_raycast_spawn_skips_non_blockers_cross_engine():
+    """With NO blocker filters, occupied cells are skipped but do NOT stop
+    the ray (raycast_spawn_mutation.cpp: is_blocker stays false, continue) —
+    crystals must appear on both sides of the mid-ray wall in BOTH engines."""
+    sc = Scenario(
+        map_data=[
+            ["wall"] * 8,
+            ["wall", "agent.agent", "hub", "empty", "wall", "empty", "empty", "wall"],
+            ["wall"] * 8,
+        ],
+        num_agents=1,
+        objects={"hub": {"kind": "plain"}, "crystal": {"kind": "plain"}},
+        events={
+            "bloom": {
+                "target_type": "hub",
+                "timesteps": [1],
+                "mutations": [
+                    {
+                        "kind": "raycast_spawn",
+                        "object_type": "crystal",
+                        "directions": ["east"],
+                        "max_range": 4,
+                    }
+                ],
+            }
+        },
+        scripts=[["noop"], ["noop"]],
+    )
+    check(sc)
+
+
+def test_raycast_spawn_blocker_stops_ray_cross_engine():
+    """The same layout with isA("wall") as a blocker: the ray stops at the
+    wall, so only the cell before it spawns."""
+    sc = Scenario(
+        map_data=[
+            ["wall"] * 8,
+            ["wall", "agent.agent", "hub", "empty", "wall", "empty", "empty", "wall"],
+            ["wall"] * 8,
+        ],
+        num_agents=1,
+        objects={"hub": {"kind": "plain"}, "crystal": {"kind": "plain"}},
+        events={
+            "bloom": {
+                "target_type": "hub",
+                "timesteps": [1],
+                "mutations": [
+                    {
+                        "kind": "raycast_spawn",
+                        "object_type": "crystal",
+                        "directions": ["east"],
+                        "max_range": 4,
+                        "blocker_types": ["wall"],
+                    }
+                ],
+            }
+        },
+        scripts=[["noop"], ["noop"]],
+    )
+    check(sc)
+
+
+def test_event_update_target_cross_engine():
+    """A timestep event applying inventory deltas to typed targets matches
+    the reference end-state (event.cpp execute -> try_apply)."""
+    sc = Scenario(
+        map_data=[
+            ["wall"] * 6,
+            ["wall", "agent.agent", "shrine", "empty", "shrine", "wall"],
+            ["wall"] * 6,
+        ],
+        num_agents=1,
+        objects={"shrine": {"kind": "plain"}},
+        events={
+            "bless": {
+                "target_type": "shrine",
+                "timesteps": [1, 3],
+                "mutations": [{"kind": "update_target", "deltas": {"heart": 2}}],
+            }
+        },
+        scripts=[["noop"]] * 4,
+    )
+    check(sc)
