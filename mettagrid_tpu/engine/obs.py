@@ -61,6 +61,25 @@ _OBS_V3 = os.environ.get("METTAGRID_TPU_OBS_V3", "0") not in ("0", "", "false")
 # in-bench; scripts/probe_r3_tail.py). Set METTAGRID_TPU_OBS_V2=0 to compare.
 _OBS_V2 = os.environ.get("METTAGRID_TPU_OBS_V2", "1") not in ("0", "", "false")
 
+# bitcast_convert_type(int32 -> uint8) byte order is platform-defined; the
+# v2-family unpack relies on little-endian (byte 0 = LSB). Probe once per
+# process on the default backend and fall back to shift/mask if it differs.
+_LE_BITCAST_OK: bool | None = None
+
+
+def _le_bitcast_ok() -> bool:
+    global _LE_BITCAST_OK
+    if os.environ.get("METTAGRID_TPU_UNPACK") == "shift":  # bench A/B hook
+        return False
+    if _LE_BITCAST_OK is None:
+        probe = jax.device_get(
+            jax.lax.bitcast_convert_type(
+                jnp.array([0x00010203], dtype=jnp.int32), jnp.uint8
+            )
+        )
+        _LE_BITCAST_OK = probe[0].tolist() == [3, 2, 1, 0]
+    return _LE_BITCAST_OK
+
 
 def static_background_ok(program: EngineProgram) -> bool:
     """True when every non-agent object is provably inert for the whole
@@ -437,8 +456,10 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
 
     def _unpack_words(out_words, attempted, empty_mapped: bool = False):
         """empty_mapped: the producer already emitted the EMPTY token word
-        (0xFFFFFF) for invalid slots (v2 kernel), so skip the sentinel
-        mapping pass and pad with the empty word directly."""
+        (0xFFFFFF) for invalid slots (v2-family kernels) in LITTLE-ENDIAN
+        byte order (word = loc | feat<<8 | val<<16), so the uint8 unpack is
+        one bitcast + slice instead of three shift/mask passes (and the
+        sentinel mapping pass is skipped; 0xFFFFFF is byte-symmetric)."""
         empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
         pad_word = empty_word if empty_mapped else _LANDED_EMPTY
         if out_words.shape[-1] < T:  # fewer candidates than budget
@@ -449,8 +470,20 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             )
         else:
             out_words = out_words[..., :T]
-        if not empty_mapped:
-            out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
+        if empty_mapped:
+            if _le_bitcast_ok():
+                out = jax.lax.bitcast_convert_type(out_words, jnp.uint8)[..., :3]
+            else:
+                out = jnp.stack(
+                    [
+                        out_words & 0xFF,
+                        (out_words >> 8) & 0xFF,
+                        (out_words >> 16) & 0xFF,
+                    ],
+                    axis=-1,
+                ).astype(jnp.uint8)
+            return out, attempted
+        out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
         out = jnp.stack(
             [
                 (out_words >> 16) & 0xFF,

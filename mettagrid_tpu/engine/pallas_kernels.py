@@ -14,10 +14,15 @@ backend via `use_pallas()`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Envs per grid step for the fused obs-tail kernels (bench A/B hook; larger
+# blocks amortize per-block table residency against VMEM scratch growth).
+_OBS_BE = int(os.environ.get("METTAGRID_TPU_OBS_BE", "8"))
 
 _BIG = 1 << 24  # gap sentinel for invalid slots; above any real shift bit
 
@@ -194,7 +199,7 @@ def obs_tail_pallas(
     perm: jnp.ndarray,      # f32 [RP, LP, KS_pad] raster->Manhattan one-hot
     loc_const: jnp.ndarray,  # int32 [8, GP + KS_pad] location bytes (<<16), row-broadcast
     T_pad: int,
-    block_envs: int = 8,
+    block_envs: int = _OBS_BE,
     precision=None,
     interpret: bool = False,
 ):
@@ -337,10 +342,14 @@ def _compact_packed_v2(v, C):
         v = jnp.where(incoming, rolled ^ bitconsts[b], jnp.where(move, _V2_INV, v))
         b += 1
     valid = ((v >> 15) & 0xFF) != 0xFF
-    word24 = (((v >> 15) & 0xFF) << 16) | (v & 0x7FFF)
-    # Emit the reference EMPTY token word (0xFFFFFF) directly for invalid
-    # slots: the caller's byte-unpack then needs no sentinel mapping pass.
-    # Real words can never collide: loc 0xFF is excluded by the v2 gate.
+    # LITTLE-ENDIAN byte order — word = loc | feat<<8 | val<<16 — so the
+    # caller's [loc, feature, value] uint8 unpack is ONE bitcast + slice
+    # instead of three shift/mask passes over the [E, A, T] output.
+    word24 = ((v >> 15) & 0xFF) | (v & 0x7F00) | ((v & 0xFF) << 16)
+    # Emit the reference EMPTY token word (0xFFFFFF — symmetric, so byte
+    # order is moot) directly for invalid slots: the caller's byte-unpack
+    # then needs no sentinel mapping pass. Real words can never collide:
+    # loc 0xFF is excluded by the v2 gate.
     return jnp.where(valid, word24, 0xFFFFFF)
 
 
@@ -362,7 +371,7 @@ def obs_tail_static_v2_pallas(
     OH: int,
     OWS: int,                  # OW * S
     KS: int,                   # real candidate count (K * S)
-    block_envs: int = 8,
+    block_envs: int = _OBS_BE,
     interpret: bool = False,
 ):
     """Fused obs tail v2. Returns (token words int32 [E, A, KS_pad] with -1
@@ -492,7 +501,7 @@ def obs_tail_static_v3_pallas(
     KS: int,
     WPCF: int,                   # unpaired image width (lanes)
     HP2: int,                    # paired rows per parity region
-    block_envs: int = 8,
+    block_envs: int = _OBS_BE,
     interpret: bool = False,
 ):
     """v3 fused tail: obs_tail_static_v2_pallas with ROW-PAIRED windows.
@@ -633,7 +642,7 @@ def obs_tail_dyn_v2_pallas(
     tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
     loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << 15
     KS: int,                   # real candidate count (K * S)
-    block_envs: int = 8,
+    block_envs: int = _OBS_BE,
     interpret: bool = False,
 ):
     """v2 fused tail over PER-ENV images (the non-static-background path):
@@ -727,7 +736,7 @@ def obs_tail_static_pallas(
     perm: jnp.ndarray,         # f32 [RP, LP, KS_pad] raster->Manhattan one-hot
     loc_const: jnp.ndarray,    # int32 [8, GP + KS_pad] location bytes (<<16)
     T_pad: int,
-    block_envs: int = 8,
+    block_envs: int = _OBS_BE,
     interpret: bool = False,
 ):
     """obs_tail_pallas with the image assembled IN-KERNEL: the static map
