@@ -50,6 +50,11 @@ _FORCE_FUSED_INTERPRET = False
 # Settable via METTAGRID_TPU_STATIC_TAIL for bench comparisons.
 _FORCE_STATIC_TAIL = os.environ.get("METTAGRID_TPU_STATIC_TAIL") or None
 
+# Observability: which tail path the most recent compute_obs trace took
+# (verify/bench scripts assert the intended kernel actually engaged instead
+# of silently falling through a gate).
+_LAST_TAIL: str | None = None
+
 # v3 (paired-row) tail: interpret-verified; hardware byte-verification
 # (scripts/verify_tpu_obs.py) pending — flip the default once it passes
 # (EXACTNESS INVARIANT in CLAUDE.md).
@@ -72,11 +77,14 @@ def _le_bitcast_ok() -> bool:
     if os.environ.get("METTAGRID_TPU_UNPACK") == "shift":  # bench A/B hook
         return False
     if _LE_BITCAST_OK is None:
-        probe = jax.device_get(
-            jax.lax.bitcast_convert_type(
-                jnp.array([0x00010203], dtype=jnp.int32), jnp.uint8
+        # The first call happens while tracing the step — escape the trace
+        # so the probe executes eagerly on the real backend.
+        with jax.ensure_compile_time_eval():
+            probe = jax.device_get(
+                jax.lax.bitcast_convert_type(
+                    jnp.array([0x00010203], dtype=jnp.int32), jnp.uint8
+                )
             )
-        )
         _LE_BITCAST_OK = probe[0].tolist() == [3, 2, 1, 0]
     return _LE_BITCAST_OK
 
@@ -508,6 +516,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             # v2 tail over the per-env image (same gates as the static v2 —
             # they constrain geometry/globals/feature-ids, not the
             # background), globals injected in-kernel.
+            _LAST_TAIL = "dyn_v2"
             out_words, attempted = obs_tail_dyn_v2_pallas(
                 imgp,
                 agent_r,
@@ -521,6 +530,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             )
             return _unpack_words(out_words, attempted, empty_mapped=True)
         T_pad = ((T + 127) // 128) * 128
+        _LAST_TAIL = "dyn_v1"
         out_words, attempted = obs_tail_pallas(
             imgp,
             agent_r,
@@ -534,7 +544,10 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         return _unpack_words(out_words, attempted)
 
     def compute_obs(state: EnvState):
+        global _LAST_TAIL
         from mettagrid_tpu.engine.pallas_kernels import use_pallas
+
+        _LAST_TAIL = "xla"
 
         E, N = state.obj_type.shape
         fused_ok = (
@@ -586,6 +599,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 )
 
                 gplus = _global_plus(state, E)  # all-valid by gate
+                _LAST_TAIL = "static_v3"
                 out_words, attempted = obs_tail_static_v3_pallas(
                     imgp_paired_i32,
                     state.map_idx,
@@ -618,6 +632,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 )
 
                 gplus = _global_plus(state, E)  # all-valid by gate
+                _LAST_TAIL = "static_v2"
                 out_words, attempted = obs_tail_static_v2_pallas(
                     imgp_static_i32,
                     state.map_idx,
@@ -649,6 +664,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 gplus = _global_plus(state, E)
                 Gt = gplus.shape[-1]
                 T_pad = ((T + 127) // 128) * 128
+                _LAST_TAIL = "static_v1"
                 out_words, attempted = obs_tail_static_pallas(
                     imgp_static_i32,
                     state.map_idx,

@@ -1,0 +1,44 @@
+#!/bin/bash
+# One-pass TPU measurement session (round 3): byte-verifies the v2-LE and v3
+# tails, then A/Bs the unpack formulation, the v3 tail, and block_envs.
+# Each step logs to bench_logs/ and failures don't stop later steps (the
+# tunnel flakes; rerun the script and completed steps are skipped via logs).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_logs
+TO=${TO:-2400}
+
+run() {
+  local name="$1"; shift
+  local log="bench_logs/${name}.log"
+  if [ -s "$log" ] && grep -qE 'OK:|"value"' "$log"; then
+    echo "== $name: already done (bench_logs/${name}.log)"; return 0
+  fi
+  echo "== $name: $*"
+  timeout "$TO" env "$@" > "$log" 2>&1
+  local rc=$?
+  tail -2 "$log"
+  echo "   rc=$rc"
+}
+
+# 1. byte-verify the v2 tail with little-endian emission (default dispatch)
+run verify_v2le python scripts/verify_tpu_obs.py
+# 2. byte-verify the v3 (row-paired) tail
+run verify_v3 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
+# 3. bench: current default (v2 + bitcast unpack)
+run bench_v2_bitcast python bench.py
+# 4. bench: v2 + shift unpack (A/B the bitcast)
+run bench_v2_shift METTAGRID_TPU_UNPACK=shift python bench.py
+# 5. bench: v3 tail
+run bench_v3 METTAGRID_TPU_OBS_V3=1 python bench.py
+# 6-7. bench: v3 with wider env blocks
+run bench_v3_be16 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=16 python bench.py
+run bench_v3_be32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=32 python bench.py
+
+echo; echo "== summary =="
+for f in bench_logs/verify_v2le.log bench_logs/verify_v3.log; do
+  [ -f "$f" ] && echo "$(basename "$f"): $(grep -E 'OK:|FAIL' "$f" | tail -1)"
+done
+for f in bench_logs/bench_*.log; do
+  [ -f "$f" ] && echo "$(basename "$f"): $(grep -o '"value": [0-9.]*' "$f" | tail -1)"
+done

@@ -51,7 +51,9 @@ def run_leg(mode: str) -> None:
         state, out = step(state, acts, jnp.zeros((E, 8), jnp.int32))
         obs_list.append(np.asarray(out.observations))
     np.save(f"/tmp/verify_obs_{mode}.npy", np.stack(obs_list))
-    print(f"saved {mode}")
+    from mettagrid_tpu.engine import obs as obs_mod
+
+    print(f"saved {mode} (tail: {obs_mod._LAST_TAIL})")
 
 
 def main() -> int:
