@@ -61,6 +61,7 @@ def build_bench(
     pool: int = 64,
     chunk: int = 64,
     general: bool = False,
+    checksum_mode: str = "col0",
 ):
     cfg = make_general_cfg(num_agents) if general else make_arena(num_agents, combat=False)
     program = compile_program(cfg)
@@ -113,9 +114,17 @@ def build_bench(
         # harness likewise keeps timing to the env step itself —
         # perf/harness.py:20-100). tokens_attempted folds in the validity of
         # every candidate token as a second, cheap guard.
+        if checksum_mode == "full":
+            # Reduces EVERY obs byte: guarantees the byte-unpack glue cannot
+            # be narrowed to the read columns (costs one extra 147MB read
+            # per step). A/B against col0 to check XLA isn't eliding the
+            # unpack for the cheap checksum.
+            obs_term = jnp.sum(out.observations.astype(jnp.uint32))
+        else:
+            obs_term = jnp.sum(out.observations[:, :, 0, :].astype(jnp.uint32))
         checksum = (
             checksum
-            + jnp.sum(out.observations[:, :, 0, :].astype(jnp.uint32))
+            + obs_term
             + jnp.sum(out.tokens_attempted).astype(jnp.uint32)
             + jnp.sum(out.rewards).astype(jnp.uint32)
             + jnp.sum(out.terminals).astype(jnp.uint32)
@@ -149,6 +158,7 @@ def main() -> None:
     warmup_chunks = 2
     bench_chunks = 8
     general = False
+    checksum_mode = "col0"
     for arg in sys.argv[1:]:
         k, _, v = arg.partition("=")
         if k == "--envs":
@@ -161,9 +171,12 @@ def main() -> None:
             bench_chunks = int(v)
         elif k == "--general":
             general = True
+        elif k == "--checksum":
+            checksum_mode = v
 
     reset, run_chunk, make_actions = build_bench(
-        num_envs=num_envs, num_agents=num_agents, chunk=chunk, general=general
+        num_envs=num_envs, num_agents=num_agents, chunk=chunk, general=general,
+        checksum_mode=checksum_mode,
     )
     state, _ = reset(0)
     checksum = jnp.zeros((), dtype=jnp.uint32)

@@ -1,0 +1,98 @@
+"""Step-phase split at the bench shape (E=4096 x 24) for the round-3 tail:
+ablation costs for actions/obs/rewards plus standalone timings of the
+non-phase glue (agent-order perm, auto-reset cond, reward phase) to find the
+next formulational lever after the obs tail. Run on the TPU host."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from timing import time_fn_carry  # noqa: E402
+
+from mettagrid_tpu.builder import make_arena  # noqa: E402
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
+from mettagrid_tpu.profiling.phase_timing import measure_step_phases  # noqa: E402
+
+import os  # noqa: E402
+
+E = int(os.environ.get("PROBE_E", "4096"))
+A = 24
+
+cfg = make_arena(A, combat=False)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+maps = []
+rng = np.random.default_rng(0)
+for _ in range(16):
+    b.config.seed = int(rng.integers(0, 2**31 - 1))
+    maps.append(b.build_for_num_agents(A))
+init = build_env_init(program, maps)
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+acts = jnp.zeros((E, A), dtype=jnp.int32)
+
+split = measure_step_phases(program, init, state, acts, k=8)
+for k, v in split.items():
+    print(f"phase {k:10s} {v * 1e3:7.3f} ms", flush=True)
+
+# ---- glue standalone costs ----
+
+
+def t(name, fn):
+    ms = time_fn_carry(fn, state) * 1e3
+    print(f"glue  {name:28s} {ms:7.3f} ms", flush=True)
+
+
+def perm_sort(st):
+    keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(st.rng)
+    rng_next, k_perm = keys[:, 0], keys[:, 1]
+    perm = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)
+    return st._replace(rng=rng_next), (perm,)
+
+
+def perm_ranksum(st):
+    # Distribution-equivalent alternative: random keys -> comparison-sum
+    # rank -> inverse via one-hot matmul (no XLA sort).
+    keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(st.rng)
+    rng_next, k_perm = keys[:, 0], keys[:, 1]
+    r = jax.vmap(lambda k: jax.random.randint(k, (A,), 0, 1 << 30))(k_perm)
+    lt = (r[:, :, None] > r[:, None, :]) | (
+        (r[:, :, None] == r[:, None, :])
+        & (jnp.arange(A)[None, :, None] > jnp.arange(A)[None, None, :])
+    )
+    rank = lt.sum(axis=-1).astype(jnp.int32)  # [E, A] position of slot i
+    oh = (rank[:, :, None] == jnp.arange(A, dtype=jnp.int32)[None, None, :]).astype(jnp.int32)
+    perm = jnp.einsum("eia,i->ea", oh, jnp.arange(A, dtype=jnp.int32))
+    return st._replace(rng=rng_next), (perm,)
+
+
+def reset_cond(st):
+    done = jnp.any(st.terminals | st.truncations, axis=1)
+    out = jax.lax.cond(
+        jnp.any(done), lambda s: s.step_count + 1, lambda s: s.step_count, st
+    )
+    return st, (out,)
+
+
+def reward_phase_alone(st):
+    from mettagrid_tpu.engine.rewards import make_reward_phase
+
+    fn = make_reward_phase(program)
+    st2 = fn(st)
+    return st2, (st2.rewards,)
+
+
+def key_split(st):
+    keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(st.rng)
+    return st._replace(rng=keys[:, 0]), (keys[:, 2],)
+
+
+t("perm: vmap permutation(sort)", perm_sort)
+t("perm: ranksum alternative", perm_ranksum)
+t("key split x3", key_split)
+t("auto-reset any+cond (cheap fn)", reset_cond)
+t("reward phase standalone", reward_phase_alone)

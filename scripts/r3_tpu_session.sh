@@ -34,6 +34,13 @@ run bench_v3 METTAGRID_TPU_OBS_V3=1 python bench.py
 # 6-7. bench: v3 with wider env blocks
 run bench_v3_be16 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=16 python bench.py
 run bench_v3_be32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=32 python bench.py
+# 8. step-phase + glue split at bench shape (next-lever hunting)
+run probe_step METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
+# 9. general-path bench (README regression number; dyn_v2 also got LE unpack)
+run bench_general python bench.py --general
+# 10. DCE honesty check: full-obs checksum vs col0 (delta should be ~one
+# 147MB read, ~0.2ms; a larger delta means col0 was eliding the unpack)
+run bench_v3_fullsum METTAGRID_TPU_OBS_V3=1 python bench.py --checksum=full
 
 echo; echo "== summary =="
 for f in bench_logs/verify_v2le.log bench_logs/verify_v3.log; do
