@@ -571,9 +571,12 @@ def obs_tail_static_v3_pallas(
                 base_row = (r & 1) * HP2 + (r >> 1)
                 x = imgs[e, pl.ds(base_row, 8), :]
                 x1 = pltpu.roll(x, WPC2 - l, 1)  # left-half window -> lane 0
-                # right-half (next map row) window -> lane OWS; shift kept in
-                # [OWS, WPC2) since OWS < WPCF and l <= WPCF
-                x2 = pltpu.roll(x, WPC2 + OWS - WPCF - l, 1)
+                # right-half (next map row) window -> lane OWS: its shift
+                # differs from x1's by the CONSTANT OWS - WPCF, so derive it
+                # from x1 with one static roll instead of a second dynamic
+                # one (WPC2 + OWS - WPCF - l == (WPC2 - l) + (WPC2 + OWS -
+                # WPCF) mod WPC2; OWS < WPCF <= WPC2 keeps it positive).
+                x2 = pltpu.roll(x1, WPC2 + OWS - WPCF, 1)
                 y = jnp.where(lane128 < OWS, x1, jnp.where(lane128 < 2 * OWS, x2, 0))
                 winraw[e * A + a] = y[:, :128]
 
