@@ -3,10 +3,14 @@ ablation costs for actions/obs/rewards plus standalone timings of the
 non-phase glue (agent-order perm, auto-reset cond, reward phase) to find the
 next formulational lever after the obs tail. Run on the TPU host."""
 
+import os
 import sys
 
 import numpy as np
 import jax
+
+if os.environ.get("PROBE_CPU"):  # CPU smoke: the box force-registers axon
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
@@ -16,8 +20,6 @@ from timing import time_fn_carry  # noqa: E402
 from mettagrid_tpu.builder import make_arena  # noqa: E402
 from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
 from mettagrid_tpu.profiling.phase_timing import measure_step_phases  # noqa: E402
-
-import os  # noqa: E402
 
 E = int(os.environ.get("PROBE_E", "4096"))
 A = 24
