@@ -36,25 +36,54 @@ def build_arena_map(num_agents: int, map_seed: int) -> List[List[str]]:
 ATTACK_HANDLER_NAME = "melee"
 
 
-def _shrine_map(map_data: List[List[str]], count: int = 8) -> List[List[str]]:
-    """Rename the first `count` interior wall cells (raster order) to
-    "shrine" so an event has a small, pinned target set in both engines
-    (registration order = map raster order, the same invariant obs parity
-    already relies on)."""
+def _rename_walls(
+    map_data: List[List[str]], names: List[str], reachable: bool = False
+) -> List[List[str]]:
+    """Rename the first len(names) interior wall cells (raster order) so a
+    scenario gets a small, pinned object set in both engines (registration
+    order = map raster order, the same invariant obs parity already relies
+    on). reachable=True takes only walls with an orthogonally adjacent
+    empty cell (the raster-first walls are the thick border ring, which
+    agents can never bump), striding so the picks spread across the map."""
     out = [list(row) for row in map_data]
     H, W = len(out), len(out[0])
+    if reachable:
+        cands = [
+            (r, c)
+            for r in range(1, H - 1)
+            for c in range(1, W - 1)
+            if out[r][c] == "wall"
+            and any(
+                out[r + dr][c + dc] == "empty"
+                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1))
+            )
+        ]
+        assert len(cands) >= len(names), f"only {len(cands)} reachable walls"
+        stride = max(1, len(cands) // len(names))
+        for i, name in enumerate(names):
+            r, c = cands[i * stride]
+            out[r][c] = name
+        return out
     done = 0
     for r in range(1, H - 1):
         for c in range(1, W - 1):
-            if out[r][c] == "wall" and done < count:
-                out[r][c] = "shrine"
+            if out[r][c] == "wall" and done < len(names):
+                out[r][c] = names[done]
                 done += 1
-    assert done == count, f"only {done} interior walls available"
+    assert done == len(names), f"only {done} interior walls available"
     return out
 
 
+def _shrine_map(map_data: List[List[str]], count: int = 8) -> List[List[str]]:
+    return _rename_walls(map_data, ["shrine"] * count)
+
+
 def _make_configs(
-    map_data: List[List[str]], num_agents: int, combat: bool = False, events: bool = False
+    map_data: List[List[str]],
+    num_agents: int,
+    combat: bool = False,
+    events: bool = False,
+    economy: bool = False,
 ):
     """Both frameworks' make_arena with the map pinned; combat=True adds a
     vibe-gated move handler carrying the C++-executable attack (the
@@ -63,7 +92,13 @@ def _make_configs(
     8 interior walls to "shrine" objects and adds a max_targets=3 event
     firing every 25 steps — both engines' event RNG consumption
     (event.cpp:41-44 std::shuffle) must then stay in lockstep (the TPU
-    engine's in-engine MT19937 twin, engine/mt19937.py)."""
+    engine's in-engine MT19937 twin, engine/mt19937.py). economy=True
+    renames 12 reachable walls to alternating "mine" (on_use: +2 ore_red)
+    and "altar" (on_use gated on 2 ore_red: converts them to a heart) —
+    bump-use runs
+    through the default TargetIsUsable→UseTarget move handler
+    (action_handler_factory.cpp:33-45), exercising on_use chains, resource
+    filters, and inventory deltas at scale."""
     from mettagrid_tpu.builder.envs import make_arena as our_make_arena
     from mettagrid_tpu.test_support import ObjectNameMapBuilder as OurMap
 
@@ -72,6 +107,8 @@ def _make_configs(
 
     if events:
         map_data = _shrine_map(map_data)
+    if economy:
+        map_data = _rename_walls(map_data, ["mine", "altar"] * 6, reachable=True)
     ours = our_make_arena(num_agents, map_builder=OurMap.Config(map_data=map_data))
     ref = ref_make_arena(num_agents, map_builder=RefMap.Config(map_data=map_data))
 
@@ -107,6 +144,63 @@ def _make_configs(
                 mutations=[ref_update({"heart": 1})],
             )
         }
+
+    if economy:
+        from mettagrid_tpu.config.game_config import GridObjectConfig as OurObj
+        from mettagrid_tpu.config.handler_config import (
+            EntityTarget as OurET,
+            Handler as OurHandler,
+            HandlerTarget as OurHT,
+            ResourceDeltaMutation as OurRD,
+            ResourceFilter as OurRF,
+        )
+
+        from mettagrid.config.filter import HandlerTarget as RefHT, ResourceFilter as RefRF
+        from mettagrid.config.handler_config import Handler as RefHandler
+        from mettagrid.config.mettagrid_config import GridObjectConfig as RefObj
+        from mettagrid.config.mutation import (
+            EntityTarget as RefET,
+            ResourceDeltaMutation as RefRD,
+        )
+
+        # mine: bump-use pays 2 ore_red; altar: 2 ore_red convert to a heart
+        # (the heart feeds the arena preset's existing inventory reward; the
+        # resource filter still blocks fresh agents bumping altars first).
+        ours.game.objects["mine"] = OurObj(
+            name="mine",
+            map_name="mine",
+            on_use_handler=OurHandler(
+                name="mine_use",
+                mutations=[OurRD(target=OurET.ACTOR, deltas={"ore_red": 2})],
+            ),
+        )
+        ours.game.objects["altar"] = OurObj(
+            name="altar",
+            map_name="altar",
+            on_use_handler=OurHandler(
+                name="altar_use",
+                filters=[OurRF(target=OurHT.ACTOR, resources={"ore_red": 2})],
+                mutations=[OurRD(target=OurET.ACTOR, deltas={"ore_red": -2, "heart": 1})],
+            ),
+        )
+        ref.game.objects["mine"] = RefObj(
+            name="mine",
+            map_name="mine",
+            on_use_handler=RefHandler(
+                name="mine_use",
+                mutations=[RefRD(target=RefET.ACTOR, deltas={"ore_red": 2})],
+            ),
+        )
+        ref.game.objects["altar"] = RefObj(
+            name="altar",
+            map_name="altar",
+            on_use_handler=RefHandler(
+                name="altar_use",
+                filters=[RefRF(target=RefHT.ACTOR, resources={"ore_red": 2})],
+                mutations=[RefRD(target=RefET.ACTOR, deltas={"ore_red": -2, "heart": 1})],
+            ),
+        )
+        ours.game.obs.full_token_bounds = True  # host-injected starting ore
 
     if combat:
         from mettagrid_tpu.config.action_config import ChangeVibeActionConfig as OurCV
@@ -249,12 +343,17 @@ def run_arena_parity(
     compare_obs_every: int = 100,
     combat: bool = False,
     events: bool = False,
+    economy: bool = False,
 ) -> List[str]:
     """Run the arena preset in both engines; return a list of mismatches.
 
     combat=True arms every agent (laser/armor/heart) and adds the vibe-gated
     attack move handler, so the episode exercises the general wave-parallel
-    action path with real inventory-changing combat at scale.
+    action path with real inventory-changing combat at scale. economy=True
+    turns 12 walls into usable mines/altars (on_use chains + resource
+    filters + inventory deltas through the default UseTarget move handler),
+    disqualifying the gated pure-move/static-background specializations —
+    a cross-engine oracle over the UN-specialized engine at scale.
     """
     from mettagrid_tpu.parity.cross_engine import _obs_tokens
     from mettagrid_tpu.parity.reference_oracle import load_reference
@@ -263,7 +362,9 @@ def run_arena_parity(
     from mettagrid_tpu.simulator import Simulation as OurSimulation
 
     map_data = build_arena_map(num_agents, map_seed)
-    our_cfg, ref_cfg = _make_configs(map_data, num_agents, combat=combat, events=events)
+    our_cfg, ref_cfg = _make_configs(
+        map_data, num_agents, combat=combat, events=events, economy=economy
+    )
 
     ours = OurSimulation(our_cfg, seed=action_seed, reference_shuffle=True)
     ref = _ref_sim(ref_cfg, seed=action_seed, combat=combat)
@@ -271,6 +372,16 @@ def run_arena_parity(
     if combat:
         for i in range(num_agents):
             loadout = {"laser": 3 + (i % 3), "armor": i % 4, "heart": 30, "ore_red": 2 + (i % 2)}
+            ours.agent(i).set_inventory(loadout)
+            ref.agent(i).set_inventory(loadout)
+
+    economy_initial_ore = 0
+    if economy:
+        # Seed ore so altar conversions engage early (random walks reach
+        # altars long before they organically accumulate 2 mined ore).
+        for i in range(num_agents):
+            loadout = {"ore_red": 2 + (i % 3)}
+            economy_initial_ore += loadout["ore_red"]
             ours.agent(i).set_inventory(loadout)
             ref.agent(i).set_inventory(loadout)
 
@@ -330,6 +441,18 @@ def run_arena_parity(
                     )
             if problems:
                 return problems
+
+    if economy:
+        # The scenario must actually trade: mines add 2 ore/use, altars burn
+        # 2 ore into a heart, nothing else touches ore — so mine uses =
+        # (final_ore + 2*hearts - initial_ore) / 2. A zero-engagement run
+        # would vacuously "pass".
+        ores = sum(ours.agent(i).inventory.get("ore_red", 0) for i in range(num_agents))
+        hearts = sum(ours.agent(i).inventory.get("heart", 0) for i in range(num_agents))
+        if hearts == 0:
+            problems.append("altars never converted: no hearts produced")
+        if ores + 2 * hearts - economy_initial_ore <= 0:
+            problems.append("mines never used: no ore was mined")
 
     if combat:
         # The scenario must actually fight: hearts drop on damage, ore moves

@@ -36,6 +36,21 @@ def test_arena_combat_signature_parity(map_seed, action_seed):
     assert not problems, "\n".join(problems[:20])
 
 
+@pytest.mark.parametrize("map_seed,action_seed", [(0, 31), (9, 271)])
+def test_arena_economy_signature_parity(map_seed, action_seed):
+    """Arena-scale ECONOMY parity: 6 mines (+2 ore_red on bump-use) and 6
+    altars (2 ore_red -> 1 heart, resource-filter gated) run through the
+    default TargetIsUsable->UseTarget move handler chain
+    (action_handler_factory.cpp:33-45). Usable objects disqualify both
+    gated specializations (pure_move_ok, static_background_ok), so this is
+    the cross-engine oracle over the UN-specialized engine — on_use chains,
+    resource filters, inventory deltas, and use-stats at scale."""
+    from mettagrid_tpu.parity.arena import run_arena_parity
+
+    problems = run_arena_parity(map_seed, action_seed, steps=400, economy=True)
+    assert not problems, "\n".join(problems[:20])
+
+
 @pytest.mark.parametrize("map_seed,action_seed", [(0, 13), (5, 777)])
 def test_arena_event_rng_signature_parity(map_seed, action_seed):
     """Arena-scale parity with a max_targets EVENT firing every 25 steps:
