@@ -139,15 +139,40 @@ def compute_obs_caps(program) -> ObsCaps:
     return ObsCaps(inv_digits=inv_digits, vibe_may_change=vibe_may, tags_may_change=tags_may)
 
 
+def _tokens_of_type(program, caps: ObsCaps, t: int) -> int:
+    n_tags_t = (
+        program.num_tags if caps.tags_may_change else int(program.type_tags[t].sum())
+    )
+    vibe_t = 1 if (caps.vibe_may_change or program.type_initial_vibe[t] != 0) else 0
+    inv_t = int(caps.inv_digits[t].sum())
+    extra = 2 if program.type_is_agent[t] else 0
+    return n_tags_t + vibe_t + inv_t + extra
+
+
 def max_tokens_per_object(program, caps: ObsCaps) -> int:
     """The tightest provable per-object token bound S."""
     S = 1  # at least one slot keeps shapes sane
     for t in range(program.num_types):
-        n_tags_t = (
-            program.num_tags if caps.tags_may_change else int(program.type_tags[t].sum())
-        )
-        vibe_t = 1 if (caps.vibe_may_change or program.type_initial_vibe[t] != 0) else 0
-        inv_t = int(caps.inv_digits[t].sum())
-        extra = 2 if program.type_is_agent[t] else 0
-        S = max(S, n_tags_t + vibe_t + inv_t + extra)
+        S = max(S, _tokens_of_type(program, caps, t))
     return S
+
+
+def max_window_tokens(program, caps: ObsCaps, num_cells: int) -> int:
+    """Provable max VALID window-candidate tokens for one agent (excluding
+    globals): each of the num_cells window cells holds at most one object;
+    at most min(num_agents, num_cells) of them can be agents, the rest are
+    bounded by the largest non-agent type. Lets the fused obs tail emit
+    (and the unpack read) only the reachable token prefix instead of the
+    full K*S candidate width."""
+    agent_max, static_max = 1, 0
+    for t in range(program.num_types):
+        tok = _tokens_of_type(program, caps, t)
+        if program.type_is_agent[t]:
+            agent_max = max(agent_max, tok)
+        else:
+            static_max = max(static_max, tok)
+    a_vis = min(program.num_agents, num_cells)
+    return max(
+        a_vis * agent_max + (num_cells - a_vis) * static_max,
+        num_cells * static_max,
+    )

@@ -354,7 +354,7 @@ def _compact_packed_v2(v, C):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("OH", "OWS", "KS", "block_envs", "interpret")
+    jax.jit, static_argnames=("OH", "OWS", "KS", "out_w", "block_envs", "interpret")
 )
 def obs_tail_static_v2_pallas(
     static_imgp: jnp.ndarray,  # int32 [P, HP, WPC] prepadded +1-encoded static image
@@ -371,6 +371,9 @@ def obs_tail_static_v2_pallas(
     OH: int,
     OWS: int,                  # OW * S
     KS: int,                   # real candidate count (K * S)
+    out_w: int = 0,            # emitted token columns (0 = KS_pad); sound
+                               # when the caller proves rank < out_w for
+                               # every surviving token (obs_caps bound)
     block_envs: int = _OBS_BE,
     interpret: bool = False,
 ):
@@ -388,6 +391,7 @@ def obs_tail_static_v2_pallas(
     BE = block_envs
     BA = BE * A
     RPE = _V2_RPE
+    OW_out = out_w or KS_pad
 
     def kernel(r_ref, l_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
                rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winraw):
@@ -443,7 +447,7 @@ def obs_tail_static_v2_pallas(
         v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
 
         # ---- single-array compaction ----
-        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad).reshape(BE, A, KS_pad)
+        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -459,7 +463,7 @@ def obs_tail_static_v2_pallas(
             pl.BlockSpec((BE, A, G), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, KS_pad), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, OW_out), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -471,7 +475,7 @@ def obs_tail_static_v2_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, A, KS_pad), jnp.int32),
+            jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
@@ -482,7 +486,7 @@ def obs_tail_static_v2_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("OH", "OWS", "KS", "WPCF", "HP2", "block_envs", "interpret")
+    jax.jit, static_argnames=("OH", "OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "interpret")
 )
 def obs_tail_static_v3_pallas(
     static_paired: jnp.ndarray,  # int32 [P, 2*HP2, 2*WPCF]: row-paired +1-encoded static image, even-aligned pairs then odd-aligned
@@ -501,6 +505,7 @@ def obs_tail_static_v3_pallas(
     KS: int,
     WPCF: int,                   # unpaired image width (lanes)
     HP2: int,                    # paired rows per parity region
+    out_w: int = 0,              # emitted token columns (0 = KS_pad)
     block_envs: int = _OBS_BE,
     interpret: bool = False,
 ):
@@ -524,6 +529,7 @@ def obs_tail_static_v3_pallas(
     K_mat, KS_pad = perm8.shape
     BE = block_envs
     BA = BE * A
+    OW_out = out_w or KS_pad
 
     def kernel(r_ref, l_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
                rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winraw):
@@ -597,7 +603,7 @@ def obs_tail_static_v3_pallas(
         g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
         loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
         v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
-        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad).reshape(BE, A, KS_pad)
+        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -613,7 +619,7 @@ def obs_tail_static_v3_pallas(
             pl.BlockSpec((BE, A, G), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, KS_pad), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, OW_out), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -625,7 +631,7 @@ def obs_tail_static_v3_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, A, KS_pad), jnp.int32),
+            jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
@@ -635,7 +641,7 @@ def obs_tail_static_v3_pallas(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("KS", "block_envs", "interpret"))
+@functools.partial(jax.jit, static_argnames=("KS", "out_w", "block_envs", "interpret"))
 def obs_tail_dyn_v2_pallas(
     imgp: jnp.ndarray,         # int32 [E, HP, WPC] per-env prepadded +1-encoded image
     row0: jnp.ndarray,         # int32 [E, A] window start row (= agent_r)
@@ -645,6 +651,7 @@ def obs_tail_dyn_v2_pallas(
     tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
     loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << 15
     KS: int,                   # real candidate count (K * S)
+    out_w: int = 0,            # emitted token columns (0 = KS_pad)
     block_envs: int = _OBS_BE,
     interpret: bool = False,
 ):
@@ -665,6 +672,7 @@ def obs_tail_dyn_v2_pallas(
     BE = block_envs
     BA = BE * A
     RPE = _V2_RPE
+    OW_out = out_w or KS_pad
 
     def kernel(r_ref, l_ref, img_ref, perm_ref, tri_ref, loc_ref, g_ref,
                out_ref, att_ref, imgs, winraw):
@@ -694,7 +702,7 @@ def obs_tail_dyn_v2_pallas(
         g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
         loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
         v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
-        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad).reshape(BE, A, KS_pad)
+        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -707,7 +715,7 @@ def obs_tail_dyn_v2_pallas(
             pl.BlockSpec((BE, A, G), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, KS_pad), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, OW_out), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -719,7 +727,7 @@ def obs_tail_dyn_v2_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, A, KS_pad), jnp.int32),
+            jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
