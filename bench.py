@@ -101,12 +101,17 @@ def build_bench(
         assert static_background_ok(program), "arena preset should qualify for the static background"
 
     def chunk_body(carry, acts):
-        state, checksum = carry
+        state, checksum, obs_buf = carry
         if general:
             actions, vibes = acts  # random vibe stream exercises change_vibe
         else:
             actions, vibes = acts, jnp.zeros((num_envs, A), dtype=jnp.int32)
-        state, out = step(state, actions, vibes)
+        # The previous step's observation buffer is carried so the obs phase
+        # rewrites only the provable token prefix (engine/step.py obs_buf) —
+        # the persistent-buffer contract the reference uses (set_buffers).
+        # The full buffer is reduced into the checksum once per chunk below,
+        # so XLA cannot narrow the carried obs to the prefix it reads.
+        state, out = step(state, actions, vibes, None, obs_buf)
         # Fold a data-dependent slice of every output into the carry so the
         # step isn't DCE'd. The obs tail is a single custom call (asserted
         # above), so reading one token column keeps the whole kernel live
@@ -129,12 +134,17 @@ def build_bench(
             + jnp.sum(out.rewards).astype(jnp.uint32)
             + jnp.sum(out.terminals).astype(jnp.uint32)
         )
-        return (state, checksum), None
+        return (state, checksum, out.observations), None
 
     @jax.jit
-    def run_chunk(state, checksum, actions):
-        (state, checksum), _ = jax.lax.scan(chunk_body, (state, checksum), actions)
-        return state, checksum
+    def run_chunk(state, checksum, obs_buf, actions):
+        (state, checksum, obs_buf), _ = jax.lax.scan(
+            chunk_body, (state, checksum, obs_buf), actions
+        )
+        # Full-buffer reduction once per chunk: every carried obs byte is
+        # live, so the per-step prefix writes cannot be narrowed away.
+        checksum = checksum + jnp.sum(obs_buf.astype(jnp.uint32))
+        return state, checksum, obs_buf
 
     def make_actions(key):
         # Pre-generated random actions, as in the reference perf harness
@@ -178,7 +188,8 @@ def main() -> None:
         num_envs=num_envs, num_agents=num_agents, chunk=chunk, general=general,
         checksum_mode=checksum_mode,
     )
-    state, _ = reset(0)
+    state, out0 = reset(0)
+    obs_buf = out0.observations  # full write at reset; steps update the prefix
     checksum = jnp.zeros((), dtype=jnp.uint32)
     key = jax.random.PRNGKey(1)
     action_chunks = []
@@ -188,12 +199,14 @@ def main() -> None:
     jax.block_until_ready(action_chunks)
 
     for i in range(warmup_chunks):
-        state, checksum = run_chunk(state, checksum, action_chunks[i])
+        state, checksum, obs_buf = run_chunk(state, checksum, obs_buf, action_chunks[i])
     int(jax.device_get(checksum))  # axon: block_until_ready doesn't block; read back a scalar
 
     t0 = time.perf_counter()
     for i in range(bench_chunks):
-        state, checksum = run_chunk(state, checksum, action_chunks[warmup_chunks + i])
+        state, checksum, obs_buf = run_chunk(
+            state, checksum, obs_buf, action_chunks[warmup_chunks + i]
+        )
     int(jax.device_get(checksum))
     dt = time.perf_counter() - t0
 

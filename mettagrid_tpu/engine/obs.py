@@ -474,21 +474,37 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         gw, gok = _all_global_words(state, E)
         return jnp.where(gok, (gw & 0xFFFF) + 1, 0)
 
-    def _unpack_words(out_words, attempted, empty_mapped: bool = False):
+    def _unpack_words(out_words, attempted, empty_mapped: bool = False, obs_buf=None):
         """empty_mapped: the producer already emitted the EMPTY token word
         (0xFFFFFF) for invalid slots (v2-family kernels) in LITTLE-ENDIAN
         byte order (word = loc | feat<<8 | val<<16), so the uint8 unpack is
         one bitcast + slice instead of three shift/mask passes (and the
-        sentinel mapping pass is skipped; 0xFFFFFF is byte-symmetric)."""
+        sentinel mapping pass is skipped; 0xFFFFFF is byte-symmetric).
+
+        obs_buf: optional carried uint8 [E, A, T, 3] buffer whose token slots
+        >= the emitted prefix width already hold EMPTY bytes (true for any
+        buffer this function produced earlier: ranks >= OUT_W are impossible
+        by the obs_caps window bound — obs.py:377-388). When given, only the
+        prefix is written via dynamic_update_slice, so a scan/loop that
+        carries the buffer aliases the constant tail instead of rewriting
+        all T token slots every step (~half the obs-output HBM traffic)."""
         empty_word = (EMPTY_TOKEN_BYTE << 16) | (EMPTY_TOKEN_BYTE << 8) | EMPTY_TOKEN_BYTE
         pad_word = empty_word if empty_mapped else _LANDED_EMPTY
-        if out_words.shape[-1] < T:  # fewer candidates than budget
+        OW_emit = out_words.shape[-1]
+        use_buf = (
+            empty_mapped
+            and obs_buf is not None
+            and OW_emit < T
+            and obs_buf.shape == (out_words.shape[0], out_words.shape[1], T, 3)
+            and obs_buf.dtype == jnp.uint8
+        )
+        if OW_emit < T and not use_buf:  # fewer candidates than budget
             out_words = jnp.pad(
                 out_words,
-                ((0, 0), (0, 0), (0, T - out_words.shape[-1])),
+                ((0, 0), (0, 0), (0, T - OW_emit)),
                 constant_values=pad_word,
             )
-        else:
+        elif OW_emit > T:
             out_words = out_words[..., :T]
         if empty_mapped:
             if _le_bitcast_ok():
@@ -502,6 +518,8 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                     ],
                     axis=-1,
                 ).astype(jnp.uint8)
+            if use_buf:
+                out = jax.lax.dynamic_update_slice(obs_buf, out, (0, 0, 0, 0))
             return out, attempted
         out_words = jnp.where(out_words == _LANDED_EMPTY, empty_word, out_words)
         out = jnp.stack(
@@ -514,7 +532,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         ).astype(jnp.uint8)
         return out, attempted
 
-    def _finish_fused(imgp, agent_r, agent_c, state, E):
+    def _finish_fused(imgp, agent_r, agent_c, state, E, obs_buf=None):
         """Shared fused-kernel invocation + output unpack."""
         from mettagrid_tpu.engine.pallas_kernels import (
             obs_tail_dyn_v2_pallas,
@@ -541,7 +559,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 out_w=OUT_W,
                 interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
             )
-            return _unpack_words(out_words, attempted, empty_mapped=True)
+            return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
         T_pad = ((T + 127) // 128) * 128
         _LAST_TAIL = "dyn_v1"
         out_words, attempted = obs_tail_pallas(
@@ -556,7 +574,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         )
         return _unpack_words(out_words, attempted)
 
-    def compute_obs(state: EnvState):
+    def compute_obs(state: EnvState, obs_buf=None):
         global _LAST_TAIL
         from mettagrid_tpu.engine.pallas_kernels import use_pallas
 
@@ -633,7 +651,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                     out_w=OUT_W,
                     interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
                 )
-                return _unpack_words(out_words, attempted, empty_mapped=True)
+                return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
 
             if imgp_static_i32 is not None and v2_ok_static and _OBS_V2 and _FORCE_STATIC_TAIL in (None, "v2", "v3"):
                 # Fast path: v2 fused tail — packed single-int32
@@ -665,7 +683,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                     out_w=OUT_W,
                     interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
                 )
-                return _unpack_words(out_words, attempted, empty_mapped=True)
+                return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
 
             if imgp_static_i32 is not None:
                 # Fast path: image assembled IN-KERNEL — static pool
@@ -721,7 +739,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 precision=jax.lax.Precision.HIGHEST,
             ).reshape(E, HP_f, WPC_f)
             imgp = (bg + dyn).astype(jnp.int32)
-            return _finish_fused(imgp, agent_r, agent_c, state, E)
+            return _finish_fused(imgp, agent_r, agent_c, state, E, obs_buf=obs_buf)
 
         if static_bg is not None:
             # Static background precomputed per pooled map; only agent slots
@@ -818,7 +836,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             body = (tok_int + plus)[:, :H].reshape(E, H, W * S)
             imgp = jnp.zeros((E, HP_f, WPC_f), dtype=jnp.int32)
             imgp = imgp.at[:, hr : hr + H, wr * S : (wr + W) * S].set(body)
-            return _finish_fused(imgp, agent_r, agent_c, state, E)
+            return _finish_fused(imgp, agent_r, agent_c, state, E, obs_buf=obs_buf)
         if use_pallas() and E % 16 == 0:
             # Pallas: dynamic_rotate window slices in VMEM (~3 ms vs ~20 ms
             # for the one-hot einsum formulation at E=4096).

@@ -255,7 +255,20 @@ def make_step(
     obs_fn = _make_obs_fn_for(program, init)
     reward_phase = make_reward_phase(program)
 
-    def step(state: EnvState, actions: jnp.ndarray, vibe_actions: jnp.ndarray, perm_in: jnp.ndarray = None):
+    def step(
+        state: EnvState,
+        actions: jnp.ndarray,
+        vibe_actions: jnp.ndarray,
+        perm_in: jnp.ndarray = None,
+        obs_buf: jnp.ndarray = None,
+    ):
+        """obs_buf: optional carried uint8 [E, A, T, 3] observation buffer
+        from the PREVIOUS step/reset of the same config. When the fused obs
+        tail proves a token-prefix bound (obs.py OUT_W), only that prefix is
+        rewritten — the constant EMPTY tail is aliased from the buffer, like
+        the persistent user-allocated buffers the reference writes into
+        (mettagrid_c.cpp set_buffers). Pass out.observations back in; any
+        other buffer must already hold EMPTY bytes past the prefix."""
         E = actions.shape[0]
 
         # --- auto-reset envs whose episode ended last step (PufferEnv
@@ -341,7 +354,7 @@ def make_step(
             state = game_tick_phase(state)
 
         # --- observations (before rewards, like the reference) ---
-        obs, attempted = obs_fn(state)
+        obs, attempted = obs_fn(state, obs_buf=obs_buf)
 
         # --- rewards ---
         state = reward_phase(state)

@@ -215,3 +215,68 @@ def test_fused_static_path_interpret_matches_full(tail):
 
     np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
     np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
+
+
+@pytest.mark.parametrize("tail", ["v2", "v3"])
+def test_carried_obs_buffer_matches_fresh(tail):
+    """step(obs_buf=previous) must be byte-identical to bufferless steps:
+    only the provable OUT_W token prefix is rewritten (the EMPTY tail is
+    aliased from the carried buffer — engine/step.py obs_buf contract).
+    The prefix region of the incoming buffer is deliberately scribbled to
+    prove the path never reads stale prefix bytes."""
+    import jax
+
+    import mettagrid_tpu.engine.obs as obs_mod
+    from mettagrid_tpu.builder import make_arena
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+    cfg = make_arena(
+        4,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=4, width=11, height=11, border_width=1, objects={"wall": 6}
+        ),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    builder.config.seed = 31
+    init = build_env_init(program, [builder.build_for_num_agents(4)])
+    E = 8
+    reset = make_reset(program, init, E)
+
+    obs_mod._FORCE_FUSED_INTERPRET = True
+    old_v2, old_force = obs_mod._OBS_V2, obs_mod._FORCE_STATIC_TAIL
+    obs_mod._OBS_V2 = True
+    obs_mod._FORCE_STATIC_TAIL = tail
+    try:
+        step = make_step(program, init, auto_reset=True, donate=False)
+        state_a, out0 = reset(3)
+        state_b = state_a
+        buf = out0.observations
+        T = buf.shape[2]
+        rng = np.random.default_rng(17)
+        for i in range(4):
+            acts = jnp.asarray(
+                rng.integers(0, len(program.action_names), (E, 4)), dtype=jnp.int32
+            )
+            vibes = jnp.zeros((E, 4), jnp.int32)
+            state_a, out_a = step(state_a, acts, vibes)  # bufferless reference
+            # scribble the prefix region: it must be fully overwritten
+            scribbled = buf.at[:, :, : T // 2, :].set(np.uint8(0xAB))
+            state_b, out_b = step(state_b, acts, vibes, None, scribbled)
+            assert obs_mod._LAST_TAIL == f"static_{tail}"
+            np.testing.assert_array_equal(
+                np.asarray(out_a.observations), np.asarray(out_b.observations), err_msg=f"step {i}"
+            )
+            buf = out_b.observations
+        # the states must also march in lockstep (obs_buf is obs-only)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+            state_a,
+            state_b,
+        )
+    finally:
+        obs_mod._FORCE_FUSED_INTERPRET = False
+        obs_mod._OBS_V2 = old_v2
+        obs_mod._FORCE_STATIC_TAIL = old_force
