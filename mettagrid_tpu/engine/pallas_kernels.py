@@ -324,6 +324,50 @@ _V2_RPE = 16  # extraction rows: multiple of 8 (pl.ds granularity), >= OH
 _V2_INV = 0xFF << 15  # invalid marker: loc field 0xFF (impossible), g = 0
 
 
+# Compaction radix for the packed v2/v3 tails: "r2" = 9 radix-2 steps,
+# "r4" = 4 radix-4 digit steps + 1 radix-2 top bit (half the loop-carried
+# dependency depth at ~1.4x the rolls; bench A/B hook).
+_COMPACT_RADIX = os.environ.get("METTAGRID_TPU_COMPACT", "r2")
+
+
+def _compact_packed_v2_r4(v, C):
+    """Radix-4 variant of `_compact_packed_v2`'s move loop (same encoding).
+
+    Collision-freedom mirrors the radix-2 argument via gap monotonicity
+    (g non-decreasing along lanes): two incoming claims on one lane at
+    digit p would need dest' - dest >= 4^(p+1), forcing g_j >= g_j' +
+    4^(p+1) - 3*4^p > g_j' for j < j' — contradiction. _V2_INV has zero
+    gap bits, so invalid slots never move and 'digit 0' keeps them put.
+    """
+    assert C <= 512  # 9-bit gap: 4 digit pairs + top bit
+    for p in range(4):
+        step = 4**p
+        if step >= C:
+            break
+        sh = 23 + 2 * p
+        consts = [np.int32(np.uint32(d << sh)) for d in range(4)]
+        r1 = pltpu_roll(v, -step)
+        r2 = pltpu_roll(v, -2 * step)
+        r3 = pltpu_roll(v, -3 * step)
+        d0 = ((v >> sh) & 3) == 0
+        d1 = ((r1 >> sh) & 3) == 1
+        d2 = ((r2 >> sh) & 3) == 2
+        d3 = ((r3 >> sh) & 3) == 3
+        v = jnp.where(
+            d3,
+            r3 ^ consts[3],
+            jnp.where(d2, r2 ^ consts[2], jnp.where(d1, r1 ^ consts[1], jnp.where(d0, v, _V2_INV))),
+        )
+    if C > 256:  # top (9th) gap bit: one radix-2 step
+        bit, sh = 256, 31
+        top = np.int32(np.uint32(1 << sh))
+        rolled = pltpu_roll(v, -bit)
+        incoming = ((rolled >> sh) & 1) == 1
+        move = ((v >> sh) & 1) == 1
+        v = jnp.where(incoming, rolled ^ top, jnp.where(move, _V2_INV, v))
+    return v
+
+
 def _compact_packed_v2(v, C):
     """Single-array log-shift compaction of [g:9|loc:8|feat:7|val:8] words.
 
@@ -331,16 +375,19 @@ def _compact_packed_v2(v, C):
     them post-loop). Wrap-around injection is impossible: a wrapped source
     at lane j < bit would need bit_b(g_j) set, but g_j <= j < bit.
     """
-    bitconsts = [np.int32(np.uint32(1 << (23 + b))) for b in range(9)]
-    b = 0
-    while (1 << b) < C:
-        bit = 1 << b
-        sh = 23 + b
-        rolled = pltpu_roll(v, -bit)
-        incoming = ((rolled >> sh) & 1) == 1
-        move = ((v >> sh) & 1) == 1
-        v = jnp.where(incoming, rolled ^ bitconsts[b], jnp.where(move, _V2_INV, v))
-        b += 1
+    if _COMPACT_RADIX == "r4":
+        v = _compact_packed_v2_r4(v, C)
+    else:
+        bitconsts = [np.int32(np.uint32(1 << (23 + b))) for b in range(9)]
+        b = 0
+        while (1 << b) < C:
+            bit = 1 << b
+            sh = 23 + b
+            rolled = pltpu_roll(v, -bit)
+            incoming = ((rolled >> sh) & 1) == 1
+            move = ((v >> sh) & 1) == 1
+            v = jnp.where(incoming, rolled ^ bitconsts[b], jnp.where(move, _V2_INV, v))
+            b += 1
     valid = ((v >> 15) & 0xFF) != 0xFF
     # LITTLE-ENDIAN byte order — word = loc | feat<<8 | val<<16 — so the
     # caller's [loc, feature, value] uint8 unpack is ONE bitcast + slice

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Poll the axon TPU tunnel; when it answers, run the round-3 measurement
+# session (scripts/r3_tpu_session.sh). Logs to bench_logs/watchdog.log.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_logs
+LOG=bench_logs/watchdog.log
+echo "watchdog start $(date -u +%H:%M:%S)" >> "$LOG"
+for i in $(seq 1 200); do
+  if timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    echo "tunnel UP at $(date -u +%H:%M:%S) (attempt $i)" >> "$LOG"
+    TO=${TO:-2400} bash scripts/r3_tpu_session.sh >> "$LOG" 2>&1
+    echo "session done $(date -u +%H:%M:%S)" >> "$LOG"
+    exit 0
+  fi
+  echo "attempt $i: tunnel down $(date -u +%H:%M:%S)" >> "$LOG"
+  sleep 60
+done
+echo "watchdog gave up $(date -u +%H:%M:%S)" >> "$LOG"
+exit 1

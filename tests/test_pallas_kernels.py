@@ -280,3 +280,46 @@ def test_carried_obs_buffer_matches_fresh(tail):
         obs_mod._FORCE_FUSED_INTERPRET = False
         obs_mod._OBS_V2 = old_v2
         obs_mod._FORCE_STATIC_TAIL = old_force
+
+
+def test_compact_packed_radix4_matches_radix2():
+    """The radix-4 move loop must be bit-identical to the radix-2 loop on
+    the packed [g:9|loc:8|feat:7|val:8] encoding, including wrap-around
+    and all-invalid rows."""
+    from mettagrid_tpu.engine.pallas_kernels import (
+        _V2_INV,
+        _compact_packed_v2,
+        _compact_packed_v2_r4,
+    )
+
+    rng = np.random.default_rng(7)
+    for C in (128, 384, 512):
+        B = 64
+        valid = rng.random((B, C)) < rng.uniform(0.02, 0.9, size=(B, 1))
+        valid[0] = False  # all-invalid row
+        valid[1] = True  # all-valid row
+        loc = rng.integers(0, 0xFF, (B, C))  # loc 0xFF reserved for invalid
+        feat = rng.integers(0, 128, (B, C))
+        val = rng.integers(0, 256, (B, C))
+        gap = np.cumsum(~valid, axis=1) - (~valid)  # invalids before lane
+        packed = (gap << 23) | (loc << 15) | (feat << 8) | val
+        packed = np.where(valid, packed, _V2_INV).astype(np.int64).astype(np.uint32)
+        v = jnp.asarray(packed.view(np.int32).reshape(B, C))
+
+        def run_r2(v, C=C):
+            bitconsts = [np.int32(np.uint32(1 << (23 + b))) for b in range(9)]
+            b = 0
+            out = v
+            while (1 << b) < C:
+                bit = 1 << b
+                sh = 23 + b
+                rolled = jnp.roll(out, -bit, axis=-1)
+                incoming = ((rolled >> sh) & 1) == 1
+                move = ((out >> sh) & 1) == 1
+                out = jnp.where(incoming, rolled ^ bitconsts[b], jnp.where(move, _V2_INV, out))
+                b += 1
+            return out
+
+        got = np.asarray(_compact_packed_v2_r4(v, C))
+        want = np.asarray(run_r2(v))
+        np.testing.assert_array_equal(got, want, err_msg=f"C={C}")
