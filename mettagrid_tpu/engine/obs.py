@@ -581,15 +581,17 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         _LAST_TAIL = "xla"
 
         E, N = state.obj_type.shape
+        # SMEM scalar-prefetch fleet bound: the v1 kernels prefetch row0 AND
+        # lane0 ([E*A] i32 each) and overflow scoped SMEM past ~98k scalars
+        # (E=8192 x A=24 failed to compile); the v2/v3 kernels pack both
+        # into ONE (row0 << 16 | lane0) array, doubling the bound. Larger
+        # fleets fall back to the window-slices + XLA tail path.
+        smem_bound = 196608 if (v2_ok_static and _OBS_V2) else 98304
         fused_ok = (
             _TAP is None
             and not has_aoe_mask
             and E % 8 == 0
-            # The kernel scalar-prefetches row0/lane0 ([E*A] i32 each) into
-            # SMEM; beyond ~98k scalars the prefetch overflows scoped SMEM
-            # (E=8192 x A=24 fails to compile). Larger fleets fall back to
-            # the window-slices + XLA tail path.
-            and E * A <= 98304
+            and E * A <= smem_bound
             and (use_pallas() or _FORCE_FUSED_INTERPRET)
         )
 

@@ -161,7 +161,7 @@ def window_slices_pallas(
     A = row0.shape[1]
     RP = _round_up(max(OH, 8), 8)
     LP = _round_up(OW * Ch, 128)
-    BE = block_envs
+    BE = min(block_envs, E)  # the knob may exceed small test fleets
 
     def kernel(r_ref, l_ref, img_ref, out_ref):
         blk = pl.program_id(0)
@@ -225,7 +225,7 @@ def obs_tail_pallas(
     A = row0.shape[1]
     GP = gwords.shape[2]
     RP, LP, KS_pad = perm.shape
-    BE = block_envs
+    BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     C = GP + KS_pad
     # Fewer candidates than budget: the output can never hold more than C
@@ -435,12 +435,12 @@ def obs_tail_static_v2_pallas(
     S = words.shape[2]
     G = gplus.shape[2]
     K_mat, KS_pad = perm8.shape
-    BE = block_envs
+    BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     RPE = _V2_RPE
     OW_out = out_w or KS_pad
 
-    def kernel(r_ref, l_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
+    def kernel(rl_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
                rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winraw):
         blk = pl.program_id(0)
         # ---- assemble per-env images in VMEM (agents via exact matmul) ----
@@ -468,8 +468,9 @@ def obs_tail_static_v2_pallas(
         for e in range(BE):
             for a in range(A):
                 idx = (blk * BE + e) * A + a
-                x = imgs[e, pl.ds(r_ref[idx], RPE), :]
-                x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                rl = rl_ref[idx]  # packed (row0 << 16) | lane0: halves SMEM
+                x = imgs[e, pl.ds(rl >> 16, RPE), :]
+                x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
                 winraw[e * A + a] = x[:, :128]
 
         # ---- Manhattan permute straight off the raw window lanes ----
@@ -497,21 +498,21 @@ def obs_tail_static_v2_pallas(
         out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(E // BE,),
         in_specs=[
-            pl.BlockSpec((P, HP, WPC), lambda i, r, l, m: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_mat, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KS_pad, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A, S), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A, G), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, HP, WPC), lambda i, rl, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_mat, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KS_pad, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, S), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, G), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, OW_out), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, OW_out), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((BE, HP, WPC), jnp.int32),
@@ -527,7 +528,7 @@ def obs_tail_static_v2_pallas(
         ],
         interpret=interpret,
     )(
-        row0.reshape(-1), lane0.reshape(-1), map_idx,
+        ((row0 << 16) | lane0).reshape(-1), map_idx,
         static_imgp, perm8, tri8, loc15, rext, lext, words, gplus,
     )
 
@@ -574,11 +575,11 @@ def obs_tail_static_v3_pallas(
     S = words.shape[2]
     G = gplus.shape[2]
     K_mat, KS_pad = perm8.shape
-    BE = block_envs
+    BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     OW_out = out_w or KS_pad
 
-    def kernel(r_ref, l_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
+    def kernel(rl_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
                rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winraw):
         blk = pl.program_id(0)
         # ---- assemble per-env paired images (agents placed in BOTH parity
@@ -619,8 +620,9 @@ def obs_tail_static_v3_pallas(
         for e in range(BE):
             for a in range(A):
                 idx = (blk * BE + e) * A + a
-                r = r_ref[idx]
-                l = l_ref[idx]
+                rl = rl_ref[idx]  # packed (row0 << 16) | lane0: halves SMEM
+                r = rl >> 16
+                l = rl & 0xFFFF
                 base_row = (r & 1) * HP2 + (r >> 1)
                 x = imgs[e, pl.ds(base_row, 8), :]
                 x1 = pltpu.roll(x, WPC2 - l, 1)  # left-half window -> lane 0
@@ -653,21 +655,21 @@ def obs_tail_static_v3_pallas(
         out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(E // BE,),
         in_specs=[
-            pl.BlockSpec((P, HP2x2, WPC2), lambda i, r, l, m: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_mat, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KS_pad, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, KS_pad), lambda i, r, l, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A, S), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A, G), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, HP2x2, WPC2), lambda i, rl, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_mat, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KS_pad, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, S), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, G), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, OW_out), lambda i, r, l, m: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, OW_out), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((BE, HP2x2, WPC2), jnp.int32),
@@ -683,7 +685,7 @@ def obs_tail_static_v3_pallas(
         ],
         interpret=interpret,
     )(
-        row0.reshape(-1), lane0.reshape(-1), map_idx,
+        ((row0 << 16) | lane0).reshape(-1), map_idx,
         static_paired, perm8, tri8, loc15, rext, lext, words, gplus,
     )
 
@@ -716,12 +718,12 @@ def obs_tail_dyn_v2_pallas(
     E, A = row0.shape
     G = gplus.shape[2]
     K_mat, KS_pad = perm8.shape
-    BE = block_envs
+    BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     RPE = _V2_RPE
     OW_out = out_w or KS_pad
 
-    def kernel(r_ref, l_ref, img_ref, perm_ref, tri_ref, loc_ref, g_ref,
+    def kernel(rl_ref, img_ref, perm_ref, tri_ref, loc_ref, g_ref,
                out_ref, att_ref, imgs, winraw):
         blk = pl.program_id(0)
         for e in range(BE):
@@ -729,8 +731,9 @@ def obs_tail_dyn_v2_pallas(
         for e in range(BE):
             for a in range(A):
                 idx = (blk * BE + e) * A + a
-                x = imgs[e, pl.ds(r_ref[idx], RPE), :]
-                x = pltpu.roll(x, WPC - l_ref[idx], 1)
+                rl = rl_ref[idx]  # packed (row0 << 16) | lane0: halves SMEM
+                x = imgs[e, pl.ds(rl >> 16, RPE), :]
+                x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
                 winraw[e * A + a] = x[:, :128]
 
         lhs = winraw[:].reshape(BA, RPE * 128)
@@ -752,18 +755,18 @@ def obs_tail_dyn_v2_pallas(
         out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(E // BE,),
         in_specs=[
-            pl.BlockSpec((BE, HP, WPC), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_mat, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KS_pad, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, KS_pad), lambda i, r, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A, G), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, HP, WPC), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_mat, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KS_pad, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, G), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, OW_out), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, OW_out), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((BE, HP, WPC), jnp.int32),
@@ -778,7 +781,7 @@ def obs_tail_dyn_v2_pallas(
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
-    )(row0.reshape(-1), lane0.reshape(-1), imgp, perm8, tri8, loc15, gplus)
+    )(((row0 << 16) | lane0).reshape(-1), imgp, perm8, tri8, loc15, gplus)
 
 
 @functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "interpret"))
@@ -811,7 +814,7 @@ def obs_tail_static_pallas(
     S = words.shape[2]
     GP = gwords.shape[2]
     RP, LP, KS_pad = perm.shape
-    BE = block_envs
+    BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     C = GP + KS_pad
     T_pad = min(T_pad, C)
