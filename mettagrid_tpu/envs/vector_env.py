@@ -150,8 +150,12 @@ class MettaGridVectorEnv:
         # buffer (np.asarray is zero-copy for matching dtype), jnp.asarray can
         # alias it, and dispatch is async — the trainer overwriting actions
         # for the next step would race this one.
+        # The previous device-side observation rides along as obs_buf: the
+        # fused obs tail then rewrites only its provable token prefix and
+        # aliases the constant EMPTY tail (engine/step.py obs_buf contract).
+        prev_obs = self._last.observations if self._last is not None else None
         self._state, self._last = self._step_fn(
-            self._state, jnp.asarray(acts.copy()), jnp.asarray(vibes.copy())
+            self._state, jnp.asarray(acts.copy()), jnp.asarray(vibes.copy()), None, prev_obs
         )
         self._sync_buffers()
         # Supervisor (teacher) labels for imitation targets
