@@ -62,6 +62,7 @@ def build_bench(
     chunk: int = 64,
     general: bool = False,
     checksum_mode: str = "col0",
+    obs_carry: bool = True,
 ):
     cfg = make_general_cfg(num_agents) if general else make_arena(num_agents, combat=False)
     program = compile_program(cfg)
@@ -111,7 +112,7 @@ def build_bench(
         # the persistent-buffer contract the reference uses (set_buffers).
         # The full buffer is reduced into the checksum once per chunk below,
         # so XLA cannot narrow the carried obs to the prefix it reads.
-        state, out = step(state, actions, vibes, None, obs_buf)
+        state, out = step(state, actions, vibes, None, obs_buf if obs_carry else None)
         # Fold a data-dependent slice of every output into the carry so the
         # step isn't DCE'd. The obs tail is a single custom call (asserted
         # above), so reading one token column keeps the whole kernel live
@@ -169,6 +170,7 @@ def main() -> None:
     bench_chunks = 8
     general = False
     checksum_mode = "col0"
+    obs_carry = True
     for arg in sys.argv[1:]:
         k, _, v = arg.partition("=")
         if k == "--envs":
@@ -183,10 +185,12 @@ def main() -> None:
             general = True
         elif k == "--checksum":
             checksum_mode = v
+        elif k == "--no-obs-carry":  # A/B: full T-column obs write per step
+            obs_carry = False
 
     reset, run_chunk, make_actions = build_bench(
         num_envs=num_envs, num_agents=num_agents, chunk=chunk, general=general,
-        checksum_mode=checksum_mode,
+        checksum_mode=checksum_mode, obs_carry=obs_carry,
     )
     state, out0 = reset(0)
     obs_buf = out0.observations  # full write at reset; steps update the prefix

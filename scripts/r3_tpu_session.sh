@@ -40,6 +40,8 @@ run bench_v3_r4 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_COMPACT=r4 python bench.py
 run bench_v3_be16_r4 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=16 METTAGRID_TPU_COMPACT=r4 python bench.py
 # 7c. E=8192 now fits the packed SMEM prefetch (fleet-scaling datapoint)
 run bench_v3_e8192 METTAGRID_TPU_OBS_V3=1 python bench.py --envs=8192
+# 7d. obs-carry A/B: full-width obs writes vs prefix-only DUS
+run bench_v3_nocarry METTAGRID_TPU_OBS_V3=1 python bench.py --no-obs-carry
 # 8. step-phase + glue split at bench shape (next-lever hunting)
 run probe_step METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
 # 9. general-path bench (README regression number; dyn_v2 also got LE unpack)
