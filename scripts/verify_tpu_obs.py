@@ -46,9 +46,13 @@ def run_leg(mode: str) -> None:
     state, out = reset(0)
     rng = np.random.default_rng(0)
     obs_list = [np.asarray(out.observations)]
-    for _ in range(4):
+    for i in range(4):
         acts = jnp.asarray(rng.integers(0, len(program.action_names), (E, 8)), dtype=jnp.int32)
-        state, out = step(state, acts, jnp.zeros((E, 8), jnp.int32))
+        # Alternate bufferless steps with carried-obs_buf steps so the
+        # cross-backend byte check covers the prefix-DUS path (the
+        # VectorEnv/bench default) too, against the same stream.
+        obs_buf = out.observations if i % 2 else None
+        state, out = step(state, acts, jnp.zeros((E, 8), jnp.int32), None, obs_buf)
         obs_list.append(np.asarray(out.observations))
     np.save(f"/tmp/verify_obs_{mode}.npy", np.stack(obs_list))
     from mettagrid_tpu.engine import obs as obs_mod
