@@ -55,10 +55,20 @@ _FORCE_STATIC_TAIL = os.environ.get("METTAGRID_TPU_STATIC_TAIL") or None
 # of silently falling through a gate).
 _LAST_TAIL: str | None = None
 
-# v3 (paired-row) tail: interpret-verified; hardware byte-verification
-# (scripts/verify_tpu_obs.py) pending — flip the default once it passes
-# (EXACTNESS INVARIANT in CLAUDE.md).
-_OBS_V3 = os.environ.get("METTAGRID_TPU_OBS_V3", "0") not in ("0", "", "false")
+# v3 (paired-row) tail: interpret-verified; the default arms only after
+# hardware byte-verification — the TPU measurement session writes
+# bench_logs/tuned.json via scripts/write_tuned.py once
+# scripts/verify_tpu_obs.py passes for v3 AND it benches faster than v2
+# (EXACTNESS INVARIANT in CLAUDE.md). Env var overrides either way.
+def _v3_default() -> bool:
+    from mettagrid_tpu.engine.pallas_kernels import _TUNED
+
+    return bool(_TUNED.get("obs_v3", False))
+
+
+_OBS_V3 = os.environ.get("METTAGRID_TPU_OBS_V3", "") not in ("0", "", "false") or (
+    "METTAGRID_TPU_OBS_V3" not in os.environ and _v3_default()
+)
 
 # Switch for the v2 fused tail (packed single-int32 compaction + direct
 # unpacked permute). Default ON: byte-verified on hardware

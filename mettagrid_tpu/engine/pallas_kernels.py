@@ -20,9 +20,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def _load_tuned() -> dict:
+    """Hardware-tuned kernel knobs (scripts/write_tuned.py): written by the
+    TPU measurement session ONLY for configurations that passed the
+    byte-level cross-backend check (scripts/verify_tpu_obs.py — the
+    EXACTNESS INVARIANT). Env vars override; absent file = safe defaults."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[2] / "bench_logs" / "tuned.json"
+    try:
+        return json.loads(p.read_text())
+    except Exception:
+        return {}
+
+
+_TUNED = _load_tuned()
+
 # Envs per grid step for the fused obs-tail kernels (bench A/B hook; larger
 # blocks amortize per-block table residency against VMEM scratch growth).
-_OBS_BE = int(os.environ.get("METTAGRID_TPU_OBS_BE", "8"))
+_OBS_BE = int(os.environ.get("METTAGRID_TPU_OBS_BE", _TUNED.get("obs_be", 8)))
 
 _BIG = 1 << 24  # gap sentinel for invalid slots; above any real shift bit
 
@@ -327,7 +344,7 @@ _V2_INV = 0xFF << 15  # invalid marker: loc field 0xFF (impossible), g = 0
 # Compaction radix for the packed v2/v3 tails: "r2" = 9 radix-2 steps,
 # "r4" = 4 radix-4 digit steps + 1 radix-2 top bit (half the loop-carried
 # dependency depth at ~1.4x the rolls; bench A/B hook).
-_COMPACT_RADIX = os.environ.get("METTAGRID_TPU_COMPACT", "r2")
+_COMPACT_RADIX = os.environ.get("METTAGRID_TPU_COMPACT", _TUNED.get("compact", "r2"))
 
 
 def _compact_packed_v2_r4(v, C):

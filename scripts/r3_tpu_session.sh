@@ -50,8 +50,15 @@ run bench_general python bench.py --general
 # 147MB read, ~0.2ms; a larger delta means col0 was eliding the unpack)
 run bench_v3_fullsum METTAGRID_TPU_OBS_V3=1 python bench.py --checksum=full
 
+# 11. arm the fastest byte-verified configuration as the import default
+# (bench_logs/tuned.json — read by engine/pallas_kernels.py + engine/obs.py),
+# then re-bench with no env overrides: this is what the driver's round-end
+# `python bench.py` will measure.
+python scripts/write_tuned.py
+run bench_tuned_final python bench.py
+
 echo; echo "== summary =="
-for f in bench_logs/verify_v2le.log bench_logs/verify_v3.log; do
+for f in bench_logs/verify_*.log; do
   [ -f "$f" ] && echo "$(basename "$f"): $(grep -E 'OK:|FAIL' "$f" | tail -1)"
 done
 for f in bench_logs/bench_*.log; do

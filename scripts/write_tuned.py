@@ -1,0 +1,72 @@
+"""Pick the fastest BYTE-VERIFIED kernel configuration from the TPU session
+logs and write it to bench_logs/tuned.json (read by engine/pallas_kernels.py
+and engine/obs.py as defaults; env vars still override).
+
+Safety: a configuration is eligible ONLY if the matching
+scripts/verify_tpu_obs.py run printed the bit-identical OK line — the
+EXACTNESS INVARIANT (CLAUDE.md) forbids arming unverified obs formulations.
+
+Bench logs considered (name -> knobs):
+  bench_v2_bitcast       {}
+  bench_v3               {obs_v3}            requires verify_v3 OK
+  bench_v3_be16          {obs_v3, obs_be=16} requires verify_v3 OK
+  bench_v3_be32          {obs_v3, obs_be=32} requires verify_v3 OK
+  bench_v3_r4            {obs_v3, compact}   requires verify_v3_r4 OK
+  bench_v3_be16_r4       {obs_v3, obs_be=16, compact} requires verify_v3_r4 OK
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import sys
+
+LOGS = pathlib.Path(__file__).resolve().parents[1] / "bench_logs"
+
+CANDIDATES = [
+    ("bench_v2_bitcast", {}, "verify_v2le"),
+    ("bench_v3", {"obs_v3": True}, "verify_v3"),
+    ("bench_v3_be16", {"obs_v3": True, "obs_be": 16}, "verify_v3"),
+    ("bench_v3_be32", {"obs_v3": True, "obs_be": 32}, "verify_v3"),
+    ("bench_v3_r4", {"obs_v3": True, "compact": "r4"}, "verify_v3_r4"),
+    ("bench_v3_be16_r4", {"obs_v3": True, "obs_be": 16, "compact": "r4"}, "verify_v3_r4"),
+]
+
+
+def verified(name: str) -> bool:
+    p = LOGS / f"{name}.log"
+    return p.exists() and "OK: TPU observations bit-identical to CPU" in p.read_text()
+
+
+def bench_value(name: str) -> float | None:
+    p = LOGS / f"{name}.log"
+    if not p.exists():
+        return None
+    m = re.findall(r'"value": ([0-9.]+)', p.read_text())
+    return float(m[-1]) if m else None
+
+
+def main() -> int:
+    best_name, best_val, best_knobs = None, -1.0, {}
+    report = []
+    for name, knobs, verify_log in CANDIDATES:
+        val = bench_value(name)
+        ok = verified(verify_log)
+        report.append(f"{name}: value={val} verified={ok}")
+        if val is not None and ok and val > best_val:
+            best_name, best_val, best_knobs = name, val, knobs
+    print("\n".join(report))
+    if best_name is None:
+        print("no verified bench results; tuned.json not written")
+        return 1
+    out = dict(best_knobs)
+    out["_source"] = best_name
+    out["_env_steps_per_s"] = best_val
+    (LOGS / "tuned.json").write_text(json.dumps(out, indent=1))
+    print(f"tuned.json <- {best_name} ({best_val:.0f} env-steps/s): {best_knobs}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
