@@ -38,6 +38,11 @@ run bench_v3_be32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=32 python bench.py
 run verify_v3_r4 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
 run bench_v3_r4 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_COMPACT=r4 python bench.py
 run bench_v3_be16_r4 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=16 METTAGRID_TPU_COMPACT=r4 python bench.py
+# 7b'. byte-verify the larger-block variants at a fleet big enough to
+# exercise the blocking (write_tuned.py requires these before arming BE>8)
+run verify_v3_be16 VERIFY_E=32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=16 python scripts/verify_tpu_obs.py
+run verify_v3_be32 VERIFY_E=64 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=32 python scripts/verify_tpu_obs.py
+run verify_v3_be16_r4 VERIFY_E=32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=16 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
 # 7c. E=8192 now fits the packed SMEM prefetch (fleet-scaling datapoint)
 run bench_v3_e8192 METTAGRID_TPU_OBS_V3=1 python bench.py --envs=8192
 # 7d. obs-carry A/B: full-width obs writes vs prefix-only DUS

@@ -40,7 +40,12 @@ def run_leg(mode: str) -> None:
     b = cfg.game.map_builder.create()
     b.config.seed = 3
     init = build_env_init(program, [b.build_for_num_agents(8)])
-    E = 8
+    # VERIFY_E: fleet size (default 8). Verifying a larger-block kernel
+    # config (METTAGRID_TPU_OBS_BE=16/32) needs E >= BE or the block size
+    # clamps back to E and the blocking under test never runs.
+    import os
+
+    E = int(os.environ.get("VERIFY_E", "8"))
     reset = make_reset(program, init, E)
     step = make_step(program, init, auto_reset=False, donate=False)
     state, out = reset(0)

@@ -27,10 +27,10 @@ LOGS = pathlib.Path(__file__).resolve().parents[1] / "bench_logs"
 CANDIDATES = [
     ("bench_v2_bitcast", {}, "verify_v2le"),
     ("bench_v3", {"obs_v3": True}, "verify_v3"),
-    ("bench_v3_be16", {"obs_v3": True, "obs_be": 16}, "verify_v3"),
-    ("bench_v3_be32", {"obs_v3": True, "obs_be": 32}, "verify_v3"),
+    ("bench_v3_be16", {"obs_v3": True, "obs_be": 16}, "verify_v3_be16"),
+    ("bench_v3_be32", {"obs_v3": True, "obs_be": 32}, "verify_v3_be32"),
     ("bench_v3_r4", {"obs_v3": True, "compact": "r4"}, "verify_v3_r4"),
-    ("bench_v3_be16_r4", {"obs_v3": True, "obs_be": 16, "compact": "r4"}, "verify_v3_r4"),
+    ("bench_v3_be16_r4", {"obs_v3": True, "obs_be": 16, "compact": "r4"}, "verify_v3_be16_r4"),
 ]
 
 
