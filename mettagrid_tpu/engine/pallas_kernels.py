@@ -341,6 +341,19 @@ _V2_RPE = 16  # extraction rows: multiple of 8 (pl.ds granularity), >= OH
 _V2_INV = 0xFF << 15  # invalid marker: loc field 0xFF (impossible), g = 0
 
 
+def _par_grid_params(interpret: bool = False):
+    """CompilerParams declaring the (env-block) grid dimension PARALLEL:
+    every block reads/writes only its own slice, so Mosaic may reorder and
+    pipeline blocks (overlapping one block's MXU permute with another's VPU
+    compaction). Kill switch: METTAGRID_TPU_PAR_GRID=0. Interpret mode takes
+    no compiler params."""
+    if interpret or os.environ.get("METTAGRID_TPU_PAR_GRID", "1") in ("0", "false"):
+        return {}
+    from jax.experimental.pallas import tpu as pltpu
+
+    return {"compiler_params": pltpu.CompilerParams(dimension_semantics=(pltpu.PARALLEL,))}
+
+
 # Compaction radix for the packed v2/v3 tails: "r2" = 9 radix-2 steps,
 # "r4" = 4 radix-4 digit steps + 1 radix-2 top bit (half the loop-carried
 # dependency depth at ~1.4x the rolls; bench A/B hook).
@@ -544,6 +557,7 @@ def obs_tail_static_v2_pallas(
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
+        **_par_grid_params(interpret),
     )(
         ((row0 << 16) | lane0).reshape(-1), map_idx,
         static_imgp, perm8, tri8, loc15, rext, lext, words, gplus,
@@ -701,6 +715,7 @@ def obs_tail_static_v3_pallas(
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
+        **_par_grid_params(interpret),
     )(
         ((row0 << 16) | lane0).reshape(-1), map_idx,
         static_paired, perm8, tri8, loc15, rext, lext, words, gplus,
@@ -798,6 +813,7 @@ def obs_tail_dyn_v2_pallas(
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
+        **_par_grid_params(interpret),
     )(((row0 << 16) | lane0).reshape(-1), imgp, perm8, tri8, loc15, gplus)
 
 
