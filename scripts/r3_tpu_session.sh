@@ -47,6 +47,8 @@ run verify_v3_be16_r4 VERIFY_E=32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TA
 run bench_v3_e8192 METTAGRID_TPU_OBS_V3=1 python bench.py --envs=8192
 # 7d. obs-carry A/B: full-width obs writes vs prefix-only DUS
 run bench_v3_nocarry METTAGRID_TPU_OBS_V3=1 python bench.py --no-obs-carry
+# 7e. parallel-grid A/B (dimension_semantics=PARALLEL is the new default)
+run bench_v3_nopar METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_PAR_GRID=0 python bench.py
 # 8. step-phase + glue split at bench shape (next-lever hunting)
 run probe_step METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
 # 9. general-path bench (README regression number; dyn_v2 also got LE unpack)
