@@ -24,7 +24,13 @@ from mettagrid_tpu.profiling.phase_timing import measure_step_phases  # noqa: E4
 E = int(os.environ.get("PROBE_E", "4096"))
 A = 24
 
-cfg = make_arena(A, combat=False)
+if os.environ.get("PROBE_GENERAL"):  # combat-handler config (bench --general)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_general_cfg
+
+    cfg = make_general_cfg(A)
+else:
+    cfg = make_arena(A, combat=False)
 program = compile_program(cfg)
 b = cfg.game.map_builder.create()
 maps = []

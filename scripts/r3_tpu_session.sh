@@ -53,6 +53,7 @@ run bench_v3_nopar METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_PAR_GRID=0 python bench.
 run probe_step METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
 # 9. general-path bench (README regression number; dyn_v2 also got LE unpack)
 run bench_general python bench.py --general
+run probe_general PROBE_GENERAL=1 python scripts/probe_r3_step.py
 # 10. DCE honesty check: full-obs checksum vs col0 (delta should be ~one
 # 147MB read, ~0.2ms; a larger delta means col0 was eliding the unpack)
 run bench_v3_fullsum METTAGRID_TPU_OBS_V3=1 python bench.py --checksum=full
