@@ -92,7 +92,7 @@ def measure_step_phases(
     obs_shapes = jax.eval_shape(obs_mod.make_obs_fn(program), state)
 
     def stub_obs(program, **kwargs):
-        def fn(state):
+        def fn(state, obs_buf=None):
             return (
                 jnp.zeros(obs_shapes[0].shape, dtype=obs_shapes[0].dtype),
                 jnp.zeros(obs_shapes[1].shape, dtype=obs_shapes[1].dtype),
