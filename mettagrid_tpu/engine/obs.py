@@ -542,16 +542,61 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         ).astype(jnp.uint8)
         return out, attempted
 
+    def _pair_rows_dyn(imgp):
+        """Row-pair a per-env dynamic image into the v3 layout (the XLA twin
+        of the static pool pairing above): even region row u = [img(2u) |
+        img(2u+1)], odd region row u = [img(2u+1) | img(2u+2)]."""
+        need = 2 * HP2_v3 + 2
+        src = imgp
+        if src.shape[1] < need:
+            src = jnp.pad(src, ((0, 0), (0, need - src.shape[1]), (0, 0)))
+        even = jnp.concatenate(
+            [src[:, 0 : 2 * HP2_v3 : 2], src[:, 1 : 2 * HP2_v3 : 2]], axis=2
+        )
+        odd = jnp.concatenate(
+            [src[:, 1 : 2 * HP2_v3 + 1 : 2], src[:, 2 : 2 * HP2_v3 + 2 : 2]], axis=2
+        )
+        return jnp.concatenate([even, odd], axis=1)
+
     def _finish_fused(imgp, agent_r, agent_c, state, E, obs_buf=None):
         """Shared fused-kernel invocation + output unpack."""
+        global _LAST_TAIL
         from mettagrid_tpu.engine.pallas_kernels import (
             obs_tail_dyn_v2_pallas,
+            obs_tail_dyn_v3_pallas,
             obs_tail_pallas,
             use_pallas,
         )
 
         gplus = _global_plus(state, E)
         Gt = gplus.shape[-1]
+        if (
+            v3_ok_static
+            and perm3_t is not None
+            and _OBS_V2
+            and (_OBS_V3 or _FORCE_STATIC_TAIL == "v3")
+            and _FORCE_STATIC_TAIL in (None, "v3")
+        ):
+            # v3 paired-row tail over the per-env image: the XLA glue pairs
+            # rows once (+1 pass over the image) and the permute contraction
+            # halves to 8*128 lanes.
+            _LAST_TAIL = "dyn_v3"
+            out_words, attempted = obs_tail_dyn_v3_pallas(
+                _pair_rows_dyn(imgp),
+                agent_r,
+                agent_c * S,
+                gplus,
+                perm3_t,
+                tri2_t,
+                loc15_t,
+                OWS,
+                KS,
+                WPC_f,
+                HP2_v3,
+                out_w=OUT_W,
+                interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
+            )
+            return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
         if v2_ok_static and _OBS_V2:
             # v2 tail over the per-env image (same gates as the static v2 —
             # they constrain geometry/globals/feature-ids, not the

@@ -817,6 +817,109 @@ def obs_tail_dyn_v2_pallas(
     )(((row0 << 16) | lane0).reshape(-1), imgp, perm8, tri8, loc15, gplus)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "interpret")
+)
+def obs_tail_dyn_v3_pallas(
+    imgp_paired: jnp.ndarray,  # int32 [E, 2*HP2, 2*WPCF]: row-paired per-env image (XLA-built)
+    row0: jnp.ndarray,         # int32 [E, A] window start row in image space
+    lane0: jnp.ndarray,        # int32 [E, A] window start lane (= agent_c * S)
+    gplus: jnp.ndarray,        # int32 [E, A, G] +1-encoded global words (all valid)
+    perm8: jnp.ndarray,        # int8 [8*128, KS_pad] PAIRED raster -> Manhattan
+    tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
+    loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << 15
+    OWS: int,                  # OW * S
+    KS: int,
+    WPCF: int,                 # unpaired image lane width (roll constant)
+    HP2: int,                  # paired rows per parity region
+    out_w: int = 0,
+    block_envs: int = _OBS_BE,
+    interpret: bool = False,
+):
+    """v3 (paired-row) tail over PER-ENV images: obs_tail_static_v3_pallas's
+    extraction + permute + compaction, minus in-kernel assembly — the XLA
+    glue row-pairs the already-built dynamic image (obs.py _pair_rows), so
+    the Manhattan permute contracts 8*128 lanes instead of 16*128. Same
+    scratch staging as dyn_v2 (dynamic sublane pl.ds needs a scratch ref)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E2, HP2x2, WPC2 = imgp_paired.shape
+    E, A = row0.shape
+    G = gplus.shape[2]
+    K_mat, KS_pad = perm8.shape
+    BE = min(block_envs, E)
+    BA = BE * A
+    OW_out = out_w or KS_pad
+
+    def kernel(rl_ref, img_ref, perm_ref, tri_ref, loc_ref, g_ref,
+               out_ref, att_ref, imgs, winraw):
+        blk = pl.program_id(0)
+        for e in range(BE):
+            imgs[e] = img_ref[e]
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, WPC2), 1)
+        for e in range(BE):
+            for a in range(A):
+                idx = (blk * BE + e) * A + a
+                rl = rl_ref[idx]
+                r = rl >> 16
+                l = rl & 0xFFFF
+                base_row = (r & 1) * HP2 + (r >> 1)
+                x = imgs[e, pl.ds(base_row, 8), :]
+                x1 = pltpu.roll(x, WPC2 - l, 1)
+                x2 = pltpu.roll(x1, WPC2 + OWS - WPCF, 1)
+                y = jnp.where(lane128 < OWS, x1, jnp.where(lane128 < 2 * OWS, x2, 0))
+                winraw[e * A + a] = y[:, :128]
+
+        lhs = winraw[:].reshape(BA, 8 * 128)
+        rhs2 = perm_ref[:]
+        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
+        cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
+        cells = ((hi + cr) << 8) | (lo + cr)
+        g2 = g_ref[:].reshape(BA, G)
+        cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
+
+        ok = cells > 0
+        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
+        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
+        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
+        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
+        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((BE, HP2x2, WPC2), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_mat, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KS_pad, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, G), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, A, OW_out), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BE, HP2x2, WPC2), jnp.int32),
+            pltpu.VMEM((BA, 8, 128), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
+            jax.ShapeDtypeStruct((E, A), jnp.int32),
+        ],
+        interpret=interpret,
+        **_par_grid_params(interpret),
+    )(((row0 << 16) | lane0).reshape(-1), imgp_paired, perm8, tri8, loc15, gplus)
+
+
 @functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "interpret"))
 def obs_tail_static_pallas(
     static_imgp: jnp.ndarray,  # int32 [P, HP, WPC] prepadded +1-encoded static image per map

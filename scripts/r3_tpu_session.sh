@@ -52,7 +52,12 @@ run bench_v3_nopar METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_PAR_GRID=0 python bench.
 # 8. step-phase + glue split at bench shape (next-lever hunting)
 run probe_step METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
 # 9. general-path bench (README regression number; dyn_v2 also got LE unpack)
+# Byte-verify the DYNAMIC-image kernels (the static verify never runs them),
+# then bench both dyn tails.
+run verify_dyn_v2 VERIFY_GENERAL=1 python scripts/verify_tpu_obs.py
+run verify_dyn_v3 VERIFY_GENERAL=1 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
 run bench_general python bench.py --general
+run bench_general_v3 METTAGRID_TPU_OBS_V3=1 python bench.py --general
 run probe_general PROBE_GENERAL=1 python scripts/probe_r3_step.py
 # 10. DCE honesty check: full-obs checksum vs col0 (delta should be ~one
 # 147MB read, ~0.2ms; a larger delta means col0 was eliding the unpack)

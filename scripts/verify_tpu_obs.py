@@ -36,6 +36,17 @@ def run_leg(mode: str) -> None:
             agents=8, width=15, height=15, border_width=1, objects={"wall": 8}
         ),
     )
+    import os
+
+    if os.environ.get("VERIFY_GENERAL"):
+        # Combat-handler config (bench --general): disqualifies the static
+        # background so the DYNAMIC-image kernels (dyn_v2/dyn_v3) run.
+        from bench import make_general_cfg
+
+        cfg = make_general_cfg(8)
+        cfg.game.map_builder = RandomMapBuilder.Config(
+            agents=8, width=15, height=15, border_width=1, objects={"wall": 8}
+        )
     program = compile_program(cfg)
     b = cfg.game.map_builder.create()
     b.config.seed = 3

@@ -24,19 +24,28 @@ import sys
 
 LOGS = pathlib.Path(__file__).resolve().parents[1] / "bench_logs"
 
+# obs_v3 arms the paired-row tail for BOTH the static and dynamic-image
+# paths, so every v3 candidate also requires the dyn_v3 verify leg.
 CANDIDATES = [
-    ("bench_v2_bitcast", {}, "verify_v2le"),
-    ("bench_v3", {"obs_v3": True}, "verify_v3"),
-    ("bench_v3_be16", {"obs_v3": True, "obs_be": 16}, "verify_v3_be16"),
-    ("bench_v3_be32", {"obs_v3": True, "obs_be": 32}, "verify_v3_be32"),
-    ("bench_v3_r4", {"obs_v3": True, "compact": "r4"}, "verify_v3_r4"),
-    ("bench_v3_be16_r4", {"obs_v3": True, "obs_be": 16, "compact": "r4"}, "verify_v3_be16_r4"),
+    ("bench_v2_bitcast", {}, ["verify_v2le"]),
+    ("bench_v3", {"obs_v3": True}, ["verify_v3", "verify_dyn_v3"]),
+    ("bench_v3_be16", {"obs_v3": True, "obs_be": 16}, ["verify_v3_be16", "verify_dyn_v3"]),
+    ("bench_v3_be32", {"obs_v3": True, "obs_be": 32}, ["verify_v3_be32", "verify_dyn_v3"]),
+    ("bench_v3_r4", {"obs_v3": True, "compact": "r4"}, ["verify_v3_r4", "verify_dyn_v3"]),
+    (
+        "bench_v3_be16_r4",
+        {"obs_v3": True, "obs_be": 16, "compact": "r4"},
+        ["verify_v3_be16_r4", "verify_dyn_v3"],
+    ),
 ]
 
 
-def verified(name: str) -> bool:
-    p = LOGS / f"{name}.log"
-    return p.exists() and "OK: TPU observations bit-identical to CPU" in p.read_text()
+def verified(names) -> bool:
+    for name in names if isinstance(names, (list, tuple)) else [names]:
+        p = LOGS / f"{name}.log"
+        if not (p.exists() and "OK: TPU observations bit-identical to CPU" in p.read_text()):
+            return False
+    return True
 
 
 def bench_value(name: str) -> float | None:

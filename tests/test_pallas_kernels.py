@@ -68,9 +68,15 @@ def test_compact_rows_pallas_interpret_matches_xla():
         np.testing.assert_array_equal(a, b)
 
 
-def test_fused_obs_tail_interpret_matches_xla_path():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("dyn_tail", ["v2", "v3"])
+def test_fused_obs_tail_interpret_matches_xla_path(dyn_tail):
     """The production fused pallas obs tail (interpret mode) must be
-    bit-identical to the XLA formulation on a real stepped env state."""
+    bit-identical to the XLA formulation on a real stepped env state —
+    for both dynamic-image tail generations (dyn_v2 and the paired-row
+    dyn_v3 whose image the XLA glue row-pairs)."""
     import mettagrid_tpu.engine.obs as obs_mod
     from mettagrid_tpu.builder import make_arena
     from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
@@ -103,11 +109,15 @@ def test_fused_obs_tail_interpret_matches_xla_path():
     obs_a, att_a = obs_fn_xla(state)
 
     obs_mod._FORCE_FUSED_INTERPRET = True
+    old_force = obs_mod._FORCE_STATIC_TAIL
+    obs_mod._FORCE_STATIC_TAIL = dyn_tail if dyn_tail == "v3" else old_force
     try:
         obs_fn_fused = obs_mod.make_obs_fn(program)
         obs_b, att_b = obs_fn_fused(state)
+        assert obs_mod._LAST_TAIL == f"dyn_{dyn_tail}"
     finally:
         obs_mod._FORCE_FUSED_INTERPRET = False
+        obs_mod._FORCE_STATIC_TAIL = old_force
 
     np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
     np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
