@@ -27,17 +27,25 @@ BASELINE_STEPS_PER_S = 10_000_000.0
 
 
 def make_general_cfg(num_agents: int):
-    """The combat-arena config from parity/arena.py: change_vibe enabled and a
-    vibe-gated DirectAttack move handler, so NEITHER gated specialization
-    (actions_fast.pure_move_ok, obs.static_background_ok) applies — this
-    benchmarks the general wave-parallel engine (VERDICT r2 weak #2)."""
+    """The combat-arena config from parity/arena.py — change_vibe enabled, a
+    vibe-gated DirectAttack move handler — plus a periodic event that grants
+    hearts to walls, so NEITHER gated specialization applies
+    (actions_fast.pure_move_ok, obs.static_background_ok): this benchmarks
+    the general engine — wave-parallel actions, the event phase, and the
+    dynamic per-step obs image (VERDICT r2 weak #2). Without the event the
+    refined background_inert gate would (correctly) give this combat config
+    the static-background path — that's a feature for users, but this bench
+    exists to track the UN-specialized paths."""
     from mettagrid_tpu.config.action_config import ChangeVibeActionConfig
+    from mettagrid_tpu.config.event_config import EventConfig, periodic
     from mettagrid_tpu.config.handler_config import (
         DirectAttackMutation,
         Handler,
         HandlerTarget,
         VibeFilter,
+        updateTarget,
     )
+    from mettagrid_tpu.config.tag import typeTag
 
     cfg = make_arena(num_agents, combat=False)
     cfg.game.actions.change_vibe = ChangeVibeActionConfig()
@@ -52,6 +60,15 @@ def make_general_cfg(num_agents: int):
             ],
         )
     ]
+    cfg.game.events = {
+        "wall_bloom": EventConfig(
+            name="wall_bloom",
+            target_query=typeTag("wall"),
+            timesteps=periodic(start=4, period=16, end=992),
+            max_targets=4,
+            mutations=[updateTarget({"heart": 1})],
+        )
+    }
     return cfg
 
 

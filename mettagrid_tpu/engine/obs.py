@@ -99,21 +99,94 @@ def _le_bitcast_ok() -> bool:
     return _LE_BITCAST_OK
 
 
+def _mutation_bg_inert(program: EngineProgram, m) -> bool:
+    """True when this mutation (and its on_success chain) provably never
+    alters a NON-agent object's tokens, position, or aliveness, given that
+    it can only run from an action-handler context (ctx.actor = the acting
+    agent). WHITELIST: unknown/new mutation kinds return False — adding a
+    kind that can touch non-agent state must keep this False or the static
+    background silently goes stale (CLAUDE.md gate invariant;
+    tests/test_gate_soundness.py pins the matrix)."""
+    import numpy as np
+
+    k = m.kind
+    if k == "relocate":
+        ok = True  # moves the ACTOR (an agent); grid occupancy is not obs state
+    elif k == "swap":
+        ok = True  # no-ops unless BOTH entities are agents (handlers.py:119-128)
+    elif k == "stats":
+        ok = True  # stats are agent/game arrays, never object tokens
+    elif k in ("change_vibe", "add_tag", "remove_tag", "remove_tags_with_prefix",
+               "resource_delta", "clear_inventory"):
+        ok = bool(m.target_is_actor)  # actor-agent writes only
+    elif k == "resource_transfer":
+        ok = bool(m.from_is_actor and m.to_is_actor)
+    elif k == "set_game_value":
+        # stat writes never touch object tokens; an inventory write must hit
+        # the actor.
+        ok = m.write_rid < 0 or bool(m.target_is_actor)
+    elif k == "use_target":
+        # The always-appended default UseTarget handler
+        # (action_handler_factory.cpp:33-45). background_inert() already
+        # requires no usable types, so the mutation can only no-op (the
+        # target type has no on_use chain).
+        ok = not np.asarray(program.type_usable).any()
+    elif k == "direct_attack":
+        # Writes only the TARGET's health (decrement-only, clamped at 0 —
+        # handlers.py direct_attack). A non-agent target's health therefore
+        # never changes IF no non-agent starts with any: within a
+        # background-inert program nothing else can grant inventory to a
+        # non-agent, so health stays 0 -> zero-valued writes -> tokens
+        # unchanged. (Maps bind cells to types; initial inventory is
+        # per-type — engine/init.py.)
+        non_agent = ~np.asarray(program.type_is_agent)
+        ok = (
+            m.health_rid >= 0
+            and not np.asarray(program.type_initial_inv)[non_agent, m.health_rid].any()
+        )
+    else:
+        # attack (legacy loot/defense transfers), use_target, query_inventory,
+        # push_object, spawn_object, raycast_spawn,
+        # recompute_materialized_query, and anything new: not provably inert.
+        ok = False
+    return ok and all(_mutation_bg_inert(program, s) for s in m.on_success)
+
+
+def background_inert(program: EngineProgram) -> bool:
+    """True when every reachable ACTION mutation provably writes only agent
+    state (filters/queries are read-only). With events/AOE/territory/ticks
+    excluded by static_background_ok and usable types absent (on_use chains
+    unreachable), move handlers are the only mutation sites."""
+    import numpy as np
+
+    from mettagrid_tpu.engine.ir import CompiledHandler
+
+    if np.asarray(program.type_usable).any():
+        return False  # UseTarget could fire on_use chains at objects
+
+    def handler_ok(h) -> bool:
+        if isinstance(h, CompiledHandler):
+            return all(_mutation_bg_inert(program, m) for m in h.mutations)
+        return all(handler_ok(c) for c in h.handlers)
+
+    return all(handler_ok(mh.handler) for mh in program.move_handlers)
+
+
 def static_background_ok(program: EngineProgram) -> bool:
     """True when every non-agent object is provably inert for the whole
     episode — tokens, position, and aliveness can never change — so its cell
     image can be precomputed once per pooled map and gathered per env.
 
-    Sufficient conditions: moves are pure relocation (pure_move_ok: the only
-    executable mutation is agent Relocate; no usable types, so on_use chains
-    are unreachable) and there are no events / AOE / territories / on_tick
-    handlers / materialized-query recomputes. change_vibe only writes agent
-    vibes.
+    Sufficient conditions: every reachable action mutation writes only agent
+    state — pure relocation (pure_move_ok) or the broader background_inert
+    whitelist (e.g. vibe-gated DirectAttack arenas qualify) — and there are
+    no events / AOE / territories / on_tick handlers / materialized-query
+    recomputes. change_vibe only writes agent vibes.
     """
     from mettagrid_tpu.engine.actions_fast import pure_move_ok
 
     return (
-        pure_move_ok(program)
+        (pure_move_ok(program) or background_inert(program))
         and not program.events
         and not program.aoe_specs
         and not program.territories

@@ -124,6 +124,70 @@ def _with_push_move_handler(cfg):
     return cfg
 
 
+def _melee_handler():
+    from mettagrid_tpu.config.handler_config import DirectAttackMutation, HandlerTarget, VibeFilter
+
+    return Handler(
+        name="melee",
+        filters=[VibeFilter(target=HandlerTarget.ACTOR, vibe="angry")],
+        mutations=[
+            DirectAttackMutation(
+                weapon_resource="laser", armor_resource="armor", health_resource="heart"
+            )
+        ],
+    )
+
+
+def _with_direct_attack_and_hearted_object(cfg):
+    # direct_attack decrements the TARGET's health: fine while no non-agent
+    # can hold any (background_inert's initial-inventory condition), but a
+    # chest that STARTS with hearts is attackable background state.
+    from mettagrid_tpu.config.game_config import InventoryConfig
+
+    cfg.game.actions.move.handlers = [_melee_handler()]
+    cfg.game.objects["chest"] = GridObjectConfig(
+        name="chest", map_name="chest", inventory=InventoryConfig(initial={"heart": 3})
+    )
+    return cfg
+
+
+def _with_target_vibe_move_handler(cfg):
+    from mettagrid_tpu.config.handler_config import ChangeVibeMutation
+
+    cfg.game.actions.move.handlers = [
+        Handler(name="taunt", mutations=[ChangeVibeMutation(target=EntityTarget.TARGET, vibe_name="angry")])
+    ]
+    return cfg
+
+
+def _with_target_delta_move_handler(cfg):
+    cfg.game.actions.move.handlers = [
+        Handler(
+            name="siphon",
+            mutations=[ResourceDeltaMutation(target=EntityTarget.TARGET, deltas={"heart": -1})],
+        )
+    ]
+    return cfg
+
+
+def _with_loot_transfer_move_handler(cfg):
+    from mettagrid_tpu.config.handler_config import ResourceTransferMutation
+
+    cfg.game.actions.move.handlers = [
+        Handler(
+            name="loot",
+            mutations=[
+                ResourceTransferMutation(
+                    from_target=EntityTarget.TARGET,
+                    to_target=EntityTarget.ACTOR,
+                    resources={"heart": -1},
+                )
+            ],
+        )
+    ]
+    return cfg
+
+
 DISQUALIFIERS = {
     "events": _with_events,
     "aoe": _with_aoe,
@@ -132,7 +196,30 @@ DISQUALIFIERS = {
     "agent_on_tick": _with_agent_on_tick,
     "spawn_object_move": _with_spawn_move_handler,
     "push_object_move": _with_push_move_handler,
+    # background_inert refinements: mutations that write TARGET state (any
+    # object) or whose agent-only proof breaks (attackable initial health)
+    "direct_attack_hearted_object": _with_direct_attack_and_hearted_object,
+    "target_vibe_move": _with_target_vibe_move_handler,
+    "target_delta_move": _with_target_delta_move_handler,
+    "loot_transfer_move": _with_loot_transfer_move_handler,
 }
+
+
+def test_direct_attack_arena_qualifies_for_static_background():
+    """The refined gate: a vibe-gated DirectAttack combat arena (the
+    reference's executable combat) keeps the static background — its only
+    non-relocate mutation writes agent health (non-agents start with none
+    and nothing can grant them any), so non-agent cells are inert. Moves
+    are NOT pure (the wave loop runs with the melee handler)."""
+    cfg = small_arena()
+    from mettagrid_tpu.config.action_config import ChangeVibeActionConfig
+
+    cfg.game.actions.change_vibe = ChangeVibeActionConfig()
+    cfg.game.actions.move.handlers = [_melee_handler()]
+    program = compile_program(cfg)
+    assert not pure_move_ok(program)
+    assert fast_mode_ok(program)
+    assert static_background_ok(program)
 
 
 @pytest.mark.parametrize("name", sorted(DISQUALIFIERS))
@@ -184,3 +271,54 @@ def test_preset_path_assignments():
         # the general bench must exercise the un-specialized engine
         "general_bench": ("fast", "dynamic"),
     }, f"preset path assignments changed: {table}"
+
+
+def test_direct_attack_static_background_obs_matches_full_path():
+    """A config on the NEW gate combination (wave-parallel actions +
+    static background) must produce bit-identical observations to the full
+    per-step obs formulation while combat actually fires (vibes set, agents
+    adjacent, health dropping)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import mettagrid_tpu.engine.obs as obs_mod
+    from mettagrid_tpu.config.action_config import ChangeVibeActionConfig
+    from mettagrid_tpu.engine import build_env_init, make_reset, make_step
+
+    cfg = small_arena()
+    cfg.game.actions.change_vibe = ChangeVibeActionConfig()
+    cfg.game.actions.move.handlers = [_melee_handler()]
+    cfg.game.agent.inventory.initial = {"laser": 5, "heart": 9, "armor": 1}
+    program = compile_program(cfg)
+    assert static_background_ok(program) and not pure_move_ok(program)
+
+    builder = cfg.game.map_builder.create()
+    maps = []
+    for i in range(2):
+        builder.config.seed = 40 + i
+        maps.append(builder.build_for_num_agents(4))
+    init = build_env_init(program, maps)
+    E = 8
+    reset = make_reset(program, init, E)
+    step = make_step(program, init, auto_reset=True, donate=False)
+    state, _ = reset(2)
+    rng = np.random.default_rng(12)
+    angry = next(
+        i for i, n in enumerate(program.action_names) if n == "change_vibe_angry"
+    )
+    full = obs_mod.make_obs_fn(program)
+    bg = obs_mod.build_static_bg(program, init)
+    static = obs_mod.make_obs_fn(program, static_bg=bg)
+    h0 = np.asarray(state.obj_inv[:, :4, program.resource_names.index("heart")]).sum()
+    for i in range(12):
+        # moves only (actions 1..4): agents must actually bump into each
+        # other for the melee handler to fire
+        acts = jnp.asarray(rng.integers(1, 5, (E, 4)), dtype=jnp.int32)
+        vibes = jnp.full((E, 4), angry, dtype=jnp.int32)
+        state, _ = step(state, acts, vibes)
+        obs_a, att_a = full(state)
+        obs_b, att_b = static(state)
+        np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b), err_msg=f"step {i}")
+        np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
+    h1 = np.asarray(state.obj_inv[:, :4, program.resource_names.index("heart")]).sum()
+    assert h1 < h0, "combat never fired; the test did not exercise attacks"
