@@ -72,16 +72,33 @@ def make_general_cfg(num_agents: int):
     return cfg
 
 
+def make_combat_cfg(num_agents: int):
+    """The executable-combat arena WITHOUT the event: vibe-gated
+    DirectAttack qualifies for the static background via the
+    background_inert whitelist (obs.py) while running the wave-parallel
+    (non-pure) action phase — live combat at static-path obs speed."""
+    cfg = make_general_cfg(num_agents)
+    cfg.game.events = {}
+    cfg.game.agent.inventory.initial = {"laser": 5, "armor": 1, "heart": 9}
+    return cfg
+
+
 def build_bench(
     num_envs: int = 4096,
     num_agents: int = 24,
     pool: int = 64,
     chunk: int = 64,
     general: bool = False,
+    combat: bool = False,
     checksum_mode: str = "col0",
     obs_carry: bool = True,
 ):
-    cfg = make_general_cfg(num_agents) if general else make_arena(num_agents, combat=False)
+    if combat:
+        cfg = make_combat_cfg(num_agents)
+    elif general:
+        cfg = make_general_cfg(num_agents)
+    else:
+        cfg = make_arena(num_agents, combat=False)
     program = compile_program(cfg)
     builder = cfg.game.map_builder.create()
     rng = np.random.default_rng(0)
@@ -108,10 +125,16 @@ def build_bench(
         assert num_envs % 8 == 0 and not program.territories, (
             "bench config must take the fused obs-tail path for the DCE guard to be sound"
         )
-    if general:
+    if combat:
+        # Live DirectAttack combat on the refined background_inert gate:
+        # static-bg obs + the wave-parallel (non-pure) action phase.
+        assert static_background_ok(program), "combat bench should keep the static background"
+        assert not pure_move_ok(program), "combat bench must exercise the wave loop"
+        assert fast_mode_ok(program)
+    elif general:
         # The general bench exists to measure the UN-specialized engine: the
-        # combat handlers must disqualify both gated fast paths while still
-        # allowing the wave-parallel action phase.
+        # combat handlers + periodic event must disqualify both gated fast
+        # paths while still allowing the wave-parallel action phase.
         assert not static_background_ok(program), "general bench must not take the static-bg path"
         assert not pure_move_ok(program), "general bench must not take the pure-move path"
         assert fast_mode_ok(program), "general bench should use the wave-parallel action phase"
@@ -120,7 +143,7 @@ def build_bench(
 
     def chunk_body(carry, acts):
         state, checksum, obs_buf = carry
-        if general:
+        if general or combat:
             actions, vibes = acts  # random vibe stream exercises change_vibe
         else:
             actions, vibes = acts, jnp.zeros((num_envs, A), dtype=jnp.int32)
@@ -169,7 +192,7 @@ def build_bench(
         # (benchmarks/perf/perf_benchmark.py pre-rolls its action stream);
         # device-resident before the timed region.
         prim = jax.random.randint(key, (chunk, num_envs, A), 0, n_actions, dtype=jnp.int32)
-        if general:
+        if general or combat:
             vib = jax.random.randint(
                 jax.random.fold_in(key, 1), (chunk, num_envs, A), 0, n_actions, dtype=jnp.int32
             )
@@ -186,6 +209,7 @@ def main() -> None:
     warmup_chunks = 2
     bench_chunks = 8
     general = False
+    combat = False
     checksum_mode = "col0"
     obs_carry = True
     for arg in sys.argv[1:]:
@@ -200,6 +224,8 @@ def main() -> None:
             bench_chunks = int(v)
         elif k == "--general":
             general = True
+        elif k == "--combat":
+            combat = True
         elif k == "--checksum":
             checksum_mode = v
         elif k == "--no-obs-carry":  # A/B: full T-column obs write per step
@@ -207,7 +233,7 @@ def main() -> None:
 
     reset, run_chunk, make_actions = build_bench(
         num_envs=num_envs, num_agents=num_agents, chunk=chunk, general=general,
-        checksum_mode=checksum_mode, obs_carry=obs_carry,
+        combat=combat, checksum_mode=checksum_mode, obs_carry=obs_carry,
     )
     state, out0 = reset(0)
     obs_buf = out0.observations  # full write at reset; steps update the prefix
@@ -238,7 +264,12 @@ def main() -> None:
     # axis (zero cross-chip communication — see parallel/ and
     # __graft_entry__.dryrun_multichip), so vs_baseline uses the 8-chip
     # linear projection; `value` stays the honest single-chip measurement.
-    variant = "general-path (combat handlers, no gated specializations)" if general else "single-chip"
+    if combat:
+        variant = "combat-arena (DirectAttack, static-bg via background_inert)"
+    elif general:
+        variant = "general-path (combat handlers + events, no gated specializations)"
+    else:
+        variant = "single-chip"
     print(
         json.dumps(
             {

@@ -59,6 +59,8 @@ run verify_dyn_v3 VERIFY_GENERAL=1 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_T
 run bench_general python bench.py --general
 run bench_general_v3 METTAGRID_TPU_OBS_V3=1 python bench.py --general
 run probe_general PROBE_GENERAL=1 python scripts/probe_r3_step.py
+# 9b. combat arena on the refined background_inert gate (static-bg + waves)
+run bench_combat METTAGRID_TPU_OBS_V3=1 python bench.py --combat
 # 10. DCE honesty check: full-obs checksum vs col0 (delta should be ~one
 # 147MB read, ~0.2ms; a larger delta means col0 was eliding the unpack)
 run bench_v3_fullsum METTAGRID_TPU_OBS_V3=1 python bench.py --checksum=full
