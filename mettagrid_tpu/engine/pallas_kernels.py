@@ -345,9 +345,11 @@ def _par_grid_params(interpret: bool = False):
     """CompilerParams declaring the (env-block) grid dimension PARALLEL:
     every block reads/writes only its own slice, so Mosaic may reorder and
     pipeline blocks (overlapping one block's MXU permute with another's VPU
-    compaction). Kill switch: METTAGRID_TPU_PAR_GRID=0. Interpret mode takes
-    no compiler params."""
-    if interpret or os.environ.get("METTAGRID_TPU_PAR_GRID", "1") in ("0", "false"):
+    compaction). Default OFF until the TPU session byte-verifies it and
+    write_tuned.py arms it (tuned.json par_grid); METTAGRID_TPU_PAR_GRID
+    overrides either way."""
+    default = "1" if _TUNED.get("par_grid") else "0"
+    if interpret or os.environ.get("METTAGRID_TPU_PAR_GRID", default) in ("0", "false"):
         return {}
     from jax.experimental.pallas import tpu as pltpu
 

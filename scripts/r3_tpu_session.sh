@@ -1,12 +1,19 @@
 #!/bin/bash
-# One-pass TPU measurement session (round 3): byte-verifies the v2-LE and v3
-# tails, then A/Bs the unpack formulation, the v3 tail, and block_envs.
+# One-pass TPU measurement session (round 3): byte-verifies every kernel
+# formulation queued this round (v2-LE carry/OUT_W/packed-prefetch defaults,
+# v3 paired-row tails static+dyn, radix-4 compaction, block_envs 16/32,
+# PARALLEL grid semantics), A/Bs them, then arms the fastest VERIFIED
+# configuration as the import default (write_tuned.py -> tuned.json).
 # Each step logs to bench_logs/ and failures don't stop later steps (the
 # tunnel flakes; rerun the script and completed steps are skipped via logs).
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p bench_logs
 TO=${TO:-2400}
+# All verify/bench steps run with the PARALLEL grid declaration so it is
+# what gets byte-verified and measured (its default arms via tuned.json);
+# bench_v3_nopar A/Bs it off.
+PAR=METTAGRID_TPU_PAR_GRID=1
 
 run() {
   local name="$1"; shift
@@ -21,49 +28,50 @@ run() {
   echo "   rc=$rc"
 }
 
-# 1. byte-verify the v2 tail with little-endian emission (default dispatch)
-run verify_v2le python scripts/verify_tpu_obs.py
+# 1. byte-verify the v2 tail with little-endian emission (default dispatch:
+#    carry/OUT_W/packed-prefetch + PARALLEL grid)
+run verify_v2le $PAR python scripts/verify_tpu_obs.py
 # 2. byte-verify the v3 (row-paired) tail
-run verify_v3 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
-# 3. bench: current default (v2 + bitcast unpack)
-run bench_v2_bitcast python bench.py
+run verify_v3 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
+# 3. bench: v2 + bitcast unpack
+run bench_v2_bitcast $PAR python bench.py
 # 4. bench: v2 + shift unpack (A/B the bitcast)
-run bench_v2_shift METTAGRID_TPU_UNPACK=shift python bench.py
+run bench_v2_shift $PAR METTAGRID_TPU_UNPACK=shift python bench.py
 # 5. bench: v3 tail
-run bench_v3 METTAGRID_TPU_OBS_V3=1 python bench.py
+run bench_v3 $PAR METTAGRID_TPU_OBS_V3=1 python bench.py
 # 6-7. bench: v3 with wider env blocks
-run bench_v3_be16 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=16 python bench.py
-run bench_v3_be32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=32 python bench.py
+run bench_v3_be16 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=16 python bench.py
+run bench_v3_be32 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=32 python bench.py
 # 7b. bench: v3 + radix-4 compaction (byte-verify first)
-run verify_v3_r4 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
-run bench_v3_r4 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_COMPACT=r4 python bench.py
-run bench_v3_be16_r4 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=16 METTAGRID_TPU_COMPACT=r4 python bench.py
+run verify_v3_r4 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
+run bench_v3_r4 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_COMPACT=r4 python bench.py
+run bench_v3_be16_r4 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_OBS_BE=16 METTAGRID_TPU_COMPACT=r4 python bench.py
 # 7b'. byte-verify the larger-block variants at a fleet big enough to
 # exercise the blocking (write_tuned.py requires these before arming BE>8)
-run verify_v3_be16 VERIFY_E=32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=16 python scripts/verify_tpu_obs.py
-run verify_v3_be32 VERIFY_E=64 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=32 python scripts/verify_tpu_obs.py
-run verify_v3_be16_r4 VERIFY_E=32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=16 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
+run verify_v3_be16 $PAR VERIFY_E=32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=16 python scripts/verify_tpu_obs.py
+run verify_v3_be32 $PAR VERIFY_E=64 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=32 python scripts/verify_tpu_obs.py
+run verify_v3_be16_r4 $PAR VERIFY_E=32 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_OBS_BE=16 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
 # 7c. E=8192 now fits the packed SMEM prefetch (fleet-scaling datapoint)
-run bench_v3_e8192 METTAGRID_TPU_OBS_V3=1 python bench.py --envs=8192
+run bench_v3_e8192 $PAR METTAGRID_TPU_OBS_V3=1 python bench.py --envs=8192
 # 7d. obs-carry A/B: full-width obs writes vs prefix-only DUS
-run bench_v3_nocarry METTAGRID_TPU_OBS_V3=1 python bench.py --no-obs-carry
-# 7e. parallel-grid A/B (dimension_semantics=PARALLEL is the new default)
-run bench_v3_nopar METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_PAR_GRID=0 python bench.py
+run bench_v3_nocarry $PAR METTAGRID_TPU_OBS_V3=1 python bench.py --no-obs-carry
+# 7e. parallel-grid A/B
+run bench_v3_nopar METTAGRID_TPU_PAR_GRID=0 METTAGRID_TPU_OBS_V3=1 python bench.py
 # 8. step-phase + glue split at bench shape (next-lever hunting)
-run probe_step METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
-# 9. general-path bench (README regression number; dyn_v2 also got LE unpack)
+run probe_step $PAR METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
+# 9. general-path bench (README regression number).
 # Byte-verify the DYNAMIC-image kernels (the static verify never runs them),
 # then bench both dyn tails.
-run verify_dyn_v2 VERIFY_GENERAL=1 python scripts/verify_tpu_obs.py
-run verify_dyn_v3 VERIFY_GENERAL=1 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
-run bench_general python bench.py --general
-run bench_general_v3 METTAGRID_TPU_OBS_V3=1 python bench.py --general
-run probe_general PROBE_GENERAL=1 python scripts/probe_r3_step.py
+run verify_dyn_v2 $PAR VERIFY_GENERAL=1 python scripts/verify_tpu_obs.py
+run verify_dyn_v3 $PAR VERIFY_GENERAL=1 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
+run bench_general $PAR python bench.py --general
+run bench_general_v3 $PAR METTAGRID_TPU_OBS_V3=1 python bench.py --general
+run probe_general $PAR PROBE_GENERAL=1 python scripts/probe_r3_step.py
 # 9b. combat arena on the refined background_inert gate (static-bg + waves)
-run bench_combat METTAGRID_TPU_OBS_V3=1 python bench.py --combat
+run bench_combat $PAR METTAGRID_TPU_OBS_V3=1 python bench.py --combat
 # 10. DCE honesty check: full-obs checksum vs col0 (delta should be ~one
 # 147MB read, ~0.2ms; a larger delta means col0 was eliding the unpack)
-run bench_v3_fullsum METTAGRID_TPU_OBS_V3=1 python bench.py --checksum=full
+run bench_v3_fullsum $PAR METTAGRID_TPU_OBS_V3=1 python bench.py --checksum=full
 
 # 11. arm the fastest byte-verified configuration as the import default
 # (bench_logs/tuned.json — read by engine/pallas_kernels.py + engine/obs.py),

@@ -10,10 +10,16 @@ for i in $(seq 1 200); do
   if timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     echo "tunnel UP at $(date -u +%H:%M:%S) (attempt $i)" >> "$LOG"
     TO=${TO:-2400} bash scripts/r3_tpu_session.sh >> "$LOG" 2>&1
-    echo "session done $(date -u +%H:%M:%S)" >> "$LOG"
-    exit 0
+    echo "session pass done $(date -u +%H:%M:%S)" >> "$LOG"
+    # Completed steps are skipped via their logs; keep looping until the
+    # final tuned bench landed (tunnel may die mid-session).
+    if grep -q '"value"' bench_logs/bench_tuned_final.log 2>/dev/null; then
+      echo "session complete $(date -u +%H:%M:%S)" >> "$LOG"
+      exit 0
+    fi
+  else
+    echo "attempt $i: tunnel down $(date -u +%H:%M:%S)" >> "$LOG"
   fi
-  echo "attempt $i: tunnel down $(date -u +%H:%M:%S)" >> "$LOG"
   sleep 60
 done
 echo "watchdog gave up $(date -u +%H:%M:%S)" >> "$LOG"

@@ -25,18 +25,34 @@ import sys
 LOGS = pathlib.Path(__file__).resolve().parents[1] / "bench_logs"
 
 # obs_v3 arms the paired-row tail for BOTH the static and dynamic-image
-# paths, so every v3 candidate also requires the dyn_v3 verify leg.
+# paths, so every v3 candidate also requires the dyn_v3 verify leg. The
+# session runs every verify/bench step with METTAGRID_TPU_PAR_GRID=1, so
+# candidates arm par_grid too (bench_v3_nopar is the PAR-off A/B; PAR off
+# is the previously-verified state and needs no fresh leg).
 CANDIDATES = [
-    ("bench_v2_bitcast", {}, ["verify_v2le"]),
-    ("bench_v3", {"obs_v3": True}, ["verify_v3", "verify_dyn_v3"]),
-    ("bench_v3_be16", {"obs_v3": True, "obs_be": 16}, ["verify_v3_be16", "verify_dyn_v3"]),
-    ("bench_v3_be32", {"obs_v3": True, "obs_be": 32}, ["verify_v3_be32", "verify_dyn_v3"]),
-    ("bench_v3_r4", {"obs_v3": True, "compact": "r4"}, ["verify_v3_r4", "verify_dyn_v3"]),
+    ("bench_v2_bitcast", {"par_grid": True}, ["verify_v2le"]),
+    ("bench_v3", {"obs_v3": True, "par_grid": True}, ["verify_v3", "verify_dyn_v3"]),
+    (
+        "bench_v3_be16",
+        {"obs_v3": True, "obs_be": 16, "par_grid": True},
+        ["verify_v3_be16", "verify_dyn_v3"],
+    ),
+    (
+        "bench_v3_be32",
+        {"obs_v3": True, "obs_be": 32, "par_grid": True},
+        ["verify_v3_be32", "verify_dyn_v3"],
+    ),
+    (
+        "bench_v3_r4",
+        {"obs_v3": True, "compact": "r4", "par_grid": True},
+        ["verify_v3_r4", "verify_dyn_v3"],
+    ),
     (
         "bench_v3_be16_r4",
-        {"obs_v3": True, "obs_be": 16, "compact": "r4"},
+        {"obs_v3": True, "obs_be": 16, "compact": "r4", "par_grid": True},
         ["verify_v3_be16_r4", "verify_dyn_v3"],
     ),
+    ("bench_v3_nopar", {"obs_v3": True}, ["verify_v3", "verify_dyn_v3"]),
 ]
 
 
