@@ -84,6 +84,7 @@ def _make_configs(
     combat: bool = False,
     events: bool = False,
     economy: bool = False,
+    pure_attack: bool = False,
 ):
     """Both frameworks' make_arena with the map pinned; combat=True adds a
     vibe-gated move handler carrying the C++-executable attack (the
@@ -270,35 +271,89 @@ def _make_configs(
         ]
         ours.game.obs.full_token_bounds = True  # host-injected loadouts below
         ref.game.actions.change_vibe = RefCV()
-        ref.game.actions.move.handlers = [
-            RefHandler(
-                name="shield_break",
-                filters=[
-                    RefVF(target=RefHT.ACTOR, vibe="angry"),
-                    RefVF(target=RefHT.TARGET, vibe="shield"),
+        _ref_combat_handlers(ref)
+    if pure_attack:
+        # Direct-attack ONLY (no loot/shield/swap): in OUR engine this is
+        # the refined background_inert gate's territory — static-background
+        # obs with the wave-parallel action phase (obs.py background_inert).
+        # Loadouts are config-declared (not host-injected) so the obs-caps
+        # proof and the OUT_W prefix stay active: this parity run exercises
+        # the exact production combat path against the C++ oracle.
+        from mettagrid_tpu.config.action_config import ChangeVibeActionConfig as OurCV
+        from mettagrid_tpu.config.handler_config import (
+            DirectAttackMutation,
+            Handler as OurHandler,
+            HandlerTarget as OurHT,
+            VibeFilter as OurVF,
+        )
+
+        from mettagrid.config.action_config import ChangeVibeActionConfig as RefCV
+        from mettagrid.config.filter import HandlerTarget as RefHT, VibeFilter as RefVF
+        from mettagrid.config.handler_config import Handler as RefHandler
+
+        loadout = {"laser": 4, "armor": 1, "heart": 30}
+        ours.game.actions.change_vibe = OurCV()
+        ours.game.agent.inventory.initial = dict(loadout)
+        ours.game.actions.move.handlers = [
+            OurHandler(
+                name=ATTACK_HANDLER_NAME,
+                filters=[OurVF(target=OurHT.ACTOR, vibe="angry")],
+                mutations=[
+                    DirectAttackMutation(
+                        weapon_resource="laser", armor_resource="armor", health_resource="heart"
+                    )
                 ],
-                mutations=[RefRD(target=RefET.TARGET, deltas={"armor": -1})],
-            ),
+            )
+        ]
+        ref.game.actions.change_vibe = RefCV()
+        ref.game.agent.inventory.initial = dict(loadout)
+        ref.game.actions.move.handlers = [
             RefHandler(
                 name=ATTACK_HANDLER_NAME,
                 filters=[RefVF(target=RefHT.ACTOR, vibe="angry")],
-                # loot converts normally; the C++ attack is attached
-                # post-conversion and lands AFTER it (see _ref_sim)
-                mutations=[
-                    RefRT(
-                        from_target=RefET.TARGET,
-                        to_target=RefET.ACTOR,
-                        resources={"ore_red": 1},
-                    )
-                ],
-            ),
-            RefHandler(
-                name="bump_swap",
-                filters=[RefVF(target=RefHT.ACTOR, vibe="clown")],
-                mutations=[RefSwap()],
-            ),
+                mutations=[],  # the bound C++ attack is attached in _ref_sim
+            )
         ]
     return ours, ref
+
+
+def _ref_combat_handlers(ref):
+    from mettagrid.config.filter import HandlerTarget as RefHT, VibeFilter as RefVF
+    from mettagrid.config.handler_config import EntityTarget as RefET, Handler as RefHandler
+    from mettagrid.config.mutation import (
+        ResourceDeltaMutation as RefRD,
+        ResourceTransferMutation as RefRT,
+        SwapMutation as RefSwap,
+    )
+
+    ref.game.actions.move.handlers = [
+        RefHandler(
+            name="shield_break",
+            filters=[
+                RefVF(target=RefHT.ACTOR, vibe="angry"),
+                RefVF(target=RefHT.TARGET, vibe="shield"),
+            ],
+            mutations=[RefRD(target=RefET.TARGET, deltas={"armor": -1})],
+        ),
+        RefHandler(
+            name=ATTACK_HANDLER_NAME,
+            filters=[RefVF(target=RefHT.ACTOR, vibe="angry")],
+            # loot converts normally; the C++ attack is attached
+            # post-conversion and lands AFTER it (see _ref_sim)
+            mutations=[
+                RefRT(
+                    from_target=RefET.TARGET,
+                    to_target=RefET.ACTOR,
+                    resources={"ore_red": 1},
+                )
+            ],
+        ),
+        RefHandler(
+            name="bump_swap",
+            filters=[RefVF(target=RefHT.ACTOR, vibe="clown")],
+            mutations=[RefSwap()],
+        ),
+    ]
 
 
 def _ref_sim(ref_cfg, seed: int, combat: bool):
@@ -344,6 +399,7 @@ def run_arena_parity(
     combat: bool = False,
     events: bool = False,
     economy: bool = False,
+    pure_attack: bool = False,
 ) -> List[str]:
     """Run the arena preset in both engines; return a list of mismatches.
 
@@ -363,11 +419,25 @@ def run_arena_parity(
 
     map_data = build_arena_map(num_agents, map_seed)
     our_cfg, ref_cfg = _make_configs(
-        map_data, num_agents, combat=combat, events=events, economy=economy
+        map_data, num_agents, combat=combat, events=events, economy=economy,
+        pure_attack=pure_attack,
     )
+    if pure_attack:
+        # The point of this variant: the refined background_inert gate must
+        # give live DirectAttack combat the static-background obs path while
+        # the wave (non-pure) action loop runs — verified against the C++
+        # oracle below.
+        from mettagrid_tpu.engine import compile_program as _compile
+        from mettagrid_tpu.engine.actions_fast import pure_move_ok as _pm
+        from mettagrid_tpu.engine.obs import static_background_ok as _sbg
+
+        _prog = _compile(our_cfg)
+        assert _sbg(_prog) and not _pm(_prog), (
+            "pure_attack parity config must take the static-bg + wave path"
+        )
 
     ours = OurSimulation(our_cfg, seed=action_seed, reference_shuffle=True)
-    ref = _ref_sim(ref_cfg, seed=action_seed, combat=combat)
+    ref = _ref_sim(ref_cfg, seed=action_seed, combat=combat or pure_attack)
 
     if combat:
         for i in range(num_agents):
@@ -398,7 +468,7 @@ def run_arena_parity(
     ref_actions = our_primary + sorted(our_vibe)  # shared script vocabulary
 
     rng = np.random.default_rng(action_seed)
-    if combat:
+    if combat or pure_attack:
         # Bias the script so the combat handlers actually engage: uniform
         # over ALL vibes leaves agents angry ~1/len(vibes) of the time.
         # 60% movement/noop, 40% one of the four combat-relevant vibes.
@@ -463,6 +533,11 @@ def run_arena_parity(
             problems.append("combat never engaged: no heart damage recorded")
         if ores == [2 + (i % 2) for i in range(num_agents)]:
             problems.append("loot never transferred: ore distribution unchanged")
+
+    if pure_attack:
+        hearts = sum(ours.agent(i).inventory.get("heart", 0) for i in range(num_agents))
+        if hearts >= 30 * num_agents:
+            problems.append("combat never engaged: no heart damage recorded")
 
     problems += _diff_final(ours, ref)
     return problems

@@ -62,3 +62,17 @@ def test_arena_event_rng_signature_parity(map_seed, action_seed):
 
     problems = run_arena_parity(map_seed, action_seed, steps=300, events=True)
     assert not problems, "\n".join(problems[:20])
+
+
+@pytest.mark.parametrize("map_seed,action_seed", [(2, 17), (8, 4242)])
+def test_arena_direct_attack_static_bg_signature_parity(map_seed, action_seed):
+    """Arena-scale parity for the refined background_inert gate: a
+    direct-attack-ONLY melee handler (the reference's sole executable
+    attack) keeps the static-background obs path while the wave-parallel
+    (non-pure) action loop runs — the exact production combat fast path,
+    with config-declared loadouts so the obs-caps/OUT_W proofs stay active.
+    The run asserts the gate assignment and that combat actually fired."""
+    from mettagrid_tpu.parity.arena import run_arena_parity
+
+    problems = run_arena_parity(map_seed, action_seed, steps=300, pure_attack=True)
+    assert not problems, "\n".join(problems[:20])
