@@ -476,7 +476,11 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         # window (garbage rows/lanes hit all-zero columns). Output columns
         # are offset by G: the kernel adds the always-valid global words at
         # lanes 0..G-1, so compaction emits globals-then-window directly.
-        perm2_np = np.zeros((_V2_RPE * 128, KS_pad2), dtype=np.int8)
+        # Only the first OH of the RPE staged rows can hold window content,
+        # so the table stops there: the kernels slice their contraction to
+        # the table's row count (OH*128 of RPE*128 lanes — ~19% fewer
+        # permute MACs for the 13-row arena window).
+        perm2_np = np.zeros((OH * 128, KS_pad2), dtype=np.int8)
         loc15_np = np.zeros((8, KS_pad2), dtype=np.int32)
         loc15_np[:, :G] = GLOBAL_LOCATION << 15
         for k in range(K):
@@ -499,7 +503,10 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     )
     perm3_t = None
     if v3_ok_static:
-        perm3_np = np.zeros((8 * 128, KS_pad2), dtype=np.int8)
+        # A window spans (OH+1)//2 paired rows of the 8 staged — the table
+        # stops there and the kernels slice the contraction to match
+        # (7*128 of 8*128 lanes for the arena window).
+        perm3_np = np.zeros((((OH + 1) // 2) * 128, KS_pad2), dtype=np.int8)
         for k in range(K):
             u, v = uv_of_k[k]
             for s in range(S):

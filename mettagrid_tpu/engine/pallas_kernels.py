@@ -444,7 +444,7 @@ def obs_tail_static_v2_pallas(
     lext: jnp.ndarray,         # int32 [E, A] agent image lane
     words: jnp.ndarray,        # int32 [E, A, S] +1-encoded agent token words
     gplus: jnp.ndarray,        # int32 [E, A, G] +1-encoded global words (all valid)
-    perm8: jnp.ndarray,        # int8 [RPE*128, KS_pad] raw-raster -> Manhattan, cols offset by G
+    perm8: jnp.ndarray,        # int8 [OH*128, KS_pad] raw-raster -> Manhattan, cols offset by G
     tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
     loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << 15
     OH: int,
@@ -506,7 +506,11 @@ def obs_tail_static_v2_pallas(
                 winraw[e * A + a] = x[:, :128]
 
         # ---- Manhattan permute straight off the raw window lanes ----
-        lhs = winraw[:].reshape(BA, RPE * 128)
+        # Only the first OH staged rows can hold window content (the ds
+        # height RPE is sublane padding): the perm table is built with
+        # K_mat = OH*128 rows, so slice the contraction to match (the
+        # dropped lanes are guaranteed-zero permute columns).
+        lhs = winraw[:].reshape(BA, RPE * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
         hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
@@ -578,7 +582,7 @@ def obs_tail_static_v3_pallas(
     lext: jnp.ndarray,           # int32 [E, A] agent image lane ((agent_c + wr) * S)
     words: jnp.ndarray,          # int32 [E, A, S] +1-encoded agent token words
     gplus: jnp.ndarray,          # int32 [E, A, G] +1-encoded global words (all valid)
-    perm8: jnp.ndarray,          # int8 [8*128, KS_pad]: paired-raster -> Manhattan, cols offset by G
+    perm8: jnp.ndarray,          # int8 [((OH+1)//2)*128, KS_pad]: paired-raster -> Manhattan, cols offset by G
     tri8: jnp.ndarray,           # int8 [KS_pad, KS_pad]
     loc15: jnp.ndarray,          # int32 [8, KS_pad]
     OH: int,
@@ -669,7 +673,9 @@ def obs_tail_static_v3_pallas(
                 winraw[e * A + a] = y[:, :128]
 
         # ---- Manhattan permute + packed word build + compaction (as v2) ----
-        lhs = winraw[:].reshape(BA, 8 * 128)
+        # A window spans (OH+1)//2 paired rows; the perm table has exactly
+        # that many 128-lane row blocks — slice the contraction to match.
+        lhs = winraw[:].reshape(BA, 8 * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
         hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
@@ -730,7 +736,7 @@ def obs_tail_dyn_v2_pallas(
     row0: jnp.ndarray,         # int32 [E, A] window start row (= agent_r)
     lane0: jnp.ndarray,        # int32 [E, A] window start lane (= agent_c * S)
     gplus: jnp.ndarray,        # int32 [E, A, G] +1-encoded global words (all valid)
-    perm8: jnp.ndarray,        # int8 [RPE*128, KS_pad] raw-raster -> Manhattan, cols offset by G
+    perm8: jnp.ndarray,        # int8 [OH*128, KS_pad] raw-raster -> Manhattan, cols offset by G
     tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
     loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << 15
     KS: int,                   # real candidate count (K * S)
@@ -770,7 +776,8 @@ def obs_tail_dyn_v2_pallas(
                 x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
                 winraw[e * A + a] = x[:, :128]
 
-        lhs = winraw[:].reshape(BA, RPE * 128)
+        # Slice to the perm table's K_mat = OH*128 rows (see static v2).
+        lhs = winraw[:].reshape(BA, RPE * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
         hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
@@ -827,7 +834,7 @@ def obs_tail_dyn_v3_pallas(
     row0: jnp.ndarray,         # int32 [E, A] window start row in image space
     lane0: jnp.ndarray,        # int32 [E, A] window start lane (= agent_c * S)
     gplus: jnp.ndarray,        # int32 [E, A, G] +1-encoded global words (all valid)
-    perm8: jnp.ndarray,        # int8 [8*128, KS_pad] PAIRED raster -> Manhattan
+    perm8: jnp.ndarray,        # int8 [((OH+1)//2)*128, KS_pad] PAIRED raster -> Manhattan
     tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
     loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << 15
     OWS: int,                  # OW * S
@@ -873,7 +880,8 @@ def obs_tail_dyn_v3_pallas(
                 y = jnp.where(lane128 < OWS, x1, jnp.where(lane128 < 2 * OWS, x2, 0))
                 winraw[e * A + a] = y[:, :128]
 
-        lhs = winraw[:].reshape(BA, 8 * 128)
+        # Slice to the perm table's (OH+1)//2 row blocks (see static v3).
+        lhs = winraw[:].reshape(BA, 8 * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
         hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
