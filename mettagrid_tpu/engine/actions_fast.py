@@ -43,8 +43,16 @@ from mettagrid_tpu.engine.state import EnvState
 # so the tail almost never iterates.
 UNROLL_WAVES = 4
 # Pure-move waves are cheap [E, A, A] ops, so a shorter unroll + while tail
-# measures faster (7.29 -> 6.85 ms full step at E=4096).
-PURE_UNROLL_WAVES = 2
+# measures faster (7.29 -> 6.85 ms full step at E=4096). Env/tuned knob for
+# hardware A/B (scripts/r3_tpu_session.sh): the unrolled prefix fuses, the
+# while tail pays per-iteration overhead but runs data-dependent counts.
+import os as _os
+
+from mettagrid_tpu.engine.pallas_kernels import _TUNED as _TUNED_KNOBS
+
+PURE_UNROLL_WAVES = int(
+    _os.environ.get("METTAGRID_TPU_PURE_UNROLL", _TUNED_KNOBS.get("pure_unroll", 2))
+)
 
 _LOCAL_FILTERS = {
     "target_loc_empty",

@@ -57,8 +57,14 @@ run bench_v3_e8192 $PAR METTAGRID_TPU_OBS_V3=1 python bench.py --envs=8192
 run bench_v3_nocarry $PAR METTAGRID_TPU_OBS_V3=1 python bench.py --no-obs-carry
 # 7e. parallel-grid A/B
 run bench_v3_nopar METTAGRID_TPU_PAR_GRID=0 METTAGRID_TPU_OBS_V3=1 python bench.py
+# 7f. pure-move wave unroll A/B (obs bytes unaffected; CPU equivalence
+# tests pin the semantics for any unroll count)
+run bench_v3_u1 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_PURE_UNROLL=1 python bench.py
+run bench_v3_u4 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_PURE_UNROLL=4 python bench.py
 # 8. step-phase + glue split at bench shape (next-lever hunting)
 run probe_step $PAR METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
+# 8b. action-phase op split (waves vs bookkeeping vs grid ops)
+run probe_actions $PAR python scripts/probe_r3_actions.py
 # 9. general-path bench (README regression number).
 # Byte-verify the DYNAMIC-image kernels (the static verify never runs them),
 # then bench both dyn tails.

@@ -88,6 +88,16 @@ def main() -> int:
     out = dict(best_knobs)
     out["_source"] = best_name
     out["_env_steps_per_s"] = best_val
+    # Independent knob: pure-move wave unroll (bench_v3 family A/B). Does
+    # not change results (the while tail always completes settlement; CPU
+    # equivalence tests pin any unroll count), so no verify leg is needed
+    # beyond the bench_v3 one already gating the arms.
+    unroll_arms = [("bench_v3", 2), ("bench_v3_u1", 1), ("bench_v3_u4", 4)]
+    if verified(["verify_v3"]):
+        scored = [(bench_value(n), u) for n, u in unroll_arms]
+        scored = [(v, u) for v, u in scored if v is not None]
+        if len(scored) > 1:
+            out["pure_unroll"] = max(scored)[1]
     (LOGS / "tuned.json").write_text(json.dumps(out, indent=1))
     print(f"tuned.json <- {best_name} ({best_val:.0f} env-steps/s): {best_knobs}")
     return 0

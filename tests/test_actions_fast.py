@@ -132,3 +132,43 @@ def test_pure_move_gate_rejects_usable_and_custom_handlers():
     )
     cfg.game.objects["mine"] = mine
     assert not pure_move_ok(compile_program(cfg))
+
+
+@pytest.mark.parametrize("unroll", [0, 1, 8])
+def test_pure_unroll_count_is_semantics_free(unroll, monkeypatch):
+    """PURE_UNROLL_WAVES (METTAGRID_TPU_PURE_UNROLL / tuned pure_unroll) is a
+    scheduling knob only: the while tail always completes settlement, so any
+    unroll count must produce bit-identical trajectories to the default."""
+    import mettagrid_tpu.engine.actions_fast as af
+
+    num_agents = 6
+    cfg = make_arena(
+        num_agents,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=num_agents, width=7, height=7, border_width=1, objects={"wall": 4}
+        ),
+    )
+    E = 16
+    program, reset_a, step_default = build(cfg, E, "auto")
+    state_a, _ = reset_a(0)
+    # jit traces on first call: force the default trace BEFORE patching the
+    # knob, or both sides would trace with the same (patched) unroll.
+    zeros = jnp.zeros((E, num_agents), dtype=jnp.int32)
+    step_default(state_a, zeros, zeros)
+    monkeypatch.setattr(af, "PURE_UNROLL_WAVES", unroll)
+    _, reset_b, step_knob = build(cfg, E, "auto")
+
+    state_b, _ = reset_b(0)
+    rng = np.random.default_rng(3)
+    n_actions = len(program.action_names)
+    for _ in range(12):
+        acts = jnp.asarray(rng.integers(0, n_actions, size=(E, num_agents)), dtype=jnp.int32)
+        vibes = jnp.zeros((E, num_agents), dtype=jnp.int32)
+        state_a, out_a = step_default(state_a, acts, vibes)
+        state_b, out_b = step_knob(state_b, acts, vibes)
+    assert np.array_equal(np.asarray(out_a.observations), np.asarray(out_b.observations))
+    assert np.array_equal(np.asarray(out_a.action_success), np.asarray(out_b.action_success))
+    for name in state_a._fields:
+        a, b = getattr(state_a, name), getattr(state_b, name)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
