@@ -1,0 +1,167 @@
+"""Extraction-stage primitive costs at bench shape (next-lever hunting for
+the fused obs tails — see docs/perf_findings.md "Round-3").
+
+The v3 tail's per-agent window extraction is ds[8, WPC2] + dynamic roll +
+static roll + select (~2x the roll bytes of v2's single roll). Candidate
+reformulations trade roll WIDTH or ELEMENT SIZE, but their viability is
+pure Mosaic lowering behavior — unmeasurable off-hardware. Each variant
+below isolates one primitive at the production shape (E=4096, A=24,
+BE=8, WPC2=512) so the in-bench winner can be implemented with evidence:
+
+  base_v3      ds i32 [8,512] + dyn roll + static roll + select  (status quo)
+  base_v2      ds i32 [16,512] + one dyn roll                     (v2 shape)
+  noroll       ds + write only                                    (floor)
+  coarse_fine  dyn roll by 128-multiple, slice [8,256], fine roll
+               (wins ONLY if Mosaic optimizes VREG-block rotations)
+  i16_roll     image int16: ds [8,512] i16 + rolls + decode to i32
+               (halves roll bytes IF i16 dynamic-sublane ds + roll lower)
+
+Compile failures print and continue — a FAILED line is itself the answer.
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from timing import time_fn_carry  # noqa: E402
+
+from typing import NamedTuple
+
+E, A, BE = 4096, 24, 8
+BA = BE * A
+HP, WPC2 = 64, 512
+OWS, WPCF = 39, 256
+
+print(f"backend: {jax.default_backend()} E={E} A={A} BE={BE} WPC2={WPC2}", flush=True)
+
+
+if jax.default_backend() != "tpu":
+    print("requires the TPU backend (Mosaic lowering is the question)")
+    sys.exit(0)
+
+
+class St(NamedTuple):
+    rl: jnp.ndarray  # int32 [E*A] packed (row << 16) | lane
+    step_count: jnp.ndarray  # time_fn_carry dependence hook
+
+
+rng = np.random.default_rng(0)
+rows = rng.integers(0, HP - 8, size=E * A).astype(np.int32)
+lanes = rng.integers(0, WPC2 - OWS, size=E * A).astype(np.int32)
+state0 = St(
+    rl=jnp.asarray((rows << 16) | lanes),
+    step_count=jnp.zeros((), jnp.int32),
+)
+img_i32 = jnp.asarray(rng.integers(0, 0xFFFF, size=(HP, WPC2)).astype(np.int32))
+img_i16 = (img_i32 - 32768).astype(jnp.int16)
+
+
+def make_variant(body, img, img_dtype):
+    """body(imgs_scratch, rl_scalar) -> [8, 128] int32 window for one agent."""
+
+    def kernel(rl_ref, img_ref, out_ref, imgs):
+        blk = pl.program_id(0)
+        imgs[:, :] = img_ref[:, :]
+        for e in range(BE):
+            for a in range(A):
+                idx = (blk * BE + e) * A + a
+                out_ref[e * A + a] = body(imgs, rl_ref[idx])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((HP, WPC2), lambda i, rl: (0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (BA, 8, 128), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((HP, WPC2), img_dtype)],
+    )
+
+    @jax.jit
+    def fn(st: St):
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((E * A, 8, 128), jnp.int32),
+        )(st.rl, img)
+        chk = jnp.sum(out[:, 0, 0].astype(jnp.int32))
+        # Thread the checksum back into the scalars (zero in practice, but
+        # the compiler can't know) so scan iterations serialize.
+        dep = jnp.minimum(jnp.abs(chk), 0) + st.step_count * 0
+        return st._replace(rl=st.rl + dep), (chk,)
+
+    return fn
+
+
+def body_base_v3(imgs, rl):
+    r = rl >> 16
+    l = rl & 0xFFFF
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, WPC2), 1)
+    x = imgs[pl.ds(r, 8), :]
+    x1 = pltpu.roll(x, WPC2 - l, 1)
+    x2 = pltpu.roll(x1, WPC2 + OWS - WPCF, 1)
+    y = jnp.where(lane128 < OWS, x1, jnp.where(lane128 < 2 * OWS, x2, 0))
+    return y[:, :128]
+
+
+def body_base_v2(imgs, rl):
+    r = rl >> 16
+    l = rl & 0xFFFF
+    x = imgs[pl.ds(jnp.minimum(r, HP - 16), 16), :]
+    x = pltpu.roll(x, WPC2 - l, 1)
+    return x[:8, :128]
+
+
+def body_noroll(imgs, rl):
+    r = rl >> 16
+    x = imgs[pl.ds(r, 8), :]
+    return x[:, :128]
+
+
+def body_coarse_fine(imgs, rl):
+    r = rl >> 16
+    l = rl & 0xFFFF
+    q = l >> 7  # 128-block index
+    m = l & 127
+    x = imgs[pl.ds(r, 8), :]
+    xc = pltpu.roll(x, WPC2 - (q << 7), 1)  # coarse: window start at lane m<128
+    xf = pltpu.roll(xc[:, :256], 256 - m, 1)  # fine roll on the half-width slice
+    return xf[:, :128]
+
+
+def body_i16(imgs, rl):
+    r = rl >> 16
+    l = rl & 0xFFFF
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    x = imgs[pl.ds(r, 8), :]  # int16
+    x1 = pltpu.roll(x, WPC2 - l, 1)
+    x2 = pltpu.roll(x1, WPC2 + OWS - WPCF, 1)
+    y1 = x1[:, :128].astype(jnp.int32) + 32768
+    y2 = x2[:, :128].astype(jnp.int32) + 32768
+    return jnp.where(lane < OWS, y1, jnp.where(lane < 2 * OWS, y2, 0))
+
+
+VARIANTS = [
+    ("noroll", body_noroll, img_i32, jnp.int32),
+    ("base_v2", body_base_v2, img_i32, jnp.int32),
+    ("base_v3", body_base_v3, img_i32, jnp.int32),
+    ("coarse_fine", body_coarse_fine, img_i32, jnp.int32),
+    ("i16_roll", body_i16, img_i16, jnp.int16),
+]
+
+for name, body, img, dt in VARIANTS:
+    try:
+        fn = make_variant(body, img, dt)
+        t = time_fn_carry(fn, state0, k=8)
+        print(f"{name:12s} {t*1e3:8.3f} ms", flush=True)
+    except Exception as e:
+        print(f"{name:12s} FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+print("done", flush=True)

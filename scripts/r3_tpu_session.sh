@@ -65,6 +65,8 @@ run bench_v3_u4 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_PURE_UNROLL=4 python b
 run probe_step $PAR METTAGRID_TPU_OBS_V3=1 python scripts/probe_r3_step.py
 # 8b. action-phase op split (waves vs bookkeeping vs grid ops)
 run probe_actions $PAR python scripts/probe_r3_actions.py
+# 8c. extraction-primitive costs (roll width/dtype reformulation evidence)
+run probe_extract python scripts/probe_r4_extract.py
 # 9. general-path bench (README regression number).
 # Byte-verify the DYNAMIC-image kernels (the static verify never runs them),
 # then bench both dyn tails.
