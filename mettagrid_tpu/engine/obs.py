@@ -86,6 +86,15 @@ def _le_bitcast_ok() -> bool:
     global _LE_BITCAST_OK
     if os.environ.get("METTAGRID_TPU_UNPACK") == "shift":  # bench A/B hook
         return False
+    if "METTAGRID_TPU_UNPACK" not in os.environ:
+        # Hardware-tuned default (write_tuned.py): shift/mask measured
+        # faster than bitcast+slice on the real chip (both are XLA glue
+        # over the same kernel words; shift is the always-correct
+        # fallback, so no separate byte-verify leg is required).
+        from mettagrid_tpu.engine.pallas_kernels import _TUNED
+
+        if _TUNED.get("unpack") == "shift":
+            return False
     if _LE_BITCAST_OK is None:
         # The first call happens while tracing the step — escape the trace
         # so the probe executes eagerly on the real backend.
@@ -497,9 +506,15 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     # 128-lane row at offsets 0/OWS, halving the permute contraction to
     # 8*128 lanes. Requires pairs to fit a lane row and the window to fit 8
     # paired rows; agents must sit strictly below image row 0 (hr >= 1). ----
-    HP2_v3 = (((H - 1) // 2 + 8) + 7) // 8 * 8
+    # +16 slack: the v3 kernels load 16 paired rows from base_row (Mosaic
+    # rejects the dynamic 8-row form) and keep the first 8 — the odd-region
+    # max start HP2 + (H-1)//2 must leave 16 in-bounds rows.
+    HP2_v3 = (((H - 1) // 2 + 16) + 7) // 8 * 8
     v3_ok_static = (
         v2_ok_static and 2 * OWS <= 128 and OH <= 15 and hr >= 1
+        # Mosaic only lowers the dynamic-start sublane loads the v3 kernels
+        # use on single-lane-tile (<=128 lane) scratch refs.
+        and WPC_f <= 128
     )
     perm3_t = None
     if v3_ok_static:
@@ -539,9 +554,11 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         # to the XLA assembly path).
         if Pm_s * HP_f * WPC_f * 4 <= 4 * 1024 * 1024:
             imgp_static_i32 = imgp_s.astype(jnp.int32)
-        # Row-paired pool for the v3 tail: even region row u = [img(2u) |
-        # img(2u+1)], odd region row u = [img(2u+1) | img(2u+2)] — windows
-        # of either start-row parity read 8 contiguous paired rows.
+        # Row-paired pool for the v3 tail, split into LEFT/RIGHT pair
+        # members (Mosaic needs single-lane-tile scratches for the dynamic
+        # sublane loads): even region row u = pair (img(2u), img(2u+1)),
+        # odd region row u = pair (img(2u+1), img(2u+2)) — windows of
+        # either start-row parity read 8 contiguous paired rows.
         if (
             imgp_static_i32 is not None
             and v3_ok_static
@@ -551,13 +568,13 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             src = imgp_s
             if src.shape[1] < need:
                 src = jnp.pad(src, ((0, 0), (0, need - src.shape[1]), (0, 0)))
-            even = jnp.concatenate(
-                [src[:, 0 : 2 * HP2_v3 : 2], src[:, 1 : 2 * HP2_v3 : 2]], axis=2
+            pair_l = jnp.concatenate(
+                [src[:, 0 : 2 * HP2_v3 : 2], src[:, 1 : 2 * HP2_v3 + 1 : 2]], axis=1
             )
-            odd = jnp.concatenate(
-                [src[:, 1 : 2 * HP2_v3 + 1 : 2], src[:, 2 : 2 * HP2_v3 + 2 : 2]], axis=2
+            pair_r = jnp.concatenate(
+                [src[:, 1 : 2 * HP2_v3 : 2], src[:, 2 : 2 * HP2_v3 + 2 : 2]], axis=1
             )
-            imgp_paired_i32 = jnp.concatenate([even, odd], axis=1).astype(jnp.int32)
+            imgp_paired_i32 = (pair_l.astype(jnp.int32), pair_r.astype(jnp.int32))
 
     def _global_plus(state, E):
         """+1-encoded global words (0 marks an empty slot)."""
@@ -624,19 +641,20 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
 
     def _pair_rows_dyn(imgp):
         """Row-pair a per-env dynamic image into the v3 layout (the XLA twin
-        of the static pool pairing above): even region row u = [img(2u) |
-        img(2u+1)], odd region row u = [img(2u+1) | img(2u+2)]."""
+        of the static pool pairing above), returning the (left, right) pair
+        members: even region row u = pair (img(2u), img(2u+1)), odd region
+        row u = pair (img(2u+1), img(2u+2))."""
         need = 2 * HP2_v3 + 2
         src = imgp
         if src.shape[1] < need:
             src = jnp.pad(src, ((0, 0), (0, need - src.shape[1]), (0, 0)))
-        even = jnp.concatenate(
-            [src[:, 0 : 2 * HP2_v3 : 2], src[:, 1 : 2 * HP2_v3 : 2]], axis=2
+        pair_l = jnp.concatenate(
+            [src[:, 0 : 2 * HP2_v3 : 2], src[:, 1 : 2 * HP2_v3 + 1 : 2]], axis=1
         )
-        odd = jnp.concatenate(
-            [src[:, 1 : 2 * HP2_v3 + 1 : 2], src[:, 2 : 2 * HP2_v3 + 2 : 2]], axis=2
+        pair_r = jnp.concatenate(
+            [src[:, 1 : 2 * HP2_v3 : 2], src[:, 2 : 2 * HP2_v3 + 2 : 2]], axis=1
         )
-        return jnp.concatenate([even, odd], axis=1)
+        return pair_l, pair_r
 
     def _finish_fused(imgp, agent_r, agent_c, state, E, obs_buf=None):
         """Shared fused-kernel invocation + output unpack."""
@@ -662,7 +680,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             # halves to 8*128 lanes.
             _LAST_TAIL = "dyn_v3"
             out_words, attempted = obs_tail_dyn_v3_pallas(
-                _pair_rows_dyn(imgp),
+                *_pair_rows_dyn(imgp),
                 agent_r,
                 agent_c * S,
                 gplus,
@@ -769,7 +787,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 gplus = _global_plus(state, E)  # all-valid by gate
                 _LAST_TAIL = "static_v3"
                 out_words, attempted = obs_tail_static_v3_pallas(
-                    imgp_paired_i32,
+                    *imgp_paired_i32,
                     state.map_idx,
                     agent_r,
                     agent_c * S,

@@ -470,10 +470,12 @@ def obs_tail_static_v2_pallas(
     BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     RPE = _V2_RPE
+    NT = WPC // 128  # lane tiles per image row
     OW_out = out_w or KS_pad
 
     def kernel(rl_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
-               rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winraw):
+               rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs,
+               imgs_t, winraw):
         blk = pl.program_id(0)
         # ---- assemble per-env images in VMEM (agents via exact matmul) ----
         for e in range(BE):
@@ -496,14 +498,37 @@ def obs_tail_static_v2_pallas(
             )
             imgs[e] = base + dyn.astype(jnp.int32)
 
-        # ---- per-agent window extraction (ds + roll only) ----
-        for e in range(BE):
-            for a in range(A):
-                idx = (blk * BE + e) * A + a
-                rl = rl_ref[idx]  # packed (row0 << 16) | lane0: halves SMEM
-                x = imgs[e, pl.ds(rl >> 16, RPE), :]
-                x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
-                winraw[e * A + a] = x[:, :128]
+        # ---- per-agent window extraction (ds + roll only). Images wider
+        # than one lane tile are re-staged TILE-MAJOR first (Mosaic only
+        # lowers dynamic sublane loads on <=128-lane scratches; see
+        # obs_tail_dyn_v2_pallas). ----
+        if NT == 1:
+            for e in range(BE):
+                for a in range(A):
+                    idx = (blk * BE + e) * A + a
+                    rl = rl_ref[idx]  # packed (row0 << 16) | lane0: halves SMEM
+                    x = imgs[e, pl.ds(rl >> 16, RPE), :]
+                    x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
+                    winraw[e * A + a] = x[:, :128]
+        else:
+            for e in range(BE):
+                for t in range(NT):
+                    imgs_t[e, t * HP : (t + 1) * HP, :] = imgs[e][:, t * 128 : (t + 1) * 128]
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (RPE, 128), 1)
+            for e in range(BE):
+                for a in range(A):
+                    idx = (blk * BE + e) * A + a
+                    rl = rl_ref[idx]
+                    r = rl >> 16
+                    l = rl & 0xFFFF
+                    t0 = l >> 7
+                    l0 = l & 127
+                    sh = 128 - l0
+                    xa = imgs_t[e, pl.ds(t0 * HP + r, RPE), :]
+                    xb = imgs_t[e, pl.ds(jnp.minimum(t0 + 1, NT - 1) * HP + r, RPE), :]
+                    ya = pltpu.roll(xa, sh, 1)
+                    yb = pltpu.roll(xb, sh, 1)
+                    winraw[e * A + a] = jnp.where(lane128 < sh, ya, yb)
 
         # ---- Manhattan permute straight off the raw window lanes ----
         # Only the first OH staged rows can hold window content (the ds
@@ -552,6 +577,8 @@ def obs_tail_static_v2_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((BE, HP, WPC), jnp.int32),
+            # Tile-major re-staging target (dummy single tile when unused).
+            pltpu.VMEM((BE, NT * HP, 128) if NT > 1 else (1, 8, 128), jnp.int32),
             pltpu.VMEM((BA, RPE, 128), jnp.int32),
         ],
     )
@@ -574,7 +601,8 @@ def obs_tail_static_v2_pallas(
     jax.jit, static_argnames=("OH", "OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "interpret")
 )
 def obs_tail_static_v3_pallas(
-    static_paired: jnp.ndarray,  # int32 [P, 2*HP2, 2*WPCF]: row-paired +1-encoded static image, even-aligned pairs then odd-aligned
+    static_paired_l: jnp.ndarray,  # int32 [P, 2*HP2, WPCF]: row-paired static image, LEFT member (window rows 2k); even-aligned pairs then odd-aligned
+    static_paired_r: jnp.ndarray,  # int32 [P, 2*HP2, WPCF]: RIGHT member (window rows 2k+1)
     map_idx: jnp.ndarray,        # int32 [E]
     row0: jnp.ndarray,           # int32 [E, A] window start row in image space (= agent_r)
     lane0: jnp.ndarray,          # int32 [E, A] window start lane (= agent_c * S)
@@ -596,18 +624,24 @@ def obs_tail_static_v3_pallas(
 ):
     """v3 fused tail: obs_tail_static_v2_pallas with ROW-PAIRED windows.
 
-    The static pool stores two half-row-offset copies of each image with map
-    rows 2u,2u+1 (even region) / 2u+1,2u+2 (odd region) side by side in one
-    2*WPCF lane row. A window starting at image row r reads 8 paired rows of
-    the r&1 region from row r>>1 — covering all OH<=15 window rows — so the
-    Manhattan permute contracts 8*128=1024 lanes instead of 16*128 (the
-    paired row packs window rows 2k/2k+1 at lane offsets 0/OWS via two rolls
-    per agent). Requires 2*OWS <= 128; everything else as v2.
+    The static pool stores two half-row-offset copies of each image as two
+    SEPARATE [2*HP2, WPCF] arrays — pair (2u,2u+1) split into a left member
+    (even region row u of `l`) and right member (row u of `r`), and likewise
+    the odd-aligned pairs (2u+1,2u+2) in rows HP2.. of each. A window
+    starting at image row r reads 8 paired rows of the r&1 region from row
+    r>>1 — covering all OH<=15 window rows — so the Manhattan permute
+    contracts 8*128=1024 lanes instead of 16*128 (the paired row packs
+    window rows 2k/2k+1 at lane offsets 0/OWS via per-half rolls). The two
+    halves stay separate because Mosaic only lowers a dynamic-start sublane
+    load on a SINGLE-lane-tile (<=128 lane) scratch — the fused 2*WPCF
+    layout fails with "cannot statically prove index in dimension 1 is a
+    multiple of 8" at any load height. Requires 2*OWS <= 128 and
+    WPCF <= 128; everything else as v2.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P, HP2x2, WPC2 = static_paired.shape
+    P, HP2x2, WPCF_l = static_paired_l.shape
     E, A = row0.shape
     S = words.shape[2]
     G = gplus.shape[2]
@@ -616,44 +650,52 @@ def obs_tail_static_v3_pallas(
     BA = BE * A
     OW_out = out_w or KS_pad
 
-    def kernel(rl_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
-               rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs, winraw):
+    def kernel(rl_ref, m_ref, static_l_ref, static_r_ref, perm_ref, tri_ref,
+               loc_ref, rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref,
+               imgs_l, imgs_r, winraw):
         blk = pl.program_id(0)
         # ---- assemble per-env paired images (agents placed in BOTH parity
-        # regions by one exact matmul; an agent at image row R sits at
-        # even-region row R>>1 lane (R&1)*WPCF+L and odd-region row
-        # HP2+(R-1)>>1 lane ((R-1)&1)*WPCF+L; R=0 yields odd row -1 which
-        # matches no one-hot row). ----
+        # regions by one exact matmul per half; an agent at image row R sits
+        # at even-region row R>>1 in half R&1 and odd-region row HP2+(R-1)>>1
+        # in half (R-1)&1, lane L in either; R=0 targets odd row HP2-1,
+        # a padding pair no window's first 8 rows reach). ----
         for e in range(BE):
             m = m_ref[blk * BE + e]
-            base = static_ref[m]  # [2*HP2, WPC2]
             R = rext_ref[e]  # [A]
             L = lext_ref[e]
             rows_e = R >> 1
             rows_o = HP2 + ((R - 1) >> 1)
-            lanes_e = (R & 1) * WPCF + L
-            lanes_o = ((R - 1) & 1) * WPCF + L
+            half2 = jnp.concatenate([R & 1, (R - 1) & 1])[:, None]  # [2A, 1]
             riota = jax.lax.broadcasted_iota(jnp.int32, (HP2x2, 2 * A), 0)
             rtarget = jnp.concatenate([rows_e, rows_o])[None, :]
             r_oh = (riota == rtarget).astype(jnp.float32)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (2 * A, WPC2), 1)
-            ltarget = jnp.concatenate([lanes_e, lanes_o])[:, None]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (2 * A, WPCF), 1)
+            ltarget = jnp.concatenate([L, L])[:, None]
             w2 = jnp.concatenate([w_ref[e], w_ref[e]], axis=0)  # [2A, S]
-            rhs = jnp.zeros((2 * A, WPC2), dtype=jnp.float32)
+            rhs_l = jnp.zeros((2 * A, WPCF), dtype=jnp.float32)
+            rhs_r = jnp.zeros((2 * A, WPCF), dtype=jnp.float32)
             for s in range(S):
-                rhs = rhs + jnp.where(
-                    lane == ltarget + s, w2[:, s][:, None].astype(jnp.float32), 0.0
-                )
-            dyn = jax.lax.dot_general(
-                r_oh, rhs, (((1,), (0,)), ((), ())),
+                hit = lane == ltarget + s
+                w_s = w2[:, s][:, None].astype(jnp.float32)
+                rhs_l = rhs_l + jnp.where(hit & (half2 == 0), w_s, 0.0)
+                rhs_r = rhs_r + jnp.where(hit & (half2 == 1), w_s, 0.0)
+            dyn_l = jax.lax.dot_general(
+                r_oh, rhs_l, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
-            imgs[e] = base + dyn.astype(jnp.int32)
+            dyn_r = jax.lax.dot_general(
+                r_oh, rhs_r, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            imgs_l[e] = static_l_ref[m] + dyn_l.astype(jnp.int32)
+            imgs_r[e] = static_r_ref[m] + dyn_r.astype(jnp.int32)
 
-        # ---- per-agent paired-window extraction: one 8-row ds + two rolls
-        # put window rows 2k / 2k+1 at lane offsets 0 / OWS ----
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, WPC2), 1)
+        # ---- per-agent paired-window extraction: two 16-row ds (first
+        # sublane tile kept) + two rolls put window rows 2k / 2k+1 at lane
+        # offsets 0 / OWS ----
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, WPCF), 1)
         for e in range(BE):
             for a in range(A):
                 idx = (blk * BE + e) * A + a
@@ -661,14 +703,13 @@ def obs_tail_static_v3_pallas(
                 r = rl >> 16
                 l = rl & 0xFFFF
                 base_row = (r & 1) * HP2 + (r >> 1)
-                x = imgs[e, pl.ds(base_row, 8), :]
-                x1 = pltpu.roll(x, WPC2 - l, 1)  # left-half window -> lane 0
-                # right-half (next map row) window -> lane OWS: its shift
-                # differs from x1's by the CONSTANT OWS - WPCF, so derive it
-                # from x1 with one static roll instead of a second dynamic
-                # one (WPC2 + OWS - WPCF - l == (WPC2 - l) + (WPC2 + OWS -
-                # WPCF) mod WPC2; OWS < WPCF <= WPC2 keeps it positive).
-                x2 = pltpu.roll(x1, WPC2 + OWS - WPCF, 1)
+                # 16-row loads (the 8-row form fails Mosaic sublane
+                # alignment); HP2's +16 slack (obs.py HP2_v3) keeps the
+                # deeper load in bounds.
+                xl = imgs_l[e, pl.ds(base_row, 16), :][:8]
+                xr = imgs_r[e, pl.ds(base_row, 16), :][:8]
+                x1 = pltpu.roll(xl, WPCF - l, 1)        # rows 2k -> lane 0
+                x2 = pltpu.roll(xr, WPCF - l + OWS, 1)  # rows 2k+1 -> lane OWS
                 y = jnp.where(lane128 < OWS, x1, jnp.where(lane128 < 2 * OWS, x2, 0))
                 winraw[e * A + a] = y[:, :128]
 
@@ -697,7 +738,8 @@ def obs_tail_static_v3_pallas(
         num_scalar_prefetch=2,
         grid=(E // BE,),
         in_specs=[
-            pl.BlockSpec((P, HP2x2, WPC2), lambda i, rl, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, HP2x2, WPCF), lambda i, rl, m: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, HP2x2, WPCF), lambda i, rl, m: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K_mat, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KS_pad, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
@@ -711,7 +753,8 @@ def obs_tail_static_v3_pallas(
             pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BE, HP2x2, WPC2), jnp.int32),
+            pltpu.VMEM((BE, HP2x2, WPCF), jnp.int32),
+            pltpu.VMEM((BE, HP2x2, WPCF), jnp.int32),
             pltpu.VMEM((BA, 8, 128), jnp.int32),
         ],
     )
@@ -726,7 +769,7 @@ def obs_tail_static_v3_pallas(
         **_par_grid_params(interpret),
     )(
         ((row0 << 16) | lane0).reshape(-1), map_idx,
-        static_paired, perm8, tri8, loc15, rext, lext, words, gplus,
+        static_paired_l, static_paired_r, perm8, tri8, loc15, rext, lext, words, gplus,
     )
 
 
@@ -750,7 +793,13 @@ def obs_tail_dyn_v2_pallas(
     (all objects + agents). The image block is staged through a VMEM scratch
     before the dynamic-row extraction: Mosaic rejects a dynamic sublane
     start on an INPUT block ref ("cannot statically prove index in dimension
-    1 is a multiple of 8") but accepts the identical pl.ds on a scratch."""
+    1 is a multiple of 8") but accepts the identical pl.ds on a
+    SINGLE-lane-tile (<=128 lane) scratch. Images wider than one lane tile
+    are staged TILE-MAJOR — lane tile t of the image at scratch rows
+    [t*HP, (t+1)*HP) — so every dynamic load stays 128 lanes wide; a window
+    straddling two tiles takes two loads sharing one roll amount (lanes
+    beyond the window are garbage either way; the perm table's columns
+    there are zero)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -761,20 +810,44 @@ def obs_tail_dyn_v2_pallas(
     BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     RPE = _V2_RPE
+    NT = WPC // 128  # lane tiles per image row
     OW_out = out_w or KS_pad
 
     def kernel(rl_ref, img_ref, perm_ref, tri_ref, loc_ref, g_ref,
                out_ref, att_ref, imgs, winraw):
         blk = pl.program_id(0)
-        for e in range(BE):
-            imgs[e] = img_ref[e]
-        for e in range(BE):
-            for a in range(A):
-                idx = (blk * BE + e) * A + a
-                rl = rl_ref[idx]  # packed (row0 << 16) | lane0: halves SMEM
-                x = imgs[e, pl.ds(rl >> 16, RPE), :]
-                x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
-                winraw[e * A + a] = x[:, :128]
+        if NT == 1:
+            for e in range(BE):
+                imgs[e] = img_ref[e]
+            for e in range(BE):
+                for a in range(A):
+                    idx = (blk * BE + e) * A + a
+                    rl = rl_ref[idx]  # packed (row0 << 16) | lane0: halves SMEM
+                    x = imgs[e, pl.ds(rl >> 16, RPE), :]
+                    x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
+                    winraw[e * A + a] = x[:, :128]
+        else:
+            for e in range(BE):
+                for t in range(NT):
+                    imgs[e, t * HP : (t + 1) * HP, :] = img_ref[e][:, t * 128 : (t + 1) * 128]
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (RPE, 128), 1)
+            for e in range(BE):
+                for a in range(A):
+                    idx = (blk * BE + e) * A + a
+                    rl = rl_ref[idx]
+                    r = rl >> 16
+                    l = rl & 0xFFFF
+                    t0 = l >> 7     # window start lane tile
+                    l0 = l & 127    # start lane within it
+                    sh = 128 - l0
+                    # Second tile clamped at the image edge: a window in the
+                    # last tile never crosses (l + OWS <= WPC), so its yb
+                    # lanes are don't-care wrap garbage.
+                    xa = imgs[e, pl.ds(t0 * HP + r, RPE), :]
+                    xb = imgs[e, pl.ds(jnp.minimum(t0 + 1, NT - 1) * HP + r, RPE), :]
+                    ya = pltpu.roll(xa, sh, 1)
+                    yb = pltpu.roll(xb, sh, 1)
+                    winraw[e * A + a] = jnp.where(lane128 < sh, ya, yb)
 
         # Slice to the perm table's K_mat = OH*128 rows (see static v2).
         lhs = winraw[:].reshape(BA, RPE * 128)[:, :K_mat]
@@ -810,7 +883,7 @@ def obs_tail_dyn_v2_pallas(
             pl.BlockSpec((BE, A), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BE, HP, WPC), jnp.int32),
+            pltpu.VMEM((BE, HP, WPC) if NT == 1 else (BE, NT * HP, 128), jnp.int32),
             pltpu.VMEM((BA, RPE, 128), jnp.int32),
         ],
     )
@@ -830,7 +903,8 @@ def obs_tail_dyn_v2_pallas(
     jax.jit, static_argnames=("OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "interpret")
 )
 def obs_tail_dyn_v3_pallas(
-    imgp_paired: jnp.ndarray,  # int32 [E, 2*HP2, 2*WPCF]: row-paired per-env image (XLA-built)
+    imgp_paired_l: jnp.ndarray,  # int32 [E, 2*HP2, WPCF]: row-paired per-env image, LEFT member (XLA-built)
+    imgp_paired_r: jnp.ndarray,  # int32 [E, 2*HP2, WPCF]: RIGHT member
     row0: jnp.ndarray,         # int32 [E, A] window start row in image space
     lane0: jnp.ndarray,        # int32 [E, A] window start lane (= agent_c * S)
     gplus: jnp.ndarray,        # int32 [E, A, G] +1-encoded global words (all valid)
@@ -847,13 +921,14 @@ def obs_tail_dyn_v3_pallas(
 ):
     """v3 (paired-row) tail over PER-ENV images: obs_tail_static_v3_pallas's
     extraction + permute + compaction, minus in-kernel assembly — the XLA
-    glue row-pairs the already-built dynamic image (obs.py _pair_rows), so
-    the Manhattan permute contracts 8*128 lanes instead of 16*128. Same
-    scratch staging as dyn_v2 (dynamic sublane pl.ds needs a scratch ref)."""
+    glue row-pairs the already-built dynamic image (obs.py _pair_rows_dyn)
+    into separate left/right members, so the Manhattan permute contracts
+    8*128 lanes instead of 16*128. Same scratch staging as dyn_v2 (dynamic
+    sublane pl.ds needs a SINGLE-lane-tile scratch ref — see static v3)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    E2, HP2x2, WPC2 = imgp_paired.shape
+    E2, HP2x2, WPCF_l = imgp_paired_l.shape
     E, A = row0.shape
     G = gplus.shape[2]
     K_mat, KS_pad = perm8.shape
@@ -861,12 +936,13 @@ def obs_tail_dyn_v3_pallas(
     BA = BE * A
     OW_out = out_w or KS_pad
 
-    def kernel(rl_ref, img_ref, perm_ref, tri_ref, loc_ref, g_ref,
-               out_ref, att_ref, imgs, winraw):
+    def kernel(rl_ref, img_l_ref, img_r_ref, perm_ref, tri_ref, loc_ref, g_ref,
+               out_ref, att_ref, imgs_l, imgs_r, winraw):
         blk = pl.program_id(0)
         for e in range(BE):
-            imgs[e] = img_ref[e]
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, WPC2), 1)
+            imgs_l[e] = img_l_ref[e]
+            imgs_r[e] = img_r_ref[e]
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, WPCF), 1)
         for e in range(BE):
             for a in range(A):
                 idx = (blk * BE + e) * A + a
@@ -874,9 +950,12 @@ def obs_tail_dyn_v3_pallas(
                 r = rl >> 16
                 l = rl & 0xFFFF
                 base_row = (r & 1) * HP2 + (r >> 1)
-                x = imgs[e, pl.ds(base_row, 8), :]
-                x1 = pltpu.roll(x, WPC2 - l, 1)
-                x2 = pltpu.roll(x1, WPC2 + OWS - WPCF, 1)
+                # 16-row loads + static first-tile slice: see static v3 (the
+                # 8-row dynamic-start form fails Mosaic sublane alignment).
+                xl = imgs_l[e, pl.ds(base_row, 16), :][:8]
+                xr = imgs_r[e, pl.ds(base_row, 16), :][:8]
+                x1 = pltpu.roll(xl, WPCF - l, 1)
+                x2 = pltpu.roll(xr, WPCF - l + OWS, 1)
                 y = jnp.where(lane128 < OWS, x1, jnp.where(lane128 < 2 * OWS, x2, 0))
                 winraw[e * A + a] = y[:, :128]
 
@@ -903,7 +982,8 @@ def obs_tail_dyn_v3_pallas(
         num_scalar_prefetch=1,
         grid=(E // BE,),
         in_specs=[
-            pl.BlockSpec((BE, HP2x2, WPC2), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, HP2x2, WPCF), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, HP2x2, WPCF), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K_mat, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KS_pad, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
@@ -914,7 +994,8 @@ def obs_tail_dyn_v3_pallas(
             pl.BlockSpec((BE, A), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BE, HP2x2, WPC2), jnp.int32),
+            pltpu.VMEM((BE, HP2x2, WPCF), jnp.int32),
+            pltpu.VMEM((BE, HP2x2, WPCF), jnp.int32),
             pltpu.VMEM((BA, 8, 128), jnp.int32),
         ],
     )
@@ -927,7 +1008,7 @@ def obs_tail_dyn_v3_pallas(
         ],
         interpret=interpret,
         **_par_grid_params(interpret),
-    )(((row0 << 16) | lane0).reshape(-1), imgp_paired, perm8, tri8, loc15, gplus)
+    )(((row0 << 16) | lane0).reshape(-1), imgp_paired_l, imgp_paired_r, perm8, tri8, loc15, gplus)
 
 
 @functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "interpret"))

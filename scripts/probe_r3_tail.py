@@ -232,7 +232,7 @@ def main():
         from mettagrid_tpu.engine.pallas_kernels import obs_tail_static_v3_pallas
 
         out, att = obs_tail_static_v3_pallas(
-            tb["imgp_paired_i32"], map_idx, r, agent_c * S, r + hr, (agent_c + wr) * S,
+            *tb["imgp_paired_i32"], map_idx, r, agent_c * S, r + hr, (agent_c + wr) * S,
             words_a, gplus, tb["perm3"], tri2, loc15, OH, OW * S, KS,
             tb["WPC_f"], tb["HP2_v3"],
         )

@@ -98,6 +98,14 @@ def main() -> int:
         scored = [(v, u) for v, u in scored if v is not None]
         if len(scored) > 1:
             out["pure_unroll"] = max(scored)[1]
+    # Independent knob: output unpack formulation (XLA glue downstream of
+    # every tail kernel; shift/mask is the always-correct fallback, bitcast
+    # requires the LE probe — byte-equal either way, so the bench A/B alone
+    # decides). Measured on the v2 arms; the delta transfers across tails.
+    shift_v = bench_value("bench_v2_shift")
+    bitcast_v = bench_value("bench_v2_bitcast")
+    if shift_v is not None and bitcast_v is not None and shift_v > bitcast_v:
+        out["unpack"] = "shift"
     (LOGS / "tuned.json").write_text(json.dumps(out, indent=1))
     print(f"tuned.json <- {best_name} ({best_val:.0f} env-steps/s): {best_knobs}")
     return 0

@@ -71,12 +71,17 @@ def test_compact_rows_pallas_interpret_matches_xla():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("dyn_tail", ["v2", "v3"])
-def test_fused_obs_tail_interpret_matches_xla_path(dyn_tail):
+@_pytest.mark.parametrize(
+    "dyn_tail,width",
+    [("v2", 10), ("v3", 10), ("v2", 40)],
+)
+def test_fused_obs_tail_interpret_matches_xla_path(dyn_tail, width):
     """The production fused pallas obs tail (interpret mode) must be
     bit-identical to the XLA formulation on a real stepped env state —
     for both dynamic-image tail generations (dyn_v2 and the paired-row
-    dyn_v3 whose image the XLA glue row-pairs)."""
+    dyn_v3 whose image the XLA glue row-pairs). width=40 makes the padded
+    image span TWO lane tiles (WPC_f=256), exercising dyn_v2's tile-major
+    extraction (v3 requires WPC_f<=128 and falls back to dyn_v2 there)."""
     import mettagrid_tpu.engine.obs as obs_mod
     from mettagrid_tpu.builder import make_arena
     from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
@@ -86,7 +91,7 @@ def test_fused_obs_tail_interpret_matches_xla_path(dyn_tail):
         4,
         combat=False,
         map_builder=RandomMapBuilder.Config(
-            agents=4, width=10, height=10, border_width=1, objects={"wall": 5}
+            agents=4, width=width, height=10, border_width=1, objects={"wall": 5}
         ),
     )
     program = compile_program(cfg)
@@ -115,6 +120,8 @@ def test_fused_obs_tail_interpret_matches_xla_path(dyn_tail):
         obs_fn_fused = obs_mod.make_obs_fn(program)
         obs_b, att_b = obs_fn_fused(state)
         assert obs_mod._LAST_TAIL == f"dyn_{dyn_tail}"
+        if width > 10:  # the wide case must actually span two lane tiles
+            assert obs_fn_fused._tables["WPC_f"] > 128
     finally:
         obs_mod._FORCE_FUSED_INTERPRET = False
         obs_mod._FORCE_STATIC_TAIL = old_force
@@ -168,8 +175,11 @@ def test_static_background_obs_matches_full_path():
 import pytest
 
 
-@pytest.mark.parametrize("tail", ["v1", "v2", "v3"])
-def test_fused_static_path_interpret_matches_full(tail):
+@pytest.mark.parametrize(
+    "tail,width",
+    [("v1", 11), ("v2", 11), ("v3", 11), ("v2", 40)],
+)
+def test_fused_static_path_interpret_matches_full(tail, width):
     """The COMPLETE production obs path (static background + fused kernel,
     interpret mode) must be bit-identical to the plain XLA formulation —
     for every static-tail generation (v1 word/gap pair, v2 packed, v3
@@ -183,7 +193,7 @@ def test_fused_static_path_interpret_matches_full(tail):
         4,
         combat=False,
         map_builder=RandomMapBuilder.Config(
-            agents=4, width=11, height=11, border_width=1, objects={"wall": 6}
+            agents=4, width=width, height=11, border_width=1, objects={"wall": 6}
         ),
     )
     program = compile_program(cfg)
@@ -214,6 +224,8 @@ def test_fused_static_path_interpret_matches_full(tail):
         fused_static = obs_mod.make_obs_fn(program, static_bg=bg)
         if tail == "v2":
             assert fused_static._tables["v2_ok"], "arena config should qualify for v2"
+            if width > 11:  # wide case exercises tile-major extraction
+                assert fused_static._tables["WPC_f"] > 128
         if tail == "v3":
             assert fused_static._tables["v3_ok"], "arena config should qualify for v3"
             assert fused_static._tables["imgp_paired_i32"] is not None
@@ -245,7 +257,7 @@ def test_carried_obs_buffer_matches_fresh(tail):
         4,
         combat=False,
         map_builder=RandomMapBuilder.Config(
-            agents=4, width=11, height=11, border_width=1, objects={"wall": 6}
+            agents=4, width=width, height=11, border_width=1, objects={"wall": 6}
         ),
     )
     program = compile_program(cfg)
