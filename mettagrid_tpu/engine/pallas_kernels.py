@@ -654,38 +654,37 @@ def obs_tail_static_v3_pallas(
                loc_ref, rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref,
                imgs_l, imgs_r, winraw):
         blk = pl.program_id(0)
-        # ---- assemble per-env paired images (agents placed in BOTH parity
-        # regions by one exact matmul per half; an agent at image row R sits
-        # at even-region row R>>1 in half R&1 and odd-region row HP2+(R-1)>>1
-        # in half (R-1)&1, lane L in either; R=0 targets odd row HP2-1,
-        # a padding pair no window's first 8 rows reach). ----
+        # ---- assemble per-env paired images. An agent at image row R
+        # appears in each half EXACTLY ONCE: in the left member at row
+        # (R&1)*HP2 + (R>>1) (even region if R even, else odd region) and
+        # in the right member at row (1-(R&1))*HP2 + ((R-1)>>1) (R=0
+        # targets odd row HP2-1, a padding pair no window's first 8 rows
+        # reach) — so both halves share ONE [A, WPCF] lane rhs and each
+        # takes one exact [HP2x2, A] one-hot matmul. ----
         for e in range(BE):
             m = m_ref[blk * BE + e]
             R = rext_ref[e]  # [A]
             L = lext_ref[e]
-            rows_e = R >> 1
-            rows_o = HP2 + ((R - 1) >> 1)
-            half2 = jnp.concatenate([R & 1, (R - 1) & 1])[:, None]  # [2A, 1]
-            riota = jax.lax.broadcasted_iota(jnp.int32, (HP2x2, 2 * A), 0)
-            rtarget = jnp.concatenate([rows_e, rows_o])[None, :]
-            r_oh = (riota == rtarget).astype(jnp.float32)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (2 * A, WPCF), 1)
-            ltarget = jnp.concatenate([L, L])[:, None]
-            w2 = jnp.concatenate([w_ref[e], w_ref[e]], axis=0)  # [2A, S]
-            rhs_l = jnp.zeros((2 * A, WPCF), dtype=jnp.float32)
-            rhs_r = jnp.zeros((2 * A, WPCF), dtype=jnp.float32)
+            row_l = (R & 1) * HP2 + (R >> 1)
+            row_r = (1 - (R & 1)) * HP2 + ((R - 1) >> 1)
+            riota = jax.lax.broadcasted_iota(jnp.int32, (HP2x2, A), 0)
+            r_oh_l = (riota == row_l[None, :]).astype(jnp.float32)
+            r_oh_r = (riota == row_r[None, :]).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (A, WPCF), 1)
+            rhs = jnp.zeros((A, WPCF), dtype=jnp.float32)
             for s in range(S):
-                hit = lane == ltarget + s
-                w_s = w2[:, s][:, None].astype(jnp.float32)
-                rhs_l = rhs_l + jnp.where(hit & (half2 == 0), w_s, 0.0)
-                rhs_r = rhs_r + jnp.where(hit & (half2 == 1), w_s, 0.0)
+                rhs = rhs + jnp.where(
+                    lane == L[:, None] + s,
+                    w_ref[e, :, s][:, None].astype(jnp.float32),
+                    0.0,
+                )
             dyn_l = jax.lax.dot_general(
-                r_oh, rhs_l, (((1,), (0,)), ((), ())),
+                r_oh_l, rhs, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
             dyn_r = jax.lax.dot_general(
-                r_oh, rhs_r, (((1,), (0,)), ((), ())),
+                r_oh_r, rhs, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )

@@ -1,0 +1,52 @@
+#!/bin/bash
+# Supplementary TPU arms (run after r3_tpu_session.sh): radix-4 compaction
+# and shift-unpack combinations on the v2 tail — pass 2 showed v3 verifies
+# but benches BELOW v2 (split-half extraction cost eats the permute gain),
+# so the winning family needs its own compaction/unpack A/B legs.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_logs
+TO=${TO:-1500}
+PAR=METTAGRID_TPU_PAR_GRID=1
+
+run() {
+  local name="$1"; shift
+  local log="bench_logs/${name}.log"
+  if [ -s "$log" ] && grep -qE 'OK:|"value"' "$log"; then
+    echo "== $name: already done (bench_logs/${name}.log)"; return 0
+  fi
+  echo "== $name: $*"
+  timeout "$TO" env "$@" > "$log" 2>&1
+  local rc=$?
+  tail -2 "$log"
+  echo "   rc=$rc"
+}
+
+# The v3 assembly was rewritten after pass 2 (shared-rhs single-appearance
+# matmuls) — its pass-2 verify/bench logs are stale for the new code.
+for f in verify_v3 verify_v3_be16 verify_v3_be32 verify_v3_r4 verify_v3_be16_r4 \
+         bench_v3 bench_v3_be16 bench_v3_be32 bench_v3_r4 bench_v3_be16_r4 \
+         bench_v3_u1 bench_v3_u4 bench_v3_nopar; do
+  rm -f "bench_logs/${f}.log"
+done
+run verify_v3 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
+run bench_v3 $PAR METTAGRID_TPU_OBS_V3=1 python bench.py
+run verify_v3_r4 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
+run bench_v3_r4 $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_COMPACT=r4 python bench.py
+
+# radix-4 compaction on the v2 tail (byte-verify, then bench with each unpack)
+run verify_v2_r4 $PAR METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
+run bench_v2_r4 $PAR METTAGRID_TPU_COMPACT=r4 python bench.py
+run bench_v2_r4_shift $PAR METTAGRID_TPU_COMPACT=r4 METTAGRID_TPU_UNPACK=shift python bench.py
+# v3 + shift (in case v3+shift beats v2+shift despite bitcast ordering)
+run bench_v3_shift $PAR METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_UNPACK=shift python bench.py
+
+# re-arm with the full candidate set and re-measure the import default
+python scripts/write_tuned.py
+rm -f bench_logs/bench_tuned_final.log
+run bench_tuned_final python bench.py
+
+echo; echo "== pass3 summary =="
+for f in bench_logs/bench_v2_r4*.log bench_logs/bench_v3_shift.log bench_logs/bench_tuned_final.log; do
+  [ -f "$f" ] && echo "$(basename "$f"): $(grep -o '"value": [0-9.]*' "$f" | tail -1)"
+done

@@ -53,6 +53,16 @@ CANDIDATES = [
         ["verify_v3_be16_r4", "verify_dyn_v3"],
     ),
     ("bench_v3_nopar", {"obs_v3": True}, ["verify_v3", "verify_dyn_v3"]),
+    # Pass-3 arms (scripts/r3_tpu_pass3.sh): radix-4 compaction on the v2
+    # family. The shift-unpack variant shares verify_v2_r4 — the unpack is
+    # XLA glue downstream of the kernel (see the unpack knob below).
+    ("bench_v2_r4", {"compact": "r4", "par_grid": True}, ["verify_v2_r4"]),
+    (
+        "bench_v2_r4_shift",
+        {"compact": "r4", "par_grid": True},
+        ["verify_v2_r4"],
+    ),
+    ("bench_v3_shift", {"obs_v3": True, "par_grid": True}, ["verify_v3", "verify_dyn_v3"]),
 ]
 
 

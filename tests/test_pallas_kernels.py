@@ -257,7 +257,7 @@ def test_carried_obs_buffer_matches_fresh(tail):
         4,
         combat=False,
         map_builder=RandomMapBuilder.Config(
-            agents=4, width=width, height=11, border_width=1, objects={"wall": 6}
+            agents=4, width=11, height=11, border_width=1, objects={"wall": 6}
         ),
     )
     program = compile_program(cfg)
