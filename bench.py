@@ -202,35 +202,18 @@ def build_bench(
     return reset, run_chunk, jax.jit(make_actions)
 
 
-def main() -> None:
-    num_envs = 4096
-    num_agents = 24
-    chunk = 64
-    warmup_chunks = 2
-    bench_chunks = 8
-    general = False
-    combat = False
-    checksum_mode = "col0"
-    obs_carry = True
-    for arg in sys.argv[1:]:
-        k, _, v = arg.partition("=")
-        if k == "--envs":
-            num_envs = int(v)
-        elif k == "--agents":
-            num_agents = int(v)
-        elif k == "--chunk":
-            chunk = int(v)
-        elif k == "--chunks":
-            bench_chunks = int(v)
-        elif k == "--general":
-            general = True
-        elif k == "--combat":
-            combat = True
-        elif k == "--checksum":
-            checksum_mode = v
-        elif k == "--no-obs-carry":  # A/B: full T-column obs write per step
-            obs_carry = False
-
+def measure(
+    num_envs: int,
+    num_agents: int,
+    chunk: int,
+    warmup_chunks: int,
+    bench_chunks: int,
+    general: bool,
+    combat: bool,
+    checksum_mode: str,
+    obs_carry: bool,
+) -> float:
+    """One timed variant run; returns env-steps/s."""
     reset, run_chunk, make_actions = build_bench(
         num_envs=num_envs, num_agents=num_agents, chunk=chunk, general=general,
         combat=combat, checksum_mode=checksum_mode, obs_carry=obs_carry,
@@ -256,9 +239,49 @@ def main() -> None:
         )
     int(jax.device_get(checksum))
     dt = time.perf_counter() - t0
+    return num_envs * chunk * bench_chunks / dt
 
-    env_steps = num_envs * chunk * bench_chunks
-    sps = env_steps / dt
+
+def main() -> None:
+    num_envs = 4096
+    num_agents = 24
+    chunk = 64
+    warmup_chunks = 2
+    bench_chunks = 8
+    general = False
+    combat = False
+    all_variants = True  # default: report flagship + general + combat
+    checksum_mode = "col0"
+    obs_carry = True
+    for arg in sys.argv[1:]:
+        k, _, v = arg.partition("=")
+        if k == "--envs":
+            num_envs = int(v)
+        elif k == "--agents":
+            num_agents = int(v)
+        elif k == "--chunk":
+            chunk = int(v)
+        elif k == "--chunks":
+            bench_chunks = int(v)
+        elif k == "--general":
+            general, all_variants = True, False
+        elif k == "--combat":
+            combat, all_variants = True, False
+        elif k == "--flagship-only":
+            all_variants = False
+        elif k == "--checksum":
+            checksum_mode = v
+        elif k == "--no-obs-carry":  # A/B: full T-column obs write per step
+            obs_carry = False
+
+    kwargs = dict(
+        num_envs=num_envs, num_agents=num_agents, chunk=chunk,
+        checksum_mode=checksum_mode, obs_carry=obs_carry,
+    )
+    sps = measure(
+        warmup_chunks=warmup_chunks, bench_chunks=bench_chunks,
+        general=general, combat=combat, **kwargs,
+    )
     # The 10M env-steps/s baseline is defined for a v5e-8 slice; this bench
     # runs on ONE chip. Env stepping is embarrassingly parallel over the env
     # axis (zero cross-chip communication — see parallel/ and
@@ -270,16 +293,27 @@ def main() -> None:
         variant = "general-path (combat handlers + events, no gated specializations)"
     else:
         variant = "single-chip"
-    print(
-        json.dumps(
-            {
-                "metric": f"env_steps_per_s {variant} ({num_envs} envs x {num_agents} agents); vs_baseline = x8 chips projection vs 10M assuming {num_envs} envs PER CHIP (per-env throughput varies with E — docs/perf_findings.md)",
-                "value": round(sps, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(sps * 8 / BASELINE_STEPS_PER_S, 4),
-            }
+    record = {
+        "metric": f"env_steps_per_s {variant} ({num_envs} envs x {num_agents} agents); vs_baseline = x8 chips projection vs 10M assuming {num_envs} envs PER CHIP (per-env throughput varies with E — docs/perf_findings.md)",
+        "value": round(sps, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(sps * 8 / BASELINE_STEPS_PER_S, 4),
+    }
+    if all_variants:
+        # The one tracked line also carries the general (un-specialized
+        # engine: wave actions + events + dynamic obs image) and combat
+        # (DirectAttack on the static background) throughputs, so a
+        # regression on the paths most user configs take is visible in the
+        # driver metric — the reference's toy/arena preset duality
+        # (benchmarks/perf/perf_benchmark.py:30-31). Fewer chunks: these
+        # are tracking numbers, not the headline.
+        record["general_value"] = round(
+            measure(warmup_chunks=1, bench_chunks=3, general=True, combat=False, **kwargs), 1
         )
-    )
+        record["combat_value"] = round(
+            measure(warmup_chunks=1, bench_chunks=3, general=False, combat=True, **kwargs), 1
+        )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -745,6 +745,9 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             and not has_aoe_mask
             and E % 8 == 0
             and E * A <= smem_bound
+            # Every fused tail extracts windows as <=2 single-lane-tile
+            # loads: windows wider than one tile fall back to the XLA path.
+            and OW * S <= 128
             and (use_pallas() or _FORCE_FUSED_INTERPRET)
         )
 

@@ -245,6 +245,8 @@ def obs_tail_pallas(
     BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     C = GP + KS_pad
+    NT = WPC // 128  # lane tiles per image row
+    assert LP <= 128, "fused v1 tail requires windows within one lane tile"
     # Fewer candidates than budget: the output can never hold more than C
     # tokens, so clamp (the caller pads the [E, A, T_eff] result up to T).
     T_pad = min(T_pad, C)
@@ -256,14 +258,36 @@ def obs_tail_pallas(
     corr = (128.0 * perm.reshape(RP * LP, KS_pad).sum(axis=0)).astype(jnp.int32)
     corr2d = jnp.broadcast_to(corr[None, :], (8, KS_pad))
 
-    def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, corr_ref, out_ref, att_ref, winf):
+    def kernel(r_ref, l_ref, img_ref, gw_ref, perm_ref, loc_ref, corr_ref, out_ref, att_ref, imgs_t, winf):
         blk = pl.program_id(0)
+        # Stage the image block TILE-MAJOR through VMEM scratch: Mosaic only
+        # lowers dynamic-start sublane loads on single-lane-tile (<=128 lane)
+        # scratch refs (and rejects them on INPUT block refs outright) —
+        # lane tile t of env e lives at scratch rows [t*HP, (t+1)*HP). A
+        # window straddling two tiles takes two 128-lane loads sharing one
+        # roll amount; NT == 1 degenerates to the plain single-load form.
+        for e in range(BE):
+            for t in range(NT):
+                imgs_t[e, t * HP : (t + 1) * HP, :] = img_ref[e][:, t * 128 : (t + 1) * 128]
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (RP, 128), 1)
         for e in range(BE):
             for a in range(A):
                 idx = (blk * BE + e) * A + a
-                x = img_ref[e, pl.ds(r_ref[idx], RP), :]
-                x = pltpu.roll(x, WPC - l_ref[idx], 1)
-                winf[e * A + a] = x[:, :LP]
+                r = r_ref[idx]
+                l = l_ref[idx]
+                t0 = l >> 7     # window start lane tile
+                l0 = l & 127    # start lane within it
+                sh = 128 - l0
+                # 16-row loads (the only hardware-proven dynamic-start
+                # height); HP's 16-row slack (obs.py HP_f) keeps them in
+                # bounds. Second tile clamps at the image edge: a window in
+                # the last tile never crosses (l + OWS <= WPC), so its yb
+                # lanes are don't-care junk hitting zero perm columns.
+                xa = imgs_t[e, pl.ds(t0 * HP + r, 16), :][:RP]
+                xb = imgs_t[e, pl.ds(jnp.minimum(t0 + 1, NT - 1) * HP + r, 16), :][:RP]
+                ya = pltpu.roll(xa, sh, 1)
+                yb = pltpu.roll(xb, sh, 1)
+                winf[e * A + a] = jnp.where(lane128 < sh, ya, yb)[:, :LP]
 
         lhs = winf[:].reshape(BA, RP * LP)
         rhs = perm_ref[:].reshape(RP * LP, KS_pad)
@@ -297,7 +321,10 @@ def obs_tail_pallas(
             pl.BlockSpec((BE, A, T_pad), lambda i, r, l: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, r, l: (i, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((BA, RP, LP), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((BE, NT * HP, 128), jnp.int32),
+            pltpu.VMEM((BA, RP, LP), jnp.int32),
+        ],
     )
     return pl.pallas_call(
         kernel,
@@ -496,12 +523,19 @@ def obs_tail_static_v2_pallas(
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
-            imgs[e] = base + dyn.astype(jnp.int32)
+            if NT == 1:
+                imgs[e] = base + dyn.astype(jnp.int32)
+            else:
+                # Assemble directly TILE-MAJOR (lane tile t at rows
+                # [t*HP, (t+1)*HP)) — no full-width intermediate scratch,
+                # halving per-block image VMEM on wide configs (Mosaic only
+                # lowers dynamic sublane loads on <=128-lane scratches; see
+                # obs_tail_dyn_v2_pallas).
+                full = base + dyn.astype(jnp.int32)
+                for t in range(NT):
+                    imgs_t[e, t * HP : (t + 1) * HP, :] = full[:, t * 128 : (t + 1) * 128]
 
-        # ---- per-agent window extraction (ds + roll only). Images wider
-        # than one lane tile are re-staged TILE-MAJOR first (Mosaic only
-        # lowers dynamic sublane loads on <=128-lane scratches; see
-        # obs_tail_dyn_v2_pallas). ----
+        # ---- per-agent window extraction (ds + roll only) ----
         if NT == 1:
             for e in range(BE):
                 for a in range(A):
@@ -511,9 +545,6 @@ def obs_tail_static_v2_pallas(
                     x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
                     winraw[e * A + a] = x[:, :128]
         else:
-            for e in range(BE):
-                for t in range(NT):
-                    imgs_t[e, t * HP : (t + 1) * HP, :] = imgs[e][:, t * 128 : (t + 1) * 128]
             lane128 = jax.lax.broadcasted_iota(jnp.int32, (RPE, 128), 1)
             for e in range(BE):
                 for a in range(A):
@@ -576,8 +607,9 @@ def obs_tail_static_v2_pallas(
             pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BE, HP, WPC), jnp.int32),
-            # Tile-major re-staging target (dummy single tile when unused).
+            # Exactly one image scratch is live: the flat form (NT == 1) or
+            # the tile-major form (NT > 1); the other is a dummy tile.
+            pltpu.VMEM((BE, HP, WPC) if NT == 1 else (1, 8, 128), jnp.int32),
             pltpu.VMEM((BE, NT * HP, 128) if NT > 1 else (1, 8, 128), jnp.int32),
             pltpu.VMEM((BA, RPE, 128), jnp.int32),
         ],
@@ -1043,15 +1075,19 @@ def obs_tail_static_pallas(
     BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     C = GP + KS_pad
+    NT = WPC // 128  # lane tiles per image row
+    assert LP <= 128, "fused v1 tail requires windows within one lane tile"
     T_pad = min(T_pad, C)
     perm8 = perm.astype(jnp.int8)
     corr = (128.0 * perm.reshape(RP * LP, KS_pad).sum(axis=0)).astype(jnp.int32)
     corr2d = jnp.broadcast_to(corr[None, :], (8, KS_pad))
 
     def kernel(r_ref, l_ref, m_ref, static_ref, gw_ref, perm_ref, loc_ref, corr_ref,
-               rext_ref, lext_ref, w_ref, out_ref, att_ref, imgs, winf):
+               rext_ref, lext_ref, w_ref, out_ref, att_ref, imgs_t, winf):
         blk = pl.program_id(0)
-        # ---- assemble per-env images in VMEM ----
+        # ---- assemble per-env images directly into a TILE-MAJOR scratch
+        # (lane tile t at rows [t*HP, (t+1)*HP)): Mosaic only lowers the
+        # dynamic-start sublane loads below on single-lane-tile scratches ----
         for e in range(BE):
             m = m_ref[blk * BE + e]
             base = static_ref[m]  # [HP, WPC]
@@ -1071,14 +1107,26 @@ def obs_tail_static_pallas(
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
-            imgs[e] = base + dyn.astype(jnp.int32)
+            full = base + dyn.astype(jnp.int32)
+            for t in range(NT):
+                imgs_t[e, t * HP : (t + 1) * HP, :] = full[:, t * 128 : (t + 1) * 128]
 
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (RP, 128), 1)
         for e in range(BE):
             for a in range(A):
                 idx = (blk * BE + e) * A + a
-                x = imgs[e, pl.ds(r_ref[idx], RP), :]
-                x = pltpu.roll(x, WPC - l_ref[idx], 1)
-                winf[e * A + a] = x[:, :LP]
+                r = r_ref[idx]
+                l = l_ref[idx]
+                t0 = l >> 7
+                l0 = l & 127
+                sh = 128 - l0
+                # Two 16-row 128-lane loads share one roll amount; see
+                # obs_tail_pallas for the bounds/junk-lane argument.
+                xa = imgs_t[e, pl.ds(t0 * HP + r, 16), :][:RP]
+                xb = imgs_t[e, pl.ds(jnp.minimum(t0 + 1, NT - 1) * HP + r, 16), :][:RP]
+                ya = pltpu.roll(xa, sh, 1)
+                yb = pltpu.roll(xb, sh, 1)
+                winf[e * A + a] = jnp.where(lane128 < sh, ya, yb)[:, :LP]
 
         lhs = winf[:].reshape(BA, RP * LP)
         rhs2 = perm_ref[:].reshape(RP * LP, KS_pad)
@@ -1116,7 +1164,7 @@ def obs_tail_static_pallas(
             pl.BlockSpec((BE, A), lambda i, r, l, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BE, HP, WPC), jnp.int32),
+            pltpu.VMEM((BE, NT * HP, 128), jnp.int32),
             pltpu.VMEM((BA, RP, LP), jnp.int32),
         ],
     )

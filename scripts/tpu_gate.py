@@ -1,0 +1,113 @@
+"""Hardware compile + byte-verify gate over EVERY fused obs-tail cell.
+
+Round 3 shipped with a broken TPU path because the last code motion was
+committed without re-running the dyn verifies (VERDICT r3 weak #4): the CPU
+suite runs the kernels in interpret mode and structurally cannot catch
+Mosaic lowering failures or TPU-only numerics. This gate runs
+scripts/verify_tpu_obs.py (TPU vs CPU byte equality over reset + 4 steps,
+bufferless and carried-obs_buf alternating) for every
+(kernel generation x path x image width) cell, asserting per cell that the
+INTENDED kernel engaged (VERIFY_EXPECT_TAIL), and exits non-zero if any
+cell fails. Run it on the TPU host at session start and before every
+end-of-round snapshot:
+
+    python scripts/tpu_gate.py                 # full matrix (~10 cells)
+    python scripts/tpu_gate.py dyn             # only cells matching "dyn"
+    python scripts/tpu_gate.py --log gate.log  # tee per-cell output
+
+Cell map (mode -> config, see verify_tpu_obs.make_verify_cfg):
+  arena  = flagship static-background preset (static_v1/v2/v3 tails)
+  dynv2  = arena + wall vibe-flip event: dynamic image, v2 gates HOLD
+  general= bench --general (S=6 fails v2 gates -> dyn_v1, wide image)
+  combat = bench --combat (S=7, static bg via background_inert -> static_v1
+           at WPC_f=256/384 — the v2 gates fail on candidate width)
+WIDE variants pad the image past one lane tile (WPC_f >= 256) — the r3
+Mosaic failure shape ("cannot statically prove index in dimension 1 is a
+multiple of 8" on dynamic-start loads wider than 128 lanes).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+VERIFY = os.path.join(HERE, "verify_tpu_obs.py")
+
+# (name, env, expected TPU tail). Every fused kernel generation appears on
+# both a single-tile and a two-tile image; dyn and static assembly paths
+# are separate cells because they compile separate kernels.
+CELLS: list[tuple[str, dict, str]] = [
+    ("static_v3", {"VERIFY_MODE": "arena", "METTAGRID_TPU_OBS_V3": "1",
+                   "METTAGRID_TPU_STATIC_TAIL": "v3"}, "static_v3"),
+    ("static_v2", {"VERIFY_MODE": "arena", "METTAGRID_TPU_STATIC_TAIL": "v2"}, "static_v2"),
+    ("static_v2_wide", {"VERIFY_MODE": "arena", "VERIFY_WIDTH": "40",
+                        "METTAGRID_TPU_STATIC_TAIL": "v2"}, "static_v2"),
+    ("static_v1", {"VERIFY_MODE": "arena", "METTAGRID_TPU_OBS_V2": "0"}, "static_v1"),
+    ("static_v1_wide", {"VERIFY_MODE": "arena", "VERIFY_WIDTH": "40",
+                        "METTAGRID_TPU_OBS_V2": "0"}, "static_v1"),
+    ("dyn_v3", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_V3": "1",
+                "METTAGRID_TPU_STATIC_TAIL": "v3"}, "dyn_v3"),
+    ("dyn_v2", {"VERIFY_MODE": "dynv2"}, "dyn_v2"),
+    ("dyn_v2_wide", {"VERIFY_MODE": "dynv2", "VERIFY_WIDTH": "40"}, "dyn_v2"),
+    ("dyn_v1", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_V2": "0"}, "dyn_v1"),
+    ("dyn_v1_general_wide", {"VERIFY_MODE": "general"}, "dyn_v1"),
+    ("combat_static_wide", {"VERIFY_MODE": "combat"}, "static_v1"),
+]
+
+# Env knobs a cell may need cleared so the tuned.json default or an outer
+# session setting can't leak across cells.
+KNOBS = [
+    "VERIFY_MODE", "VERIFY_WIDTH", "VERIFY_E", "VERIFY_GENERAL",
+    "VERIFY_EXPECT_TAIL", "METTAGRID_TPU_OBS_V2", "METTAGRID_TPU_OBS_V3",
+    "METTAGRID_TPU_STATIC_TAIL", "METTAGRID_TPU_OBS_BE",
+    "METTAGRID_TPU_COMPACT", "METTAGRID_TPU_PAR_GRID", "METTAGRID_TPU_UNPACK",
+]
+
+
+def main() -> int:
+    pattern = None
+    log_path = None
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--log":
+            log_path = args.pop(0)
+        else:
+            pattern = a
+    cells = [c for c in CELLS if pattern is None or pattern in c[0]]
+    log = open(log_path, "a") if log_path else None
+    failures = []
+    for name, env, expect in cells:
+        full_env = {k: v for k, v in os.environ.items() if k not in KNOBS}
+        full_env.update(env)
+        full_env["VERIFY_EXPECT_TAIL"] = expect
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, VERIFY], env=full_env,
+            capture_output=True, text=True, cwd=os.path.dirname(HERE),
+        )
+        dt = time.time() - t0
+        status = "PASS" if r.returncode == 0 else "FAIL"
+        line = f"[tpu_gate] {name:<22} {status}  ({dt:.0f}s, expect {expect})"
+        print(line, flush=True)
+        if log:
+            log.write(line + "\n")
+            log.write(r.stdout + r.stderr + "\n")
+            log.flush()
+        if r.returncode != 0:
+            failures.append(name)
+            tail = (r.stdout + r.stderr).strip().splitlines()[-25:]
+            print("\n".join("    " + ln for ln in tail), flush=True)
+    verdict = "ALL GREEN" if not failures else f"FAILED: {failures}"
+    print(f"[tpu_gate] {len(cells) - len(failures)}/{len(cells)} cells passed — {verdict}")
+    if log:
+        log.write(f"[tpu_gate] {verdict}\n")
+        log.close()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

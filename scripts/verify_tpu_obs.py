@@ -17,36 +17,76 @@ import sys
 sys.path.insert(0, ".")
 
 
+def make_verify_cfg(mode: str, width: int = 15):
+    """Configs chosen so each names the kernel family it actually reaches:
+
+    - arena:  flagship preset; static background -> static_v1/v2/v3 tails
+              (pick the generation via METTAGRID_TPU_STATIC_TAIL/_OBS_V2).
+    - dynv2:  arena + a periodic wall vibe-flip event — mutates NON-AGENT
+              objects (disqualifies the static background) without raising
+              the per-object token bound (vibe replaces no wall token: S
+              stays 3), so the v2 gates HOLD -> dyn_v2 (dyn_v3 if forced).
+              The r3 "verify_dyn_v2" leg used the general config, which
+              fails the v2 gates and never reached dyn_v2 (ADVICE r3).
+    - general: bench --general combat config (S=6: KS_pad2 > 512 and
+              T < G+KS fail the v2 gates) -> dyn_v1, wide image (WPC_f=256).
+    - combat: bench --combat (S=7, static bg via the background_inert
+              whitelist) -> wide STATIC image (WPC_f=384 at bench size).
+
+    VERIFY_WIDTH widens the map so the padded image spans two lane tiles
+    (the r3 Mosaic failure shape) on any mode."""
+    from mettagrid_tpu.builder import make_arena
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+    mb = RandomMapBuilder.Config(
+        agents=8, width=width, height=15, border_width=1, objects={"wall": 8}
+    )
+    if mode == "general":
+        from bench import make_general_cfg
+
+        cfg = make_general_cfg(8)
+        cfg.game.map_builder = mb
+        return cfg
+    if mode == "combat":
+        from bench import make_combat_cfg
+
+        cfg = make_combat_cfg(8)
+        cfg.game.map_builder = mb
+        return cfg
+    cfg = make_arena(8, combat=False, map_builder=mb)
+    if mode == "dynv2":
+        from mettagrid_tpu.config.event_config import EventConfig, periodic
+        from mettagrid_tpu.config.handler_config import ChangeVibeMutation
+        from mettagrid_tpu.config.tag import typeTag
+
+        cfg.game.events = {
+            "wall_mood": EventConfig(
+                name="wall_mood",
+                target_query=typeTag("wall"),
+                timesteps=periodic(start=2, period=3, end=900),
+                max_targets=2,
+                mutations=[ChangeVibeMutation(vibe_name="angry")],
+            )
+        }
+    return cfg
+
+
 def run_leg(mode: str) -> None:
     if mode == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    import os
+
     import jax.numpy as jnp
     import numpy as np
 
-    from mettagrid_tpu.builder import make_arena
     from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
-    from mettagrid_tpu.maps.random_map import RandomMapBuilder
 
-    cfg = make_arena(
-        8,
-        combat=False,
-        map_builder=RandomMapBuilder.Config(
-            agents=8, width=15, height=15, border_width=1, objects={"wall": 8}
-        ),
-    )
-    import os
-
-    if os.environ.get("VERIFY_GENERAL"):
-        # Combat-handler config (bench --general): disqualifies the static
-        # background so the DYNAMIC-image kernels (dyn_v2/dyn_v3) run.
-        from bench import make_general_cfg
-
-        cfg = make_general_cfg(8)
-        cfg.game.map_builder = RandomMapBuilder.Config(
-            agents=8, width=15, height=15, border_width=1, objects={"wall": 8}
-        )
+    vmode = os.environ.get("VERIFY_MODE", "arena")
+    if os.environ.get("VERIFY_GENERAL"):  # legacy alias (r3 session scripts)
+        vmode = "general"
+    cfg = make_verify_cfg(vmode, width=int(os.environ.get("VERIFY_WIDTH", "15")))
     program = compile_program(cfg)
     b = cfg.game.map_builder.create()
     b.config.seed = 3
@@ -54,8 +94,6 @@ def run_leg(mode: str) -> None:
     # VERIFY_E: fleet size (default 8). Verifying a larger-block kernel
     # config (METTAGRID_TPU_OBS_BE=16/32) needs E >= BE or the block size
     # clamps back to E and the blocking under test never runs.
-    import os
-
     E = int(os.environ.get("VERIFY_E", "8"))
     reset = make_reset(program, init, E)
     step = make_step(program, init, auto_reset=False, donate=False)
@@ -74,6 +112,11 @@ def run_leg(mode: str) -> None:
     from mettagrid_tpu.engine import obs as obs_mod
 
     print(f"saved {mode} (tail: {obs_mod._LAST_TAIL})")
+    expect = os.environ.get("VERIFY_EXPECT_TAIL")
+    if mode == "tpu" and expect:
+        assert obs_mod._LAST_TAIL == expect, (
+            f"intended kernel did not engage: wanted {expect}, took {obs_mod._LAST_TAIL}"
+        )
 
 
 def main() -> int:

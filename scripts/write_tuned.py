@@ -59,10 +59,14 @@ CANDIDATES = [
     ("bench_v2_r4", {"compact": "r4", "par_grid": True}, ["verify_v2_r4"]),
     (
         "bench_v2_r4_shift",
-        {"compact": "r4", "par_grid": True},
+        {"compact": "r4", "par_grid": True, "unpack": "shift"},
         ["verify_v2_r4"],
     ),
-    ("bench_v3_shift", {"obs_v3": True, "par_grid": True}, ["verify_v3", "verify_dyn_v3"]),
+    (
+        "bench_v3_shift",
+        {"obs_v3": True, "par_grid": True, "unpack": "shift"},
+        ["verify_v3", "verify_dyn_v3"],
+    ),
 ]
 
 
@@ -111,11 +115,14 @@ def main() -> int:
     # Independent knob: output unpack formulation (XLA glue downstream of
     # every tail kernel; shift/mask is the always-correct fallback, bitcast
     # requires the LE probe — byte-equal either way, so the bench A/B alone
-    # decides). Measured on the v2 arms; the delta transfers across tails.
-    shift_v = bench_value("bench_v2_shift")
-    bitcast_v = bench_value("bench_v2_bitcast")
-    if shift_v is not None and bitcast_v is not None and shift_v > bitcast_v:
-        out["unpack"] = "shift"
+    # decides). A winning arm that carries its own unpack marker (the
+    # *_shift arms) takes precedence: its knobs reproduce the measured
+    # configuration exactly. Otherwise the independent v2 pair decides.
+    if "unpack" not in out:
+        shift_v = bench_value("bench_v2_shift")
+        bitcast_v = bench_value("bench_v2_bitcast")
+        if shift_v is not None and bitcast_v is not None and shift_v > bitcast_v:
+            out["unpack"] = "shift"
     (LOGS / "tuned.json").write_text(json.dumps(out, indent=1))
     print(f"tuned.json <- {best_name} ({best_val:.0f} env-steps/s): {best_knobs}")
     return 0
