@@ -18,6 +18,7 @@ from mettagrid_tpu.config.event_config import EventConfig
 from mettagrid_tpu.config.handler_config import AnyHandler, AOEConfig, Handler
 from mettagrid_tpu.config.id_map import IdMap
 from mettagrid_tpu.config.obs_config import ObsConfig
+from mettagrid_tpu.config.protocol import Protocol
 from mettagrid_tpu.config.query import MaterializedQuery
 from mettagrid_tpu.config.render_config import RenderConfig
 from mettagrid_tpu.config.reward_config import AgentReward
@@ -72,6 +73,17 @@ class GridObjectConfig(Config):
         default_factory=list, description="Territory influence controls (references game.territories keys)"
     )
     inventory: InventoryConfig = Field(default_factory=InventoryConfig)
+    protocol: Optional[Protocol] = Field(
+        default=None,
+        description=(
+            "Interaction recipe carried by this object (objects/protocol.hpp:12-26). "
+            "When game.protocol_details_obs is on, observers of this object see "
+            "protocol_input:<res>/protocol_output:<res> tokens (one per recipe "
+            "resource, value = quantity %% token_value_base — the single-token "
+            "form of systems/encoding_utils.hpp encode, since the id map "
+            "allocates exactly one feature per protocol resource)."
+        ),
+    )
 
     handlers: dict[str, Handler] = Field(
         default_factory=dict,

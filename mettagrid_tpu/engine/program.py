@@ -148,6 +148,10 @@ class FeatureIds:
     aoe_mask: int  # 0 if absent
     # inv_feature_ids[r][p]: feature id of resource r's p-th power token
     inv: tuple[tuple[int, ...], ...]
+    # protocol_input:<res> / protocol_output:<res> ids per resource
+    # (id_map.py:154-158; empty tuples when protocol_details_obs is off)
+    proto_in: tuple[int, ...] = ()
+    proto_out: tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -728,6 +732,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
             "is_agent": is_agent,
             "usable": obj.on_use_handler is not None or bool(obj.handlers),
             "inventory": obj.inventory,
+            "protocol": obj.protocol,
         }
         type_rows.append(row)
         return type_id
@@ -755,6 +760,13 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
     type_initial_inv = np.zeros((n_types, R), dtype=np.int32)
     type_is_agent = np.zeros(n_types, dtype=bool)
     type_usable = np.zeros(n_types, dtype=bool)
+    # Protocol recipe tables: quantity + 1 per (type, resource); 0 = the
+    # resource is not in the recipe (or the type carries no protocol, or
+    # protocol_details_obs is off). Protocols are static config data
+    # (objects/protocol.hpp:12-26 — no runtime mutation site exists), so
+    # the obs phase reads these per obj_type.
+    type_proto_in = np.zeros((n_types, R), dtype=np.int32)
+    type_proto_out = np.zeros((n_types, R), dtype=np.int32)
     for tid, row in enumerate(type_rows):
         for t in row["tags"]:
             type_tags[tid, t] = True
@@ -763,6 +775,12 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
             type_initial_inv[tid, rid] = amount
         type_is_agent[tid] = row["is_agent"]
         type_usable[tid] = row["usable"]
+        proto = row["protocol"]
+        if proto is not None and game.protocol_details_obs:
+            for rname, qty in proto.input_resources.items():
+                type_proto_in[tid, c.resource_ids[rname]] = qty + 1
+            for rname, qty in proto.output_resources.items():
+                type_proto_out[tid, c.resource_ids[rname]] = qty + 1
 
     # ---- inventory limit groups ----
     # Group ids are per-type; G = max group count over types. A resource with
@@ -1034,6 +1052,12 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         last_action_move=feat.get("last_action_move", 0),
         aoe_mask=feat.get("aoe_mask", 0),
         inv=inv_ids,
+        proto_in=tuple(
+            feat.get(f"protocol_input:{name}", 0) for name in resource_names
+        ),
+        proto_out=tuple(
+            feat.get(f"protocol_output:{name}", 0) for name in resource_names
+        ),
     )
     gobs = game.obs.global_obs
     global_obs = GlobalObsFlags(
