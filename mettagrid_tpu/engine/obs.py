@@ -250,17 +250,30 @@ def make_cell_image_fn(program: EngineProgram):
     H, W = program.height, program.width
     caps = compute_obs_caps(program)
     S = max_tokens_per_object(program, caps)
-    C_cell = n_tags + 1 + R * P + 2
+    # Protocol recipe candidates engage only when some type carries a
+    # protocol (protocol_details_obs compiled the tables): one
+    # protocol_input:<res> / protocol_output:<res> token per recipe
+    # resource, value = quantity % base — the single-token form of
+    # systems/encoding_utils.hpp encode (the id map allocates exactly one
+    # feature per protocol resource, id_map.py:154-158).
+    PR = R if ((program.type_proto_in > 0).any() or (program.type_proto_out > 0).any()) else 0
+    C_cell = n_tags + 1 + R * P + 2 * PR + 2
     cand_feat = np.empty(C_cell, dtype=np.int32)
     cand_feat[:n_tags] = feat.tag
     cand_feat[n_tags] = feat.vibe
     for r in range(R):
         for p in range(P):
             cand_feat[n_tags + 1 + r * P + p] = feat.inv[r][p]
-    cand_feat[n_tags + 1 + R * P] = feat.group
-    cand_feat[n_tags + 1 + R * P + 1] = feat.agent_id
+    for r in range(PR):
+        cand_feat[n_tags + 1 + R * P + r] = feat.proto_in[r]
+        cand_feat[n_tags + 1 + R * P + PR + r] = feat.proto_out[r]
+    cand_feat[n_tags + 1 + R * P + 2 * PR] = feat.group
+    cand_feat[n_tags + 1 + R * P + 2 * PR + 1] = feat.agent_id
     cand_feat_t = jnp.asarray(cand_feat)
     inv_divisors = jnp.asarray(np.array([base**p for p in range(P)], dtype=np.int32))
+    n_types = program.num_types
+    proto_in_t = jnp.asarray(program.type_proto_in)
+    proto_out_t = jnp.asarray(program.type_proto_out)
 
     def _stage1(tid, vibe, tags, inv, alive, is_agent, group, slot_ids):
         """Per-object token lists: (obj_tok f32[B, M, S], obj_cnt i32[B, M])."""
@@ -277,6 +290,19 @@ def make_cell_image_fn(program: EngineProgram):
         emit = inv[..., None] >= jnp.maximum(inv_divisors, 1)[None, None, None, :]
         vals.append(digits.reshape(B, M, R * P))
         oks.append(emit.reshape(B, M, R * P))
+        if PR:
+            # Static per-type recipe quantities via a tiny exact one-hot
+            # int32 matmul (tables are [n_types, R]; no data gathers on
+            # engine-shaped tensors — docs/perf_findings.md).
+            oh_t = (
+                tid[..., None] == jnp.arange(n_types, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.int32)  # [B, M, n_types]
+            pin = jnp.einsum("bmt,tr->bmr", oh_t, proto_in_t)  # qty+1; 0 = absent
+            pout = jnp.einsum("bmt,tr->bmr", oh_t, proto_out_t)
+            vals.append(jnp.maximum(pin - 1, 0) % base)
+            oks.append(pin > 0)
+            vals.append(jnp.maximum(pout - 1, 0) % base)
+            oks.append(pout > 0)
         vals.append(group[..., None])
         oks.append(is_agent[..., None])
         vals.append(slot_ids[..., None])
@@ -356,15 +382,21 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     # list is then compacted to S = the static-reachability bound (obs_caps).
     caps = compute_obs_caps(program)
     S = max_tokens_per_object(program, caps)
-    C_cell = n_tags + 1 + R * P + 2  # full candidate enumeration
+    # Mirrors make_cell_image_fn's enumeration (incl. protocol recipe slots)
+    # so the v2 feature-id gate below sees every emittable feature.
+    PR = R if ((program.type_proto_in > 0).any() or (program.type_proto_out > 0).any()) else 0
+    C_cell = n_tags + 1 + R * P + 2 * PR + 2  # full candidate enumeration
     cand_feat = np.empty(C_cell, dtype=np.int32)
     cand_feat[:n_tags] = feat.tag
     cand_feat[n_tags] = feat.vibe
     for r in range(R):
         for p in range(P):
             cand_feat[n_tags + 1 + r * P + p] = feat.inv[r][p]
-    cand_feat[n_tags + 1 + R * P] = feat.group
-    cand_feat[n_tags + 1 + R * P + 1] = feat.agent_id
+    for r in range(PR):
+        cand_feat[n_tags + 1 + R * P + r] = feat.proto_in[r]
+        cand_feat[n_tags + 1 + R * P + PR + r] = feat.proto_out[r]
+    cand_feat[n_tags + 1 + R * P + 2 * PR] = feat.group
+    cand_feat[n_tags + 1 + R * P + 2 * PR + 1] = feat.agent_id
     cand_feat_t = jnp.asarray(cand_feat)
 
     inv_divisors = jnp.asarray(np.array([base**p for p in range(P)], dtype=np.int32))

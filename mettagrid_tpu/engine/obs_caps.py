@@ -145,8 +145,14 @@ def _tokens_of_type(program, caps: ObsCaps, t: int) -> int:
     )
     vibe_t = 1 if (caps.vibe_may_change or program.type_initial_vibe[t] != 0) else 0
     inv_t = int(caps.inv_digits[t].sum())
+    # Protocol recipe tokens are static per type: one protocol_input:<res> /
+    # protocol_output:<res> token per recipe resource (engine/obs.py stage1;
+    # no mutation can add or remove a protocol).
+    proto_t = int((program.type_proto_in[t] > 0).sum()) + int(
+        (program.type_proto_out[t] > 0).sum()
+    )
     extra = 2 if program.type_is_agent[t] else 0
-    return n_tags_t + vibe_t + inv_t + extra
+    return n_tags_t + vibe_t + inv_t + proto_t + extra
 
 
 def max_tokens_per_object(program, caps: ObsCaps) -> int:

@@ -214,6 +214,10 @@ class EngineProgram:
     type_initial_inv: np.ndarray  # int32[n_types, R]
     type_is_agent: np.ndarray  # bool[n_types]
     type_usable: np.ndarray  # bool[n_types]
+    # Protocol recipe quantities + 1 per (type, resource); 0 = absent
+    # (objects/protocol.hpp:12-26; zero tables when protocol_details_obs off)
+    type_proto_in: np.ndarray  # int32[n_types, R]
+    type_proto_out: np.ndarray  # int32[n_types, R]
 
     # --- inventory limit groups (reference: objects/inventory.hpp:16-41) ---
     type_limit_group: np.ndarray  # int32[n_types, R]: group id per resource, -1 = none
@@ -1118,6 +1122,8 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         type_initial_inv=type_initial_inv,
         type_is_agent=type_is_agent,
         type_usable=type_usable,
+        type_proto_in=type_proto_in,
+        type_proto_out=type_proto_out,
         type_limit_group=type_limit_group,
         type_group_member=type_group_member,
         type_group_modw=type_group_modw,

@@ -1,0 +1,144 @@
+"""Protocol observation tokens end-to-end (VERDICT r3 missing #1).
+
+Reference surface: objects can carry a Protocol (objects/protocol.hpp:12-26)
+and, when GameConfig.protocol_details_obs is on, observers see one
+protocol_input:<res> / protocol_output:<res> token per recipe resource
+(feature ids: id_map.py:154-158 here == reference id_map.py:213-218; value =
+quantity % token_value_base — the single-token form of
+systems/encoding_utils.hpp encode, since exactly one feature id exists per
+protocol resource). The reference snapshot allocates the ids and encoder
+accessors but has no C++ emission site and no protocol member on its
+GridObjectConfig, so TRUE cross-engine diffing of a protocol-carrying object
+is impossible — tests/test_cross_engine_parity.py pins the parity-by-absence
+side; this file pins the emission contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import GameConfig, GridObjectConfig, MettaGridConfig, WallConfig
+from mettagrid_tpu.config.protocol import Protocol
+from mettagrid_tpu.maps.ascii import AsciiMapBuilder
+
+from tests.helpers import TinyEnv
+
+MAP = [
+    "#####",
+    "#@F.#",
+    "#...#",
+    "#####",
+]
+LEGEND = {"#": "wall", ".": "empty", "@": "agent.agent", "F": "forge"}
+
+
+def _cfg(protocol, details: bool = True, base: int = 256) -> MettaGridConfig:
+    cfg = MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=20,
+            resource_names=["ore_red", "heart"],
+            objects={
+                "wall": WallConfig(),
+                "forge": GridObjectConfig(name="forge", protocol=protocol),
+            },
+            map_builder=AsciiMapBuilder.Config(map_data=MAP, char_to_map_name=LEGEND),
+            protocol_details_obs=details,
+        )
+    )
+    cfg.game.obs.token_value_base = base
+    return cfg
+
+
+def _proto_feature_ids(cfg):
+    feats = {f.name: f.id for f in cfg.game.id_map().features()}
+    return feats
+
+
+def test_protocol_tokens_emitted_with_id_map_contract():
+    proto = Protocol(input_resources={"ore_red": 2}, output_resources={"heart": 1}, cooldown=3)
+    cfg = _cfg(proto)
+    env = TinyEnv(cfg)
+    feats = _proto_feature_ids(cfg)
+    fid_in = feats["protocol_input:ore_red"]
+    fid_out = feats["protocol_output:heart"]
+    # the agent at (1,1) sees the forge at (1,2): one token per recipe entry
+    toks_in = env.find_tokens(fid_in)
+    toks_out = env.find_tokens(fid_out)
+    assert len(toks_in) == 1 and toks_in[0][2] == 2
+    assert len(toks_out) == 1 and toks_out[0][2] == 1
+    # both tokens carry the forge's packed window location (same cell)
+    assert toks_in[0][0] == toks_out[0][0]
+    # no token for resources outside the recipe
+    assert not env.find_tokens(feats["protocol_input:heart"])
+    assert not env.find_tokens(feats["protocol_output:ore_red"])
+    # tokens persist across steps (recipes are static config data)
+    env.step({0: "noop"})
+    assert env.find_tokens(fid_in) and env.find_tokens(fid_out)
+
+
+def test_protocol_value_is_quantity_mod_base():
+    """Single-token value convention: quantity %% base (encoding_utils.hpp
+    encode emits the low digit first; only one feature id exists)."""
+    proto = Protocol(input_resources={"ore_red": 260})
+    cfg = _cfg(proto)
+    env = TinyEnv(cfg)
+    feats = _proto_feature_ids(cfg)
+    toks = env.find_tokens(feats["protocol_input:ore_red"])
+    assert len(toks) == 1 and toks[0][2] == 260 % 256
+
+
+def test_protocol_details_obs_off_emits_nothing():
+    proto = Protocol(input_resources={"ore_red": 2})
+    cfg = _cfg(proto, details=False)
+    env = TinyEnv(cfg)
+    # ids are not even allocated when the flag is off (id_map.py:154)
+    feats = _proto_feature_ids(cfg)
+    assert "protocol_input:ore_red" not in feats
+    assert (env.program.type_proto_in == 0).all()
+    # and the obs stream contains no stray tokens beyond the known features
+    known = set(feats.values())
+    for _loc, fid, _val in env.tokens():
+        assert fid in known
+
+
+def test_protocol_raises_token_bound():
+    """obs_caps must count the recipe tokens or the pipeline would drop
+    them silently (CLAUDE.md obs token bounds invariant)."""
+    from mettagrid_tpu.engine import compile_program
+    from mettagrid_tpu.engine.obs_caps import compute_obs_caps, max_tokens_per_object
+
+    cfg0 = _cfg(None)
+    cfg2 = _cfg(Protocol(input_resources={"ore_red": 1, "heart": 2}, output_resources={"heart": 1}))
+    p0, p2 = compile_program(cfg0), compile_program(cfg2)
+    s0 = max_tokens_per_object(p0, compute_obs_caps(p0))
+    s2 = max_tokens_per_object(p2, compute_obs_caps(p2))
+    # the forge's 3 recipe tokens push the per-object bound up iff the forge
+    # is the widest type; at minimum the bound cannot shrink
+    assert s2 >= s0
+    forge_t = p2.map_name_to_type["forge"]
+    assert (p2.type_proto_in[forge_t] > 0).sum() == 2
+    assert (p2.type_proto_out[forge_t] > 0).sum() == 1
+
+
+def test_protocol_fused_interpret_matches_xla():
+    """The fused pallas tails (interpret mode) must byte-match the XLA
+    formulation with protocol candidates in the enumeration."""
+    import jax.numpy as jnp
+
+    import mettagrid_tpu.engine.obs as obs_mod
+
+    proto = Protocol(input_resources={"ore_red": 2}, output_resources={"heart": 1})
+    cfg = _cfg(proto)
+    env = TinyEnv(cfg, num_envs=8)
+    env.step({0: "move_east"})
+    state = env.state
+    obs_a, att_a = obs_mod.make_obs_fn(env.program)(state)
+    obs_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        obs_b, att_b = obs_mod.make_obs_fn(env.program)(state)
+        assert obs_mod._LAST_TAIL.startswith("dyn_")
+    finally:
+        obs_mod._FORCE_FUSED_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
+    np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
