@@ -8,9 +8,10 @@ import pytest
 
 from mettagrid_tpu.parity.reference_oracle import reference_available
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference oracle not built"
-)
+pytestmark = [
+    pytest.mark.skipif(not reference_available(), reason="reference oracle not built"),
+    pytest.mark.parity,  # arena-scale 400-500 step oracle families: full tier only
+]
 
 
 @pytest.mark.parametrize("map_seed,action_seed", [(0, 42), (3, 7), (11, 99991)])

@@ -130,6 +130,7 @@ def test_contested_moves_reference_shuffle():
     check(sc)
 
 
+@pytest.mark.parity  # >30s: 60-seed oracle sweep
 def test_contested_moves_many_seeds():
     # Same contested layout across seeds: the shuffle stream differs per
     # seed, so any divergence in shuffle reproduction shows up here.

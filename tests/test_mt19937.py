@@ -4,6 +4,7 @@ bit-for-bit — raw draws across twist boundaries, uniform_int_distribution
 downscaling, and std::shuffle permutations — with per-env masking."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mettagrid_tpu.engine.mt19937 import mt_init, mt_next, shuffle_perm, uniform_int
@@ -23,6 +24,7 @@ def test_raw_stream_matches_native_across_twist():
             assert int(got[e]) == ref.next_u32(), (i, e)
 
 
+@pytest.mark.parity  # >60s: exhaustive known-answer sweep vs the native twin
 def test_uniform_int_matches_native():
     seeds = [7, 99]
     state = mt_init(jnp.asarray(seeds, dtype=jnp.uint32))
@@ -38,6 +40,7 @@ def test_uniform_int_matches_native():
                 assert int(got[e]) == ref.uniform_int(0, rng_hi), (rng_hi, e)
 
 
+@pytest.mark.parity  # >30s: exhaustive known-answer sweep vs the native twin
 def test_shuffle_matches_native_std_shuffle():
     for n in range(2, 17):
         seeds = [n * 31 + 1, n * 31 + 2]

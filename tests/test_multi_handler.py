@@ -2,6 +2,7 @@
 tests/test_multi_handler.py, test_inventory_regeneration.py)."""
 
 import numpy as np
+import pytest
 
 from tests.helpers import TinyEnv
 
@@ -49,6 +50,7 @@ def inv(env, name, agent=0):
     return int(env.state.obj_inv[0, agent, rid])
 
 
+@pytest.mark.parity  # >30s
 def test_first_match_stops_at_first_passing_handler():
     """FirstMatch applies only the first handler whose filters pass
     (handler/multi_handler.hpp:24-49)."""

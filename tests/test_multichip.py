@@ -85,6 +85,7 @@ def test_sharded_outputs_live_on_the_mesh():
     assert len(shard_devices) == 8, f"obs not spread over the mesh: {shard_devices}"
 
 
+@pytest.mark.parity  # >45s: full sharded train step on the virtual mesh
 def test_sharded_train_step_in_suite():
     """The dryrun_multichip logic as a suite test: full actor-critic train
     step over the 8-device mesh, two steps, finite loss."""

@@ -26,6 +26,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-virtual-device conftest mesh")
+@pytest.mark.parity  # >100s: spawns a 2-process Gloo rig
 def test_two_process_mesh_matches_single_process():
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if not k.startswith(("XLA_", "JAX_"))}

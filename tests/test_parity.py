@@ -80,6 +80,7 @@ def test_signature_engine_determinism():
 
 
 @pytest.mark.slow
+@pytest.mark.parity  # >30s: 12 fresh subprocesses
 def test_signature_cross_process():
     """The signature script collapses to ONE hash across fresh processes."""
     hashes = set()
