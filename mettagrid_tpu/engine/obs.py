@@ -70,6 +70,21 @@ _OBS_V3 = os.environ.get("METTAGRID_TPU_OBS_V3", "") not in ("0", "", "false") o
     "METTAGRID_TPU_OBS_V3" not in os.environ and _v3_default()
 )
 
+# In-kernel byte emission for the v2-family tails: the kernel interleaves
+# [loc, feature, value] uint8 planes via one exact int8 selection matmul and
+# writes 3 bytes/token, so the XLA unpack pass (read 4B + write 3B per token,
+# ~0.68 ms at 4096x24) disappears and the glue only reshapes. Arms like v3:
+# hardware byte-verification + a winning bench writes tuned.json.
+def _emitb_default() -> bool:
+    from mettagrid_tpu.engine.pallas_kernels import _TUNED
+
+    return bool(_TUNED.get("emit_bytes", False))
+
+
+_OBS_EMITB = os.environ.get("METTAGRID_TPU_OBS_EMITB", "") not in ("0", "", "false") or (
+    "METTAGRID_TPU_OBS_EMITB" not in os.environ and _emitb_default()
+)
+
 # Switch for the v2 fused tail (packed single-int32 compaction + direct
 # unpacked permute). Default ON: byte-verified on hardware
 # (scripts/verify_tpu_obs.py) and faster than v1 (620k vs 595k env-steps/s
@@ -671,6 +686,32 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         ).astype(jnp.uint8)
         return out, attempted
 
+    def _finish_bytes(out_bytes, attempted, obs_buf=None):
+        """v2-family kernel output with emit_bytes=True: the kernel already
+        produced the final uint8 [loc, feature, value] token bytes (empty =
+        0xFF 0xFF 0xFF), so the glue is a reshape [E, A, 3*OW] ->
+        [E, A, OW, 3] plus the T-budget extension (carried-buffer aliasing
+        exactly as in _unpack_words)."""
+        Eo, Ao, W3 = out_bytes.shape
+        OW_emit = W3 // 3
+        out = out_bytes.reshape(Eo, Ao, OW_emit, 3)
+        if OW_emit < T:
+            if (
+                obs_buf is not None
+                and obs_buf.shape == (Eo, Ao, T, 3)
+                and obs_buf.dtype == jnp.uint8
+            ):
+                out = jax.lax.dynamic_update_slice(obs_buf, out, (0, 0, 0, 0))
+            else:
+                out = jnp.pad(
+                    out,
+                    ((0, 0), (0, 0), (0, T - OW_emit), (0, 0)),
+                    constant_values=EMPTY_TOKEN_BYTE,
+                )
+        elif OW_emit > T:
+            out = out[:, :, :T]
+        return out, attempted
+
     def _pair_rows_dyn(imgp):
         """Row-pair a per-env dynamic image into the v3 layout (the XLA twin
         of the static pool pairing above), returning the (left, right) pair
@@ -724,8 +765,11 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 WPC_f,
                 HP2_v3,
                 out_w=OUT_W,
+                emit_bytes=_OBS_EMITB,
                 interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
             )
+            if _OBS_EMITB:
+                return _finish_bytes(out_words, attempted, obs_buf=obs_buf)
             return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
         if v2_ok_static and _OBS_V2:
             # v2 tail over the per-env image (same gates as the static v2 —
@@ -742,8 +786,11 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 loc15_t,
                 KS,
                 out_w=OUT_W,
+                emit_bytes=_OBS_EMITB,
                 interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
             )
+            if _OBS_EMITB:
+                return _finish_bytes(out_words, attempted, obs_buf=obs_buf)
             return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
         T_pad = ((T + 127) // 128) * 128
         _LAST_TAIL = "dyn_v1"
@@ -839,8 +886,11 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                     WPC_f,
                     HP2_v3,
                     out_w=OUT_W,
+                    emit_bytes=_OBS_EMITB,
                     interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
                 )
+                if _OBS_EMITB:
+                    return _finish_bytes(out_words, attempted, obs_buf=obs_buf)
                 return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
 
             if imgp_static_i32 is not None and v2_ok_static and _OBS_V2 and _FORCE_STATIC_TAIL in (None, "v2", "v3"):
@@ -871,8 +921,11 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                     OWS,
                     KS,
                     out_w=OUT_W,
+                    emit_bytes=_OBS_EMITB,
                     interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
                 )
+                if _OBS_EMITB:
+                    return _finish_bytes(out_words, attempted, obs_buf=obs_buf)
                 return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
 
             if imgp_static_i32 is not None:

@@ -427,6 +427,47 @@ def _compact_packed_v2_r4(v, C):
     return v
 
 
+def _byte_sel_table(OW: int) -> np.ndarray:
+    """int8 [3*OW, 3*OW] selection: row j*OW + k -> column 3*k + j, i.e. the
+    lane interleave out[3k + j] = plane_j[k] as one exact int8 MXU matmul
+    (every column has exactly one 1, so the -128 signed-range shift is
+    corrected by a constant +128)."""
+    sel = np.zeros((3 * OW, 3 * OW), dtype=np.int8)
+    for j in range(3):
+        for k in range(OW):
+            sel[j * OW + k, 3 * k + j] = 1
+    return sel
+
+
+def _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
+               KS_pad, OW_out, BE, A, emit_bytes):
+    """Shared v2-family kernel epilogue: packed word build + gap rank
+    (int8 matmul) + single-array compaction; output either int32 words
+    [BE, A, OW_out] or — with emit_bytes — the final uint8 observation
+    bytes [BE, A, 3*OW_out] ([loc, feature, value] interleaved in-kernel
+    via `sel_ref`, see _byte_sel_table), which removes the XLA byte-unpack
+    pass over the [E, A, OW_out] word buffer entirely (kernel writes 3
+    bytes/token instead of 4 and the glue only reshapes)."""
+    BA = cells.shape[0]
+    ok = cells > 0
+    att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
+    inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
+    g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
+    loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
+    v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
+    w = _compact_packed_v2(v, KS_pad)[:, :OW_out]
+    if emit_bytes:
+        b0 = w & 0xFF          # loc (little-endian word24)
+        b1 = (w >> 8) & 0xFF   # feature
+        b2 = (w >> 16) & 0xFF  # value
+        lhs = jnp.concatenate([b0, b1, b2], axis=-1)  # plane-major [BA, 3*OW]
+        lhs8 = (lhs - 128).astype(jnp.int8)
+        inter = jnp.dot(lhs8, sel_ref[:], preferred_element_type=jnp.int32) + 128
+        out_ref[:, :, :] = inter.astype(jnp.uint8).reshape(BE, A, 3 * OW_out)
+    else:
+        out_ref[:, :, :] = w.reshape(BE, A, OW_out)
+
+
 def _compact_packed_v2(v, C):
     """Single-array log-shift compaction of [g:9|loc:8|feat:7|val:8] words.
 
@@ -460,7 +501,8 @@ def _compact_packed_v2(v, C):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("OH", "OWS", "KS", "out_w", "block_envs", "interpret")
+    jax.jit,
+    static_argnames=("OH", "OWS", "KS", "out_w", "block_envs", "emit_bytes", "interpret"),
 )
 def obs_tail_static_v2_pallas(
     static_imgp: jnp.ndarray,  # int32 [P, HP, WPC] prepadded +1-encoded static image
@@ -481,11 +523,14 @@ def obs_tail_static_v2_pallas(
                                # when the caller proves rank < out_w for
                                # every surviving token (obs_caps bound)
     block_envs: int = _OBS_BE,
+    emit_bytes: bool = False,  # emit final uint8 obs bytes in-kernel
     interpret: bool = False,
 ):
-    """Fused obs tail v2. Returns (token words int32 [E, A, KS_pad] with -1
-    empty — globals at 0..G-1, compacted window tokens after — and attempted
-    counts int32 [E, A] including globals)."""
+    """Fused obs tail v2. Returns (token words int32 [E, A, OW_out] with
+    0xFFFFFF empty — globals at 0..G-1, compacted window tokens after — and
+    attempted counts int32 [E, A] including globals). With emit_bytes the
+    first output is instead the final uint8 [E, A, 3*OW_out] observation
+    bytes (see _v2_finish)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -499,8 +544,10 @@ def obs_tail_static_v2_pallas(
     RPE = _V2_RPE
     NT = WPC // 128  # lane tiles per image row
     OW_out = out_w or KS_pad
+    sel8 = jnp.asarray(_byte_sel_table(OW_out)) if emit_bytes else jnp.zeros((8, 128), jnp.int8)
+    SEL_SHAPE = sel8.shape
 
-    def kernel(rl_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref,
+    def kernel(rl_ref, m_ref, static_ref, perm_ref, tri_ref, loc_ref, sel_ref,
                rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref, imgs,
                imgs_t, winraw):
         blk = pl.program_id(0)
@@ -578,16 +625,9 @@ def obs_tail_static_v2_pallas(
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
 
-        # ---- packed word build + gap rank (int8 matmul) ----
-        ok = cells > 0
-        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
-        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
-        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
-        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
-        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
-
-        # ---- single-array compaction ----
-        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
+        # ---- packed word build + gap rank + compaction (+ byte emit) ----
+        _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
+                   KS_pad, OW_out, BE, A, emit_bytes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -597,13 +637,18 @@ def obs_tail_static_v2_pallas(
             pl.BlockSpec((K_mat, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KS_pad, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(SEL_SHAPE, lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A, S), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A, G), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, OW_out), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BE, A, 3 * OW_out if emit_bytes else OW_out),
+                lambda i, rl, m: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -618,19 +663,24 @@ def obs_tail_static_v2_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
+            jax.ShapeDtypeStruct((E, A, 3 * OW_out), jnp.uint8)
+            if emit_bytes
+            else jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
         **_par_grid_params(interpret),
     )(
         ((row0 << 16) | lane0).reshape(-1), map_idx,
-        static_imgp, perm8, tri8, loc15, rext, lext, words, gplus,
+        static_imgp, perm8, tri8, loc15, sel8, rext, lext, words, gplus,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("OH", "OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "interpret")
+    jax.jit,
+    static_argnames=(
+        "OH", "OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "emit_bytes", "interpret"
+    ),
 )
 def obs_tail_static_v3_pallas(
     static_paired_l: jnp.ndarray,  # int32 [P, 2*HP2, WPCF]: row-paired static image, LEFT member (window rows 2k); even-aligned pairs then odd-aligned
@@ -652,6 +702,7 @@ def obs_tail_static_v3_pallas(
     HP2: int,                    # paired rows per parity region
     out_w: int = 0,              # emitted token columns (0 = KS_pad)
     block_envs: int = _OBS_BE,
+    emit_bytes: bool = False,    # emit final uint8 obs bytes in-kernel
     interpret: bool = False,
 ):
     """v3 fused tail: obs_tail_static_v2_pallas with ROW-PAIRED windows.
@@ -681,10 +732,12 @@ def obs_tail_static_v3_pallas(
     BE = min(block_envs, E)  # the knob may exceed small test fleets
     BA = BE * A
     OW_out = out_w or KS_pad
+    sel8 = jnp.asarray(_byte_sel_table(OW_out)) if emit_bytes else jnp.zeros((8, 128), jnp.int8)
+    SEL_SHAPE = sel8.shape
 
     def kernel(rl_ref, m_ref, static_l_ref, static_r_ref, perm_ref, tri_ref,
-               loc_ref, rext_ref, lext_ref, w_ref, g_ref, out_ref, att_ref,
-               imgs_l, imgs_r, winraw):
+               loc_ref, sel_ref, rext_ref, lext_ref, w_ref, g_ref, out_ref,
+               att_ref, imgs_l, imgs_r, winraw):
         blk = pl.program_id(0)
         # ---- assemble per-env paired images. An agent at image row R
         # appears in each half EXACTLY ONCE: in the left member at row
@@ -756,14 +809,8 @@ def obs_tail_static_v3_pallas(
         cells = ((hi + cr) << 8) | (lo + cr)
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
-
-        ok = cells > 0
-        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
-        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
-        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
-        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
-        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
-        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
+        _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
+                   KS_pad, OW_out, BE, A, emit_bytes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -774,13 +821,18 @@ def obs_tail_static_v3_pallas(
             pl.BlockSpec((K_mat, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KS_pad, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, KS_pad), lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(SEL_SHAPE, lambda i, rl, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A, S), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A, G), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, OW_out), lambda i, rl, m: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BE, A, 3 * OW_out if emit_bytes else OW_out),
+                lambda i, rl, m: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((BE, A), lambda i, rl, m: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -793,18 +845,23 @@ def obs_tail_static_v3_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
+            jax.ShapeDtypeStruct((E, A, 3 * OW_out), jnp.uint8)
+            if emit_bytes
+            else jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
         **_par_grid_params(interpret),
     )(
         ((row0 << 16) | lane0).reshape(-1), map_idx,
-        static_paired_l, static_paired_r, perm8, tri8, loc15, rext, lext, words, gplus,
+        static_paired_l, static_paired_r, perm8, tri8, loc15, sel8,
+        rext, lext, words, gplus,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("KS", "out_w", "block_envs", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("KS", "out_w", "block_envs", "emit_bytes", "interpret")
+)
 def obs_tail_dyn_v2_pallas(
     imgp: jnp.ndarray,         # int32 [E, HP, WPC] per-env prepadded +1-encoded image
     row0: jnp.ndarray,         # int32 [E, A] window start row (= agent_r)
@@ -816,6 +873,7 @@ def obs_tail_dyn_v2_pallas(
     KS: int,                   # real candidate count (K * S)
     out_w: int = 0,            # emitted token columns (0 = KS_pad)
     block_envs: int = _OBS_BE,
+    emit_bytes: bool = False,  # emit final uint8 obs bytes in-kernel
     interpret: bool = False,
 ):
     """v2 fused tail over PER-ENV images (the non-static-background path):
@@ -843,8 +901,10 @@ def obs_tail_dyn_v2_pallas(
     RPE = _V2_RPE
     NT = WPC // 128  # lane tiles per image row
     OW_out = out_w or KS_pad
+    sel8 = jnp.asarray(_byte_sel_table(OW_out)) if emit_bytes else jnp.zeros((8, 128), jnp.int8)
+    SEL_SHAPE = sel8.shape
 
-    def kernel(rl_ref, img_ref, perm_ref, tri_ref, loc_ref, g_ref,
+    def kernel(rl_ref, img_ref, perm_ref, tri_ref, loc_ref, sel_ref, g_ref,
                out_ref, att_ref, imgs, winraw):
         blk = pl.program_id(0)
         if NT == 1:
@@ -890,14 +950,8 @@ def obs_tail_dyn_v2_pallas(
         cells = ((hi + cr) << 8) | (lo + cr)
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
-
-        ok = cells > 0
-        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
-        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
-        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
-        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
-        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
-        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
+        _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
+                   KS_pad, OW_out, BE, A, emit_bytes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -907,10 +961,15 @@ def obs_tail_dyn_v2_pallas(
             pl.BlockSpec((K_mat, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KS_pad, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(SEL_SHAPE, lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A, G), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, OW_out), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BE, A, 3 * OW_out if emit_bytes else OW_out),
+                lambda i, rl: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((BE, A), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -922,16 +981,21 @@ def obs_tail_dyn_v2_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
+            jax.ShapeDtypeStruct((E, A, 3 * OW_out), jnp.uint8)
+            if emit_bytes
+            else jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
         **_par_grid_params(interpret),
-    )(((row0 << 16) | lane0).reshape(-1), imgp, perm8, tri8, loc15, gplus)
+    )(((row0 << 16) | lane0).reshape(-1), imgp, perm8, tri8, loc15, sel8, gplus)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "interpret")
+    jax.jit,
+    static_argnames=(
+        "OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "emit_bytes", "interpret"
+    ),
 )
 def obs_tail_dyn_v3_pallas(
     imgp_paired_l: jnp.ndarray,  # int32 [E, 2*HP2, WPCF]: row-paired per-env image, LEFT member (XLA-built)
@@ -948,6 +1012,7 @@ def obs_tail_dyn_v3_pallas(
     HP2: int,                  # paired rows per parity region
     out_w: int = 0,
     block_envs: int = _OBS_BE,
+    emit_bytes: bool = False,  # emit final uint8 obs bytes in-kernel
     interpret: bool = False,
 ):
     """v3 (paired-row) tail over PER-ENV images: obs_tail_static_v3_pallas's
@@ -966,9 +1031,11 @@ def obs_tail_dyn_v3_pallas(
     BE = min(block_envs, E)
     BA = BE * A
     OW_out = out_w or KS_pad
+    sel8 = jnp.asarray(_byte_sel_table(OW_out)) if emit_bytes else jnp.zeros((8, 128), jnp.int8)
+    SEL_SHAPE = sel8.shape
 
-    def kernel(rl_ref, img_l_ref, img_r_ref, perm_ref, tri_ref, loc_ref, g_ref,
-               out_ref, att_ref, imgs_l, imgs_r, winraw):
+    def kernel(rl_ref, img_l_ref, img_r_ref, perm_ref, tri_ref, loc_ref, sel_ref,
+               g_ref, out_ref, att_ref, imgs_l, imgs_r, winraw):
         blk = pl.program_id(0)
         for e in range(BE):
             imgs_l[e] = img_l_ref[e]
@@ -1000,14 +1067,8 @@ def obs_tail_dyn_v3_pallas(
         cells = ((hi + cr) << 8) | (lo + cr)
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
-
-        ok = cells > 0
-        att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
-        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
-        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
-        loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
-        v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
-        out_ref[:, :, :] = _compact_packed_v2(v, KS_pad)[:, :OW_out].reshape(BE, A, OW_out)
+        _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
+                   KS_pad, OW_out, BE, A, emit_bytes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1018,10 +1079,15 @@ def obs_tail_dyn_v3_pallas(
             pl.BlockSpec((K_mat, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((KS_pad, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(SEL_SHAPE, lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BE, A, G), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BE, A, OW_out), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BE, A, 3 * OW_out if emit_bytes else OW_out),
+                lambda i, rl: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((BE, A), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -1034,12 +1100,15 @@ def obs_tail_dyn_v3_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
+            jax.ShapeDtypeStruct((E, A, 3 * OW_out), jnp.uint8)
+            if emit_bytes
+            else jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
             jax.ShapeDtypeStruct((E, A), jnp.int32),
         ],
         interpret=interpret,
         **_par_grid_params(interpret),
-    )(((row0 << 16) | lane0).reshape(-1), imgp_paired_l, imgp_paired_r, perm8, tri8, loc15, gplus)
+    )(((row0 << 16) | lane0).reshape(-1), imgp_paired_l, imgp_paired_r,
+      perm8, tri8, loc15, sel8, gplus)
 
 
 @functools.partial(jax.jit, static_argnames=("T_pad", "block_envs", "interpret"))

@@ -1,0 +1,208 @@
+"""Static analysis: which compiled-IR subtrees consume the handler-context RNG.
+
+The reference consumes ctx.rng (HandlerContext::rng, the per-env
+std::mt19937 — handler/handler_context.hpp:38-112) at exactly one place:
+QuerySystem::apply_limits shuffles the result vector whenever the query has
+order_by=random (core/query_system.cpp:78-79). EVERY evaluation of such a
+query — as an action-handler filter (query_resource / max_distance unary),
+inside a game value (query_inventory / query_count), as a mutation target
+query, or during a materialized recompute — advances the env's MT19937.
+
+reference_rng mode must therefore route those draws through the in-state mt
+twin (engine/mt19937.py) in the reference's sequential evaluation order.
+These predicates decide:
+  (a) whether a program's ACTION handlers consume ctx.rng — if so the step
+      must take the sequential fori action path under reference_rng (the
+      wave-parallel phase settles agents out of reference order, so the
+      per-env draw sequence would diverge);
+  (b) which shapes are unsupported for bit-parity: per-object filter
+      evaluation that consumes (a query whose own filters contain a
+      consuming subtree runs matches_filters per candidate in C++ —
+      query_system.cpp:41-49), and consuming subtrees inside phases the
+      engine evaluates with dense [E, N]/[E, A] contexts (on_tick, AOE,
+      event handler filters).
+"""
+
+from __future__ import annotations
+
+from mettagrid_tpu.engine.ir import (
+    CompiledFilter,
+    CompiledHandler,
+    CompiledMultiHandler,
+    CompiledMutation,
+    CompiledQuery,
+    CompiledValue,
+)
+
+
+def query_consumes(q: CompiledQuery | None, program) -> bool:
+    if q is None:
+        return False
+    if q.order_random:
+        return True
+    if query_consumes(q.source, program) or query_consumes(q.candidates, program):
+        return True
+    if q.max_items_value is not None and value_consumes(q.max_items_value, program):
+        return True
+    return any(filter_consumes(f, program) for f in q.filters) or any(
+        filter_consumes(f, program) for f in q.edge_filters
+    )
+
+
+def query_filters_consume(q: CompiledQuery | None, program) -> bool:
+    """True when the query's own filters / edge filters consume — the C++
+    per-candidate matches_filters loop makes the draw count data-dependent
+    per object, which the vectorized twin cannot reproduce."""
+    if q is None:
+        return False
+    if any(filter_consumes(f, program) for f in q.filters):
+        return True
+    if any(filter_consumes(f, program) for f in q.edge_filters):
+        return True
+    return query_filters_consume(q.source, program) or query_filters_consume(
+        q.candidates, program
+    )
+
+
+def value_consumes(cv: CompiledValue | None, program) -> bool:
+    if cv is None:
+        return False
+    if cv.query is not None and query_consumes(cv.query, program):
+        return True
+    return any(value_consumes(c, program) for c in cv.children)
+
+
+def filter_consumes(f: CompiledFilter | None, program) -> bool:
+    if f is None:
+        return False
+    if f.query is not None and query_consumes(f.query, program):
+        return True
+    if value_consumes(f.value, program) or value_consumes(f.threshold, program):
+        return True
+    return any(filter_consumes(i, program) for i in f.inner)
+
+
+def _materialized_consume(program, tag_mask) -> bool:
+    for tag_id, query in program.materialized:
+        if tag_mask is not None and not bool(tag_mask[tag_id]):
+            continue
+        if query_consumes(query, program):
+            return True
+    return False
+
+
+def mutation_consumes(m: CompiledMutation | None, program) -> bool:
+    if m is None:
+        return False
+    if m.query is not None and query_consumes(m.query, program):
+        return True
+    if value_consumes(m.source, program) or value_consumes(m.max_range_value, program):
+        return True
+    if any(filter_consumes(f, program) for f in m.blocker):
+        return True
+    if any(mutation_consumes(s, program) for s in m.on_success):
+        return True
+    if m.kind == "recompute_materialized_query" and _materialized_consume(
+        program, m.tag_mask
+    ):
+        return True
+    if m.kind == "use_target":
+        for h in list(program.on_use_handlers) + list(program.on_after_use_handlers):
+            if h is not None and handler_consumes(h, program):
+                return True
+    return False
+
+
+def handler_consumes(h, program) -> bool:
+    if h is None:
+        return False
+    if isinstance(h, CompiledMultiHandler):
+        return any(handler_consumes(s, program) for s in h.handlers)
+    assert isinstance(h, CompiledHandler)
+    return any(filter_consumes(f, program) for f in h.filters) or any(
+        mutation_consumes(m, program) for m in h.mutations
+    )
+
+
+def actions_consume_rng(program) -> bool:
+    """Any action handler chain consumes ctx.rng: under reference_rng the
+    step must use the sequential action path and thread the mt twin."""
+    return any(handler_consumes(mh.handler, program) for mh in program.move_handlers)
+
+
+def reference_rng_unsupported(program) -> list[str]:
+    """Constructs whose MT draws the vectorized twin cannot place in
+    reference order. make_step(reference_rng=True) raises when non-empty
+    rather than silently breaking bit-parity (COVERAGE.md honesty rule)."""
+    problems: list[str] = []
+    for mh in program.move_handlers:
+        for q in _handler_queries(mh.handler):
+            if query_filters_consume(q, program):
+                problems.append(
+                    "action-handler query whose own filters consume ctx.rng "
+                    "(per-candidate draw order — query_system.cpp:41-49)"
+                )
+    for ev in getattr(program, "events", ()) or ():
+        if any(filter_consumes(f, program) for f in ev.handler.filters):
+            problems.append(
+                "event handler filter consuming ctx.rng (per-target draw order)"
+            )
+        if any(mutation_consumes(m, program) for m in ev.handler.mutations):
+            problems.append(
+                "event mutation consuming ctx.rng (dense [E, N] context)"
+            )
+        if query_filters_consume(ev.target_query, program):
+            problems.append("event target query with consuming filters")
+    for name in ("on_tick_handlers", "agent_tick_handlers", "game_tick_handlers"):
+        for h in getattr(program, name, ()) or ():
+            if h is not None and handler_consumes(h, program):
+                problems.append(f"{name} consuming ctx.rng (dense tick context)")
+    return problems
+
+
+def _handler_queries(h):
+    """Yield every query reachable from a handler tree (for the unsupported
+    per-candidate-filter check)."""
+    if h is None:
+        return
+    if isinstance(h, CompiledMultiHandler):
+        for s in h.handlers:
+            yield from _handler_queries(s)
+        return
+    for f in h.filters:
+        yield from _filter_queries(f)
+    for m in h.mutations:
+        yield from _mutation_queries(m)
+
+
+def _filter_queries(f):
+    if f is None:
+        return
+    if f.query is not None:
+        yield f.query
+    for v in (f.value, f.threshold):
+        yield from _value_queries(v)
+    for i in f.inner:
+        yield from _filter_queries(i)
+
+
+def _value_queries(cv):
+    if cv is None:
+        return
+    if cv.query is not None:
+        yield cv.query
+    for c in cv.children:
+        yield from _value_queries(c)
+
+
+def _mutation_queries(m):
+    if m is None:
+        return
+    if m.query is not None:
+        yield m.query
+    yield from _value_queries(m.source)
+    yield from _value_queries(m.max_range_value)
+    for f in m.blocker:
+        yield from _filter_queries(f)
+    for s in m.on_success:
+        yield from _mutation_queries(s)

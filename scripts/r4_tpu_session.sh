@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-4 TPU tuning arms: in-kernel byte emission (emit_bytes) across the
+# v2/v3 tail families, alone and with radix-4 compaction. Each arm byte-
+# verifies (EXACTNESS INVARIANT) before its bench; v2-family emit arms also
+# verify the dyn paths the knob flips (the tuned default applies to every
+# v2-family kernel, not just the static flagship tail).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_logs
+TO=${TO:-1500}
+PAR=METTAGRID_TPU_PAR_GRID=1
+EB=METTAGRID_TPU_OBS_EMITB=1
+
+run() {
+  local name="$1"; shift
+  local log="bench_logs/${name}.log"
+  if [ -s "$log" ] && grep -qE 'OK:|"value"' "$log"; then
+    echo "== $name: already done (bench_logs/${name}.log)"; return 0
+  fi
+  echo "== $name: $*"
+  timeout "$TO" env "$@" > "$log" 2>&1
+  local rc=$?
+  tail -2 "$log"
+  echo "   rc=$rc"
+}
+
+# --- emit_bytes on the v2 family ---
+run verify_v2_eb $PAR $EB METTAGRID_TPU_STATIC_TAIL=v2 python scripts/verify_tpu_obs.py
+run verify_dyn_v2_eb $PAR $EB VERIFY_MODE=dynv2 python scripts/verify_tpu_obs.py
+run bench_v2_eb $PAR $EB python bench.py --flagship-only
+run verify_v2_eb_r4 $PAR $EB METTAGRID_TPU_STATIC_TAIL=v2 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
+run bench_v2_eb_r4 $PAR $EB METTAGRID_TPU_COMPACT=r4 python bench.py --flagship-only
+
+# --- emit_bytes on the v3 (paired-row) family ---
+run verify_v3_eb $PAR $EB METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
+run verify_dyn_v3_eb $PAR $EB VERIFY_MODE=dynv2 METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 python scripts/verify_tpu_obs.py
+run bench_v3_eb $PAR $EB METTAGRID_TPU_OBS_V3=1 python bench.py --flagship-only
+run verify_v3_eb_r4 $PAR $EB METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_STATIC_TAIL=v3 METTAGRID_TPU_COMPACT=r4 python scripts/verify_tpu_obs.py
+run bench_v3_eb_r4 $PAR $EB METTAGRID_TPU_OBS_V3=1 METTAGRID_TPU_COMPACT=r4 python bench.py --flagship-only
+
+# baseline re-measurement at HEAD for a clean delta
+rm -f bench_logs/bench_r4_base.log
+run bench_r4_base python bench.py --flagship-only
+
+# re-arm with the full candidate set, then the final all-variant bench
+python scripts/write_tuned.py
+rm -f bench_logs/bench_tuned_final.log
+run bench_tuned_final python bench.py
+
+echo; echo "== r4 session summary =="
+for f in bench_logs/bench_v2_eb*.log bench_logs/bench_v3_eb*.log bench_logs/bench_r4_base.log bench_logs/bench_tuned_final.log; do
+  [ -f "$f" ] && echo "$(basename "$f"): $(grep -o '"value": [0-9.]*' "$f" | tail -1)"
+done

@@ -55,6 +55,21 @@ CELLS: list[tuple[str, dict, str]] = [
     ("dyn_v1", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_V2": "0"}, "dyn_v1"),
     ("dyn_v1_general_wide", {"VERIFY_MODE": "general"}, "dyn_v1"),
     ("combat_static_wide", {"VERIFY_MODE": "combat"}, "static_v1"),
+    # emit_bytes: in-kernel [loc, feature, value] byte interleave (the int8
+    # selection matmul epilogue) — every v2-family generation, plus a wide
+    # cell for the NT>1 assembly + emit combination.
+    ("static_v2_eb", {"VERIFY_MODE": "arena", "METTAGRID_TPU_STATIC_TAIL": "v2",
+                      "METTAGRID_TPU_OBS_EMITB": "1"}, "static_v2"),
+    ("static_v2_wide_eb", {"VERIFY_MODE": "arena", "VERIFY_WIDTH": "40",
+                           "METTAGRID_TPU_STATIC_TAIL": "v2",
+                           "METTAGRID_TPU_OBS_EMITB": "1"}, "static_v2"),
+    ("static_v3_eb", {"VERIFY_MODE": "arena", "METTAGRID_TPU_OBS_V3": "1",
+                      "METTAGRID_TPU_STATIC_TAIL": "v3",
+                      "METTAGRID_TPU_OBS_EMITB": "1"}, "static_v3"),
+    ("dyn_v2_eb", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_EMITB": "1"}, "dyn_v2"),
+    ("dyn_v3_eb", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_V3": "1",
+                   "METTAGRID_TPU_STATIC_TAIL": "v3",
+                   "METTAGRID_TPU_OBS_EMITB": "1"}, "dyn_v3"),
 ]
 
 # Env knobs a cell may need cleared so the tuned.json default or an outer
@@ -64,6 +79,7 @@ KNOBS = [
     "VERIFY_EXPECT_TAIL", "METTAGRID_TPU_OBS_V2", "METTAGRID_TPU_OBS_V3",
     "METTAGRID_TPU_STATIC_TAIL", "METTAGRID_TPU_OBS_BE",
     "METTAGRID_TPU_COMPACT", "METTAGRID_TPU_PAR_GRID", "METTAGRID_TPU_UNPACK",
+    "METTAGRID_TPU_OBS_EMITB",
 ]
 
 

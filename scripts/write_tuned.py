@@ -67,6 +67,29 @@ CANDIDATES = [
         {"obs_v3": True, "par_grid": True, "unpack": "shift"},
         ["verify_v3", "verify_dyn_v3"],
     ),
+    # Round-4 arms: in-kernel byte emission (the unpack knob is moot — the
+    # kernel writes final bytes). The tuned emit_bytes default flips every
+    # v2-family kernel, so each arm requires the matching dyn verify leg.
+    (
+        "bench_v2_eb",
+        {"par_grid": True, "emit_bytes": True},
+        ["verify_v2_eb", "verify_dyn_v2_eb"],
+    ),
+    (
+        "bench_v2_eb_r4",
+        {"par_grid": True, "emit_bytes": True, "compact": "r4"},
+        ["verify_v2_eb_r4", "verify_dyn_v2_eb"],
+    ),
+    (
+        "bench_v3_eb",
+        {"obs_v3": True, "par_grid": True, "emit_bytes": True},
+        ["verify_v3_eb", "verify_dyn_v3_eb"],
+    ),
+    (
+        "bench_v3_eb_r4",
+        {"obs_v3": True, "par_grid": True, "emit_bytes": True, "compact": "r4"},
+        ["verify_v3_eb_r4", "verify_dyn_v3_eb"],
+    ),
 ]
 
 

@@ -356,6 +356,60 @@ def test_general_config_routes_to_dyn_v1_and_matches_xla():
     np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
 
 
+@pytest.mark.parametrize("mode", ["static_v2", "static_v3", "dyn_v2", "dyn_v3"])
+def test_emit_bytes_matches_word_unpack(mode):
+    """emit_bytes=True (in-kernel [loc, feature, value] byte interleave via
+    the exact int8 selection matmul, _byte_sel_table) must be byte-identical
+    to the word-emitting kernel + XLA unpack on every v2-family tail."""
+    import mettagrid_tpu.engine.obs as obs_mod
+    from mettagrid_tpu.builder import make_arena
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+    static = mode.startswith("static")
+    tail = mode[-2:]
+    cfg = make_arena(
+        4,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=4, width=11, height=11, border_width=1, objects={"wall": 6}
+        ),
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    builder.config.seed = 21
+    init = build_env_init(program, [builder.build_for_num_agents(4)])
+    E = 8
+    reset = make_reset(program, init, E)
+    step = make_step(program, init, auto_reset=False, donate=False)
+    state, _ = reset(4)
+    rng = np.random.default_rng(13)
+    for _ in range(3):
+        acts = jnp.asarray(rng.integers(0, len(program.action_names), (E, 4)), dtype=jnp.int32)
+        state, _ = step(state, acts, jnp.zeros((E, 4), jnp.int32))
+
+    bg = obs_mod.build_static_bg(program, init) if static else None
+    obs_mod._FORCE_FUSED_INTERPRET = True
+    old_force, old_emitb = obs_mod._FORCE_STATIC_TAIL, obs_mod._OBS_EMITB
+    obs_mod._FORCE_STATIC_TAIL = tail
+    try:
+        obs_mod._OBS_EMITB = False
+        fn_words = obs_mod.make_obs_fn(program, static_bg=bg)
+        obs_a, att_a = fn_words(state)
+        assert obs_mod._LAST_TAIL == mode
+        obs_mod._OBS_EMITB = True
+        fn_bytes = obs_mod.make_obs_fn(program, static_bg=bg)
+        obs_b, att_b = fn_bytes(state)
+        assert obs_mod._LAST_TAIL == mode
+    finally:
+        obs_mod._FORCE_FUSED_INTERPRET = False
+        obs_mod._FORCE_STATIC_TAIL = old_force
+        obs_mod._OBS_EMITB = old_emitb
+
+    np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
+    np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
+
+
 def test_compact_packed_radix4_matches_radix2():
     """The radix-4 move loop must be bit-identical to the radix-2 loop on
     the packed [g:9|loc:8|feat:7|val:8] encoding, including wrap-around
