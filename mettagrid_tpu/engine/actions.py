@@ -31,7 +31,7 @@ from mettagrid_tpu.engine.program import (
 from mettagrid_tpu.engine.state import EnvState
 
 
-def apply_move(program: EngineProgram, state: EnvState, agent_slot: jnp.ndarray, arg: jnp.ndarray, active: jnp.ndarray):
+def apply_move(program: EngineProgram, state: EnvState, agent_slot: jnp.ndarray, arg: jnp.ndarray, active: jnp.ndarray, mtd=None):
     """One agent's move (per env), via the compiled move-handler chain
     (reference: actions/move.hpp:81-115).
 
@@ -39,6 +39,11 @@ def apply_move(program: EngineProgram, state: EnvState, agent_slot: jnp.ndarray,
     the first in-bounds cell (distance 1); others take the first occupied
     cell within max_range (scanning past empties, stopping at the map edge).
     The first handler whose filters pass and mutations apply wins.
+
+    mtd: reference_rng MT thread (exec.MtThread) — handler filter/mutation
+    draws consume the in-state mt twin; a handler's draws are gated on its
+    chain actually being tried for that env (found & not-yet-succeeded),
+    matching the C++ per-agent sequential walk.
     """
     E = state.grid.shape[0]
     H, W = state.grid.shape[1], state.grid.shape[2]
@@ -89,15 +94,30 @@ def apply_move(program: EngineProgram, state: EnvState, agent_slot: jnp.ndarray,
             timestep=state.step_count,
         )
         try_mask = found & ~success
-        passed = try_mask & eval_filters(program, state, ctx, mh.handler.filters)
-        state, applied = apply_mutations(program, state, ctx, mh.handler, passed)
+        if mtd is not None:
+            with mtd.narrowed(try_mask):
+                passed = try_mask & eval_filters(program, state, ctx, mh.handler.filters, mtd)
+                with mtd.narrowed(passed):
+                    state, applied = apply_mutations(program, state, ctx, mh.handler, passed, mtd)
+        else:
+            passed = try_mask & eval_filters(program, state, ctx, mh.handler.filters)
+            state, applied = apply_mutations(program, state, ctx, mh.handler, passed)
         success = success | applied
 
     return state, success
 
 
-def make_action_phase(program: EngineProgram):
-    """Build the full action phase (all priorities, both streams)."""
+def make_action_phase(program: EngineProgram, reference_rng: bool = False):
+    """Build the full action phase (all priorities, both streams).
+
+    reference_rng: thread the in-state std::mt19937 twin (state.mt) through
+    every handler evaluation, so order_by=random queries inside action
+    filter/value/mutation contexts consume the reference's per-env MT stream
+    in its sequential order (core/query_system.cpp:78-79 via
+    HandlerContext::rng). Only engaged when the program actually consumes
+    (rng_dep.actions_consume_rng) — step.py forces this sequential phase in
+    that case because the wave-parallel phase settles agents out of
+    reference order."""
     n_actions = len(program.action_names)
     kind_t = jnp.asarray(program.action_kind)
     arg_t = jnp.asarray(program.action_arg)
@@ -111,8 +131,13 @@ def make_action_phase(program: EngineProgram):
     def apply_one(state: EnvState, agent_slot: jnp.ndarray, action: jnp.ndarray, prio: int, vibe_stream: bool):
         """Apply one (agent, action) per env (reference process_action_stream,
         mettagrid_c.cpp:969-991)."""
+        from mettagrid_tpu.engine.exec import MtThread
+
         E = state.grid.shape[0]
         e = jnp.arange(E, dtype=jnp.int32)
+        mtd = (
+            MtThread(state.mt, jnp.ones((E,), dtype=bool)) if reference_rng else None
+        )
         valid = (action >= 0) & (action < n_actions)
         a = jnp.clip(action, 0, n_actions - 1)
         stream_ok = is_vibe_t[a] == (True if vibe_stream else False)
@@ -126,8 +151,10 @@ def make_action_phase(program: EngineProgram):
         success = active & (kind == KIND_NOOP)
 
         move_mask = active & (kind == KIND_MOVE)
-        state, move_succ = apply_move(program, state, agent_slot, arg, move_mask)
+        state, move_succ = apply_move(program, state, agent_slot, arg, move_mask, mtd)
         success = success | move_succ
+        if mtd is not None:
+            state = state._replace(mt=mtd.mt)
 
         cv_mask = active & (kind == KIND_CHANGE_VIBE)
         state = state._replace(obj_vibe=scatter(state.obj_vibe, agent_slot, arg, cv_mask))

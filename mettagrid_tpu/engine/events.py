@@ -42,26 +42,34 @@ def _apply_query_limits_mt(program, state: EnvState, q, mask: jnp.ndarray, activ
     reference's result VECTOR (the event's max_targets shuffle permutes that
     vector, so downstream consumers must compose with this order, not with
     registration order). Surviving positions are contiguous 0..count-1."""
-    from mettagrid_tpu.engine.exec import _env_slots, eval_value
+    from mettagrid_tpu.engine.exec import MtThread, _env_slots, eval_value
     from mettagrid_tpu.engine.mt19937 import shuffle_perm
 
     E, N = mask.shape
     m = mask.astype(jnp.int32)
     rank = jnp.cumsum(m, axis=1) - m  # registration-order rank of each result
-    if q.max_items_value is not None:
-        v = eval_value(program, state, q.max_items_value, _env_slots(state, None), None)
-        cap = jnp.where(v < 0, N, jnp.floor(v)).astype(jnp.int32)  # -1 = unlimited
-    elif q.max_items > 0:
-        cap = jnp.full((E,), q.max_items, dtype=jnp.int32)
-    else:
-        cap = jnp.full((E,), N, dtype=jnp.int32)
+
+    def _cap(mtd=None):
+        if q.max_items_value is not None:
+            v = eval_value(program, state, q.max_items_value, _env_slots(state, None), None, mtd)
+            return jnp.where(v < 0, N, jnp.floor(v)).astype(jnp.int32)  # -1 = unlimited
+        if q.max_items > 0:
+            return jnp.full((E,), q.max_items, dtype=jnp.int32)
+        return jnp.full((E,), N, dtype=jnp.int32)
+
     if not q.order_random:
         if q.max_items_value is None and q.max_items <= 0:
             return state, mask, rank
-        return state, mask & (rank < cap[:, None]), rank
+        return state, mask & (_cap()[:, None] > rank), rank
+    # C++ order: std::shuffle FIRST (whenever random, even uncapped), THEN
+    # the max_items game value resolves (query_system.cpp:78-87) — so the
+    # cap evaluation must draw AFTER the shuffle if it consumes.
     n = mask.sum(axis=1).astype(jnp.int32)
-    mt, perm = shuffle_perm(state.mt, n, N, active)  # shuffles whenever random, even uncapped
+    mt, perm = shuffle_perm(state.mt, n, N, active)
     state = state._replace(mt=mt)
+    mtd = MtThread(state.mt, active)
+    cap = _cap(mtd)
+    state = state._replace(mt=mtd.mt)
     inv = jnp.argsort(perm, axis=1).astype(jnp.int32)  # rank -> shuffled position
     pos = jnp.take_along_axis(inv, rank, axis=1)
     # resize() truncates the shuffled vector, so surviving positions stay
@@ -83,9 +91,14 @@ def _apply_event(
     E, N = state.obj_type.shape
     t_order = None
     if reference_rng:
-        from mettagrid_tpu.engine.exec import _eval_query_mask_unlimited
+        from mettagrid_tpu.engine.exec import MtThread, _eval_query_mask_unlimited
 
-        raw = _eval_query_mask_unlimited(program, state, ev.target_query)  # [E, N]
+        # Nested source/candidate queries consume (apply_limits runs during
+        # their evaluate) BEFORE the top-level shuffle — thread the MT twin
+        # through the unlimited eval in that order.
+        mtd = MtThread(state.mt, env_fire)
+        raw = _eval_query_mask_unlimited(program, state, ev.target_query, None, mtd)  # [E, N]
+        state = state._replace(mt=mtd.mt)
         state, targets, t_order = _apply_query_limits_mt(
             program, state, ev.target_query, raw, env_fire
         )

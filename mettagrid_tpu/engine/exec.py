@@ -38,6 +38,49 @@ class Ctx(NamedTuple):
         return jnp.broadcast_to(t, self.actor.shape)
 
 
+class MtThread:
+    """Mutable carrier of the per-env std::mt19937 twin through nested
+    filter/value/query evaluations in reference_rng mode.
+
+    The reference consumes HandlerContext::rng at QuerySystem::apply_limits
+    (core/query_system.cpp:78-79: std::shuffle whenever order_by=random,
+    BEFORE the max_items resize). When an MtThread rides an evaluation,
+    every order_by=random query draws a libstdc++ std::shuffle from .mt
+    (engine/mt19937.shuffle_perm) gated by .active — the per-env mask of
+    evaluations that are live at this point of the sequential handler walk
+    (C++ filters short-circuit, FirstMatch stops at the first applied
+    handler, a failed mutation stops later ones; draws must not happen for
+    envs whose walk already stopped). Callers restore .active around
+    narrowed sub-evaluations via the `narrowed` context manager and write
+    .mt back into state after the handler application.
+    """
+
+    __slots__ = ("mt", "active")
+
+    def __init__(self, mt, active: jnp.ndarray):
+        self.mt = mt
+        self.active = active
+
+    class _Narrow:
+        def __init__(self, mtd, gate):
+            self.mtd = mtd
+            self.gate = gate
+
+        def __enter__(self):
+            self.saved = self.mtd.active
+            if self.gate is not None:
+                self.mtd.active = self.saved & self.gate
+            return self.mtd
+
+        def __exit__(self, *exc):
+            self.mtd.active = self.saved
+            return False
+
+    def narrowed(self, gate):
+        """Context manager: temporarily AND .active with gate (bool[E])."""
+        return MtThread._Narrow(self, gate)
+
+
 # XLA:TPU lowers small data-dependent gathers/scatters 3-19x slower than the
 # equivalent one-hot contraction at engine shapes (scripts/probe_scatter2.py:
 # grid_read 1.6ms -> 0.09ms, scatter 0.6 -> 0.2 at E=4096). Use the one-hot
@@ -277,8 +320,11 @@ def effective_limits(program, tid, inv) -> jnp.ndarray:
 # =====================================================================
 
 
-def eval_value(program, state, cv: CompiledValue, slots: jnp.ndarray, ctx: Optional[Ctx] = None) -> jnp.ndarray:
-    """Evaluate a game value with the given entity binding. Returns f32[B]."""
+def eval_value(program, state, cv: CompiledValue, slots: jnp.ndarray, ctx: Optional[Ctx] = None, mtd: Optional[MtThread] = None) -> jnp.ndarray:
+    """Evaluate a game value with the given entity binding. Returns f32[B].
+
+    mtd: reference_rng MT thread — order_by=random queries nested in this
+    value draw their std::shuffle from it (see MtThread)."""
     B = slots.shape
     A = program.num_agents
 
@@ -309,7 +355,7 @@ def eval_value(program, state, cv: CompiledValue, slots: jnp.ndarray, ctx: Optio
     if cv.kind == "sum":
         total = jnp.zeros(B, dtype=jnp.float32)
         for i, child in enumerate(cv.children):
-            term = eval_value(program, state, child, slots, ctx)
+            term = eval_value(program, state, child, slots, ctx, mtd)
             if cv.log:
                 term = jnp.log(term + 1.0)
             w = cv.weights[i] if cv.weights else 1.0
@@ -321,25 +367,25 @@ def eval_value(program, state, cv: CompiledValue, slots: jnp.ndarray, ctx: Optio
         return total
 
     if cv.kind == "ratio":
-        num = eval_value(program, state, cv.children[0], slots, ctx)
-        den = eval_value(program, state, cv.children[1], slots, ctx)
+        num = eval_value(program, state, cv.children[0], slots, ctx, mtd)
+        den = eval_value(program, state, cv.children[1], slots, ctx, mtd)
         # den > 0 ? num/den : num (game_value.cpp RatioValueConfig)
         return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), num)
 
     if cv.kind == "max":
         out = jnp.full(B, -jnp.inf, dtype=jnp.float32)
         for child in cv.children:
-            out = jnp.maximum(out, eval_value(program, state, child, slots, ctx))
+            out = jnp.maximum(out, eval_value(program, state, child, slots, ctx, mtd))
         return jnp.where(jnp.isfinite(out), out, 0.0) if not cv.children else out
 
     if cv.kind == "min":
         out = jnp.full(B, jnp.inf, dtype=jnp.float32)
         for child in cv.children:
-            out = jnp.minimum(out, eval_value(program, state, child, slots, ctx))
+            out = jnp.minimum(out, eval_value(program, state, child, slots, ctx, mtd))
         return jnp.where(jnp.isfinite(out), out, 0.0) if not cv.children else out
 
     if cv.kind in ("query_inventory", "query_count"):
-        mask = eval_query_mask(program, state, cv.query, ctx)  # [E, N]
+        mask = eval_query_mask(program, state, cv.query, ctx, mtd)  # [E, N]
         if cv.kind == "query_count":
             per_env = mask.sum(axis=-1).astype(jnp.float32)  # [E]
         else:
@@ -415,7 +461,7 @@ def _entity_slot(ctx: Ctx, target_is_actor: bool) -> jnp.ndarray:
     return ctx.actor if target_is_actor else ctx.target
 
 
-def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
+def eval_filter(program, state, ctx: Ctx, f: CompiledFilter, mtd: Optional[MtThread] = None) -> jnp.ndarray:
     kind = f.kind
     B = ctx.actor.shape
 
@@ -461,8 +507,10 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
         return actor_ok & (ctx.target >= 0) & (at & tt & pm).any(axis=-1)
     if kind == "game_value":
         slot = _entity_slot(ctx, f.target_is_actor)
-        value = eval_value(program, state, f.value, slot, ctx)
-        threshold = eval_value(program, state, f.threshold, slot, ctx)
+        # Reference resolve order: value then threshold, both always
+        # evaluated (handler/filters/game_value_filter.hpp).
+        value = eval_value(program, state, f.value, slot, ctx, mtd)
+        threshold = eval_value(program, state, f.threshold, slot, ctx, mtd)
         return value >= threshold
     if kind == "max_distance":
         if f.query is not None:
@@ -470,7 +518,7 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
             slot = _entity_slot(ctx, f.target_is_actor)
             er = gather(state.obj_r, slot)
             ec = gather(state.obj_c, slot)
-            qmask = eval_query_mask(program, state, f.query, ctx)  # [E, N]
+            qmask = eval_query_mask(program, state, f.query, ctx, mtd)  # [E, N]
             extra = len(B) - 1
             qm = qmask.reshape((B[0],) + (1,) * extra + qmask.shape[1:])
             orr = state.obj_r.reshape((B[0],) + (1,) * extra + (state.obj_r.shape[1],))
@@ -487,11 +535,20 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
         dc = ctx.target_c - ac
         return dr * dr + dc * dc <= f.radius * f.radius
     if kind == "not":
-        return ~eval_filter(program, state, ctx, f.inner[0])
+        return ~eval_filter(program, state, ctx, f.inner[0], mtd)
     if kind == "or":
         ok = jnp.zeros(B, dtype=bool)
         for sub in f.inner:
-            ok = ok | eval_filter(program, state, ctx, sub)
+            if mtd is not None:
+                # C++ OrFilter short-circuits: a sub runs only where no
+                # earlier sub passed — its draws must be gated the same way.
+                gate = ~ok
+                while gate.ndim > 1:
+                    gate = gate.all(axis=-1)
+                with mtd.narrowed(gate):
+                    ok = ok | eval_filter(program, state, ctx, sub, mtd)
+            else:
+                ok = ok | eval_filter(program, state, ctx, sub)
         return ok
     if kind == "periodic":
         t = ctx.bcast_timestep()
@@ -499,7 +556,7 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
     if kind == "query_resource":
         # Sum inventories across query results; every (rid, min) requirement
         # must be met (handler/filters/query_resource_filter.hpp:26-43).
-        qmask = eval_query_mask(program, state, f.query, ctx)  # [E, N]
+        qmask = eval_query_mask(program, state, f.query, ctx, mtd)  # [E, N]
         ok = jnp.ones(B, dtype=bool)
         extra = len(B) - 1
         for rid, amount in f.resource_mins:
@@ -510,10 +567,22 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter) -> jnp.ndarray:
     raise NotImplementedError(f"Filter kind {kind!r}")
 
 
-def eval_filters(program, state, ctx: Ctx, filters) -> jnp.ndarray:
+def eval_filters(program, state, ctx: Ctx, filters, mtd: Optional[MtThread] = None) -> jnp.ndarray:
     ok = jnp.ones(ctx.actor.shape, dtype=bool)
     for f in filters:
-        ok = ok & eval_filter(program, state, ctx, f)
+        if mtd is not None:
+            # C++ filter chains short-circuit (handler.cpp try_apply): a
+            # later filter is not evaluated once one fails, so its RNG draws
+            # are gated on every earlier filter passing. The vectorized
+            # RESULT is still computed everywhere (harmless — only the mask
+            # matters); only the MT consumption is gated.
+            gate = ok
+            while gate.ndim > 1:
+                gate = gate.all(axis=-1)
+            with mtd.narrowed(gate):
+                ok = ok & eval_filter(program, state, ctx, f, mtd)
+        else:
+            ok = ok & eval_filter(program, state, ctx, f)
     return ok
 
 
@@ -550,7 +619,7 @@ def _env_slots(state, ctx: Optional[Ctx]) -> jnp.ndarray:
     return jnp.full((E,), -1, dtype=jnp.int32)
 
 
-def _apply_query_limits(program, state, q: CompiledQuery, mask: jnp.ndarray, ctx: Optional[Ctx]) -> jnp.ndarray:
+def _apply_query_limits(program, state, q: CompiledQuery, mask: jnp.ndarray, ctx: Optional[Ctx], mtd: Optional[MtThread] = None) -> jnp.ndarray:
     """Cap the result mask at max_items objects (query_system.cpp:75-87).
 
     With order_by=random, the surviving subset is chosen by a per-env random
@@ -558,12 +627,39 @@ def _apply_query_limits(program, state, q: CompiledQuery, mask: jnp.ndarray, ctx
     ctx.rng before resizing — query_system.cpp:78-79); otherwise results are
     kept in ascending slot order — the engine's canonical analogue of the
     reference's tag-index registration order. Bit-parity with the reference
-    MT19937 stream additionally requires reference_rng mode (parity/rng.py);
-    outside it the subset is random but from the jax stream.
+    MT19937 stream additionally requires reference_rng mode: when an
+    MtThread rides the evaluation, order_by=random consumes a libstdc++
+    std::shuffle from the in-state mt twin in the reference's order —
+    shuffle FIRST, then resolve max_items (apply_limits consumes before the
+    resize's game-value read) — gated by mtd.active.
     """
     E, N = mask.shape
+    if mtd is not None and q.order_random:
+        from mettagrid_tpu.engine.mt19937 import shuffle_perm
+
+        # std::shuffle of the result VECTOR (size n per env) happens
+        # unconditionally for order_by=random — even uncapped.
+        n = mask.sum(axis=1).astype(jnp.int32)
+        mt, perm = shuffle_perm(mtd.mt, n, N, mtd.active)
+        mtd.mt = mt
+        m = mask.astype(jnp.int32)
+        rank = jnp.cumsum(m, axis=1) - m  # registration-order rank
+        inv = jnp.argsort(perm, axis=1).astype(jnp.int32)  # rank -> shuffled pos
+        pos = jnp.take_along_axis(inv, rank, axis=1)
+        if q.max_items_value is not None:
+            v = eval_value(program, state, q.max_items_value, _env_slots(state, ctx), ctx, mtd)
+            cap = jnp.where(v < 0, N, jnp.floor(v)).astype(jnp.int32)
+        elif q.max_items > 0:
+            cap = jnp.full((E,), q.max_items, dtype=jnp.int32)
+        else:
+            cap = jnp.full((E,), N, dtype=jnp.int32)
+        # resize() keeps the first cap entries of the shuffled vector; where
+        # the thread is inactive no draw happened — keep registration order
+        # there (the result is unused for inactive envs anyway).
+        keep = jnp.where(mtd.active[:, None], pos, rank) < cap[:, None]
+        return mask & keep
     if q.max_items_value is not None:
-        v = eval_value(program, state, q.max_items_value, _env_slots(state, ctx), ctx)  # [E]
+        v = eval_value(program, state, q.max_items_value, _env_slots(state, ctx), ctx, mtd)  # [E]
         cap = jnp.where(v < 0, N, jnp.floor(v)).astype(jnp.int32)  # -1 = unlimited
     elif q.max_items > 0:
         cap = jnp.full((E,), q.max_items, dtype=jnp.int32)
@@ -588,14 +684,19 @@ def _apply_query_limits(program, state, q: CompiledQuery, mask: jnp.ndarray, ctx
     return mask & (rank < cap[:, None])
 
 
-def eval_query_mask(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+def eval_query_mask(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None, mtd: Optional[MtThread] = None) -> jnp.ndarray:
     """Evaluate a query to a bool[E, N] object mask, max_items applied."""
-    mask = _eval_query_mask_unlimited(program, state, q, ctx)
-    return _apply_query_limits(program, state, q, mask, ctx)
+    mask = _eval_query_mask_unlimited(program, state, q, ctx, mtd)
+    return _apply_query_limits(program, state, q, mask, ctx, mtd)
 
 
-def _eval_query_mask_unlimited(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+def _eval_query_mask_unlimited(program, state, q: CompiledQuery, ctx: Optional[Ctx] = None, mtd: Optional[MtThread] = None) -> jnp.ndarray:
     E, N = state.obj_type.shape
+    # Query FILTERS run per candidate in C++ (matches_filters loop); a
+    # consuming subtree there would need per-object draw ordering, which the
+    # vectorized twin cannot reproduce — rng_dep.reference_rng_unsupported /
+    # actions_consume_rng gate such programs out before tracing, so the
+    # dense filter evaluations below never ride the MtThread.
 
     if q.kind == "tag":
         mask = state.obj_alive & state.obj_tags[..., q.tag_id]
@@ -605,17 +706,17 @@ def _eval_query_mask_unlimited(program, state, q: CompiledQuery, ctx: Optional[C
         return mask
 
     if q.kind == "filtered":
-        mask = eval_query_mask(program, state, q.source, ctx)
+        mask = eval_query_mask(program, state, q.source, ctx, mtd)
         if q.filters:
             octx = _object_ctx(program, state, ctx)
             mask = mask & eval_filters(program, state, octx, q.filters)
         return mask
 
     if q.kind == "closure":
-        roots = eval_query_mask(program, state, q.source, ctx)
+        roots = eval_query_mask(program, state, q.source, ctx, mtd)
         if q.candidates is None:
             return roots
-        pool = eval_query_mask(program, state, q.candidates, ctx)
+        pool = eval_query_mask(program, state, q.candidates, ctx, mtd)
         # Adjacency: squared distance <= max_distance2 plus edge filters.
         dr = state.obj_r[:, :, None] - state.obj_r[:, None, :]
         dc = state.obj_c[:, :, None] - state.obj_c[:, None, :]
@@ -651,7 +752,7 @@ def _eval_query_mask_unlimited(program, state, q: CompiledQuery, ctx: Optional[C
         # (query_system.cpp:258-330).
         from mettagrid_tpu.engine.program import DIR_DC, DIR_DR
 
-        sources = eval_query_mask(program, state, q.source, ctx)  # [E, N]
+        sources = eval_query_mask(program, state, q.source, ctx, mtd)  # [E, N]
         octx = _object_ctx(program, state, ctx)
         if q.filters:
             is_blocker = jnp.zeros((E, N), dtype=bool)
@@ -665,7 +766,7 @@ def _eval_query_mask_unlimited(program, state, q: CompiledQuery, ctx: Optional[C
             # Runtime GameValue range (query_config.hpp:75): unroll to the
             # grid bound, mask hops past the resolved per-env range.
             bound = max(H, W)
-            rng_val = eval_value(program, state, q.max_range_value, _env_slots(state, ctx), ctx)  # [E]
+            rng_val = eval_value(program, state, q.max_range_value, _env_slots(state, ctx), ctx, mtd)  # [E]
         else:
             bound = q.max_hops
             rng_val = None

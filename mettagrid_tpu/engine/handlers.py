@@ -94,10 +94,15 @@ def incr_agent_stat(state, slot, stat_id: int, mask):
 # =====================================================================
 
 
-def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray):
+def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray, mtd=None):
     """Apply one mutation under mask. Returns (state, ok[B]) where ok is False
     for entries where the mutation failed (reference ctx.mutation_failed —
-    only use_target / push_object / spawn kinds can fail)."""
+    only use_target / push_object / spawn kinds can fail).
+
+    mtd: reference_rng MT thread (exec.MtThread) — order_by=random queries
+    nested in this mutation's values/queries/sub-handlers consume the
+    in-state mt twin in reference order. Callers gate mtd.active on the
+    mutation actually running (the mask/short-circuit chain)."""
     kind = m.kind
     ok = jnp.ones_like(mask)
 
@@ -184,7 +189,7 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         return state, ok
 
     if kind == "attack":
-        return apply_attack(program, state, ctx, m, mask)
+        return apply_attack(program, state, ctx, m, mask, mtd)
 
     if kind == "direct_attack":
         # Flat weapon-vs-armor damage to a health resource — the attack the
@@ -226,7 +231,7 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
 
     if kind == "stats":
         slot = ctx.actor if m.entity_is_actor else ctx.target
-        value = eval_value(program, state, m.source, slot, ctx)
+        value = eval_value(program, state, m.source, slot, ctx, mtd)
         if m.stat_is_game:
             # Reduce over any extra batch dims is ill-defined; stats mutations
             # in per-env contexts write per env. For [E]-shaped ctx this is a
@@ -241,7 +246,7 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
         if m.source is not None:
-            delta = eval_value(program, state, m.source, slot, ctx)
+            delta = eval_value(program, state, m.source, slot, ctx, mtd)
         else:
             delta = jnp.full(mask.shape, m.delta_const, dtype=jnp.float32)
         if m.write_rid >= 0:
@@ -257,7 +262,7 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         return state, ok
 
     if kind == "use_target":
-        return apply_use_target(program, state, ctx, mask)
+        return apply_use_target(program, state, ctx, mask, mtd)
 
     if kind == "query_inventory":
         # Bulk inventory deltas across query results; in transfer mode the
@@ -267,7 +272,7 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         env_any = mask
         while env_any.ndim > 1:
             env_any = env_any.any(axis=-1)
-        targets = eval_query_mask(program, state, m.query)  # [E, N]
+        targets = eval_query_mask(program, state, m.query, None, mtd)  # [E, N]
         targets = targets & env_any[:, None]
         tid_all = state.obj_type
         transfer_mode = m.transfer_mode
@@ -296,7 +301,9 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         env_any = mask
         while env_any.ndim > 1:
             env_any = env_any.any(axis=-1)
-        state = recompute_materialized(program, state, env_mask=env_any, tag_mask=m.tag_mask)
+        state = recompute_materialized(
+            program, state, env_mask=env_any, tag_mask=m.tag_mask, mtd=mtd
+        )
         return state, ok
 
     if kind == "push_object":
@@ -340,7 +347,7 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
             # Dynamic GameValue range (mutation_config.hpp:123): unroll to the
             # map bound; cells beyond the per-element resolved range mask off.
             rv = jnp.floor(
-                eval_value(program, state, m.max_range_value, ctx.target, ctx)
+                eval_value(program, state, m.max_range_value, ctx.target, ctx, mtd)
             ).astype(jnp.int32)
             static_range = max(H, W)
         else:
@@ -369,7 +376,16 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
                         distance=jnp.full_like(rr, i),
                         timestep=ctx.timestep,
                     )
-                    hits_blocker = occupied & eval_filters(program, state, bctx, m.blocker)
+                    if mtd is not None:
+                        # C++ walks the ray per env, evaluating blocker
+                        # filters only at OCCUPIED cells while un-blocked
+                        # (raycast_spawn_mutation.cpp:50-68).
+                        with mtd.narrowed(valid & ~blocked & occupied):
+                            hits_blocker = occupied & eval_filters(
+                                program, state, bctx, m.blocker, mtd
+                            )
+                    else:
+                        hits_blocker = occupied & eval_filters(program, state, bctx, m.blocker)
                 else:
                     # No blocker filters: occupied cells are skipped but do
                     # NOT stop the ray (raycast_spawn_mutation.cpp:50-68 —
@@ -384,7 +400,7 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     raise NotImplementedError(f"Mutation kind {kind!r}")
 
 
-def apply_attack(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray):
+def apply_attack(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray, mtd=None):
     """DSL attack semantics (config/mutation/attack_mutation.py; legacy twin
     actions/attack.hpp:146-237): weapon/armor powers, defense consumption on
     block, on_success mutations otherwise."""
@@ -423,7 +439,14 @@ def apply_attack(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarra
 
     hit = valid & ~can_defend
     for sub in m.on_success:
-        state, _ = apply_mutation(program, state, ctx, sub, hit)
+        if mtd is not None:
+            gate = hit
+            while gate.ndim > 1:
+                gate = gate.any(axis=-1)
+            with mtd.narrowed(gate):
+                state, _ = apply_mutation(program, state, ctx, sub, hit, mtd)
+        else:
+            state, _ = apply_mutation(program, state, ctx, sub, hit)
     return state, jnp.ones_like(mask)
 
 
@@ -486,14 +509,14 @@ def apply_spawn(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarray
     return state, jnp.where(mask, can, jnp.ones_like(mask))
 
 
-def recompute_materialized(program, state, env_mask=None, tag_mask=None):
+def recompute_materialized(program, state, env_mask=None, tag_mask=None, mtd=None):
     """Recompute materialized-query tags (reference: query_system.cpp
     compute_all). env_mask limits which envs update; tag_mask (bool[n_tags])
     limits which materialized tags recompute."""
     for tag_id, query in program.materialized:
         if tag_mask is not None and not bool(tag_mask[tag_id]):
             continue
-        new_bit = eval_query_mask(program, state, query)  # [E, N]
+        new_bit = eval_query_mask(program, state, query, None, mtd)  # [E, N]
         old_bit = state.obj_tags[:, :, tag_id]
         if env_mask is not None:
             new_bit = jnp.where(env_mask[:, None], new_bit, old_bit)
@@ -501,7 +524,7 @@ def recompute_materialized(program, state, env_mask=None, tag_mask=None):
     return state
 
 
-def apply_use_target(program, state, ctx: Ctx, mask: jnp.ndarray):
+def apply_use_target(program, state, ctx: Ctx, mask: jnp.ndarray, mtd=None):
     """Delegate to the target's per-type on_use handler chain
     (reference: use_target_mutation.hpp + grid_object.cpp onUse)."""
     ttype = gather(state.obj_type, ctx.target)
@@ -510,7 +533,7 @@ def apply_use_target(program, state, ctx: Ctx, mask: jnp.ndarray):
         if handler is None:
             continue
         type_mask = mask & (ctx.target >= 0) & (ttype == tid)
-        state, applied = try_apply(program, state, ctx, handler, type_mask)
+        state, applied = try_apply(program, state, ctx, handler, type_mask, mtd)
         ok = ok | applied
     # on_after_use: agent hook fired after a successful use
     # (objects/agent.hpp on_after_use; use_target_mutation.hpp:27-29).
@@ -519,37 +542,68 @@ def apply_use_target(program, state, ctx: Ctx, mask: jnp.ndarray):
             continue
         acfg = gather(state.agent_cfg, jnp.clip(ctx.actor, 0, program.num_agents - 1))
         amask = ok & agent_slot_ok(ctx.actor, program.num_agents) & (acfg == cfg_idx)
-        state, _ = try_apply(program, state, ctx, hooks, amask)
+        state, _ = try_apply(program, state, ctx, hooks, amask, mtd)
     return state, ok
 
 
-def apply_mutations(program, state, ctx: Ctx, handler: CompiledHandler, mask: jnp.ndarray):
+def apply_mutations(program, state, ctx: Ctx, handler: CompiledHandler, mask: jnp.ndarray, mtd=None):
     """Apply the mutation chain in order; a failed mutation stops later
     mutations for that env but earlier ones stay applied (no rollback —
-    reference handler.cpp:82-89)."""
+    reference handler.cpp:82-89). With an MT thread, a mutation's draws are
+    gated on the chain still running for that env."""
     still_ok = mask
     for m in handler.mutations:
-        state, ok = apply_mutation(program, state, ctx, m, still_ok)
+        if mtd is not None:
+            gate = still_ok
+            while gate.ndim > 1:
+                gate = gate.any(axis=-1)
+            with mtd.narrowed(gate):
+                state, ok = apply_mutation(program, state, ctx, m, still_ok, mtd)
+        else:
+            state, ok = apply_mutation(program, state, ctx, m, still_ok)
         still_ok = still_ok & ok
     return state, still_ok
 
 
-def try_apply(program, state, ctx: Ctx, handler, mask: jnp.ndarray):
+def try_apply(program, state, ctx: Ctx, handler, mask: jnp.ndarray, mtd=None):
     """Full handler application: filters gate, then mutations. Returns
     (state, succeeded[B]). MultiHandler dispatches FirstMatch or All
-    (reference: handler/multi_handler.hpp:24-49)."""
+    (reference: handler/multi_handler.hpp:24-49). With an MT thread,
+    FirstMatch gates each handler's draws on no earlier handler having
+    applied, filters short-circuit (eval_filters), and mutation draws are
+    gated on the filters having passed."""
     if isinstance(handler, CompiledMultiHandler):
         if handler.first_match:
             done = jnp.zeros_like(mask)
             for h in handler.handlers:
-                state, applied = try_apply(program, state, ctx, h, mask & ~done)
+                if mtd is not None:
+                    gate = ~done
+                    while gate.ndim > 1:
+                        gate = gate.any(axis=-1)
+                    with mtd.narrowed(gate):
+                        state, applied = try_apply(program, state, ctx, h, mask & ~done, mtd)
+                else:
+                    state, applied = try_apply(program, state, ctx, h, mask & ~done)
                 done = done | applied
             return state, done
         any_applied = jnp.zeros_like(mask)
         for h in handler.handlers:
-            state, applied = try_apply(program, state, ctx, h, mask)
+            state, applied = try_apply(program, state, ctx, h, mask, mtd)
             any_applied = any_applied | applied
         return state, any_applied
+
+    if mtd is not None:
+        gate0 = mask
+        while gate0.ndim > 1:
+            gate0 = gate0.any(axis=-1)
+        with mtd.narrowed(gate0):
+            passed = mask & eval_filters(program, state, ctx, handler.filters, mtd)
+            gate1 = passed
+            while gate1.ndim > 1:
+                gate1 = gate1.any(axis=-1)
+            with mtd.narrowed(gate1):
+                state, applied = apply_mutations(program, state, ctx, handler, passed, mtd)
+        return state, applied
 
     passed = mask & eval_filters(program, state, ctx, handler.filters)
     state, applied = apply_mutations(program, state, ctx, handler, passed)

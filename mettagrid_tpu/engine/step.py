@@ -236,7 +236,31 @@ def make_step(
         pure_move_ok,
     )
 
-    use_fast = action_mode in ("fast", "pure") or (action_mode == "auto" and fast_mode_ok(program))
+    # reference_rng: when action handlers consume ctx.rng (order_by=random
+    # queries in filters/values/mutations — core/query_system.cpp:78-79),
+    # draws must happen in the reference's per-agent sequential order, so
+    # the wave-parallel phase is disqualified and the fori phase threads the
+    # MT twin (actions.make_action_phase reference_rng). Constructs whose
+    # draw order the vectorized twin cannot reproduce raise up front.
+    acts_consume = False
+    if reference_rng:
+        from mettagrid_tpu.engine.rng_dep import (
+            actions_consume_rng,
+            reference_rng_unsupported,
+        )
+
+        problems = reference_rng_unsupported(program)
+        if problems:
+            raise NotImplementedError(
+                "reference_rng mode cannot bit-match this config: "
+                + "; ".join(sorted(set(problems)))
+            )
+        acts_consume = actions_consume_rng(program)
+
+    use_fast = (
+        action_mode in ("fast", "pure")
+        or (action_mode == "auto" and fast_mode_ok(program))
+    ) and not acts_consume
     use_pure = action_mode == "pure" or (action_mode == "auto" and use_fast and pure_move_ok(program))
     # Lazy agent-grid: under pure moves + static background nothing reads
     # the grid's agent layer, so its per-step scatter maintenance is skipped
@@ -245,7 +269,7 @@ def make_step(
     action_phase = (
         make_action_phase_fast(program, pure_move=use_pure, lazy_grid=lazy_grid)
         if use_fast
-        else make_action_phase(program)
+        else make_action_phase(program, reference_rng=acts_consume)
     )
     event_phase = make_event_phase(program, reference_rng=reference_rng)
     agent_tick_phase = make_agent_tick_phase(program)

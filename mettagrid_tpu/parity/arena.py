@@ -85,6 +85,7 @@ def _make_configs(
     events: bool = False,
     economy: bool = False,
     pure_attack: bool = False,
+    random_query: bool = False,
 ):
     """Both frameworks' make_arena with the map pinned; combat=True adds a
     vibe-gated move handler carrying the C++-executable attack (the
@@ -107,7 +108,14 @@ def _make_configs(
     from mettagrid.test_support.map_builders import ObjectNameMapBuilder as RefMap
 
     if events:
-        map_data = _shrine_map(map_data)
+        # The tithe family needs BUMPABLE shrines (its draws happen on
+        # bump-use); the plain event family keeps the original raster-first
+        # placement, which the pinned r3 signatures depend on.
+        map_data = (
+            _rename_walls(map_data, ["shrine"] * 8, reachable=True)
+            if random_query
+            else _shrine_map(map_data)
+        )
     if economy:
         map_data = _rename_walls(map_data, ["mine", "altar"] * 6, reachable=True)
     ours = our_make_arena(num_agents, map_builder=OurMap.Config(map_data=map_data))
@@ -125,8 +133,81 @@ def _make_configs(
         from mettagrid.config.tag import typeTag as ref_type_tag
 
         ts = list(range(10, 501, 25))
-        ours.game.objects["shrine"] = OurObj(name="shrine", map_name="shrine")
-        ref.game.objects["shrine"] = RefObj(name="shrine", map_name="shrine")
+        our_shrine_kw: dict = {}
+        ref_shrine_kw: dict = {}
+        if random_query:
+            # "tithe": bump-using a shrine pays the actor 1 ore_red IF two
+            # RANDOMLY-chosen shrines (order_by=random, max_items=2 —
+            # query_system.cpp:78-87) hold at least one heart between them.
+            # Every evaluation consumes a std::shuffle from the env's
+            # mt19937 inside an ACTION handler context (HandlerContext::rng)
+            # — the VERDICT r3 parity hole: such draws must ride the
+            # in-state MT twin in the reference's per-agent sequential
+            # order (engine/rng_dep.py + exec.MtThread threading). The
+            # enrich event below keeps shrine heart counts uneven, so WHICH
+            # two shrines the shuffle picks changes the filter outcome.
+            from mettagrid_tpu.config.game_value import (
+                QueryInventoryValue as OurQIV,
+            )
+            from mettagrid_tpu.config.handler_config import (
+                EntityTarget as OurET2,
+                GameValueFilter as OurGVF,
+                HandlerTarget as OurHT2,
+                Handler as OurHandler2,
+                ResourceDeltaMutation as OurRD2,
+            )
+            from mettagrid_tpu.config.query import Query as OurQuery
+
+            from mettagrid.config.filter import (
+                GameValueFilter as RefGVF,
+                HandlerTarget as RefHT2,
+            )
+            from mettagrid.config.game_value import QueryInventoryValue as RefQIV
+            from mettagrid.config.handler_config import (
+                EntityTarget as RefET2,
+                Handler as RefHandler2,
+            )
+            from mettagrid.config.mutation import ResourceDeltaMutation as RefRD2
+            from mettagrid.config.query import Query as RefQuery
+
+            our_shrine_kw["on_use_handler"] = OurHandler2(
+                name="tithe",
+                filters=[
+                    OurGVF(
+                        target=OurHT2.ACTOR,
+                        value=OurQIV(
+                            query=OurQuery(
+                                source=our_type_tag("shrine"),
+                                order_by="random",
+                                max_items=2,
+                            ).model_dump(),
+                            item="heart",
+                        ),
+                        min=1,
+                    )
+                ],
+                mutations=[OurRD2(target=OurET2.ACTOR, deltas={"ore_red": 1})],
+            )
+            ref_shrine_kw["on_use_handler"] = RefHandler2(
+                name="tithe",
+                filters=[
+                    RefGVF(
+                        target=RefHT2.ACTOR,
+                        value=RefQIV(
+                            query=RefQuery(
+                                source=ref_type_tag("shrine"),
+                                order_by="random",
+                                max_items=2,
+                            ),
+                            item="heart",
+                        ),
+                        min=1,
+                    )
+                ],
+                mutations=[RefRD2(target=RefET2.ACTOR, deltas={"ore_red": 1})],
+            )
+        ours.game.objects["shrine"] = OurObj(name="shrine", map_name="shrine", **our_shrine_kw)
+        ref.game.objects["shrine"] = RefObj(name="shrine", map_name="shrine", **ref_shrine_kw)
         ours.game.events = {
             "enrich": OurEvent(
                 name="enrich",
@@ -400,6 +481,7 @@ def run_arena_parity(
     events: bool = False,
     economy: bool = False,
     pure_attack: bool = False,
+    random_query: bool = False,
 ) -> List[str]:
     """Run the arena preset in both engines; return a list of mismatches.
 
@@ -418,10 +500,22 @@ def run_arena_parity(
     from mettagrid_tpu.simulator import Simulation as OurSimulation
 
     map_data = build_arena_map(num_agents, map_seed)
+    if random_query:
+        assert events, "random_query builds on the shrine/event family"
     our_cfg, ref_cfg = _make_configs(
         map_data, num_agents, combat=combat, events=events, economy=economy,
-        pure_attack=pure_attack,
+        pure_attack=pure_attack, random_query=random_query,
     )
+    if random_query:
+        # The point of this variant: order_by=random queries inside an
+        # ACTION handler context consume HandlerContext::rng — the step must
+        # take the sequential MT-threaded action path.
+        from mettagrid_tpu.engine import compile_program as _compile
+        from mettagrid_tpu.engine.rng_dep import actions_consume_rng as _acr
+
+        assert _acr(_compile(our_cfg)), (
+            "random_query parity config must consume ctx.rng in action handlers"
+        )
     if pure_attack:
         # The point of this variant: the refined background_inert gate must
         # give live DirectAttack combat the static-background obs path while
@@ -538,6 +632,15 @@ def run_arena_parity(
         hearts = sum(ours.agent(i).inventory.get("heart", 0) for i in range(num_agents))
         if hearts >= 30 * num_agents:
             problems.append("combat never engaged: no heart damage recorded")
+
+    if random_query:
+        # The tithe handler must actually fire (its ore grant is the only
+        # ore source in this family) — a zero-engagement run would
+        # vacuously "pass" without ever drawing from the action-context
+        # MT stream.
+        ores = sum(ours.agent(i).inventory.get("ore_red", 0) for i in range(num_agents))
+        if ores == 0:
+            problems.append("tithe never fired: no action-context RNG draws exercised")
 
     problems += _diff_final(ours, ref)
     return problems
