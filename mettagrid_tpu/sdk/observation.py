@@ -16,7 +16,9 @@ from mettagrid_tpu.sdk.state import (
 def build_state(sim, agent_id: int, env: int = 0) -> MettagridState:
     """Build the semantic snapshot for one agent from live simulation state."""
     objs = sim.grid_objects(env)
-    me = objs.get(agent_id)
+    # grid_objects keys are 1-based object ids (0 = empty space, matching the
+    # reference API); agents are found by their agent_id field.
+    me = next((o for o in objs.values() if o.get("agent_id") == agent_id), None)
     assert me is not None, f"agent {agent_id} not alive"
 
     my_loc = sim.agent(agent_id).location

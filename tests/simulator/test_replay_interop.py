@@ -1,0 +1,159 @@
+"""Replay interop proof (VERDICT r3 next-round #9): the mettascope loader's
+validation pass — ported proc-for-proc from
+nim/mettascope/src/mettascope/validation.nim into
+renderer/replay_validator.py — must accept repo-written replays with zero
+issues, and the port must also accept a genuine reference-recorded replay
+(so the twin can't silently diverge from the real loader)."""
+
+import copy
+
+import pytest
+
+from mettagrid_tpu.renderer.replay_validator import validate_replay
+
+
+def _scenario():
+    from mettagrid_tpu.parity.cross_engine import Scenario
+
+    return Scenario(
+        map_data=[
+            ["wall", "wall", "wall", "wall"],
+            ["wall", "agent.agent", "mine", "wall"],
+            ["wall", "empty", "empty", "wall"],
+            ["wall", "wall", "wall", "wall"],
+        ],
+        num_agents=1,
+        objects={"mine": {"kind": "mine", "gives": {"ore_red": 1}}},
+        agent_rewards={"ore_red": 0.5},
+        scripts=[["move_east"], ["move_south"], ["move_east"], ["noop"], ["move_west"]],
+        max_steps=5,
+    )
+
+
+def _ours_replay():
+    from mettagrid_tpu.parity.cross_engine import _Api, _build_config
+    from mettagrid_tpu.simulator import Simulation
+    from mettagrid_tpu.simulator.replay_writer import InMemoryReplayWriter
+
+    sc = _scenario()
+    w = InMemoryReplayWriter()
+    cfg = _build_config(_Api(ours=True), sc)
+    sim = Simulation(cfg, seed=0, event_handlers=[w])
+    for row in sc.scripts:
+        for i, action in enumerate(row):
+            sim.agent(i).set_action(action)
+        sim.step()
+    sim.close()
+    return w.get_completed_replays()[0].finalize()
+
+
+def test_mettascope_loader_accepts_our_replay():
+    import json
+
+    data = json.loads(json.dumps(_ours_replay()))  # tuples -> lists, as on disk
+    issues = validate_replay(data)
+    assert issues == [], "mettascope loader would report: " + "; ".join(issues)
+
+
+def test_mettascope_loader_accepts_reference_replay():
+    """The validator twin must also pass a replay the REFERENCE recorded —
+    if this fails, the port drifted from the real loader's expectations."""
+    from mettagrid_tpu.parity.reference_oracle import reference_available
+
+    if not reference_available():
+        pytest.skip("reference oracle not built")
+
+    import json
+
+    from mettagrid_tpu.parity.cross_engine import _Api, _build_config
+    from mettagrid_tpu.parity.reference_oracle import load_reference
+
+    load_reference()
+    from mettagrid.simulator.replay_log_writer import InMemoryReplayWriter
+    from mettagrid.simulator.simulator import Simulator
+
+    sc = _scenario()
+    w = InMemoryReplayWriter()
+    s = Simulator()
+    s.add_event_handler(w)
+    cfg = _build_config(_Api(ours=False), sc)
+    sim = s.new_simulation(cfg, seed=0)
+    for row in sc.scripts:
+        for i, action in enumerate(row):
+            sim.agent(i).set_action(action)
+        sim.step()
+    # get_replay_data() is the on-disk form (single-entry timelines trimmed
+    # to bare values, replay_log_writer.py:328-346) — what the loader sees.
+    # Must run before close(): it reads sim.episode_stats off the live env.
+    data = json.loads(json.dumps(w.get_completed_replays()[0].get_replay_data()))
+    sim.close()
+    issues = validate_replay(data)
+    assert issues == [], "validator twin rejects a reference replay: " + "; ".join(issues)
+
+
+@pytest.fixture(scope="module")
+def good_replay():
+    import json
+
+    return json.loads(json.dumps(_ours_replay()))
+
+
+def _mutated(data, fn):
+    d = copy.deepcopy(data)
+    fn(d)
+    return validate_replay(d)
+
+
+def test_validator_rejects_missing_required_key(good_replay):
+    issues = _mutated(good_replay, lambda d: d.pop("type_names"))
+    assert any("Missing required keys" in i for i in issues)
+
+
+def test_validator_rejects_wrong_version(good_replay):
+    issues = _mutated(good_replay, lambda d: d.__setitem__("version", 3))
+    assert any("'version' must be 4" in i for i in issues)
+
+
+def test_validator_rejects_unexpected_top_level_key(good_replay):
+    issues = _mutated(good_replay, lambda d: d.__setitem__("bogus", 1))
+    assert any("Unexpected keys" in i for i in issues)
+
+
+def test_validator_rejects_time_series_not_starting_at_zero(good_replay):
+    def fn(d):
+        agent = next(o for o in d["objects"] if "agent_id" in o)
+        agent["action_id"] = [[1, 0], [2, 1]]
+
+    issues = _mutated(good_replay, fn)
+    assert any("must start with step 0" in i for i in issues)
+
+
+def test_validator_rejects_agent_id_out_of_range(good_replay):
+    def fn(d):
+        agent = next(o for o in d["objects"] if "agent_id" in o)
+        agent["agent_id"] = d["num_agents"]
+
+    issues = _mutated(good_replay, fn)
+    assert any("agent_id" in i and "out of range" in i for i in issues)
+
+
+def test_validator_rejects_nonpositive_object_id(good_replay):
+    def fn(d):
+        d["objects"][0]["id"] = 0  # id 0 = empty space in the reference grid
+
+    issues = _mutated(good_replay, fn)
+    assert any("must be positive" in i for i in issues)
+
+
+def test_validator_rejects_mixed_inventory_formats(good_replay):
+    def fn(d):
+        obj = d["objects"][0]
+        obj["inventory"] = [[0, [[0, 1]]], [1, 2]]  # time-series + static mix
+
+    issues = _mutated(good_replay, fn)
+    assert any("mixed time series and static" in i for i in issues)
+
+
+def test_validator_rejects_agent_count_mismatch(good_replay):
+    issues = _mutated(good_replay, lambda d: d.__setitem__("num_agents", 2))
+    assert any("Expected 2 agents, found 1" in i for i in issues)
