@@ -233,16 +233,24 @@ def true_grid(state, num_agents: int) -> jnp.ndarray:
 # =====================================================================
 
 
-def _group_tables(program, tid):
-    """Gather per-type limit-group tables for tid [...]. Returns
-    (gid_per_resource [..., R], member [..., G, R], modw [..., G, R],
-    gmin [..., G], gmax [..., G])."""
-    lg = jnp.asarray(program.type_limit_group)[tid]
-    member = jnp.asarray(program.type_group_member)[tid]
-    modw = jnp.asarray(program.type_group_modw)[tid]
-    gmin = jnp.asarray(program.type_group_min)[tid]
-    gmax = jnp.asarray(program.type_group_max)[tid]
-    return lg, member, modw, gmin, gmax
+def type_select(program, tid, table_np) -> jnp.ndarray:
+    """Select per-type rows of a STATIC table: table_np [nt, *rest] indexed
+    by tid [*B] -> [*B, *rest], via a one-hot int32 contraction.
+
+    Data-dependent table lookups (`jnp.asarray(table)[tid]`,
+    take_along_axis) lower as XLA gathers, which cost 100-300x on TPU at
+    engine shapes (docs/perf_findings.md) — one inv_update carried ~8 of
+    them and measured 5.0 ms of the combat wave's 10.8 ms. The one-hot dot
+    is exact for int32 payloads (verified — perf_findings exactness rules).
+
+    Out-of-range tid (e.g. -1 from a masked-off slot) yields an all-zero
+    row; every caller masks such lanes out downstream."""
+    tbl = np.asarray(table_np)
+    nt = tbl.shape[0]
+    oh = (tid[..., None] == jnp.arange(nt, dtype=jnp.int32)).astype(jnp.int32)
+    t2 = jnp.asarray(tbl.reshape(nt, -1), dtype=jnp.int32)
+    out = jnp.einsum("...t,tk->...k", oh, t2, precision=_sel_precision(jnp.int32))
+    return out.reshape(tid.shape + tbl.shape[1:])
 
 
 def inv_update(program, tid, inv, rid: int, delta, mask):
@@ -252,17 +260,26 @@ def inv_update(program, tid, inv, rid: int, delta, mask):
     Returns (new_inv, actual_delta). effective limit =
     clamp(min(max, max(min, sum(modifier*qty))), 0, 65535); capacity for this
     item = effective - used_by_other_group_members (inventory.cpp:46-57).
-    """
-    lg, member, modw, gmin, gmax = _group_tables(program, tid)
-    gid = lg[..., rid]  # [B]
-    has_group = gid >= 0
-    gsel = jnp.clip(gid, 0, member.shape[-2] - 1)
 
-    # Select this resource's group row: [B, R]
-    mem = jnp.take_along_axis(member, gsel[..., None, None], axis=-2)[..., 0, :]
-    mw = jnp.take_along_axis(modw, gsel[..., None, None], axis=-2)[..., 0, :]
-    g_min = jnp.take_along_axis(gmin, gsel[..., None], axis=-1)[..., 0]
-    g_max = jnp.take_along_axis(gmax, gsel[..., None], axis=-1)[..., 0]
+    rid is trace-static, so the group-table lookups collapse to per-type
+    rows precomputed in NumPy and fetched with one type_select each — no
+    runtime gather touches the [nt, G, R] tables.
+    """
+    lg_np = np.asarray(program.type_limit_group)  # [nt, R]
+    member_np = np.asarray(program.type_group_member)  # [nt, G, R]
+    modw_np = np.asarray(program.type_group_modw)
+    gmin_np = np.asarray(program.type_group_min)  # [nt, G]
+    gmax_np = np.asarray(program.type_group_max)
+    nt, G = gmin_np.shape
+    ts = np.arange(nt)
+    gid_np = lg_np[:, rid]  # [nt] — this resource's group per type
+    gsel_np = np.clip(gid_np, 0, max(G - 1, 0))
+
+    has_group = type_select(program, tid, (gid_np >= 0).astype(np.int32)) > 0  # [B]
+    mem = type_select(program, tid, member_np[ts, gsel_np])  # [B, R]
+    mw = type_select(program, tid, modw_np[ts, gsel_np])  # [B, R]
+    g_min = type_select(program, tid, gmin_np[ts, gsel_np])  # [B]
+    g_max = type_select(program, tid, gmax_np[ts, gsel_np])  # [B]
 
     mod_sum = (inv * mw).sum(axis=-1)
     effective = jnp.clip(jnp.minimum(g_max, jnp.maximum(g_min, mod_sum)), 0, 65535)
@@ -282,37 +299,61 @@ def inv_enforce_limits(program, tid, inv, mask):
 
     One pass over groups, dropping from resources in ascending id order
     (the reference iterates unordered_map order; ascending is our canonical
-    order). Returns new_inv.
+    order). The ascending drop walk is a prefix-sum: take-from-bins-in-order
+    gives drop_r = clip(excess - sum_{r'<r} droppable_r', 0, droppable_r).
+    Returns new_inv.
     """
-    lg, member, modw, gmin, gmax = _group_tables(program, tid)
-    G = member.shape[-2]
+    member_np = np.asarray(program.type_group_member)  # [nt, G, R]
+    modw_np = np.asarray(program.type_group_modw)
+    gmin_np = np.asarray(program.type_group_min)  # [nt, G]
+    gmax_np = np.asarray(program.type_group_max)
+    G = member_np.shape[1]
     for g in range(G):
-        mem = member[..., g, :]  # [B, R]
-        mw = modw[..., g, :]
+        mem = type_select(program, tid, member_np[:, g, :])  # [B, R]
+        mw = type_select(program, tid, modw_np[:, g, :])
+        g_min = type_select(program, tid, gmin_np[:, g])  # [B]
+        g_max = type_select(program, tid, gmax_np[:, g])
         mod_sum = (inv * mw).sum(axis=-1)
-        effective = jnp.clip(
-            jnp.minimum(gmax[..., g], jnp.maximum(gmin[..., g], mod_sum)), 0, 65535
-        )
+        effective = jnp.clip(jnp.minimum(g_max, jnp.maximum(g_min, mod_sum)), 0, 65535)
         used = (inv * mem).sum(axis=-1)
-        excess = jnp.maximum(used - effective, 0)  # [B]
-        R = inv.shape[-1]
-        for rid in range(R):
-            drop = jnp.minimum(inv[..., rid], excess) * mem[..., rid].astype(inv.dtype)
-            drop = jnp.where(mask, drop, 0)
-            inv = inv.at[..., rid].add(-drop)
-            excess = excess - drop
+        excess = jnp.where(mask, jnp.maximum(used - effective, 0), 0)  # [B]
+        droppable = inv * mem  # [B, R] (membership is 0/1)
+        prefix = jnp.cumsum(droppable, axis=-1) - droppable
+        drop = jnp.clip(excess[..., None] - prefix, 0, droppable)
+        inv = inv - drop
     return inv
 
 
 def effective_limits(program, tid, inv) -> jnp.ndarray:
     """Per-resource effective limits [B, R] (65535 where unlimited)."""
-    lg, member, modw, gmin, gmax = _group_tables(program, tid)
-    mod_sum = (inv[..., None, :] * modw).sum(axis=-1)  # [B, G]
-    eff_g = jnp.clip(jnp.minimum(gmax, jnp.maximum(gmin, mod_sum)), 0, 65535)  # [B, G]
-    G = eff_g.shape[-1]
-    gsel = jnp.clip(lg, 0, max(G - 1, 0))  # [B, R]
-    eff = jnp.take_along_axis(eff_g, gsel.reshape(gsel.shape[:-1] + (-1,)), axis=-1)
-    return jnp.where(lg >= 0, eff, 65535)
+    lg_np = np.asarray(program.type_limit_group)  # [nt, R]
+    modw_np = np.asarray(program.type_group_modw)  # [nt, G, R]
+    gmin_np = np.asarray(program.type_group_min)  # [nt, G]
+    gmax_np = np.asarray(program.type_group_max)
+    nt, G = gmin_np.shape
+    oh = (tid[..., None] == jnp.arange(nt, dtype=jnp.int32)).astype(jnp.int32)
+    mod_sum = jnp.einsum(
+        "...t,tgr,...r->...g",
+        oh,
+        jnp.asarray(modw_np, dtype=jnp.int32),
+        inv,
+        precision=_sel_precision(jnp.int32),
+    )  # [B, G]
+    g_min = type_select(program, tid, gmin_np)  # [B, G]
+    g_max = type_select(program, tid, gmax_np)
+    eff_g = jnp.clip(jnp.minimum(g_max, jnp.maximum(g_min, mod_sum)), 0, 65535)  # [B, G]
+    # Route each resource to its group's effective value: static [nt, G, R]
+    # indicator (lg[t, r] == g), one exact contraction.
+    route_np = (lg_np[:, None, :] == np.arange(G)[None, :, None]).astype(np.int32)
+    eff = jnp.einsum(
+        "...g,tgr,...t->...r",
+        eff_g,
+        jnp.asarray(route_np),
+        oh,
+        precision=_sel_precision(jnp.int32),
+    )
+    has = type_select(program, tid, (lg_np >= 0).astype(np.int32)) > 0  # [B, R]
+    return jnp.where(has, eff, 65535)
 
 
 # =====================================================================

@@ -27,6 +27,7 @@ from mettagrid_tpu.engine.exec import (
     inv_enforce_limits,
     inv_update,
     scatter,
+    type_select,
 )
 from mettagrid_tpu.engine.ir import (
     CompiledHandler,
@@ -182,7 +183,8 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
         tid = gather(state.obj_type, slot)
-        rmask = jnp.asarray(m.clear_mask)[tid]  # [B, R]
+        # Per-type table lookup via one-hot (gathers cost 100-300x on TPU).
+        rmask = type_select(program, tid, np.asarray(m.clear_mask, dtype=np.int32)) > 0  # [B, R]
         inv = gather(state.obj_inv, slot)
         new_inv = jnp.where(rmask & valid[..., None], 0, inv)
         state = state._replace(obj_inv=scatter(state.obj_inv, slot, new_inv, valid))

@@ -1,0 +1,138 @@
+"""Anatomy of one combat wave: where do 10.8 ms go?
+
+probe_r4_combat.py measured apply_move_batch (one wave of the --combat
+config) at ~10.8 ms on TPU while the whole flagship step is 3.9 ms. The
+chain is tiny (vibe filter -> direct_attack; target_loc_empty -> relocate;
+target_is_usable -> use_target with zero usable types), so something in the
+formulation is mis-lowering. Time each piece standalone:
+
+    python scripts/probe_r4_wave.py            # TPU
+    PROBE_CPU=1 python scripts/probe_r4_wave.py
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+
+if os.environ.get("PROBE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from timing import time_fn_carry  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import make_combat_cfg  # noqa: E402
+
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
+from mettagrid_tpu.engine import actions_fast as af  # noqa: E402
+from mettagrid_tpu.engine import exec as ex  # noqa: E402
+from mettagrid_tpu.engine import handlers as hd  # noqa: E402
+
+E = int(os.environ.get("PROBE_E", "4096"))
+A = 24
+
+cfg = make_combat_cfg(A)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+maps = []
+rng = np.random.default_rng(0)
+for _ in range(16):
+    b.config.seed = int(rng.integers(0, 2**31 - 1))
+    maps.append(b.build_for_num_agents(A))
+init = build_env_init(program, maps)
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+
+N = state.obj_type.shape[1]
+H, W = state.grid.shape[1], state.grid.shape[2]
+R = state.obj_inv.shape[2]
+Sa = state.agent_stats.shape[2]
+print(f"E={E} A={A} N={N} HxW={H}x{W} R={R} Sa={Sa}", flush=True)
+print(f"obj_inv dtype={state.obj_inv.dtype} grid dtype={state.grid.dtype}", flush=True)
+
+arg = jnp.zeros((E, A), dtype=jnp.int32)
+active = jnp.ones((E, A), dtype=bool)
+slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
+
+
+def t(name, fn):
+    ms = time_fn_carry(fn, state, k=4) * 1e3
+    print(f"{name:36s} {ms:8.3f} ms", flush=True)
+
+
+# full wave
+t("apply_move_batch (full)", lambda st: (af.apply_move_batch(program, st, active, arg)[0], jnp.float32(0)))
+
+# shared grid read
+def f_gridread(st):
+    ar = st.obj_r[:, :A]
+    ac = st.obj_c[:, :A]
+    v = ex.grid_read(st.grid, ar + 1, ac)
+    return st, v.sum()
+
+t("grid_read [E,A]", f_gridread)
+
+# one inventory gather / scatter at [E,A] slots
+def f_invgather(st):
+    v = ex.gather(st.obj_inv, slots)
+    return st, v.sum()
+
+t("gather obj_inv [E,A]->[E,A,R]", f_invgather)
+
+
+def f_vibegather(st):
+    v = ex.gather(st.obj_vibe, slots)
+    return st, v.sum()
+
+t("gather obj_vibe [E,A]", f_vibegather)
+
+
+def f_invscatter(st):
+    inv = ex.gather(st.obj_inv, slots)
+    st2 = st._replace(obj_inv=ex.scatter(st.obj_inv, slots, inv + 1, active))
+    return st2, jnp.float32(0)
+
+t("gather+scatter obj_inv", f_invscatter)
+
+
+# each handler chain standalone (same ctx shape as a wave)
+def make_ctx(st):
+    ar = st.obj_r[:, :A]
+    ac = st.obj_c[:, :A]
+    tr = ar + 1
+    tc = ac
+    tgt = ex.grid_read(st.grid, tr, tc)
+    return ex.Ctx(actor=slots, target=tgt, target_r=tr, target_c=tc,
+                  distance=jnp.ones((E, A), jnp.int32), timestep=st.step_count)
+
+
+for i, mh in enumerate(program.move_handlers):
+    h = mh.handler
+
+    def f_filters(st, h=h):
+        ctx = make_ctx(st)
+        ok = ex.eval_filters(program, st, ctx, h.filters)
+        return st, ok.sum()
+
+    t(f"handler[{i}] filters {[f.kind for f in h.filters]}", f_filters)
+
+    def f_mut(st, h=h):
+        ctx = make_ctx(st)
+        st2, okm = hd.apply_mutations(program, st, ctx, h, active)
+        return st2, okm.sum()
+
+    t(f"handler[{i}] mutations {[m.kind for m in h.mutations]}", f_mut)
+
+# grid writes (relocate's occupancy maintenance)
+def f_gridwrite(st):
+    ar = st.obj_r[:, :A]
+    ac = st.obj_c[:, :A]
+    g = ex.grid_write(st.grid, ar, ac, -1, active)
+    g = ex.grid_write(g, ar + 1, ac, slots, active)
+    return st._replace(grid=g), jnp.float32(0)
+
+t("2x grid_write [E,A]", f_gridwrite)
