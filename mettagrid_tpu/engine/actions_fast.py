@@ -84,6 +84,19 @@ _LOCAL_MUTATIONS = {
 }
 
 
+def _value_local(v) -> bool:
+    """A game value is wave-local when it reads only the bound entity (or
+    constants): query-bearing kinds read arbitrary objects, so an earlier
+    agent's same-wave mutation could change their result mid-order."""
+    if v is None:
+        return True
+    if v.kind in ("query_inventory", "query_count"):
+        return False
+    if v.kind in ("sum", "ratio", "max", "min"):
+        return all(_value_local(c) for c in v.children)
+    return True  # inventory / stat / const read only the bound entity
+
+
 def _filter_local(f: CompiledFilter) -> bool:
     if f.kind not in _LOCAL_FILTERS:
         return False
@@ -95,6 +108,12 @@ def _filter_local(f: CompiledFilter) -> bool:
 def _mutation_local(m: CompiledMutation) -> bool:
     if m.kind not in _LOCAL_MUTATIONS:
         return False
+    if m.kind == "stats":
+        # Game-scope stat writes are per-env shared state (two same-wave
+        # writers would race), and query-bearing sources read arbitrary
+        # objects — both break the per-agent footprint argument.
+        if m.stat_is_game or not _value_local(m.source):
+            return False
     return all(_mutation_local(s) for s in m.on_success)
 
 
@@ -116,6 +135,43 @@ def fast_mode_ok(program: EngineProgram) -> bool:
             return False
     for h in program.on_after_use_handlers:
         if h is not None and not _handler_local(h):
+            return False
+    return True
+
+
+def _mutation_has_swap(m: CompiledMutation) -> bool:
+    return m.kind == "swap" or any(_mutation_has_swap(s) for s in m.on_success)
+
+
+def _handler_has_swap(h) -> bool:
+    if h is None:
+        return False
+    if isinstance(h, CompiledHandler):
+        return any(_mutation_has_swap(m) for m in h.mutations)
+    return any(_handler_has_swap(c) for c in h.handlers)
+
+
+def footprint_schedule_ok(program: EngineProgram) -> bool:
+    """True when the exact two-cell footprint wave schedule applies (requires
+    fast_mode_ok). Argument: with max_range == 1 every local handler's reads
+    and writes are confined to {actor cell, target cell} (filters/mutations
+    touch only the actor entity, the target entity, and the target cell's
+    occupancy), and with no reachable `swap` an agent's position cannot
+    change before it acts. Two movers whose cell pairs are disjoint therefore
+    commute, so x need only wait for an earlier unsettled y when
+    t_y == t_x (y may arrive at / mutate the occupant of x's target),
+    p_y == t_x (y may vacate or be x's target), or p_x == t_y (y targets x).
+    Every unsettled position is the phase-start position, so the whole wave
+    schedule is computable up-front from [E, A] cell ids — the expensive
+    mutation batch then runs exactly max-wave-count times instead of once
+    per conservative Chebyshev wave."""
+    if not all(mh.max_range == 1 for mh in program.move_handlers):
+        return False
+    for mh in program.move_handlers:
+        if _handler_has_swap(mh.handler):
+            return False
+    for h in list(program.on_use_handlers) + list(program.on_after_use_handlers):
+        if _handler_has_swap(h):
             return False
     return True
 
@@ -278,6 +334,11 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
     # Chebyshev interaction radius: two agents farther apart cannot touch
     # the same cell/object during their line scans + relocations.
     r_int = 2 * max_range
+    # Exact two-cell-footprint wave schedule (range-1, no swap): far fewer
+    # waves than the conservative Chebyshev ball. Env knob for hardware A/B.
+    sched_ok = footprint_schedule_ok(program) and not _os.environ.get(
+        "METTAGRID_TPU_NO_SCHED"
+    )
 
     def bookkeeping(state: EnvState, active, a, success, ar, ac):
         """Stats + last-action updates for a batch of agents
@@ -451,6 +512,62 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                     succ_all = succ_now | move_succ
                     r_at = jnp.where(move_mask, new_r, r_base)
                     c_at = jnp.where(move_mask, new_c, c_base)
+                elif program.move_handlers and stream_has_move and sched_ok:
+                    # --- exact footprint schedule (footprint_schedule_ok) ---
+                    # Wave indices are computed up-front from phase-start
+                    # cell ids (cheap [E, A, A] boolean math); the expensive
+                    # mutation batch then runs only max(wave_idx)+1 times.
+                    move_mask = active & (kind == KIND_MOVE)
+                    H, W = state.grid.shape[1], state.grid.shape[2]
+                    dr = jnp.asarray(DIR_DR)[arg]
+                    dc = jnp.asarray(DIR_DC)[arg]
+                    tr = r_base + dr
+                    tc = c_base + dc
+                    inb = (tr >= 0) & (tr < H) & (tc >= 0) & (tc < W)
+                    # Unique negative sentinels for out-of-bounds targets so
+                    # two OOB movers don't spuriously serialize on t_y == t_x.
+                    tcell = jnp.where(move_mask & inb, tr * W + tc, -2 - iota_a[None, :])
+                    pcell = r_base * W + c_base
+                    earlier = rank[:, None, :] < rank[:, :, None]
+                    ty = tcell[:, None, :]  # [E, x, y]
+                    tx = tcell[:, :, None]
+                    py = pcell[:, None, :]
+                    px = pcell[:, :, None]
+                    conflict = earlier & ((ty == tx) | (py == tx) | (px == ty))
+
+                    def sched_body(carry):
+                        unsettled, wave_idx, w = carry
+                        dep = (conflict & unsettled[:, None, :]).any(axis=-1)
+                        settle = unsettled & ~dep
+                        wave_idx = jnp.where(settle, w, wave_idx)
+                        return unsettled & ~settle, wave_idx, w + 1
+
+                    sc = (move_mask, jnp.zeros((E, A), jnp.int32), jnp.zeros((), jnp.int32))
+                    for _ in range(2):
+                        sc = sched_body(sc)
+                    _, wave_idx, _ = jax.lax.while_loop(
+                        lambda c: jnp.any(c[0]), sched_body, sc
+                    )
+                    n_waves = jnp.max(jnp.where(move_mask, wave_idx, -1)) + 1
+
+                    def wave_body(carry):
+                        state, success, r_rec, c_rec, w = carry
+                        settle = move_mask & (wave_idx == w)
+                        state, succ = apply_move_batch(program, state, settle, arg)
+                        r_rec = jnp.where(settle, state.obj_r[:, :A], r_rec)
+                        c_rec = jnp.where(settle, state.obj_c[:, :A], c_rec)
+                        return state, success | succ, r_rec, c_rec, w + 1
+
+                    carry = (state, jnp.zeros_like(move_mask), r_base, c_base,
+                             jnp.zeros((), jnp.int32))
+                    carry = wave_body(carry)  # wave 0 (empty settle = no-op)
+                    state, move_succ, r_rec, c_rec, _ = jax.lax.while_loop(
+                        lambda c: c[4] < n_waves, wave_body, carry
+                    )
+                    settled_all = settled_now | move_mask
+                    succ_all = succ_now | move_succ
+                    r_at = jnp.where(move_mask, r_rec, r_base)
+                    c_at = jnp.where(move_mask, c_rec, c_base)
                 elif program.move_handlers and stream_has_move:
                     move_mask = active & (kind == KIND_MOVE)
                     r0 = r_base

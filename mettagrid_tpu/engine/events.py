@@ -113,6 +113,7 @@ def _apply_event(
         target_c=state.obj_c,
         distance=jnp.zeros((E, N), dtype=jnp.int32),
         timestep=state.step_count,
+        dense_identity=True,
     )
     passed = targets & env_fire[:, None] & eval_filters(program, state, ctx, ev.handler.filters)
 

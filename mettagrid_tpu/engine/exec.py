@@ -30,6 +30,11 @@ class Ctx(NamedTuple):
     # Territory proxy-cell actor: overrides the actor's tag bits when set
     # (reference: territory_tracker.cpp:293-311 proxy cells).
     actor_tags: Optional[jnp.ndarray] = None  # bool[B, n_tags]
+    # Static hint: actor/target are the identity over the FULL object axis
+    # (slot[e, i] == i, B == [E, N]) — event-phase contexts. Entity
+    # gathers/scatters then collapse to direct full-array ops (the one-hot
+    # [E, N, N] forms are pure overhead there).
+    dense_identity: bool = False
 
     def bcast_timestep(self) -> jnp.ndarray:
         t = self.timestep
@@ -506,19 +511,24 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter, mtd: Optional[MtThr
     kind = f.kind
     B = ctx.actor.shape
 
+    def eread(arr, slot):
+        # Event contexts bind the full-axis identity (ctx.dense_identity):
+        # the entity read IS the array.
+        return arr if ctx.dense_identity else gather(arr, slot)
+
     if kind == "target_loc_empty":
         return ctx.target < 0
     if kind == "target_is_usable":
-        ttype = gather(state.obj_type, ctx.target)
+        ttype = eread(state.obj_type, ctx.target)
         usable = jnp.asarray(program.type_usable)[ttype]
         return (ctx.target >= 0) & usable
     if kind == "vibe":
         slot = _entity_slot(ctx, f.target_is_actor)
-        vibe = gather(state.obj_vibe, slot)
+        vibe = eread(state.obj_vibe, slot)
         return (slot >= 0) & (vibe == f.vibe_id)
     if kind == "resource":
         slot = _entity_slot(ctx, f.target_is_actor)
-        inv = gather(state.obj_inv, slot)  # [B, R]
+        inv = eread(state.obj_inv, slot)  # [B, R]
         ok = slot >= 0
         for rid, amount in f.resource_mins:
             ok = ok & (inv[..., rid] >= amount)
@@ -527,23 +537,23 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter, mtd: Optional[MtThr
         slot = _entity_slot(ctx, f.target_is_actor)
         if f.target_is_actor and ctx.actor_tags is not None:
             return ctx.actor_tags[..., f.tag_id]
-        tags = gather(state.obj_tags, slot)  # [B, n_tags]
+        tags = eread(state.obj_tags, slot)  # [B, n_tags]
         return (slot >= 0) & tags[..., f.tag_id]
     if kind == "tag_prefix":
         slot = _entity_slot(ctx, f.target_is_actor)
         pm = jnp.asarray(f.tag_mask)
         if f.target_is_actor and ctx.actor_tags is not None:
             return (ctx.actor_tags & pm).any(axis=-1)
-        tags = gather(state.obj_tags, slot)
+        tags = eread(state.obj_tags, slot)
         return (slot >= 0) & (tags & pm).any(axis=-1)
     if kind == "shared_tag_prefix":
         if ctx.actor_tags is not None:
             at = ctx.actor_tags
             actor_ok = at.any(axis=-1)
         else:
-            at = gather(state.obj_tags, ctx.actor)
+            at = eread(state.obj_tags, ctx.actor)
             actor_ok = ctx.actor >= 0
-        tt = gather(state.obj_tags, ctx.target)
+        tt = eread(state.obj_tags, ctx.target)
         pm = jnp.asarray(f.tag_mask)
         return actor_ok & (ctx.target >= 0) & (at & tt & pm).any(axis=-1)
     if kind == "game_value":

@@ -48,20 +48,29 @@ def _entity_slot(ctx: Ctx, target_is_actor: bool) -> jnp.ndarray:
     return ctx.actor if target_is_actor else ctx.target
 
 
-def entity_inv_update(program, state, slot, rid: int, delta, mask):
+def entity_inv_update(program, state, slot, rid: int, delta, mask, dense_identity=False):
     """Per-slot clamped inventory update; returns (state, actual_delta[B]).
 
     Applies the shared-limit math (inventory.cpp:38-88) and the
-    enforce-on-modifier-removal pass."""
-    inv = gather(state.obj_inv, slot)  # [B, R]
-    tid = gather(state.obj_type, slot)
+    enforce-on-modifier-removal pass. dense_identity: slot is the full-axis
+    identity (event contexts) — skip the gather/scatter round-trip
+    (inv_update masks per entry itself)."""
+    if dense_identity:
+        inv = state.obj_inv
+        tid = state.obj_type
+    else:
+        inv = gather(state.obj_inv, slot)  # [B, R]
+        tid = gather(state.obj_type, slot)
     new_inv, actual = inv_update(program, tid, inv, rid, delta, mask)
     if program.resource_is_modifier[rid]:
         shrink = mask & (actual < 0)
         new_inv = jnp.where(
             shrink[..., None], inv_enforce_limits(program, tid, new_inv, shrink), new_inv
         )
-    state = state._replace(obj_inv=scatter(state.obj_inv, slot, new_inv, mask))
+    if dense_identity:
+        state = state._replace(obj_inv=new_inv)
+    else:
+        state = state._replace(obj_inv=scatter(state.obj_inv, slot, new_inv, mask))
     return state, actual
 
 
@@ -153,7 +162,10 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
         for rid, delta in m.deltas:
-            state, _ = entity_inv_update(program, state, slot, rid, jnp.full_like(slot, delta), valid)
+            state, _ = entity_inv_update(
+                program, state, slot, rid, jnp.full_like(slot, delta), valid,
+                dense_identity=ctx.dense_identity,
+            )
         return state, ok
 
     if kind == "resource_transfer":
@@ -182,6 +194,13 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     if kind == "clear_inventory":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
+        if ctx.dense_identity:
+            tid = state.obj_type
+            rmask = type_select(program, tid, np.asarray(m.clear_mask, dtype=np.int32)) > 0
+            state = state._replace(
+                obj_inv=jnp.where(rmask & valid[..., None], 0, state.obj_inv)
+            )
+            return state, ok
         tid = gather(state.obj_type, slot)
         # Per-type table lookup via one-hot (gathers cost 100-300x on TPU).
         rmask = type_select(program, tid, np.asarray(m.clear_mask, dtype=np.int32)) > 0  # [B, R]
@@ -197,27 +216,42 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         # Flat weapon-vs-armor damage to a health resource — the attack the
         # reference engine actually executes (attack_mutation.hpp:20-38).
         valid = mask & (ctx.actor >= 0) & (ctx.target >= 0)
-        weapon = gather(state.obj_inv, ctx.actor)[..., m.weapon_rid]
-        armor = gather(state.obj_inv, ctx.target)[..., m.armor_rid]
+        if ctx.dense_identity:
+            weapon = state.obj_inv[..., m.weapon_rid]
+            armor = state.obj_inv[..., m.armor_rid]
+        else:
+            weapon = gather(state.obj_inv, ctx.actor)[..., m.weapon_rid]
+            armor = gather(state.obj_inv, ctx.target)[..., m.armor_rid]
         damage = jnp.maximum(0, (weapon * m.damage_pct) // 100 - armor)
         state, _ = entity_inv_update(
-            program, state, ctx.target, m.health_rid, -damage, valid & (damage > 0)
+            program, state, ctx.target, m.health_rid, -damage, valid & (damage > 0),
+            dense_identity=ctx.dense_identity,
         )
         return state, ok
 
     if kind == "change_vibe":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
-        state = state._replace(
-            obj_vibe=scatter(state.obj_vibe, slot, jnp.full_like(slot, m.vibe_id), valid)
-        )
+        if ctx.dense_identity:
+            state = state._replace(
+                obj_vibe=jnp.where(valid, m.vibe_id, state.obj_vibe)
+            )
+        else:
+            state = state._replace(
+                obj_vibe=scatter(state.obj_vibe, slot, jnp.full_like(slot, m.vibe_id), valid)
+            )
         return state, ok
 
     if kind == "add_tag" or kind == "remove_tag":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
-        tags = gather(state.obj_tags, slot)
         bit = kind == "add_tag"
+        if ctx.dense_identity:
+            tags = state.obj_tags
+            tags = tags.at[..., m.tag_id].set(jnp.where(valid, bit, tags[..., m.tag_id]))
+            state = state._replace(obj_tags=tags)
+            return state, ok
+        tags = gather(state.obj_tags, slot)
         tags = tags.at[..., m.tag_id].set(jnp.where(valid, bit, tags[..., m.tag_id]))
         state = state._replace(obj_tags=scatter(state.obj_tags, slot, tags, valid))
         return state, ok
@@ -225,8 +259,12 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     if kind == "remove_tags_with_prefix":
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
-        tags = gather(state.obj_tags, slot)
         pm = jnp.asarray(m.tag_mask)
+        if ctx.dense_identity:
+            tags = jnp.where(valid[..., None] & pm, False, state.obj_tags)
+            state = state._replace(obj_tags=tags)
+            return state, ok
+        tags = gather(state.obj_tags, slot)
         tags = jnp.where(valid[..., None] & pm, False, tags)
         state = state._replace(obj_tags=scatter(state.obj_tags, slot, tags, valid))
         return state, ok

@@ -57,8 +57,31 @@ def _fresh_state_from_pool(
     A = program.num_agents
     Sa, Sg = stat_dims(program)
 
+    # Per-env row select from the P-map pool. DirectAttack-style configs
+    # take the auto-reset cond nearly every step (deaths desync episodes),
+    # so this runs hot: on TPU a data-dependent jnp.take lowers as the
+    # 100-300x-penalty gather class (docs/perf_findings.md) — use the exact
+    # int32 one-hot contraction instead (payloads are small ints/bools).
+    # (Unlike exec._use_onehot there is no big [E, M, N] comparison tensor
+    # here — the one-hot is just [E, P] — so no size budget is needed.)
+    import mettagrid_tpu.engine.exec as _exec
+
+    P = next(iter(pool.values())).shape[0]
+    oh = None
+
     def pick(name):
-        return jnp.take(pool[name], map_idx, axis=0)
+        nonlocal oh
+        arr = pool[name]
+        on_tpu = _exec._FORCE_ONEHOT or jax.default_backend() == "tpu"
+        if not on_tpu or arr.dtype == jnp.uint32:
+            return jnp.take(arr, map_idx, axis=0)
+        if oh is None:
+            oh = (
+                map_idx[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+            ).astype(jnp.int32)
+        flat = arr.reshape(P, -1).astype(jnp.int32)
+        out = jnp.einsum("ep,px->ex", oh, flat, precision=jax.lax.Precision.DEFAULT)
+        return out.reshape((E,) + arr.shape[1:]).astype(arr.dtype)
 
     agent_r = pick("agent_r")
     agent_c = pick("agent_c")

@@ -1,0 +1,55 @@
+"""Replicate bench.py's measured loop for --combat/--general with toggles to
+find why it reads ~10 ms/step slower than the standalone step probes
+(probe_r4_sched.py): map pool size, obs carry, checksum mode."""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import build_bench  # noqa: E402
+
+E = int(os.environ.get("PROBE_E", "4096"))
+variant = os.environ.get("PROBE_VARIANT", "combat")
+
+
+def run(tag, total_steps=512, warm_steps=128, chunk=64, **kw):
+    reset, run_chunk, make_actions = build_bench(
+        num_envs=E,
+        general=(variant == "general"),
+        combat=(variant == "combat"),
+        chunk=chunk,
+        **kw,
+    )
+    n_warm = max(warm_steps // chunk, 1)
+    n_bench = max(total_steps // chunk, 1)
+    state, out0 = reset(0)
+    obs_buf = out0.observations
+    checksum = jnp.zeros((), dtype=jnp.uint32)
+    key = jax.random.PRNGKey(1)
+    chunks = []
+    for i in range(n_warm + n_bench):
+        key, sub = jax.random.split(key)
+        chunks.append(make_actions(sub))
+    jax.block_until_ready(chunks)
+    for i in range(n_warm):
+        state, checksum, obs_buf = run_chunk(state, checksum, obs_buf, chunks[i])
+    int(jax.device_get(checksum))
+    t0 = time.perf_counter()
+    for i in range(n_bench):
+        state, checksum, obs_buf = run_chunk(state, checksum, obs_buf, chunks[n_warm + i])
+    int(jax.device_get(checksum))
+    dt = time.perf_counter() - t0
+    sps = E * chunk * n_bench / dt
+    print(f"{tag:40s} {sps:12.1f} env-steps/s   {E / sps * 1e3:7.3f} ms/step", flush=True)
+
+
+print(f"variant={variant} E={E}", flush=True)
+for c in (8, 16, 32, 64):
+    run(f"chunk={c} (512 bench steps)", chunk=c)

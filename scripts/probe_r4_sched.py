@@ -1,0 +1,152 @@
+"""Round-4 probe: combat/general step anatomy after the footprint scheduler.
+
+Measures (1) full-step cost with auto_reset on/off (DirectAttack arenas kill
+agents, so the reset cond is taken nearly every step at E=4096 — unlike the
+flagship where episodes end in sync), (2) the action-phase cost under the
+exact footprint schedule vs the Chebyshev waves (METTAGRID_TPU_NO_SCHED=1),
+(3) the scheduled wave-count distribution. Run on the TPU host:
+  python scripts/probe_r4_sched.py            # combat config
+  PROBE_GENERAL=1 python scripts/probe_r4_sched.py
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+
+if os.environ.get("PROBE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from timing import time_fn_carry  # noqa: E402
+
+from bench import make_combat_cfg, make_general_cfg  # noqa: E402
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step  # noqa: E402
+
+E = int(os.environ.get("PROBE_E", "4096"))
+A = 24
+
+cfg = make_general_cfg(A) if os.environ.get("PROBE_GENERAL") else make_combat_cfg(A)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+maps = []
+rng = np.random.default_rng(0)
+for _ in range(16):
+    b.config.seed = int(rng.integers(0, 2**31 - 1))
+    maps.append(b.build_for_num_agents(A))
+init = build_env_init(program, maps)
+reset = make_reset(program, init, E)
+state0, _ = reset(0)
+n_actions = len(program.action_names)
+
+print(f"config={'general' if os.environ.get('PROBE_GENERAL') else 'combat'} E={E}", flush=True)
+
+from mettagrid_tpu.engine.actions_fast import footprint_schedule_ok  # noqa: E402
+
+print(f"footprint_schedule_ok={footprint_schedule_ok(program)}", flush=True)
+
+
+def stepper(auto_reset):
+    step = make_step(program, init, auto_reset=auto_reset, donate=False)
+
+    def fn(st):
+        k1 = jax.random.PRNGKey(0)
+        k1 = jax.random.fold_in(k1, st.step_count[0])
+        acts = jax.random.randint(k1, (E, A), 0, n_actions, dtype=jnp.int32)
+        vibes = jax.random.randint(jax.random.fold_in(k1, 1), (E, A), 0, n_actions, dtype=jnp.int32)
+        st2, out = step(st, acts, vibes)
+        return st2, (out.rewards, out.action_success)
+
+    return fn
+
+
+# Steady-state warm-up: DirectAttack kills desync episodes, so after a few
+# hundred steps SOME env finishes nearly every step (the auto-reset cond is
+# taken ~always) — fresh-from-reset timings miss that cost entirely.
+warm_fn = stepper(True)
+
+
+@jax.jit
+def warm(st):
+    def body(s, _):
+        s2, _out = warm_fn(s)
+        return s2, None
+
+    st2, _ = jax.lax.scan(body, st, None, length=256)
+    return st2
+
+
+state_w = warm(state0)
+done_frac = float(
+    np.asarray(jnp.mean(jnp.any(state_w.terminals | state_w.truncations, axis=1).astype(jnp.float32)))
+)
+print(f"steady-state done-frac after 256 steps: {done_frac:.4f}", flush=True)
+
+for name, ar in (("auto_reset=True  fresh ", True, ), ("auto_reset=False fresh ", False)):
+    ms = time_fn_carry(stepper(ar), state0) * 1e3
+    print(f"step {name} {ms:8.3f} ms", flush=True)
+for name, ar in (("auto_reset=True  steady", True), ("auto_reset=False steady", False)):
+    ms = time_fn_carry(stepper(ar), state_w) * 1e3
+    print(f"step {name} {ms:8.3f} ms", flush=True)
+
+# wave-count distribution under the footprint schedule (one honest sample):
+from mettagrid_tpu.engine.actions_fast import footprint_schedule_ok  # noqa: E402
+from mettagrid_tpu.engine.program import DIR_DC, DIR_DR, KIND_MOVE  # noqa: E402
+
+kind_t = jnp.asarray(program.action_kind)
+arg_t = jnp.asarray(program.action_arg)
+is_vibe_t = jnp.asarray(program.action_is_vibe)
+
+
+@jax.jit
+def wave_stats(st, key):
+    acts = jax.random.randint(key, (E, A), 0, n_actions, dtype=jnp.int32)
+    a = jnp.clip(acts, 0, n_actions - 1)
+    active = (acts >= 0) & (acts < n_actions) & (is_vibe_t[a] == False)  # noqa: E712
+    move_mask = active & (kind_t[a] == KIND_MOVE)
+    H, W = st.grid.shape[1], st.grid.shape[2]
+    r = st.obj_r[:, :A]
+    c = st.obj_c[:, :A]
+    dr = jnp.asarray(DIR_DR)[arg_t[a]]
+    dc = jnp.asarray(DIR_DC)[arg_t[a]]
+    tr, tc = r + dr, c + dc
+    inb = (tr >= 0) & (tr < H) & (tc >= 0) & (tc < W)
+    iota = jnp.arange(A, dtype=jnp.int32)
+    tcell = jnp.where(move_mask & inb, tr * W + tc, -2 - iota[None, :])
+    pcell = r * W + c
+    perm = jax.vmap(lambda k: jax.random.permutation(k, A))(
+        jax.random.split(key, E)
+    ).astype(jnp.int32)
+    rank = jnp.sum(
+        jnp.where(perm[:, :, None] == iota[None, None, :], iota[None, :, None], 0), axis=1
+    )
+    earlier = rank[:, None, :] < rank[:, :, None]
+    conflict = earlier & (
+        (tcell[:, None, :] == tcell[:, :, None])
+        | (pcell[:, None, :] == tcell[:, :, None])
+        | (pcell[:, :, None] == tcell[:, None, :])
+    )
+
+    def body(carry):
+        unsettled, wave_idx, w = carry
+        dep = (conflict & unsettled[:, None, :]).any(axis=-1)
+        settle = unsettled & ~dep
+        return unsettled & ~settle, jnp.where(settle, w, wave_idx), w + 1
+
+    carry = (move_mask, jnp.zeros((E, A), jnp.int32), jnp.zeros((), jnp.int32))
+    carry = jax.lax.while_loop(lambda c2: jnp.any(c2[0]), body, carry)
+    _, wave_idx, _ = carry
+    per_env = jnp.max(jnp.where(move_mask, wave_idx, -1), axis=1) + 1
+    return per_env
+
+
+pe = np.asarray(wave_stats(state0, jax.random.PRNGKey(5)))
+print(
+    f"sched waves/env: mean={pe.mean():.2f} p50={np.percentile(pe, 50):.0f} "
+    f"p99={np.percentile(pe, 99):.0f} max={pe.max()}",
+    flush=True,
+)

@@ -114,6 +114,145 @@ def test_pure_move_matches_sequential(density):
         assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
 
 
+def make_combat_cfg(num_agents, size):
+    """Vibe-gated DirectAttack melee on a dense map (the bench --combat
+    handler set): exercises the footprint-scheduled wave path with real
+    inventory mutations and dual action streams."""
+    from mettagrid_tpu.config.action_config import ChangeVibeActionConfig
+    from mettagrid_tpu.config.handler_config import (
+        DirectAttackMutation,
+        Handler,
+        HandlerTarget,
+        VibeFilter,
+    )
+
+    cfg = make_arena(
+        num_agents,
+        combat=False,
+        map_builder=RandomMapBuilder.Config(
+            agents=num_agents, width=size, height=size, border_width=1, objects={"wall": 3}
+        ),
+    )
+    cfg.game.actions.change_vibe = ChangeVibeActionConfig()
+    cfg.game.actions.move.handlers = [
+        Handler(
+            name="melee",
+            filters=[VibeFilter(target=HandlerTarget.ACTOR, vibe="angry")],
+            mutations=[
+                DirectAttackMutation(
+                    weapon_resource="laser", armor_resource="armor", health_resource="heart"
+                )
+            ],
+        )
+    ]
+    cfg.game.agent.inventory.initial = {"laser": 5, "armor": 1, "heart": 9}
+    return cfg
+
+
+@pytest.mark.parametrize("density", ["sparse", "dense"])
+def test_combat_fast_matches_sequential(density):
+    """The footprint-scheduled wave loop (exact {actor cell, target cell}
+    dependence test) must be bit-identical to the sequential emulation on a
+    combat config — adjacent attackers, shared targets, dual streams."""
+    from mettagrid_tpu.engine.actions_fast import footprint_schedule_ok
+
+    num_agents = 8
+    size = 18 if density == "sparse" else 7
+    cfg = make_combat_cfg(num_agents, size)
+    program = compile_program(cfg)
+    assert fast_mode_ok(program)
+    assert footprint_schedule_ok(program)
+
+    E = 16
+    program, reset_a, step_seq = build(cfg, E, "sequential")
+    _, reset_b, step_fast = build(cfg, E, "fast")
+
+    state_a, _ = reset_a(0)
+    state_b, _ = reset_b(0)
+    rng = np.random.default_rng(11)
+    n_actions = len(program.action_names)
+
+    for t in range(20):
+        acts = jnp.asarray(rng.integers(0, n_actions, size=(E, num_agents)), dtype=jnp.int32)
+        vibes = jnp.asarray(rng.integers(0, n_actions, size=(E, num_agents)), dtype=jnp.int32)
+        state_a, out_a = step_seq(state_a, acts, vibes)
+        state_b, out_b = step_fast(state_b, acts, vibes)
+        assert np.array_equal(np.asarray(out_a.action_success), np.asarray(out_b.action_success)), t
+
+    from mettagrid_tpu.engine.exec import true_grid
+
+    for name in state_a._fields:
+        a, b = getattr(state_a, name), getattr(state_b, name)
+        if name == "grid":
+            a = true_grid(state_a, num_agents)
+            b = true_grid(state_b, num_agents)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
+    assert np.array_equal(np.asarray(out_a.observations), np.asarray(out_b.observations))
+
+
+def test_footprint_schedule_gates():
+    """swap (moves the target) and range>1 line scans disqualify the exact
+    footprint schedule; query-bearing stats sources and game-scope stats
+    writes disqualify fast mode entirely."""
+    from mettagrid_tpu.config.handler_config import (
+        Handler,
+        MaxDistanceFilter,
+        SwapMutation,
+    )
+    from mettagrid_tpu.engine.actions_fast import footprint_schedule_ok
+
+    cfg = make_combat_cfg(6, 10)
+    assert footprint_schedule_ok(compile_program(cfg))
+
+    swap_cfg = make_combat_cfg(6, 10)
+    swap_cfg.game.actions.move.handlers = [Handler(name="sw", mutations=[SwapMutation()])]
+    assert not footprint_schedule_ok(compile_program(swap_cfg))
+
+    far_cfg = make_combat_cfg(6, 10)
+    far_cfg.game.actions.move.handlers = [
+        Handler(name="far", filters=[MaxDistanceFilter(radius=3)], mutations=[SwapMutation()])
+    ]
+    assert not all(
+        mh.max_range == 1 for mh in compile_program(far_cfg).move_handlers
+    ) and not footprint_schedule_ok(compile_program(far_cfg))
+
+
+def test_stats_mutation_with_query_source_disqualifies_fast_mode():
+    """A stats mutation whose source value carries a query reads arbitrary
+    objects, so it is not wave-local: an earlier same-wave agent's mutation
+    could change the query result mid-sequential-order. Game-scope stat
+    writes are per-env shared state. Both must route to the sequential
+    phase."""
+    from mettagrid_tpu.config.game_value import QueryCountValue, val
+    from mettagrid_tpu.config.handler_config import Handler, StatsMutation, StatsTarget
+    from mettagrid_tpu.config.query import query
+    from mettagrid_tpu.config.tag import typeTag
+
+    cfg = make_combat_cfg(6, 10)
+    cfg.game.actions.move.handlers = [
+        Handler(
+            name="snoop",
+            mutations=[
+                StatsMutation(
+                    stat="snooped",
+                    target=StatsTarget.AGENT,
+                    source=QueryCountValue(query=query(typeTag("wall")).model_dump()),
+                )
+            ],
+        )
+    ]
+    assert not fast_mode_ok(compile_program(cfg))
+
+    game_cfg = make_combat_cfg(6, 10)
+    game_cfg.game.actions.move.handlers = [
+        Handler(
+            name="tally",
+            mutations=[StatsMutation(stat="tally", target=StatsTarget.GAME, source=val(1))],
+        )
+    ]
+    assert not fast_mode_ok(compile_program(game_cfg))
+
+
 def test_pure_move_gate_rejects_usable_and_custom_handlers():
     from mettagrid_tpu.config.game_config import GridObjectConfig
     from mettagrid_tpu.config.handler_config import Handler, updateActor
