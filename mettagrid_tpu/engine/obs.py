@@ -502,16 +502,25 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     _ALWAYS_VALID_GLOBALS = {"epct", "last_action", "last_action_move", "last_reward"}
     OWS = OW * S
     KS_pad2 = ((G + KS + 127) // 128) * 128  # candidate lanes incl. globals
-    v2_ok_static = (
+    feat_max = 0 if C_cell == 0 else int(cand_feat.max())
+    _v2_common = (
         not has_aoe_mask
         and not program.value_obs
         and all(slot in _ALWAYS_VALID_GLOBALS for slot in global_slots)
-        and (C_cell == 0 or int(cand_feat.max()) < 128)
         and all(int(l) != 0xFF for l in loc_k)
         and OH <= _V2_RPE
         and OWS <= 128
-        and KS_pad2 <= 512
-        and T >= G + KS
+    )
+    # Wide ("v2w") packing borrows one gap bit from the feature field
+    # ([g:10|loc:8|feat:6|val:8]) so rich configs — combat/general presets
+    # carry S up to 8 token slots/cell, KS_pad2 up to 1024 — keep the packed
+    # single-int32 compaction instead of falling to the v1 pair loop. Budget
+    # truncation (T < G + KS) is handled by the output slice: compaction
+    # keeps in-order ranks, exactly like the XLA fallback's [:T] cut.
+    v2_wide = KS_pad2 > 512
+    v2_ok_static = _v2_common and (
+        (not v2_wide and feat_max < 128)
+        or (v2_wide and feat_max < 64 and KS_pad2 <= 1024)
     )
     # Provable output-prefix width: compaction can never place a token at
     # rank >= G + max_window_tokens (each window cell holds one object; at
@@ -525,6 +534,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         KS_pad2,
         max(((min(G + max_window_tokens(program, caps, K), T) + 127) // 128) * 128, 128),
     )
+    loc_sh2 = 14 if v2_wide else 15  # loc field offset (wide: 10-bit gap)
     perm2_t = tri2_t = loc15_t = None
     if v2_ok_static:
         # Unpacked raw-raster -> Manhattan permute: window row u, lane v*S+s
@@ -538,12 +548,12 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         # permute MACs for the 13-row arena window).
         perm2_np = np.zeros((OH * 128, KS_pad2), dtype=np.int8)
         loc15_np = np.zeros((8, KS_pad2), dtype=np.int32)
-        loc15_np[:, :G] = GLOBAL_LOCATION << 15
+        loc15_np[:, :G] = GLOBAL_LOCATION << loc_sh2
         for k in range(K):
             u, v = uv_of_k[k]
             for s in range(S):
                 perm2_np[u * 128 + v * S + s, G + k * S + s] = 1
-            loc15_np[:, G + k * S : G + (k + 1) * S] = int(loc_k[k]) << 15
+            loc15_np[:, G + k * S : G + (k + 1) * S] = int(loc_k[k]) << loc_sh2
         tri2_np = np.triu(np.ones((KS_pad2, KS_pad2), dtype=np.int8), 1)
         perm2_t = jnp.asarray(perm2_np)
         tri2_t = jnp.asarray(tri2_np)
@@ -558,7 +568,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     # max start HP2 + (H-1)//2 must leave 16 in-bounds rows.
     HP2_v3 = (((H - 1) // 2 + 16) + 7) // 8 * 8
     v3_ok_static = (
-        v2_ok_static and 2 * OWS <= 128 and OH <= 15 and hr >= 1
+        v2_ok_static and not v2_wide and 2 * OWS <= 128 and OH <= 15 and hr >= 1
         # Mosaic only lowers the dynamic-start sublane loads the v3 kernels
         # use on single-lane-tile (<=128 lane) scratch refs.
         and WPC_f <= 128
@@ -598,8 +608,13 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         imgp_static_flat = imgp_s.reshape(Pm_s, -1)
         # In-kernel assembly keeps the whole static pool VMEM-resident;
         # only feasible while it fits comfortably (larger pools fall back
-        # to the XLA assembly path).
-        if Pm_s * HP_f * WPC_f * 4 <= 4 * 1024 * 1024:
+        # to the XLA assembly path). The v2 kernels' other VMEM residents
+        # (int8 perm/tri vs v1's f32 perm) are smaller, so v2-eligible
+        # configs get a higher pool budget (the wide combat preset's 64-map
+        # pool is 4.7 MB; total static_v2 residency ~10 MB of the 16 MB
+        # scoped limit — tpu_gate.py byte-verifies the cell).
+        pool_budget = (6 if v2_ok_static else 4) * 1024 * 1024
+        if Pm_s * HP_f * WPC_f * 4 <= pool_budget:
             imgp_static_i32 = imgp_s.astype(jnp.int32)
         # Row-paired pool for the v3 tail, split into LEFT/RIGHT pair
         # members (Mosaic needs single-lane-tile scratches for the dynamic
@@ -787,6 +802,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 KS,
                 out_w=OUT_W,
                 emit_bytes=_OBS_EMITB,
+                wide=v2_wide,
                 interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
             )
             if _OBS_EMITB:
@@ -922,6 +938,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                     KS,
                     out_w=OUT_W,
                     emit_bytes=_OBS_EMITB,
+                    wide=v2_wide,
                     interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
                 )
                 if _OBS_EMITB:
@@ -1191,7 +1208,8 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
         "perm2": perm2_t, "tri2": tri2_t, "loc15": loc15_t,
         "perm3": perm3_t, "imgp_paired_i32": imgp_paired_i32,
         "HP2_v3": HP2_v3, "v3_ok": v3_ok_static, "WPC_f": WPC_f,
-        "v2_ok": v2_ok_static, "global_plus": _global_plus, "stage1": _stage1,
+        "v2_ok": v2_ok_static, "v2_wide": v2_wide,
+        "global_plus": _global_plus, "stage1": _stage1,
         "all_global_words": _all_global_words,
     }
     return compute_obs

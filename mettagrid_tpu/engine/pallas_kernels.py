@@ -366,6 +366,14 @@ def obs_tail_pallas(
 
 _V2_RPE = 16  # extraction rows: multiple of 8 (pl.ds granularity), >= OH
 _V2_INV = 0xFF << 15  # invalid marker: loc field 0xFF (impossible), g = 0
+# Wide packing ("v2w"): one gap bit is borrowed from the feature field so
+# KS_pad2 <= 1024 configs (combat/general: S up to 8 token slots/cell) keep
+# the single-int32 compaction instead of falling to the v1 pair loop:
+#   normal: [g:9  @23 | loc:8 @15 | feat:7 @8 | val:8 @0]   (feat < 128)
+#   wide:   [g:10 @22 | loc:8 @14 | feat:6 @8 | val:8 @0]   (feat < 64)
+# g's top bit sits in the sign bit; the loop's arithmetic shifts mask with
+# & 1 / & 3, so signedness is harmless.
+_V2_INV_W = 0xFF << 14
 
 
 def _par_grid_params(interpret: bool = False):
@@ -389,7 +397,7 @@ def _par_grid_params(interpret: bool = False):
 _COMPACT_RADIX = os.environ.get("METTAGRID_TPU_COMPACT", _TUNED.get("compact", "r2"))
 
 
-def _compact_packed_v2_r4(v, C):
+def _compact_packed_v2_r4(v, C, wide: bool = False):
     """Radix-4 variant of `_compact_packed_v2`'s move loop (same encoding).
 
     Collision-freedom mirrors the radix-2 argument via gap monotonicity
@@ -397,27 +405,31 @@ def _compact_packed_v2_r4(v, C):
     digit p would need dest' - dest >= 4^(p+1), forcing g_j >= g_j' +
     4^(p+1) - 3*4^p > g_j' for j < j' — contradiction. _V2_INV has zero
     gap bits, so invalid slots never move and 'digit 0' keeps them put.
+
+    wide: 10-bit gap at bit 22 (KS_pad <= 1024) — exactly 5 digit pairs,
+    no top radix-2 step (the non-wide 9-bit form needs 4 pairs + 1 bit).
     """
-    assert C <= 512  # 9-bit gap: 4 digit pairs + top bit
-    for p in range(4):
+    g_sh = 22 if wide else 23
+    inv = _V2_INV_W if wide else _V2_INV
+    assert C <= (1024 if wide else 512)
+    for p in range(5 if wide else 4):
         step = 4**p
         if step >= C:
             break
-        sh = 23 + 2 * p
+        sh = g_sh + 2 * p
         consts = [np.int32(np.uint32(d << sh)) for d in range(4)]
-        r1 = pltpu_roll(v, -step)
-        r2 = pltpu_roll(v, -2 * step)
-        r3 = pltpu_roll(v, -3 * step)
+        # Digit value d is impossible when d*step > C-1 (g <= C-1), so those
+        # rolls are skipped — a d*step >= C roll would also be a zero-size
+        # slice in Mosaic (the p=4, C=768 wide case).
         d0 = ((v >> sh) & 3) == 0
-        d1 = ((r1 >> sh) & 3) == 1
-        d2 = ((r2 >> sh) & 3) == 2
-        d3 = ((r3 >> sh) & 3) == 3
-        v = jnp.where(
-            d3,
-            r3 ^ consts[3],
-            jnp.where(d2, r2 ^ consts[2], jnp.where(d1, r1 ^ consts[1], jnp.where(d0, v, _V2_INV))),
-        )
-    if C > 256:  # top (9th) gap bit: one radix-2 step
+        out = jnp.where(d0, v, inv)
+        for d in (1, 2, 3):
+            if d * step > C - 1:
+                break
+            rd = pltpu_roll(v, -d * step)
+            out = jnp.where(((rd >> sh) & 3) == d, rd ^ consts[d], out)
+        v = out
+    if not wide and C > 256:  # top (9th) gap bit: one radix-2 step
         bit, sh = 256, 31
         top = np.int32(np.uint32(1 << sh))
         rolled = pltpu_roll(v, -bit)
@@ -440,7 +452,7 @@ def _byte_sel_table(OW: int) -> np.ndarray:
 
 
 def _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
-               KS_pad, OW_out, BE, A, emit_bytes):
+               KS_pad, OW_out, BE, A, emit_bytes, wide: bool = False):
     """Shared v2-family kernel epilogue: packed word build + gap rank
     (int8 matmul) + single-array compaction; output either int32 words
     [BE, A, OW_out] or — with emit_bytes — the final uint8 observation
@@ -454,8 +466,10 @@ def _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
     inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
     g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
     loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
-    v = jnp.where(ok, (cells - 1) | loc | (g << 23), _V2_INV)
-    w = _compact_packed_v2(v, KS_pad)[:, :OW_out]
+    g_sh = 22 if wide else 23
+    inv_const = _V2_INV_W if wide else _V2_INV
+    v = jnp.where(ok, (cells - 1) | loc | (g << g_sh), inv_const)
+    w = _compact_packed_v2(v, KS_pad, wide=wide)[:, :OW_out]
     if emit_bytes:
         b0 = w & 0xFF          # loc (little-endian word24)
         b1 = (w >> 8) & 0xFF   # feature
@@ -468,31 +482,38 @@ def _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
         out_ref[:, :, :] = w.reshape(BE, A, OW_out)
 
 
-def _compact_packed_v2(v, C):
-    """Single-array log-shift compaction of [g:9|loc:8|feat:7|val:8] words.
+def _compact_packed_v2(v, C, wide: bool = False):
+    """Single-array log-shift compaction of [g:9|loc:8|feat:7|val:8] words
+    (wide: [g:10|loc:8|feat:6|val:8], C <= 1024 — see _V2_INV_W).
 
     Invalid slots hold _V2_INV (g bits zero -> never move; loc 0xFF marks
     them post-loop). Wrap-around injection is impossible: a wrapped source
     at lane j < bit would need bit_b(g_j) set, but g_j <= j < bit.
     """
+    g_sh = 22 if wide else 23
+    loc_sh = 14 if wide else 15
+    feat_mask = 0x3F00 if wide else 0x7F00
+    n_bits = 10 if wide else 9
+    inv = _V2_INV_W if wide else _V2_INV
+    assert C <= (1 << n_bits)
     if _COMPACT_RADIX == "r4":
-        v = _compact_packed_v2_r4(v, C)
+        v = _compact_packed_v2_r4(v, C, wide=wide)
     else:
-        bitconsts = [np.int32(np.uint32(1 << (23 + b))) for b in range(9)]
+        bitconsts = [np.int32(np.uint32(1 << (g_sh + b))) for b in range(n_bits)]
         b = 0
         while (1 << b) < C:
             bit = 1 << b
-            sh = 23 + b
+            sh = g_sh + b
             rolled = pltpu_roll(v, -bit)
             incoming = ((rolled >> sh) & 1) == 1
             move = ((v >> sh) & 1) == 1
-            v = jnp.where(incoming, rolled ^ bitconsts[b], jnp.where(move, _V2_INV, v))
+            v = jnp.where(incoming, rolled ^ bitconsts[b], jnp.where(move, inv, v))
             b += 1
-    valid = ((v >> 15) & 0xFF) != 0xFF
+    valid = ((v >> loc_sh) & 0xFF) != 0xFF
     # LITTLE-ENDIAN byte order — word = loc | feat<<8 | val<<16 — so the
     # caller's [loc, feature, value] uint8 unpack is ONE bitcast + slice
     # instead of three shift/mask passes over the [E, A, T] output.
-    word24 = ((v >> 15) & 0xFF) | (v & 0x7F00) | ((v & 0xFF) << 16)
+    word24 = ((v >> loc_sh) & 0xFF) | (v & feat_mask) | ((v & 0xFF) << 16)
     # Emit the reference EMPTY token word (0xFFFFFF — symmetric, so byte
     # order is moot) directly for invalid slots: the caller's byte-unpack
     # then needs no sentinel mapping pass. Real words can never collide:
@@ -502,7 +523,7 @@ def _compact_packed_v2(v, C):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("OH", "OWS", "KS", "out_w", "block_envs", "emit_bytes", "interpret"),
+    static_argnames=("OH", "OWS", "KS", "out_w", "block_envs", "emit_bytes", "wide", "interpret"),
 )
 def obs_tail_static_v2_pallas(
     static_imgp: jnp.ndarray,  # int32 [P, HP, WPC] prepadded +1-encoded static image
@@ -524,6 +545,7 @@ def obs_tail_static_v2_pallas(
                                # every surviving token (obs_caps bound)
     block_envs: int = _OBS_BE,
     emit_bytes: bool = False,  # emit final uint8 obs bytes in-kernel
+    wide: bool = False,        # 10-bit-gap packing (KS_pad <= 1024, feat < 64)
     interpret: bool = False,
 ):
     """Fused obs tail v2. Returns (token words int32 [E, A, OW_out] with
@@ -627,7 +649,7 @@ def obs_tail_static_v2_pallas(
 
         # ---- packed word build + gap rank + compaction (+ byte emit) ----
         _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
-                   KS_pad, OW_out, BE, A, emit_bytes)
+                   KS_pad, OW_out, BE, A, emit_bytes, wide=wide)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -860,7 +882,7 @@ def obs_tail_static_v3_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("KS", "out_w", "block_envs", "emit_bytes", "interpret")
+    jax.jit, static_argnames=("KS", "out_w", "block_envs", "emit_bytes", "wide", "interpret")
 )
 def obs_tail_dyn_v2_pallas(
     imgp: jnp.ndarray,         # int32 [E, HP, WPC] per-env prepadded +1-encoded image
@@ -874,6 +896,7 @@ def obs_tail_dyn_v2_pallas(
     out_w: int = 0,            # emitted token columns (0 = KS_pad)
     block_envs: int = _OBS_BE,
     emit_bytes: bool = False,  # emit final uint8 obs bytes in-kernel
+    wide: bool = False,        # 10-bit-gap packing (KS_pad <= 1024, feat < 64)
     interpret: bool = False,
 ):
     """v2 fused tail over PER-ENV images (the non-static-background path):
@@ -951,7 +974,7 @@ def obs_tail_dyn_v2_pallas(
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
         _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
-                   KS_pad, OW_out, BE, A, emit_bytes)
+                   KS_pad, OW_out, BE, A, emit_bytes, wide=wide)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

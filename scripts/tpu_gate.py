@@ -53,8 +53,17 @@ CELLS: list[tuple[str, dict, str]] = [
     ("dyn_v2", {"VERIFY_MODE": "dynv2"}, "dyn_v2"),
     ("dyn_v2_wide", {"VERIFY_MODE": "dynv2", "VERIFY_WIDTH": "40"}, "dyn_v2"),
     ("dyn_v1", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_V2": "0"}, "dyn_v1"),
-    ("dyn_v1_general_wide", {"VERIFY_MODE": "general"}, "dyn_v1"),
-    ("combat_static_wide", {"VERIFY_MODE": "combat"}, "static_v1"),
+    # WIDE-PACKED v2 ([g:10|loc:8|feat:6|val:8], KS_pad2 <= 1024): the
+    # general/combat presets (S=6/7) route here since r4 — both the dyn and
+    # the in-kernel-assembly static generation, plus their v1 fallbacks.
+    ("dyn_v2w_general", {"VERIFY_MODE": "general"}, "dyn_v2"),
+    ("static_v2w_combat", {"VERIFY_MODE": "combat"}, "static_v2"),
+    ("dyn_v2w_general_r4", {"VERIFY_MODE": "general",
+                            "METTAGRID_TPU_COMPACT": "r4"}, "dyn_v2"),
+    ("dyn_v1_general_wide", {"VERIFY_MODE": "general",
+                             "METTAGRID_TPU_OBS_V2": "0"}, "dyn_v1"),
+    ("combat_static_wide_v1", {"VERIFY_MODE": "combat",
+                               "METTAGRID_TPU_OBS_V2": "0"}, "static_v1"),
     # emit_bytes: in-kernel [loc, feature, value] byte interleave (the int8
     # selection matmul epilogue) — every v2-family generation, plus a wide
     # cell for the NT>1 assembly + emit combination.

@@ -309,11 +309,12 @@ def test_carried_obs_buffer_matches_fresh(tail):
         obs_mod._FORCE_STATIC_TAIL = old_force
 
 
-def test_general_config_routes_to_dyn_v1_and_matches_xla():
-    """The bench --general config (S=6: KS_pad2 > 512 and T < G+KS fail the
-    v2 gates) must route UNFORCED to the dyn_v1 tail and match the XLA
-    formulation byte-for-byte — the exact shape that crashed Mosaic at r3
-    HEAD (wide-image dynamic-start load, VERDICT r3 weak #1)."""
+def test_general_config_routes_to_wide_dyn_v2_and_matches_xla():
+    """The bench --general config (S=6, KS_pad2 > 512) must route UNFORCED
+    to the WIDE dyn_v2 tail ([g:10|loc:8|feat:6|val:8] packing, budget
+    truncation via the output slice) and match the XLA formulation
+    byte-for-byte; with _OBS_V2 off it must still fall back to dyn_v1 and
+    match (the exact shape that crashed Mosaic at r3 HEAD)."""
     import sys
 
     sys.path.insert(0, ".")
@@ -343,12 +344,74 @@ def test_general_config_routes_to_dyn_v1_and_matches_xla():
     obs_a, att_a = obs_fn_xla(state)
 
     obs_mod._FORCE_FUSED_INTERPRET = True
+    old_v2 = obs_mod._OBS_V2
     try:
         obs_fn_fused = obs_mod.make_obs_fn(program)
-        assert not obs_fn_fused._tables["v2_ok"], "general config must fail the v2 gate"
+        assert obs_fn_fused._tables["v2_ok"] and obs_fn_fused._tables["v2_wide"], (
+            "general config must take the WIDE v2 gate"
+        )
         assert obs_fn_fused._tables["WPC_f"] > 128, "general config must span two lane tiles"
         obs_b, att_b = obs_fn_fused(state)
+        assert obs_mod._LAST_TAIL == "dyn_v2"
+        np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
+        np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
+
+        obs_mod._OBS_V2 = False
+        obs_fn_v1 = obs_mod.make_obs_fn(program)
+        obs_c, att_c = obs_fn_v1(state)
         assert obs_mod._LAST_TAIL == "dyn_v1"
+        np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_c))
+        np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_c))
+    finally:
+        obs_mod._FORCE_FUSED_INTERPRET = False
+        obs_mod._OBS_V2 = old_v2
+
+
+def test_combat_config_routes_to_wide_static_v2_and_matches_xla():
+    """The bench --combat config (S=7, KS_pad2 = 896, T < G+KS) qualifies
+    for the static background via the background_inert whitelist and must
+    route to the WIDE static_v2 tail, byte-identical to the XLA path —
+    including budget truncation (T=500 < 851 candidates), which the packed
+    compaction handles by the in-order output slice."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import mettagrid_tpu.engine.obs as obs_mod
+    from bench import make_combat_cfg
+    from mettagrid_tpu.engine import build_env_init, compile_program, make_reset, make_step
+    from mettagrid_tpu.maps.random_map import RandomMapBuilder
+
+    cfg = make_combat_cfg(8)
+    cfg.game.map_builder = RandomMapBuilder.Config(
+        agents=8, width=15, height=15, border_width=1, objects={"wall": 8}
+    )
+    program = compile_program(cfg)
+    builder = cfg.game.map_builder.create()
+    builder.config.seed = 5
+    init = build_env_init(program, [builder.build_for_num_agents(8)])
+    E = 8
+    reset = make_reset(program, init, E)
+    step = make_step(program, init, auto_reset=False, donate=False)
+    state, _ = reset(0)
+    rng = np.random.default_rng(9)
+    for _ in range(4):
+        acts = jnp.asarray(rng.integers(0, len(program.action_names), (E, 8)), dtype=jnp.int32)
+        vibes = jnp.asarray(rng.integers(0, len(program.action_names), (E, 8)), dtype=jnp.int32)
+        state, _ = step(state, acts, vibes)
+
+    from mettagrid_tpu.engine.obs import build_static_bg, static_background_ok
+
+    assert static_background_ok(program)
+    sbg = build_static_bg(program, init)
+    obs_fn_xla = obs_mod.make_obs_fn(program, static_bg=sbg)
+    obs_a, att_a = obs_fn_xla(state)
+
+    obs_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        obs_fn_fused = obs_mod.make_obs_fn(program, static_bg=sbg)
+        assert obs_fn_fused._tables["v2_ok"] and obs_fn_fused._tables["v2_wide"]
+        obs_b, att_b = obs_fn_fused(state)
+        assert obs_mod._LAST_TAIL == "static_v2"
     finally:
         obs_mod._FORCE_FUSED_INTERPRET = False
 
