@@ -53,6 +53,20 @@ from mettagrid_tpu.engine.pallas_kernels import _TUNED as _TUNED_KNOBS
 PURE_UNROLL_WAVES = int(
     _os.environ.get("METTAGRID_TPU_PURE_UNROLL", _TUNED_KNOBS.get("pure_unroll", 2))
 )
+# Scheduled (footprint-exact) wave loop: waves unrolled before the while
+# tail. At E=4096 the global max wave count is ~2, so unrolling 2 keeps the
+# tail at zero iterations on typical steps (unrolled waves fuse; a while
+# iteration pays carry traffic).
+SCHED_UNROLL_WAVES = int(
+    _os.environ.get("METTAGRID_TPU_SCHED_UNROLL", _TUNED_KNOBS.get("sched_unroll", 2))
+)
+# State fields any fast-mode-local mutation can write (everything else is
+# loop-invariant and rides the wave closure, NOT the while carry — carrying
+# the full EnvState copies ~100MB of untouched arrays per tail iteration).
+_WAVE_MUT_FIELDS = (
+    "grid", "obj_r", "obj_c", "obj_vibe", "obj_tags", "obj_inv", "obj_alive",
+    "agent_stats",
+)
 
 _LOCAL_FILTERS = {
     "target_loc_empty",
@@ -550,20 +564,34 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                     )
                     n_waves = jnp.max(jnp.where(move_mask, wave_idx, -1)) + 1
 
-                    def wave_body(carry):
-                        state, success, r_rec, c_rec, w = carry
-                        settle = move_mask & (wave_idx == w)
-                        state, succ = apply_move_batch(program, state, settle, arg)
-                        r_rec = jnp.where(settle, state.obj_r[:, :A], r_rec)
-                        c_rec = jnp.where(settle, state.obj_c[:, :A], c_rec)
-                        return state, success | succ, r_rec, c_rec, w + 1
+                    # The while tail carries ONLY the mutable state subset
+                    # (_WAVE_MUT_FIELDS); everything else in `state` is
+                    # loop-invariant and rides the closure. Unrolled prefix
+                    # waves fuse into the surrounding program; empty settle
+                    # masks make surplus unrolled waves behavioral no-ops.
+                    base_state = state
 
-                    carry = (state, jnp.zeros_like(move_mask), r_base, c_base,
-                             jnp.zeros((), jnp.int32))
-                    carry = wave_body(carry)  # wave 0 (empty settle = no-op)
-                    state, move_succ, r_rec, c_rec, _ = jax.lax.while_loop(
+                    def wave_body(carry):
+                        mut, success, r_rec, c_rec, w = carry
+                        st = base_state._replace(**dict(zip(_WAVE_MUT_FIELDS, mut)))
+                        settle = move_mask & (wave_idx == w)
+                        st, succ = apply_move_batch(program, st, settle, arg)
+                        r_rec = jnp.where(settle, st.obj_r[:, :A], r_rec)
+                        c_rec = jnp.where(settle, st.obj_c[:, :A], c_rec)
+                        mut = tuple(getattr(st, f) for f in _WAVE_MUT_FIELDS)
+                        return mut, success | succ, r_rec, c_rec, w + 1
+
+                    carry = (
+                        tuple(getattr(state, f) for f in _WAVE_MUT_FIELDS),
+                        jnp.zeros_like(move_mask), r_base, c_base,
+                        jnp.zeros((), jnp.int32),
+                    )
+                    for _ in range(max(SCHED_UNROLL_WAVES, 1)):
+                        carry = wave_body(carry)
+                    mut, move_succ, r_rec, c_rec, _ = jax.lax.while_loop(
                         lambda c: c[4] < n_waves, wave_body, carry
                     )
+                    state = base_state._replace(**dict(zip(_WAVE_MUT_FIELDS, mut)))
                     settled_all = settled_now | move_mask
                     succ_all = succ_now | move_succ
                     r_at = jnp.where(move_mask, r_rec, r_base)

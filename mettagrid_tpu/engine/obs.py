@@ -90,6 +90,10 @@ _OBS_EMITB = os.environ.get("METTAGRID_TPU_OBS_EMITB", "") not in ("0", "", "fal
 # (scripts/verify_tpu_obs.py) and faster than v1 (620k vs 595k env-steps/s
 # in-bench; scripts/probe_r3_tail.py). Set METTAGRID_TPU_OBS_V2=0 to compare.
 _OBS_V2 = os.environ.get("METTAGRID_TPU_OBS_V2", "1") not in ("0", "", "false")
+# In-kernel image assembly from the object tables for mutable-background
+# (dyn) configs — obs_tail_dynobj_v2_pallas. Off -> XLA-assembled image +
+# obs_tail_dyn_v2_pallas.
+_OBS_DYNOBJ = os.environ.get("METTAGRID_TPU_OBS_DYNOBJ", "1") not in ("0", "", "false")
 
 # bitcast_convert_type(int32 -> uint8) byte order is platform-defined; the
 # v2-family unpack relies on little-endian (byte 0 = LSB). Probe once per
@@ -1000,6 +1004,54 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             ).reshape(E, HP_f, WPC_f)
             imgp = (bg + dyn).astype(jnp.int32)
             return _finish_fused(imgp, agent_r, agent_c, state, E, obs_buf=obs_buf)
+
+        if static_bg is None and fused_ok and v2_ok_static and _OBS_V2 and _OBS_DYNOBJ and _FORCE_STATIC_TAIL in (None, "v2"):
+            # Mutable-background fast path: per-env image assembled IN-KERNEL
+            # from the object tables (full-object analogue of the static_v2
+            # agent placement) — skips the XLA cell-image einsum and the
+            # [E, HP, WPC] HBM round trip entirely. Only stage 1 (per-object
+            # token lists over all N slots) stays in XLA.
+            from mettagrid_tpu.engine.pallas_kernels import (
+                obs_tail_dynobj_v2_pallas,
+                use_pallas,
+            )
+
+            is_agent = type_is_agent_t[state.obj_type] & (
+                jnp.arange(N, dtype=jnp.int32)[None, :] < A
+            )
+            group_pad = jnp.pad(state.agent_group, ((0, 0), (0, N - A)))
+            slots_n = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (E, N))
+            tok_n, cnt_n = _stage1(
+                state.obj_type, state.obj_vibe, state.obj_tags, state.obj_inv,
+                state.obj_alive, is_agent, group_pad, slots_n,
+            )
+            plus_n = (
+                jnp.arange(S, dtype=jnp.int32)[None, None, :] < cnt_n[..., None]
+            ).astype(jnp.float32)
+            words_n = (tok_n + plus_n).astype(jnp.int32)
+            gplus = _global_plus(state, E)  # all-valid by gate
+            _LAST_TAIL = "dynobj_v2"
+            out_words, attempted = obs_tail_dynobj_v2_pallas(
+                state.obj_r + hr,
+                (state.obj_c + wr) * S,
+                words_n,
+                state.obj_r[:, :A],
+                state.obj_c[:, :A] * S,
+                gplus,
+                perm2_t,
+                tri2_t,
+                loc15_t,
+                HP_f,
+                WPC_f,
+                KS,
+                out_w=OUT_W,
+                emit_bytes=_OBS_EMITB,
+                wide=v2_wide,
+                interpret=bool(_FORCE_FUSED_INTERPRET and not use_pallas()),
+            )
+            if _OBS_EMITB:
+                return _finish_bytes(out_words, attempted, obs_buf=obs_buf)
+            return _unpack_words(out_words, attempted, empty_mapped=True, obs_buf=obs_buf)
 
         if static_bg is not None:
             # Static background precomputed per pooled map; only agent slots

@@ -1017,6 +1017,165 @@ def obs_tail_dyn_v2_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "HP", "WPC", "KS", "out_w", "block_envs", "emit_bytes", "wide", "interpret"
+    ),
+)
+def obs_tail_dynobj_v2_pallas(
+    rext: jnp.ndarray,         # int32 [E, N] object image row (obj_r + hr)
+    lext: jnp.ndarray,         # int32 [E, N] object image lane ((obj_c + wr) * S)
+    words: jnp.ndarray,        # int32 [E, N, S] +1-encoded object token words (0 = dead/empty)
+    row0: jnp.ndarray,         # int32 [E, A] window start row (= agent_r)
+    lane0: jnp.ndarray,        # int32 [E, A] window start lane (= agent_c * S)
+    gplus: jnp.ndarray,        # int32 [E, A, G] +1-encoded global words (all valid)
+    perm8: jnp.ndarray,        # int8 [OH*128, KS_pad] raw-raster -> Manhattan, cols offset by G
+    tri8: jnp.ndarray,         # int8 [KS_pad, KS_pad] strictly-upper ones
+    loc15: jnp.ndarray,        # int32 [8, KS_pad] location bytes << loc_sh
+    HP: int,                   # padded image rows
+    WPC: int,                  # padded image lanes
+    KS: int,                   # real candidate count (K * S)
+    out_w: int = 0,            # emitted token columns (0 = KS_pad)
+    block_envs: int = _OBS_BE,
+    emit_bytes: bool = False,  # emit final uint8 obs bytes in-kernel
+    wide: bool = False,        # 10-bit-gap packing (KS_pad <= 1024, feat < 64)
+    interpret: bool = False,
+):
+    """v2 fused tail for MUTABLE-background configs with the per-env image
+    assembled IN-KERNEL from the object tables — the full-object analogue of
+    obs_tail_static_v2_pallas's agent placement (one exact HIGHEST-precision
+    one-hot row matmul per env over all N objects), replacing the XLA
+    cell-image einsum + [E, HP, WPC] HBM round trip the obs_tail_dyn_v2
+    path pays (the reference's per-step window fill:
+    cpp/bindings/mettagrid_c.cpp:664-824). Dead objects carry all-zero
+    words, so their contributions vanish in the sum regardless of their
+    stale coordinates."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, N = rext.shape
+    S = words.shape[2]
+    _, A = row0.shape
+    G = gplus.shape[2]
+    K_mat, KS_pad = perm8.shape
+    BE = min(block_envs, E)
+    BA = BE * A
+    RPE = _V2_RPE
+    NT = WPC // 128
+    OW_out = out_w or KS_pad
+    sel8 = jnp.asarray(_byte_sel_table(OW_out)) if emit_bytes else jnp.zeros((8, 128), jnp.int8)
+    SEL_SHAPE = sel8.shape
+
+    def kernel(rl_ref, perm_ref, tri_ref, loc_ref, sel_ref, rext_ref, lext_ref,
+               w_ref, g_ref, out_ref, att_ref, imgs, winraw):
+        blk = pl.program_id(0)
+        # ---- assemble per-env images in VMEM (objects via exact matmul) ----
+        for e in range(BE):
+            r_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (HP, N), 0) == rext_ref[e][None, :]
+            ).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (N, WPC), 1)
+            base_l = lext_ref[e][:, None]
+            rhs = jnp.zeros((N, WPC), dtype=jnp.float32)
+            for s in range(S):
+                rhs = rhs + jnp.where(
+                    lane == base_l + s, w_ref[e, :, s][:, None].astype(jnp.float32), 0.0
+                )
+            full = jax.lax.dot_general(
+                r_oh, rhs, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            if NT == 1:
+                imgs[e] = full
+            else:
+                # tile-major staging (Mosaic: dynamic sublane loads only on
+                # <=128-lane scratches) — see obs_tail_dyn_v2_pallas.
+                for t in range(NT):
+                    imgs[e, t * HP : (t + 1) * HP, :] = full[:, t * 128 : (t + 1) * 128]
+
+        # ---- per-agent window extraction ----
+        if NT == 1:
+            for e in range(BE):
+                for a in range(A):
+                    idx = (blk * BE + e) * A + a
+                    rl = rl_ref[idx]
+                    x = imgs[e, pl.ds(rl >> 16, RPE), :]
+                    x = pltpu.roll(x, WPC - (rl & 0xFFFF), 1)
+                    winraw[e * A + a] = x[:, :128]
+        else:
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (RPE, 128), 1)
+            for e in range(BE):
+                for a in range(A):
+                    idx = (blk * BE + e) * A + a
+                    rl = rl_ref[idx]
+                    r = rl >> 16
+                    l = rl & 0xFFFF
+                    t0 = l >> 7
+                    l0 = l & 127
+                    sh = 128 - l0
+                    xa = imgs[e, pl.ds(t0 * HP + r, RPE), :]
+                    xb = imgs[e, pl.ds(jnp.minimum(t0 + 1, NT - 1) * HP + r, RPE), :]
+                    ya = pltpu.roll(xa, sh, 1)
+                    yb = pltpu.roll(xb, sh, 1)
+                    winraw[e * A + a] = jnp.where(lane128 < sh, ya, yb)
+
+        lhs = winraw[:].reshape(BA, RPE * 128)[:, :K_mat]
+        rhs2 = perm_ref[:]
+        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
+        cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
+        cells = ((hi + cr) << 8) | (lo + cr)
+        g2 = g_ref[:].reshape(BA, G)
+        cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
+        _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
+                   KS_pad, OW_out, BE, A, emit_bytes, wide=wide)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E // BE,),
+        in_specs=[
+            pl.BlockSpec((K_mat, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KS_pad, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KS_pad), lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(SEL_SHAPE, lambda i, rl: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, N), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, N), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, N, S), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, A, G), lambda i, rl: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (BE, A, 3 * OW_out if emit_bytes else OW_out),
+                lambda i, rl: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((BE, A), lambda i, rl: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BE, HP, WPC) if NT == 1 else (BE, NT * HP, 128), jnp.int32),
+            pltpu.VMEM((BA, RPE, 128), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E, A, 3 * OW_out), jnp.uint8)
+            if emit_bytes
+            else jax.ShapeDtypeStruct((E, A, OW_out), jnp.int32),
+            jax.ShapeDtypeStruct((E, A), jnp.int32),
+        ],
+        interpret=interpret,
+        **_par_grid_params(interpret),
+    )(
+        ((row0 << 16) | lane0).reshape(-1),
+        perm8, tri8, loc15, sel8, rext, lext, words, gplus,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "OWS", "KS", "WPCF", "HP2", "out_w", "block_envs", "emit_bytes", "interpret"
     ),
 )

@@ -1,0 +1,79 @@
+"""Direct action-phase timing with VARYING actions (the fixed-action phase
+ablation hoists decode + settles to a fixed point, under-measuring). Times
+(1) the wave action phase alone, (2) action phase + obs, on the combat
+config at bench shapes, both carried through evolving state."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from timing import time_fn_carry  # noqa: E402
+
+from bench import make_combat_cfg, make_general_cfg  # noqa: E402
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
+from mettagrid_tpu.engine.actions_fast import make_action_phase_fast  # noqa: E402
+from mettagrid_tpu.engine.obs import make_obs_fn  # noqa: E402
+from mettagrid_tpu.engine.step import _make_obs_fn_for  # noqa: E402
+
+E = int(os.environ.get("PROBE_E", "4096"))
+A = 24
+
+cfg = make_general_cfg(A) if os.environ.get("PROBE_GENERAL") else make_combat_cfg(A)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+maps = []
+rng = np.random.default_rng(0)
+for _ in range(16):
+    b.config.seed = int(rng.integers(0, 2**31 - 1))
+    maps.append(b.build_for_num_agents(A))
+init = build_env_init(program, maps)
+reset = make_reset(program, init, E)
+state0, _ = reset(0)
+n_actions = len(program.action_names)
+ap = make_action_phase_fast(program, pure_move=False, lazy_grid=False)
+obs_fn = _make_obs_fn_for(program, init)
+
+print(f"config={'general' if os.environ.get('PROBE_GENERAL') else 'combat'} E={E}", flush=True)
+
+
+def rand_inputs(st):
+    k1 = jax.random.fold_in(jax.random.PRNGKey(0), st.step_count[0])
+    acts = jax.random.randint(k1, (E, A), 0, n_actions, dtype=jnp.int32)
+    vibes = jax.random.randint(jax.random.fold_in(k1, 1), (E, A), 0, n_actions, dtype=jnp.int32)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, A))(
+        jax.random.split(jax.random.fold_in(k1, 2), E)
+    ).astype(jnp.int32)
+    return acts, vibes, perm
+
+
+def actions_only(st):
+    acts, vibes, perm = rand_inputs(st)
+    st = st._replace(step_count=st.step_count + 1)
+    st2 = ap(st, acts, vibes, perm)
+    return st2, (st2.action_success,)
+
+
+def actions_obs(st):
+    acts, vibes, perm = rand_inputs(st)
+    st = st._replace(step_count=st.step_count + 1)
+    st2 = ap(st, acts, vibes, perm)
+    obs, att = obs_fn(st2)
+    return st2, (st2.action_success, obs[:, :, 0, :], att)
+
+
+def rand_only(st):
+    acts, vibes, perm = rand_inputs(st)
+    st = st._replace(step_count=st.step_count + 1)
+    return st, (acts, vibes, perm)
+
+
+for name, fn in (("rand inputs only", rand_only), ("actions phase", actions_only),
+                 ("actions + obs", actions_obs)):
+    ms = time_fn_carry(fn, state0) * 1e3
+    print(f"{name:20s} {ms:8.3f} ms", flush=True)

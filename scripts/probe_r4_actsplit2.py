@@ -1,0 +1,101 @@
+"""Bisect the combat action phase's 12.7 ms (varying actions, E=4096):
+apply_move_batch marginal cost (unroll 1 vs 2 vs 3), the batch alone with
+varying masks, the schedule loop alone, and bookkeeping alone."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from timing import time_fn_carry  # noqa: E402
+
+from bench import make_combat_cfg  # noqa: E402
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset  # noqa: E402
+import mettagrid_tpu.engine.actions_fast as af  # noqa: E402
+
+E = int(os.environ.get("PROBE_E", "4096"))
+A = 24
+
+cfg = make_combat_cfg(A)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+maps = []
+rng = np.random.default_rng(0)
+for _ in range(16):
+    b.config.seed = int(rng.integers(0, 2**31 - 1))
+    maps.append(b.build_for_num_agents(A))
+init = build_env_init(program, maps)
+reset = make_reset(program, init, E)
+state0, _ = reset(0)
+n_actions = len(program.action_names)
+print(f"combat E={E} n_actions={n_actions}", flush=True)
+
+
+def rand_inputs(st):
+    k1 = jax.random.fold_in(jax.random.PRNGKey(0), st.step_count[0])
+    acts = jax.random.randint(k1, (E, A), 0, n_actions, dtype=jnp.int32)
+    vibes = jax.random.randint(jax.random.fold_in(k1, 1), (E, A), 0, n_actions, dtype=jnp.int32)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, A))(
+        jax.random.split(jax.random.fold_in(k1, 2), E)
+    ).astype(jnp.int32)
+    return acts, vibes, perm
+
+
+def phase_with_unroll(u):
+    old = af.SCHED_UNROLL_WAVES
+    af.SCHED_UNROLL_WAVES = u
+    ap = af.make_action_phase_fast(program, pure_move=False, lazy_grid=False)
+    af.SCHED_UNROLL_WAVES = old
+
+    def fn(st):
+        acts, vibes, perm = rand_inputs(st)
+        st = st._replace(step_count=st.step_count + 1)
+        st2 = ap(st, acts, vibes, perm)
+        return st2, (st2.action_success,)
+
+    return fn
+
+
+for u in (1, 2, 3):
+    ms = time_fn_carry(phase_with_unroll(u), state0) * 1e3
+    print(f"action phase SCHED_UNROLL={u}   {ms:8.3f} ms", flush=True)
+
+
+def batch_alone(st):
+    acts, vibes, perm = rand_inputs(st)
+    st = st._replace(step_count=st.step_count + 1)
+    a = jnp.clip(acts, 0, n_actions - 1)
+    kind_t = jnp.asarray(program.action_kind)
+    arg_t = jnp.asarray(program.action_arg)
+    is_vibe_t = jnp.asarray(program.action_is_vibe)
+    active = (acts >= 0) & (acts < n_actions) & (~is_vibe_t[a])
+    move_mask = active & (kind_t[a] == af.KIND_MOVE)
+    st2, succ = af.apply_move_batch(program, st, move_mask, arg_t[a])
+    return st2, (succ,)
+
+
+ms = time_fn_carry(batch_alone, state0) * 1e3
+print(f"apply_move_batch x1 (varying)  {ms:8.3f} ms", flush=True)
+
+
+def vibe_stream_only(st):
+    # change_vibe scatter + bookkeeping shape (the second stream's cost
+    # proxy): vibe settle + stats one-hots.
+    acts, vibes, perm = rand_inputs(st)
+    st = st._replace(step_count=st.step_count + 1)
+    a = jnp.clip(vibes, 0, n_actions - 1)
+    arg_t = jnp.asarray(program.action_arg)
+    is_vibe_t = jnp.asarray(program.action_is_vibe)
+    cv = (vibes >= 0) & (vibes < n_actions) & is_vibe_t[a]
+    agent_vibe = st.obj_vibe[:, :A]
+    st2 = st._replace(obj_vibe=st.obj_vibe.at[:, :A].set(jnp.where(cv, arg_t[a], agent_vibe)))
+    return st2, (cv.sum(),)
+
+
+ms = time_fn_carry(vibe_stream_only, state0) * 1e3
+print(f"cv scatter only                {ms:8.3f} ms", flush=True)

@@ -1,0 +1,54 @@
+"""Flagship throughput vs env count on one chip (bench methodology exactly:
+same chunked scan, checksum folding, obs_buf carry). Per-env throughput
+declines mildly with E (round-2 data: 556k at E=2048 vs 499k at E=4096);
+this measures where the per-chip optimum sits at the r4 engine.
+
+The BASELINE target is 10M env-steps/s at 4096 envs TOTAL on a v5e-8 —
+i.e. 512 envs/chip — so the per-chip numbers at small E are the faithful
+reading of the target, and larger-E numbers the throughput-oriented one."""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import build_bench  # noqa: E402
+
+
+def run(E, total_steps=1024, warm_steps=256, chunk=64):
+    reset, run_chunk, make_actions = build_bench(num_envs=E, chunk=chunk)
+    n_warm = max(warm_steps // chunk, 1)
+    n_bench = max(total_steps // chunk, 1)
+    state, out0 = reset(0)
+    obs_buf = out0.observations
+    checksum = jnp.zeros((), dtype=jnp.uint32)
+    key = jax.random.PRNGKey(1)
+    chunks = []
+    for i in range(n_warm + n_bench):
+        key, sub = jax.random.split(key)
+        chunks.append(make_actions(sub))
+    jax.block_until_ready(chunks)
+    for i in range(n_warm):
+        state, checksum, obs_buf = run_chunk(state, checksum, obs_buf, chunks[i])
+    int(jax.device_get(checksum))
+    t0 = time.perf_counter()
+    for i in range(n_bench):
+        state, checksum, obs_buf = run_chunk(state, checksum, obs_buf, chunks[n_warm + i])
+    int(jax.device_get(checksum))
+    dt = time.perf_counter() - t0
+    sps = E * chunk * n_bench / dt
+    print(
+        f"E={E:5d}  {sps:12.1f} env-steps/s/chip   {E / sps * 1e3:7.3f} ms/step   "
+        f"x8-chip proj (E per chip): {sps * 8 / 1e6:.2f}M",
+        flush=True,
+    )
+    return sps
+
+
+for E in (512, 1024, 2048, 4096, 8192):
+    run(E)

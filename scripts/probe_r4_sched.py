@@ -59,7 +59,13 @@ def stepper(auto_reset):
         acts = jax.random.randint(k1, (E, A), 0, n_actions, dtype=jnp.int32)
         vibes = jax.random.randint(jax.random.fold_in(k1, 1), (E, A), 0, n_actions, dtype=jnp.int32)
         st2, out = step(st, acts, vibes)
-        return st2, (out.rewards, out.action_success)
+        # Fold the obs into the carried reduction — without this the whole
+        # obs phase is DEAD CODE and XLA deletes the tail kernel (the first
+        # version of this probe under-measured the step by ~10 ms).
+        obs_term = jnp.sum(out.observations[:, :, 0, :].astype(jnp.uint32)) + jnp.sum(
+            out.tokens_attempted
+        )
+        return st2, (out.rewards, out.action_success, obs_term)
 
     return fn
 
@@ -92,6 +98,16 @@ for name, ar in (("auto_reset=True  fresh ", True, ), ("auto_reset=False fresh "
 for name, ar in (("auto_reset=True  steady", True), ("auto_reset=False steady", False)):
     ms = time_fn_carry(stepper(ar), state_w) * 1e3
     print(f"step {name} {ms:8.3f} ms", flush=True)
+
+# Fusion-aware per-phase ablation at steady state (random fixed action mix).
+from mettagrid_tpu.profiling.phase_timing import measure_step_phases  # noqa: E402
+
+rng_np = np.random.default_rng(3)
+acts_fix = jnp.asarray(rng_np.integers(0, n_actions, (E, A)), dtype=jnp.int32)
+vibes_fix = jnp.asarray(rng_np.integers(0, n_actions, (E, A)), dtype=jnp.int32)
+split = measure_step_phases(program, init, state_w, acts_fix, vibe_actions=vibes_fix, k=8)
+for k, v in split.items():
+    print(f"phase {k:10s} {v * 1e3:7.3f} ms", flush=True)
 
 # wave-count distribution under the footprint schedule (one honest sample):
 from mettagrid_tpu.engine.actions_fast import footprint_schedule_ok  # noqa: E402

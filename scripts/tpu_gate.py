@@ -50,16 +50,24 @@ CELLS: list[tuple[str, dict, str]] = [
                         "METTAGRID_TPU_OBS_V2": "0"}, "static_v1"),
     ("dyn_v3", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_V3": "1",
                 "METTAGRID_TPU_STATIC_TAIL": "v3"}, "dyn_v3"),
-    ("dyn_v2", {"VERIFY_MODE": "dynv2"}, "dyn_v2"),
-    ("dyn_v2_wide", {"VERIFY_MODE": "dynv2", "VERIFY_WIDTH": "40"}, "dyn_v2"),
+    # dynobj_v2: in-kernel image assembly from object tables (the r4 default
+    # for mutable-background configs); dyn_v2 cells pin the XLA-assembled
+    # fallback via METTAGRID_TPU_OBS_DYNOBJ=0.
+    ("dynobj_v2", {"VERIFY_MODE": "dynv2"}, "dynobj_v2"),
+    ("dynobj_v2_wide", {"VERIFY_MODE": "dynv2", "VERIFY_WIDTH": "40"}, "dynobj_v2"),
+    ("dyn_v2", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_DYNOBJ": "0"}, "dyn_v2"),
+    ("dyn_v2_wide", {"VERIFY_MODE": "dynv2", "VERIFY_WIDTH": "40",
+                     "METTAGRID_TPU_OBS_DYNOBJ": "0"}, "dyn_v2"),
     ("dyn_v1", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_V2": "0"}, "dyn_v1"),
     # WIDE-PACKED v2 ([g:10|loc:8|feat:6|val:8], KS_pad2 <= 1024): the
     # general/combat presets (S=6/7) route here since r4 — both the dyn and
     # the in-kernel-assembly static generation, plus their v1 fallbacks.
-    ("dyn_v2w_general", {"VERIFY_MODE": "general"}, "dyn_v2"),
+    ("dynobj_v2w_general", {"VERIFY_MODE": "general"}, "dynobj_v2"),
+    ("dyn_v2w_general", {"VERIFY_MODE": "general",
+                         "METTAGRID_TPU_OBS_DYNOBJ": "0"}, "dyn_v2"),
     ("static_v2w_combat", {"VERIFY_MODE": "combat"}, "static_v2"),
-    ("dyn_v2w_general_r4", {"VERIFY_MODE": "general",
-                            "METTAGRID_TPU_COMPACT": "r4"}, "dyn_v2"),
+    ("dynobj_v2w_general_r4", {"VERIFY_MODE": "general",
+                               "METTAGRID_TPU_COMPACT": "r4"}, "dynobj_v2"),
     ("dyn_v1_general_wide", {"VERIFY_MODE": "general",
                              "METTAGRID_TPU_OBS_V2": "0"}, "dyn_v1"),
     ("combat_static_wide_v1", {"VERIFY_MODE": "combat",
@@ -75,7 +83,10 @@ CELLS: list[tuple[str, dict, str]] = [
     ("static_v3_eb", {"VERIFY_MODE": "arena", "METTAGRID_TPU_OBS_V3": "1",
                       "METTAGRID_TPU_STATIC_TAIL": "v3",
                       "METTAGRID_TPU_OBS_EMITB": "1"}, "static_v3"),
-    ("dyn_v2_eb", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_EMITB": "1"}, "dyn_v2"),
+    ("dynobj_v2_eb", {"VERIFY_MODE": "dynv2",
+                      "METTAGRID_TPU_OBS_EMITB": "1"}, "dynobj_v2"),
+    ("dyn_v2_eb", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_DYNOBJ": "0",
+                   "METTAGRID_TPU_OBS_EMITB": "1"}, "dyn_v2"),
     ("dyn_v3_eb", {"VERIFY_MODE": "dynv2", "METTAGRID_TPU_OBS_V3": "1",
                    "METTAGRID_TPU_STATIC_TAIL": "v3",
                    "METTAGRID_TPU_OBS_EMITB": "1"}, "dyn_v3"),
@@ -88,7 +99,7 @@ KNOBS = [
     "VERIFY_EXPECT_TAIL", "METTAGRID_TPU_OBS_V2", "METTAGRID_TPU_OBS_V3",
     "METTAGRID_TPU_STATIC_TAIL", "METTAGRID_TPU_OBS_BE",
     "METTAGRID_TPU_COMPACT", "METTAGRID_TPU_PAR_GRID", "METTAGRID_TPU_UNPACK",
-    "METTAGRID_TPU_OBS_EMITB",
+    "METTAGRID_TPU_OBS_EMITB", "METTAGRID_TPU_OBS_DYNOBJ",
 ]
 
 

@@ -190,6 +190,38 @@ def test_combat_fast_matches_sequential(density):
     assert np.array_equal(np.asarray(out_a.observations), np.asarray(out_b.observations))
 
 
+@pytest.mark.parametrize("unroll", [1, 4])
+def test_sched_unroll_count_is_semantics_free(unroll, monkeypatch):
+    """SCHED_UNROLL_WAVES is a scheduling knob only: surplus unrolled waves
+    see empty settle masks (no-ops) and the while tail completes any
+    remainder, so any count must produce bit-identical trajectories."""
+    import mettagrid_tpu.engine.actions_fast as af
+
+    num_agents = 8
+    cfg = make_combat_cfg(num_agents, 7)
+    E = 16
+    program, reset_a, step_default = build(cfg, E, "fast")
+    state_a, _ = reset_a(0)
+    zeros = jnp.zeros((E, num_agents), dtype=jnp.int32)
+    step_default(state_a, zeros, zeros)  # trace before patching the knob
+    monkeypatch.setattr(af, "SCHED_UNROLL_WAVES", unroll)
+    _, reset_b, step_knob = build(cfg, E, "fast")
+
+    state_b, _ = reset_b(0)
+    rng = np.random.default_rng(7)
+    n_actions = len(program.action_names)
+    for _ in range(12):
+        acts = jnp.asarray(rng.integers(0, n_actions, size=(E, num_agents)), dtype=jnp.int32)
+        vibes = jnp.asarray(rng.integers(0, n_actions, size=(E, num_agents)), dtype=jnp.int32)
+        state_a, out_a = step_default(state_a, acts, vibes)
+        state_b, out_b = step_knob(state_b, acts, vibes)
+    assert np.array_equal(np.asarray(out_a.observations), np.asarray(out_b.observations))
+    assert np.array_equal(np.asarray(out_a.action_success), np.asarray(out_b.action_success))
+    for name in state_a._fields:
+        a, b = getattr(state_a, name), getattr(state_b, name)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"state field {name} diverged"
+
+
 def test_footprint_schedule_gates():
     """swap (moves the target) and range>1 line scans disqualify the exact
     footprint schedule; query-bearing stats sources and game-scope stats

@@ -73,7 +73,8 @@ import pytest as _pytest
 
 @_pytest.mark.parametrize(
     "dyn_tail,width",
-    [("v2", 10), ("v3", 10), ("v2", 40), ("v1", 10), ("v1", 40)],
+    [("v2", 10), ("v3", 10), ("v2", 40), ("v1", 10), ("v1", 40),
+     ("objv2", 10), ("objv2", 40)],
 )
 def test_fused_obs_tail_interpret_matches_xla_path(dyn_tail, width):
     """The production fused pallas obs tail (interpret mode) must be
@@ -118,18 +119,24 @@ def test_fused_obs_tail_interpret_matches_xla_path(dyn_tail, width):
     obs_mod._FORCE_FUSED_INTERPRET = True
     old_force = obs_mod._FORCE_STATIC_TAIL
     old_v2 = obs_mod._OBS_V2
+    old_dynobj = obs_mod._OBS_DYNOBJ
     obs_mod._FORCE_STATIC_TAIL = dyn_tail if dyn_tail == "v3" else old_force
     obs_mod._OBS_V2 = dyn_tail != "v1"
+    # dynobj_v2 (in-kernel assembly) is the default dyn route; the dyn_v2
+    # legs pin the XLA-assembled fallback by switching it off.
+    obs_mod._OBS_DYNOBJ = dyn_tail == "objv2"
+    expect = "dynobj_v2" if dyn_tail == "objv2" else f"dyn_{dyn_tail}"
     try:
         obs_fn_fused = obs_mod.make_obs_fn(program)
         obs_b, att_b = obs_fn_fused(state)
-        assert obs_mod._LAST_TAIL == f"dyn_{dyn_tail}"
+        assert obs_mod._LAST_TAIL == expect
         if width > 10:  # the wide case must actually span two lane tiles
             assert obs_fn_fused._tables["WPC_f"] > 128
     finally:
         obs_mod._FORCE_FUSED_INTERPRET = False
         obs_mod._FORCE_STATIC_TAIL = old_force
         obs_mod._OBS_V2 = old_v2
+        obs_mod._OBS_DYNOBJ = old_dynobj
 
     np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
     np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
@@ -345,6 +352,7 @@ def test_general_config_routes_to_wide_dyn_v2_and_matches_xla():
 
     obs_mod._FORCE_FUSED_INTERPRET = True
     old_v2 = obs_mod._OBS_V2
+    old_dynobj = obs_mod._OBS_DYNOBJ
     try:
         obs_fn_fused = obs_mod.make_obs_fn(program)
         assert obs_fn_fused._tables["v2_ok"] and obs_fn_fused._tables["v2_wide"], (
@@ -352,9 +360,16 @@ def test_general_config_routes_to_wide_dyn_v2_and_matches_xla():
         )
         assert obs_fn_fused._tables["WPC_f"] > 128, "general config must span two lane tiles"
         obs_b, att_b = obs_fn_fused(state)
-        assert obs_mod._LAST_TAIL == "dyn_v2"
+        assert obs_mod._LAST_TAIL == "dynobj_v2"
         np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
         np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
+
+        obs_mod._OBS_DYNOBJ = False
+        obs_fn_dv2 = obs_mod.make_obs_fn(program)
+        obs_d, att_d = obs_fn_dv2(state)
+        assert obs_mod._LAST_TAIL == "dyn_v2"
+        np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_d))
+        np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_d))
 
         obs_mod._OBS_V2 = False
         obs_fn_v1 = obs_mod.make_obs_fn(program)
@@ -365,6 +380,7 @@ def test_general_config_routes_to_wide_dyn_v2_and_matches_xla():
     finally:
         obs_mod._FORCE_FUSED_INTERPRET = False
         obs_mod._OBS_V2 = old_v2
+        obs_mod._OBS_DYNOBJ = old_dynobj
 
 
 def test_combat_config_routes_to_wide_static_v2_and_matches_xla():
@@ -419,7 +435,7 @@ def test_combat_config_routes_to_wide_static_v2_and_matches_xla():
     np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
 
 
-@pytest.mark.parametrize("mode", ["static_v2", "static_v3", "dyn_v2", "dyn_v3"])
+@pytest.mark.parametrize("mode", ["static_v2", "static_v3", "dyn_v2", "dyn_v3", "dynobj_v2"])
 def test_emit_bytes_matches_word_unpack(mode):
     """emit_bytes=True (in-kernel [loc, feature, value] byte interleave via
     the exact int8 selection matmul, _byte_sel_table) must be byte-identical
@@ -454,7 +470,9 @@ def test_emit_bytes_matches_word_unpack(mode):
     bg = obs_mod.build_static_bg(program, init) if static else None
     obs_mod._FORCE_FUSED_INTERPRET = True
     old_force, old_emitb = obs_mod._FORCE_STATIC_TAIL, obs_mod._OBS_EMITB
+    old_dynobj = obs_mod._OBS_DYNOBJ
     obs_mod._FORCE_STATIC_TAIL = tail
+    obs_mod._OBS_DYNOBJ = mode == "dynobj_v2"
     try:
         obs_mod._OBS_EMITB = False
         fn_words = obs_mod.make_obs_fn(program, static_bg=bg)
@@ -468,6 +486,7 @@ def test_emit_bytes_matches_word_unpack(mode):
         obs_mod._FORCE_FUSED_INTERPRET = False
         obs_mod._FORCE_STATIC_TAIL = old_force
         obs_mod._OBS_EMITB = old_emitb
+        obs_mod._OBS_DYNOBJ = old_dynobj
 
     np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
     np.testing.assert_array_equal(np.asarray(att_a), np.asarray(att_b))
