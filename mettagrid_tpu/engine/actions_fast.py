@@ -218,10 +218,21 @@ def pure_move_ok(program: EngineProgram) -> bool:
     return True
 
 
-def apply_move_batch(program: EngineProgram, state: EnvState, active: jnp.ndarray, arg: jnp.ndarray):
+def apply_move_batch(
+    program: EngineProgram,
+    state: EnvState,
+    active: jnp.ndarray,
+    arg: jnp.ndarray,
+    drdc=None,
+):
     """Vectorized move for a set of agents at once. active: bool[E, A];
     arg: int32[E, A] direction ids. Active agents are guaranteed pairwise
     non-interacting, so all grid writes within the call are disjoint.
+
+    drdc: optional precomputed (dr, dc) int32[E, A] — callers that already
+    decoded the action table pass them to avoid the per-wave [E, A] gather
+    from the direction tables (the XLA:TPU small-table gather penalty:
+    ~0.7 ms each at E=4096, docs/perf_findings.md).
 
     Returns (state, success[E, A])."""
     E, A = active.shape
@@ -230,8 +241,11 @@ def apply_move_batch(program: EngineProgram, state: EnvState, active: jnp.ndarra
 
     ar = state.obj_r[:, :A]
     ac = state.obj_c[:, :A]
-    dr = jnp.asarray(DIR_DR)[arg]
-    dc = jnp.asarray(DIR_DC)[arg]
+    if drdc is not None:
+        dr, dc = drdc
+    else:
+        dr = jnp.asarray(DIR_DR)[arg]
+        dc = jnp.asarray(DIR_DC)[arg]
     e2 = jnp.arange(E, dtype=jnp.int32)[:, None]
 
     # All-range-1 fast path: every handler scans the same adjacent cell, and
@@ -336,12 +350,31 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
     true grid is reconstructable via state.true_grid / engine.true_grid.
     Saves 2 one-hot grid scatters (~0.65 ms at bench shapes)."""
     n_actions = len(program.action_names)
-    kind_t = jnp.asarray(program.action_kind)
-    arg_t = jnp.asarray(program.action_arg)
-    is_vibe_t = jnp.asarray(program.action_is_vibe)
-    prio_t = jnp.asarray(program.action_priority)
-    succ_stat_t = jnp.asarray(program.action_success_stat)
-    fail_stat_t = jnp.asarray(program.action_fail_stat)
+    # ALL action-table lookups ride ONE exact int32 one-hot contraction per
+    # stream: per-[a] gathers from the [n_actions] tables are the XLA:TPU
+    # small-table gather penalty class (~0.7 ms EACH at E=4096 with the
+    # 157-action combat space; the phase carried ~12 of them). Columns:
+    # kind, arg, is_vibe, priority, succ_stat, fail_stat, move dr, move dc.
+    _kind_np = np.asarray(program.action_kind)
+    _arg_np = np.asarray(program.action_arg)
+    _dir_dr = np.asarray(DIR_DR)
+    _dir_dc = np.asarray(DIR_DC)
+    _argc = np.clip(_arg_np, 0, len(_dir_dr) - 1)
+    TB_t = jnp.asarray(
+        np.stack(
+            [
+                _kind_np,
+                _arg_np,
+                np.asarray(program.action_is_vibe).astype(np.int32),
+                np.asarray(program.action_priority),
+                np.asarray(program.action_success_stat),
+                np.asarray(program.action_fail_stat),
+                np.where(_kind_np == KIND_MOVE, _dir_dr[_argc], 0),
+                np.where(_kind_np == KIND_MOVE, _dir_dc[_argc], 0),
+            ],
+            axis=1,
+        ).astype(np.int32)
+    )
     A = program.num_agents
     Sa = max(len(program.agent_stat_names), 1)
     max_range = max((mh.max_range for mh in program.move_handlers), default=1)
@@ -354,12 +387,13 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
         "METTAGRID_TPU_NO_SCHED"
     )
 
-    def bookkeeping(state: EnvState, active, a, success, ar, ac):
+    def bookkeeping(state: EnvState, active, a, success, ar, ac, sstat, fstat):
         """Stats + last-action updates for a batch of agents
         (action_handler.hpp:78-105). active/a/success: [E, A]; ar/ac are the
-        agents' positions at their settle time."""
+        agents' positions at their settle time; sstat/fstat the decoded
+        per-agent success/fail stat ids."""
         stats = state.agent_stats  # [E, A, Sa]
-        sid = jnp.where(success, succ_stat_t[a], fail_stat_t[a])
+        sid = jnp.where(success, sstat, fstat)
         onehot = jax.nn.one_hot(sid, Sa, dtype=stats.dtype)
         stats = stats + jnp.where(active[..., None], onehot, 0.0)
         failed_oh = jax.nn.one_hot(
@@ -399,6 +433,19 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
         vibe_np = np.asarray(program.action_is_vibe, dtype=bool)
         prio_np = np.asarray(program.action_priority)
 
+        def decode(acts_in):
+            """One exact int32 one-hot contraction decodes every action
+            field at once (see TB_t above)."""
+            valid_ = (acts_in >= 0) & (acts_in < n_actions)
+            a_ = jnp.clip(acts_in, 0, n_actions - 1)
+            oh = (
+                a_[..., None] == jnp.arange(n_actions, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.int32)
+            f_ = jnp.einsum("eak,kf->eaf", oh, TB_t)
+            return valid_, a_, f_
+
+        dec = {False: decode(actions), True: decode(vibe_actions)}
+
         for prio in program.priorities_desc:
             for vibe_stream, acts in ((False, actions), (True, vibe_actions)):
                 sel = (vibe_np == vibe_stream) & (prio_np == prio)
@@ -408,10 +455,13 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                 if not (stream_has_move or stream_has_noop or stream_has_cv) and vibe_stream:
                     continue
 
-                valid = (acts >= 0) & (acts < n_actions)
-                a = jnp.clip(acts, 0, n_actions - 1)
-                stream_ok = is_vibe_t[a] == vibe_stream
-                active = valid & stream_ok & (prio_t[a] == prio)
+                valid, a, f = dec[vibe_stream]
+                stream_ok = f[..., 2] == (1 if vibe_stream else 0)
+                active = valid & stream_ok & (f[..., 3] == prio)
+                sstat = f[..., 4]
+                fstat = f[..., 5]
+                dr_dec = f[..., 6]
+                dc_dec = f[..., 7]
                 if not vibe_stream:
                     invalid = ~valid & (prio == program.priorities_desc[-1])
                     inv_oh = jax.nn.one_hot(
@@ -421,8 +471,8 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                     state = state._replace(
                         agent_stats=state.agent_stats + jnp.where(invalid[..., None], inv_oh, 0.0)
                     )
-                kind = kind_t[a]
-                arg = arg_t[a]
+                kind = f[..., 0]
+                arg = f[..., 1]
 
                 # --- non-interacting kinds settle immediately ---
                 settled_now = jnp.zeros_like(active)
@@ -461,8 +511,8 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                     # occupancy) and written once (agent relayout) per stream.
                     move_mask = active & (kind == KIND_MOVE)
                     H, W = state.grid.shape[1], state.grid.shape[2]
-                    dr = jnp.asarray(DIR_DR)[arg]
-                    dc = jnp.asarray(DIR_DC)[arg]
+                    dr = dr_dec
+                    dc = dc_dec
                     tr = r_base + dr
                     tc = c_base + dc
                     inb = (tr >= 0) & (tr < H) & (tc >= 0) & (tc < W)
@@ -533,8 +583,8 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                     # mutation batch then runs only max(wave_idx)+1 times.
                     move_mask = active & (kind == KIND_MOVE)
                     H, W = state.grid.shape[1], state.grid.shape[2]
-                    dr = jnp.asarray(DIR_DR)[arg]
-                    dc = jnp.asarray(DIR_DC)[arg]
+                    dr = dr_dec
+                    dc = dc_dec
                     tr = r_base + dr
                     tc = c_base + dc
                     inb = (tr >= 0) & (tr < H) & (tc >= 0) & (tc < W)
@@ -575,7 +625,7 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                         mut, success, r_rec, c_rec, w = carry
                         st = base_state._replace(**dict(zip(_WAVE_MUT_FIELDS, mut)))
                         settle = move_mask & (wave_idx == w)
-                        st, succ = apply_move_batch(program, st, settle, arg)
+                        st, succ = apply_move_batch(program, st, settle, arg, drdc=(dr, dc))
                         r_rec = jnp.where(settle, st.obj_r[:, :A], r_rec)
                         c_rec = jnp.where(settle, st.obj_c[:, :A], c_rec)
                         mut = tuple(getattr(st, f) for f in _WAVE_MUT_FIELDS)
@@ -616,7 +666,9 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                         earlier = rank[:, None, :] < rank[:, :, None]
                         dep = (near & earlier & unsettled[:, None, :]).any(axis=-1)
                         settle = unsettled & ~dep  # non-empty while any unsettled
-                        state, succ = apply_move_batch(program, state, settle, arg)
+                        state, succ = apply_move_batch(
+                            program, state, settle, arg, drdc=(dr_dec, dc_dec)
+                        )
                         r_rec = jnp.where(settle, state.obj_r[:, :A], r_rec)
                         c_rec = jnp.where(settle, state.obj_c[:, :A], c_rec)
                         return state, unsettled & ~settle, success | succ, r_rec, c_rec
@@ -641,7 +693,7 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                     r_at = r_base
                     c_at = c_base
 
-                state = bookkeeping(state, settled_all, a, succ_all, r_at, c_at)
+                state = bookkeeping(state, settled_all, a, succ_all, r_at, c_at, sstat, fstat)
         return state
 
     return action_phase

@@ -520,7 +520,9 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter, mtd: Optional[MtThr
         return ctx.target < 0
     if kind == "target_is_usable":
         ttype = eread(state.obj_type, ctx.target)
-        usable = jnp.asarray(program.type_usable)[ttype]
+        # one-hot contraction, not a per-[ttype] table gather (the XLA:TPU
+        # small-table gather penalty class — ~0.7 ms per [E, A] lookup).
+        usable = type_select(program, ttype, np.asarray(program.type_usable, dtype=np.int32)) > 0
         return (ctx.target >= 0) & usable
     if kind == "vibe":
         slot = _entity_slot(ctx, f.target_is_actor)

@@ -863,7 +863,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 state.obj_tags[:, :A],
                 state.obj_inv[:, :A],
                 state.obj_alive[:, :A],
-                type_is_agent_t[state.obj_type[:, :A]],
+                jnp.ones((E, A), dtype=bool),  # slots < A are agents by construction
                 state.agent_group,
                 slots_a,
             )
@@ -1016,8 +1016,10 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 use_pallas,
             )
 
-            is_agent = type_is_agent_t[state.obj_type] & (
-                jnp.arange(N, dtype=jnp.int32)[None, :] < A
+            # slots < A are agents by construction (state.py layout; the
+            # type_is_agent[obj_type] gather is the small-table penalty class)
+            is_agent = jnp.broadcast_to(
+                jnp.arange(N, dtype=jnp.int32)[None, :] < A, (E, N)
             )
             group_pad = jnp.pad(state.agent_group, ((0, 0), (0, N - A)))
             slots_n = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (E, N))
@@ -1066,7 +1068,7 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
                 state.obj_tags[:, :A],
                 state.obj_inv[:, :A],
                 state.obj_alive[:, :A],
-                type_is_agent_t[state.obj_type[:, :A]],
+                jnp.ones((E, A), dtype=bool),  # slots < A are agents by construction
                 state.agent_group,
                 slots_a,
             )
@@ -1082,8 +1084,10 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
             cell_img = bg + dyn  # disjoint cells: agents never share a cell
             obj_cnt_sum = None
         else:
-            is_agent = type_is_agent_t[state.obj_type] & (
-                jnp.arange(N, dtype=jnp.int32)[None, :] < A
+            # slots < A are agents by construction (state.py layout; the
+            # type_is_agent[obj_type] gather is the small-table penalty class)
+            is_agent = jnp.broadcast_to(
+                jnp.arange(N, dtype=jnp.int32)[None, :] < A, (E, N)
             )
             group_pad = jnp.pad(state.agent_group, ((0, 0), (0, N - A)))
             slots_n = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (E, N))

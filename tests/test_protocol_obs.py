@@ -137,7 +137,7 @@ def test_protocol_fused_interpret_matches_xla():
     obs_mod._FORCE_FUSED_INTERPRET = True
     try:
         obs_b, att_b = obs_mod.make_obs_fn(env.program)(state)
-        assert obs_mod._LAST_TAIL.startswith("dyn_")
+        assert obs_mod._LAST_TAIL.startswith("dyn")
     finally:
         obs_mod._FORCE_FUSED_INTERPRET = False
     np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b))
