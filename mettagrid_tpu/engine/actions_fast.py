@@ -325,6 +325,7 @@ def apply_move_batch(
             target_c=cand_c,
             distance=cand_dist,
             timestep=state.step_count,
+            actor_prefix=True,  # actor IS the agent-prefix identity here
         )
         try_mask = found & ~success
         passed = try_mask & eval_filters(program, state, ctx, mh.handler.filters)

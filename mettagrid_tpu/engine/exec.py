@@ -35,6 +35,11 @@ class Ctx(NamedTuple):
     # gathers/scatters then collapse to direct full-array ops (the one-hot
     # [E, N, N] forms are pure overhead there).
     dense_identity: bool = False
+    # Static hint: actor is the AGENT-PREFIX identity (actor[e, i] == i,
+    # B == [E, A], arrays [E, N], A <= N) — move-wave and agent-tick
+    # contexts. Actor-side entity reads collapse to [:, :A] slices and
+    # writes to prefix sets (each saves a ~0.26 ms one-hot pass at E=4096).
+    actor_prefix: bool = False
 
     def bcast_timestep(self) -> jnp.ndarray:
         t = self.timestep
@@ -511,10 +516,15 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter, mtd: Optional[MtThr
     kind = f.kind
     B = ctx.actor.shape
 
-    def eread(arr, slot):
+    def eread(arr, slot, is_actor=False):
         # Event contexts bind the full-axis identity (ctx.dense_identity):
-        # the entity read IS the array.
-        return arr if ctx.dense_identity else gather(arr, slot)
+        # the entity read IS the array. Move/tick contexts bind the actor to
+        # the agent-prefix identity (ctx.actor_prefix): a [:, :A] slice.
+        if ctx.dense_identity:
+            return arr
+        if is_actor and ctx.actor_prefix:
+            return arr[:, : slot.shape[1]]
+        return gather(arr, slot)
 
     if kind == "target_loc_empty":
         return ctx.target < 0
@@ -526,11 +536,11 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter, mtd: Optional[MtThr
         return (ctx.target >= 0) & usable
     if kind == "vibe":
         slot = _entity_slot(ctx, f.target_is_actor)
-        vibe = eread(state.obj_vibe, slot)
+        vibe = eread(state.obj_vibe, slot, f.target_is_actor)
         return (slot >= 0) & (vibe == f.vibe_id)
     if kind == "resource":
         slot = _entity_slot(ctx, f.target_is_actor)
-        inv = eread(state.obj_inv, slot)  # [B, R]
+        inv = eread(state.obj_inv, slot, f.target_is_actor)  # [B, R]
         ok = slot >= 0
         for rid, amount in f.resource_mins:
             ok = ok & (inv[..., rid] >= amount)
@@ -539,21 +549,21 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter, mtd: Optional[MtThr
         slot = _entity_slot(ctx, f.target_is_actor)
         if f.target_is_actor and ctx.actor_tags is not None:
             return ctx.actor_tags[..., f.tag_id]
-        tags = eread(state.obj_tags, slot)  # [B, n_tags]
+        tags = eread(state.obj_tags, slot, f.target_is_actor)  # [B, n_tags]
         return (slot >= 0) & tags[..., f.tag_id]
     if kind == "tag_prefix":
         slot = _entity_slot(ctx, f.target_is_actor)
         pm = jnp.asarray(f.tag_mask)
         if f.target_is_actor and ctx.actor_tags is not None:
             return (ctx.actor_tags & pm).any(axis=-1)
-        tags = eread(state.obj_tags, slot)
+        tags = eread(state.obj_tags, slot, f.target_is_actor)
         return (slot >= 0) & (tags & pm).any(axis=-1)
     if kind == "shared_tag_prefix":
         if ctx.actor_tags is not None:
             at = ctx.actor_tags
             actor_ok = at.any(axis=-1)
         else:
-            at = eread(state.obj_tags, ctx.actor)
+            at = eread(state.obj_tags, ctx.actor, True)
             actor_ok = ctx.actor >= 0
         tt = eread(state.obj_tags, ctx.target)
         pm = jnp.asarray(f.tag_mask)
@@ -582,8 +592,8 @@ def eval_filter(program, state, ctx: Ctx, f: CompiledFilter, mtd: Optional[MtThr
             return (slot >= 0) & (within & qm).any(axis=-1)
         if f.radius <= 0:
             return jnp.ones(B, dtype=bool)
-        ar = gather(state.obj_r, ctx.actor)
-        ac = gather(state.obj_c, ctx.actor)
+        ar = eread(state.obj_r, ctx.actor, True)
+        ac = eread(state.obj_c, ctx.actor, True)
         dr = ctx.target_r - ar
         dc = ctx.target_c - ac
         return dr * dr + dc * dc <= f.radius * f.radius

@@ -48,16 +48,22 @@ def _entity_slot(ctx: Ctx, target_is_actor: bool) -> jnp.ndarray:
     return ctx.actor if target_is_actor else ctx.target
 
 
-def entity_inv_update(program, state, slot, rid: int, delta, mask, dense_identity=False):
+def entity_inv_update(program, state, slot, rid: int, delta, mask,
+                      dense_identity=False, actor_prefix=False):
     """Per-slot clamped inventory update; returns (state, actual_delta[B]).
 
     Applies the shared-limit math (inventory.cpp:38-88) and the
     enforce-on-modifier-removal pass. dense_identity: slot is the full-axis
-    identity (event contexts) — skip the gather/scatter round-trip
-    (inv_update masks per entry itself)."""
+    identity (event contexts); actor_prefix: slot is the agent-prefix
+    identity (move/tick contexts) — either skips the one-hot gather/scatter
+    round-trip (inv_update masks per entry itself)."""
     if dense_identity:
         inv = state.obj_inv
         tid = state.obj_type
+    elif actor_prefix:
+        Ap = slot.shape[1]
+        inv = state.obj_inv[:, :Ap]
+        tid = state.obj_type[:, :Ap]
     else:
         inv = gather(state.obj_inv, slot)  # [B, R]
         tid = gather(state.obj_type, slot)
@@ -69,6 +75,8 @@ def entity_inv_update(program, state, slot, rid: int, delta, mask, dense_identit
         )
     if dense_identity:
         state = state._replace(obj_inv=new_inv)
+    elif actor_prefix:
+        state = state._replace(obj_inv=state.obj_inv.at[:, :Ap].set(new_inv))
     else:
         state = state._replace(obj_inv=scatter(state.obj_inv, slot, new_inv, mask))
     return state, actual
@@ -117,18 +125,30 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
     ok = jnp.ones_like(mask)
 
     if kind == "relocate":
-        ar = gather(state.obj_r, ctx.actor)
-        ac = gather(state.obj_c, ctx.actor)
+        if ctx.actor_prefix:
+            Ap = ctx.actor.shape[1]
+            ar = state.obj_r[:, :Ap]
+            ac = state.obj_c[:, :Ap]
+        else:
+            ar = gather(state.obj_r, ctx.actor)
+            ac = gather(state.obj_c, ctx.actor)
         H, W = state.grid.shape[1], state.grid.shape[2]
         tr = jnp.clip(ctx.target_r, 0, H - 1)
         tc = jnp.clip(ctx.target_c, 0, W - 1)
         grid = grid_write(state.grid, ar, ac, -1, mask)
         grid = grid_write(grid, tr, tc, ctx.actor, mask)
-        state = state._replace(
-            grid=grid,
-            obj_r=scatter(state.obj_r, ctx.actor, tr, mask),
-            obj_c=scatter(state.obj_c, ctx.actor, tc, mask),
-        )
+        if ctx.actor_prefix:
+            state = state._replace(
+                grid=grid,
+                obj_r=state.obj_r.at[:, :Ap].set(jnp.where(mask, tr, ar)),
+                obj_c=state.obj_c.at[:, :Ap].set(jnp.where(mask, tc, ac)),
+            )
+        else:
+            state = state._replace(
+                grid=grid,
+                obj_r=scatter(state.obj_r, ctx.actor, tr, mask),
+                obj_c=scatter(state.obj_c, ctx.actor, tc, mask),
+            )
         return state, ok
 
     if kind == "swap":
@@ -165,6 +185,7 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
             state, _ = entity_inv_update(
                 program, state, slot, rid, jnp.full_like(slot, delta), valid,
                 dense_identity=ctx.dense_identity,
+                actor_prefix=ctx.actor_prefix and m.target_is_actor,
             )
         return state, ok
 
@@ -220,7 +241,10 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
             weapon = state.obj_inv[..., m.weapon_rid]
             armor = state.obj_inv[..., m.armor_rid]
         else:
-            weapon = gather(state.obj_inv, ctx.actor)[..., m.weapon_rid]
+            if ctx.actor_prefix:
+                weapon = state.obj_inv[:, : ctx.actor.shape[1], m.weapon_rid]
+            else:
+                weapon = gather(state.obj_inv, ctx.actor)[..., m.weapon_rid]
             armor = gather(state.obj_inv, ctx.target)[..., m.armor_rid]
         damage = jnp.maximum(0, (weapon * m.damage_pct) // 100 - armor)
         state, _ = entity_inv_update(
@@ -447,7 +471,10 @@ def apply_attack(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndarra
     actor, target = ctx.actor, ctx.target
     valid = mask & (actor >= 0) & (target >= 0)
 
-    a_inv = gather(state.obj_inv, actor)  # [B, R]
+    if ctx.actor_prefix:
+        a_inv = state.obj_inv[:, : actor.shape[1]]  # [B, R]
+    else:
+        a_inv = gather(state.obj_inv, actor)  # [B, R]
     t_inv = gather(state.obj_inv, target)
     t_vibe = gather(state.obj_vibe, target)
 

@@ -193,6 +193,7 @@ def make_agent_tick_phase(program: EngineProgram):
             target_c=state.obj_c[:, :A],
             distance=jnp.zeros((E, A), dtype=jnp.int32),
             timestep=state.step_count,
+            actor_prefix=True,  # actor IS the agent-prefix identity here
         )
         for cfg_idx, handler in enumerate(program.on_tick_handlers):
             if handler is None:
