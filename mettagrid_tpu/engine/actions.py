@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from mettagrid_tpu.engine.exec import Ctx, eval_filters, gather, scatter
 from mettagrid_tpu.engine.handlers import (
     apply_mutations,
-    incr_agent_stat,
     set_agent_stat,
 )
 from mettagrid_tpu.engine.program import (
@@ -142,9 +141,6 @@ def make_action_phase(program: EngineProgram, reference_rng: bool = False):
         a = jnp.clip(action, 0, n_actions - 1)
         stream_ok = is_vibe_t[a] == (True if vibe_stream else False)
         active = valid & stream_ok & (prio_t[a] == prio)
-        # Invalid action index: noop + stat (mettagrid_c.cpp _handle_invalid_action)
-        invalid = ~valid & stream_ok & (prio == program.priorities_desc[-1])
-        state = incr_agent_stat(state, agent_slot, program.stat_action_invalid, invalid)
         kind = kind_t[a]
         arg = arg_t[a]
 
@@ -209,6 +205,18 @@ def make_action_phase(program: EngineProgram, reference_rng: bool = False):
         """actions/vibe_actions: int32[E, A]; perm: int32[E, A] shuffled agent order."""
         E = actions.shape[0]
         e = jnp.arange(E, dtype=jnp.int32)
+
+        # Invalid indices increment once per priority LEVEL (always >= 2:
+        # Attack registers at priority 1 even disabled) per STREAM
+        # (mettagrid_c.cpp:914-918, 966-998).
+        bad = lambda acts: (acts < 0) | (acts >= n_actions)  # noqa: E731
+        inv_count = (
+            bad(actions).astype(state.agent_stats.dtype)
+            + bad(vibe_actions).astype(state.agent_stats.dtype)
+        ) * float(program.num_priority_levels)
+        state = state._replace(
+            agent_stats=state.agent_stats.at[..., program.stat_action_invalid].add(inv_count)
+        )
 
         for prio in program.priorities_desc:
             def primary_body(i, st):

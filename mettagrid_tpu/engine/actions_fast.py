@@ -65,7 +65,7 @@ SCHED_UNROLL_WAVES = int(
 # the full EnvState copies ~100MB of untouched arrays per tail iteration).
 _WAVE_MUT_FIELDS = (
     "grid", "obj_r", "obj_c", "obj_vibe", "obj_tags", "obj_inv", "obj_alive",
-    "agent_stats",
+    "agent_stats", "agent_stats_touched",
 )
 
 _LOCAL_FILTERS = {
@@ -104,11 +104,12 @@ def _value_local(v) -> bool:
     agent's same-wave mutation could change their result mid-order."""
     if v is None:
         return True
-    if v.kind in ("query_inventory", "query_count"):
-        return False
     if v.kind in ("sum", "ratio", "max", "min"):
         return all(_value_local(c) for c in v.children)
-    return True  # inventory / stat / const read only the bound entity
+    # Whitelist the known entity-local leaves; any other kind (the query
+    # kinds today, anything added later) defaults to NOT wave-local — the
+    # repo convention for classification gates (cf. _mutation_bg_inert).
+    return v.kind in ("const", "inventory", "stat")
 
 
 def _filter_local(f: CompiledFilter) -> bool:
@@ -447,6 +448,18 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
 
         dec = {False: decode(actions), True: decode(vibe_actions)}
 
+        # Invalid action indices: the reference increments the stat once per
+        # priority LEVEL (always >= 2 — the Attack handler registers at
+        # priority 1 even when disabled) per STREAM
+        # (mettagrid_c.cpp:914-918, 966-998; program.num_priority_levels).
+        inv_count = (
+            (~dec[False][0]).astype(state.agent_stats.dtype)
+            + (~dec[True][0]).astype(state.agent_stats.dtype)
+        ) * float(program.num_priority_levels)
+        state = state._replace(
+            agent_stats=state.agent_stats.at[..., program.stat_action_invalid].add(inv_count)
+        )
+
         for prio in program.priorities_desc:
             for vibe_stream, acts in ((False, actions), (True, vibe_actions)):
                 sel = (vibe_np == vibe_stream) & (prio_np == prio)
@@ -463,15 +476,6 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
                 fstat = f[..., 5]
                 dr_dec = f[..., 6]
                 dc_dec = f[..., 7]
-                if not vibe_stream:
-                    invalid = ~valid & (prio == program.priorities_desc[-1])
-                    inv_oh = jax.nn.one_hot(
-                        jnp.full_like(a, program.stat_action_invalid), Sa,
-                        dtype=state.agent_stats.dtype,
-                    )
-                    state = state._replace(
-                        agent_stats=state.agent_stats + jnp.where(invalid[..., None], inv_oh, 0.0)
-                    )
                 kind = f[..., 0]
                 arg = f[..., 1]
 

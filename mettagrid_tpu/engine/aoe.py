@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mettagrid_tpu.engine.exec import Ctx, eval_filters, inv_update
+from mettagrid_tpu.engine.handlers import emit_inv_stats
 from mettagrid_tpu.engine.program import EngineProgram
 from mettagrid_tpu.engine.state import EnvState
 
@@ -72,13 +73,18 @@ def make_aoe_phase(program: EngineProgram):
             # the same tick).
             if spec.presence:
                 edge = (enter.astype(jnp.int32) - exit_.astype(jnp.int32)).sum(axis=1)  # [E, A]
-                agent_inv = state.obj_inv[:, :A, :]
+                inv_before = state.obj_inv[:, :A, :]
+                agent_inv = inv_before
                 for rid, delta in spec.presence:
                     agent_inv, _ = inv_update(
                         program, agent_tid, agent_inv, rid, delta * edge, edge != 0
                     )
                 state = state._replace(
                     obj_inv=state.obj_inv.at[:, :A, :].set(agent_inv)
+                )
+                state = emit_inv_stats(
+                    program, state, None, agent_inv - inv_before, agent_inv,
+                    jnp.ones(edge.shape, dtype=bool), actor_prefix=True,
                 )
 
             # Per-tick mutations: resource deltas scale with the number of
@@ -90,12 +96,17 @@ def make_aoe_phase(program: EngineProgram):
             general: list = []
             for m in spec.mutations:
                 if m.kind == "resource_delta" and not m.target_is_actor:
-                    agent_inv = state.obj_inv[:, :A, :]
+                    inv_before = state.obj_inv[:, :A, :]
+                    agent_inv = inv_before
                     for rid, delta in m.deltas:
                         agent_inv, _ = inv_update(
                             program, agent_tid, agent_inv, rid, delta * n_pass, any_pass
                         )
                     state = state._replace(obj_inv=state.obj_inv.at[:, :A, :].set(agent_inv))
+                    state = emit_inv_stats(
+                        program, state, None, agent_inv - inv_before, agent_inv,
+                        any_pass, actor_prefix=True,
+                    )
                 elif m.kind == "change_vibe":
                     agent_vibe = state.obj_vibe[:, :A]
                     agent_vibe = jnp.where(any_pass, m.vibe_id, agent_vibe)

@@ -48,14 +48,82 @@ def _entity_slot(ctx: Ctx, target_is_actor: bool) -> jnp.ndarray:
     return ctx.actor if target_is_actor else ctx.target
 
 
+def _agent_rows(program, state, slot, rows, mask, dense_identity, actor_prefix):
+    """Route per-batch-entry [B, R] rows to per-agent [E, A, R] sums + the
+    per-agent any-mask, for each of the three slot-addressing modes (slots
+    are unique per call, like the inventory scatter itself)."""
+    A = program.num_agents
+    if dense_identity or actor_prefix:
+        # slot is the identity over its axis; agents are the first A lanes.
+        out = jnp.where(mask[:, :A, None], rows[:, :A], 0)
+        return out, mask[:, :A]
+    ok = mask & agent_slot_ok(slot, A)
+    oh = (slot[..., None] == jnp.arange(A, dtype=jnp.int32)) & ok[..., None]
+    if slot.ndim == 1:  # [E] -> [E, A, R]
+        return jnp.where(oh[..., None], rows[:, None, :], 0), oh
+    # [E, K] -> sum over K (unique slots: at most one contributor per agent)
+    ohf = oh.astype(rows.dtype)
+    out = jnp.einsum("eka,ekr->ear", ohf, jnp.where(ok[..., None], rows, 0))
+    return out, oh.any(axis=-2) if oh.ndim == 3 else oh
+
+
+def emit_inv_stats(program, state, slot, delta_rows, new_rows, mask,
+                   dense_identity=False, actor_prefix=False):
+    """Auto-emitted inventory stat families on an agent inventory change
+    (reference: Agent::on_inventory_change, objects/agent.cpp:100-120):
+    per-resource ".gained"/".lost" accumulate the clamped actual deltas,
+    ".amount" is set to the post-change amount (touched bit — the key stays
+    in the export even at 0), and "death" increments when the "hp" resource
+    is driven to 0 by a negative delta.
+
+    delta_rows/new_rows: [B, R] actual deltas and resulting amounts for the
+    batch entries; only agent slots emit (HasInventory's default callback is
+    a no-op — chests etc. carry no stats)."""
+    R = program.num_resources
+    if R == 0:
+        return state
+    d, m_any = _agent_rows(program, state, slot, delta_rows, mask, dense_identity, actor_prefix)
+    n, _ = _agent_rows(program, state, slot, new_rows, mask, dense_identity, actor_prefix)
+    changed = d != 0  # [E, A, R]
+    if not bool(changed.shape[1]):
+        return state
+    g0 = int(program.stat_inv_gained[0])
+    l0 = int(program.stat_inv_lost[0])
+    a0 = int(program.stat_inv_amount[0])
+    stats = state.agent_stats
+    fd = d.astype(stats.dtype)
+    stats = stats.at[..., g0 : g0 + R].add(jnp.maximum(fd, 0))
+    stats = stats.at[..., l0 : l0 + R].add(jnp.maximum(-fd, 0))
+    stats = stats.at[..., a0 : a0 + R].set(
+        jnp.where(changed, n.astype(stats.dtype), stats[..., a0 : a0 + R])
+    )
+    touched = state.agent_stats_touched
+    touched = touched.at[..., a0 : a0 + R].set(touched[..., a0 : a0 + R] | changed)
+    if program.hp_rid >= 0:
+        hp = program.hp_rid
+        died = (d[..., hp] < 0) & (n[..., hp] == 0)
+        stats = stats.at[..., program.stat_death].add(died.astype(stats.dtype))
+    return state._replace(agent_stats=stats, agent_stats_touched=touched)
+
+
+def _one_hot_rows(program, rid: int, values):
+    """[B] values -> [B, R] rows that are zero except the rid lane."""
+    R = program.num_resources
+    lane = (jnp.arange(R, dtype=jnp.int32) == rid).astype(values.dtype)
+    return values[..., None] * lane
+
+
 def entity_inv_update(program, state, slot, rid: int, delta, mask,
                       dense_identity=False, actor_prefix=False):
     """Per-slot clamped inventory update; returns (state, actual_delta[B]).
 
     Applies the shared-limit math (inventory.cpp:38-88) and the
-    enforce-on-modifier-removal pass. dense_identity: slot is the full-axis
-    identity (event contexts); actor_prefix: slot is the agent-prefix
-    identity (move/tick contexts) — either skips the one-hot gather/scatter
+    enforce-on-modifier-removal pass, then emits the agent auto-stat
+    families for the change (objects/agent.cpp:100-120; enforcement drops
+    notify per dropped resource — inventory.cpp enforce_all_limits calls
+    update() with notify). dense_identity: slot is the full-axis identity
+    (event contexts); actor_prefix: slot is the agent-prefix identity
+    (move/tick contexts) — either skips the one-hot gather/scatter
     round-trip (inv_update masks per entry itself)."""
     if dense_identity:
         inv = state.obj_inv
@@ -79,28 +147,56 @@ def entity_inv_update(program, state, slot, rid: int, delta, mask,
         state = state._replace(obj_inv=state.obj_inv.at[:, :Ap].set(new_inv))
     else:
         state = state._replace(obj_inv=scatter(state.obj_inv, slot, new_inv, mask))
+    # Total per-resource deltas = the rid update + any enforcement drops
+    # (new_inv already reflects both; inv holds the pre-update rows).
+    delta_rows = jnp.where(mask[..., None], new_inv - inv, 0)
+    state = emit_inv_stats(
+        program, state, slot, delta_rows, new_inv, mask,
+        dense_identity=dense_identity, actor_prefix=actor_prefix,
+    )
     return state, actual
 
 
-def set_agent_stat(state, slot, stat_id: int, value, mask, *, mode: str = "set"):
-    """Write an agent stat (slot must be an agent slot; others are no-ops)."""
+def set_agent_stat(state, slot, stat_id: int, value, mask, *, mode: str = "set", touch=None):
+    """Write an agent stat (slot must be an agent slot; others are no-ops).
+
+    touch: maintain the interned-key bit (reference trackers intern on
+    set/add — stats_tracker.hpp get_or_create_id). Defaults to True for
+    "set" (a set can leave 0.0, which must still export) and False for
+    "add" (incr-family keys derive touched from value != 0 at export)."""
     A = state.agent_stats.shape[1]
     ok = mask & agent_slot_ok(slot, A)
     cur = gather(state.agent_stats, jnp.clip(slot, 0, A - 1))  # [B, Sa]
     v = value if mode == "set" else cur[..., stat_id] + value
     new = cur.at[..., stat_id].set(jnp.where(ok, v, cur[..., stat_id]))
-    return state._replace(
+    state = state._replace(
         agent_stats=scatter(state.agent_stats, jnp.clip(slot, 0, A - 1), new, ok)
     )
+    if touch if touch is not None else (mode == "set"):
+        A_ids = jnp.arange(A, dtype=jnp.int32)
+        oh = (slot[..., None] == A_ids) & ok[..., None]
+        while oh.ndim > 2:
+            oh = oh.any(axis=1)
+        touched = state.agent_stats_touched
+        state = state._replace(
+            agent_stats_touched=touched.at[..., stat_id].set(touched[..., stat_id] | oh)
+        )
+    return state
 
 
-def set_game_stat(state, env_mask, stat_id: int, value, *, mode: str = "set"):
+def set_game_stat(state, env_mask, stat_id: int, value, *, mode: str = "set", touch=None):
     """Write a game stat under a per-env mask. value: [E] or scalar."""
     cur = state.game_stats[:, stat_id]
     v = value if mode == "set" else cur + value
-    return state._replace(
+    state = state._replace(
         game_stats=state.game_stats.at[:, stat_id].set(jnp.where(env_mask, v, cur))
     )
+    if touch if touch is not None else (mode == "set"):
+        touched = state.game_stats_touched
+        state = state._replace(
+            game_stats_touched=touched.at[:, stat_id].set(touched[:, stat_id] | env_mask)
+        )
+    return state
 
 
 def incr_agent_stat(state, slot, stat_id: int, mask):
@@ -200,6 +296,20 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
             # (destroy_untransferred=false — resource_mutation.hpp:72-77).
             state, accepted = entity_inv_update(program, state, dst, rid, want, valid)
             state, _ = entity_inv_update(program, state, src, rid, -accepted, valid)
+            # Agent-sourced transfers log "<res>.deposited" with the moved
+            # quantity (resource_mutation.hpp:80-86).
+            A = program.num_agents
+            dep_ok = valid & agent_slot_ok(src, A) & (accepted > 0)
+            dep = int(program.stat_inv_deposited[rid])
+            oh = (src[..., None] == jnp.arange(A, dtype=jnp.int32)) & dep_ok[..., None]
+            add = jnp.where(oh, accepted[..., None], 0)
+            while add.ndim > 2:  # [E, K, A] -> [E, A] (unique slots per call)
+                add = add.sum(axis=1)
+            state = state._replace(
+                agent_stats=state.agent_stats.at[..., dep].add(
+                    add.astype(state.agent_stats.dtype)
+                )
+            )
         if m.remove_source_when_empty:
             src_inv_after = gather(state.obj_inv, src)
             empty = src_inv_after.sum(axis=-1) == 0
@@ -213,13 +323,20 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         return state, ok
 
     if kind == "clear_inventory":
+        # Clears go through Inventory::update per item in the reference
+        # (resource_mutation.hpp:111-128), so the agent auto-stat families
+        # fire for every removed amount.
         slot = _entity_slot(ctx, m.target_is_actor)
         valid = mask & (slot >= 0)
         if ctx.dense_identity:
             tid = state.obj_type
             rmask = type_select(program, tid, np.asarray(m.clear_mask, dtype=np.int32)) > 0
-            state = state._replace(
-                obj_inv=jnp.where(rmask & valid[..., None], 0, state.obj_inv)
+            inv = state.obj_inv
+            new_inv = jnp.where(rmask & valid[..., None], 0, inv)
+            state = state._replace(obj_inv=new_inv)
+            state = emit_inv_stats(
+                program, state, slot, jnp.where(valid[..., None], new_inv - inv, 0),
+                new_inv, valid, dense_identity=True,
             )
             return state, ok
         tid = gather(state.obj_type, slot)
@@ -228,6 +345,9 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         inv = gather(state.obj_inv, slot)
         new_inv = jnp.where(rmask & valid[..., None], 0, inv)
         state = state._replace(obj_inv=scatter(state.obj_inv, slot, new_inv, valid))
+        state = emit_inv_stats(
+            program, state, slot, jnp.where(valid[..., None], new_inv - inv, 0), new_inv, valid
+        )
         return state, ok
 
     if kind == "attack":
@@ -320,9 +440,11 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         else:
             if m.stat_is_game:
                 assert mask.ndim == 1
-                state = set_game_stat(state, valid, m.stat_id, delta, mode="add")
+                # touch: the reference resolves the Stat value_ptr at apply
+                # (get_ptr interns even for a zero delta — game_value.cpp).
+                state = set_game_stat(state, valid, m.stat_id, delta, mode="add", touch=True)
             else:
-                state = set_agent_stat(state, slot, m.stat_id, delta, valid, mode="add")
+                state = set_agent_stat(state, slot, m.stat_id, delta, valid, mode="add", touch=True)
         return state, ok
 
     if kind == "use_target":
@@ -343,12 +465,23 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
         src_slot = (ctx.actor if m.from_is_actor else ctx.target)
         if src_slot.ndim > 1:
             src_slot = src_slot[..., 0] * 0 - 1  # dense ctx: no single source
+        slots_n = jnp.broadcast_to(
+            jnp.arange(state.obj_alive.shape[1], dtype=jnp.int32)[None, :], targets.shape
+        )
         for rid, delta in m.deltas:
             inv_all = state.obj_inv
             new_inv, actual = inv_update(
                 program, tid_all, inv_all, rid, jnp.full_like(tid_all, delta), targets
             )
             state = state._replace(obj_inv=new_inv)
+            # Agent targets change through the notifying update path in the
+            # reference (transfer_resources / inventory.update), so the
+            # auto-stat families fire for them too (agent.cpp:100-120).
+            state = emit_inv_stats(
+                program, state, slots_n,
+                jnp.where(targets[..., None], new_inv - inv_all, 0),
+                new_inv, targets, dense_identity=True,
+            )
             net = actual.sum(axis=1)  # [E]
             if transfer_mode:
                 state, _ = entity_inv_update(

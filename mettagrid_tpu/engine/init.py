@@ -36,6 +36,9 @@ class EnvInit:
     agent_cfg: np.ndarray  # int32[P, A]
     agent_r: np.ndarray  # int32[P, A]
     agent_c: np.ndarray  # int32[P, A]
+    # Construction-time game stats per map: "objects.<cell>" counts from the
+    # grid-init scan (mettagrid_c.cpp:244) — map constants, filled here.
+    init_game_stats: np.ndarray  # f32[P, Sg]
 
     @property
     def pool_size(self) -> int:
@@ -118,14 +121,29 @@ def build_env_init(
     agent_r = np.zeros((P, A), dtype=np.int32)
     agent_c = np.zeros((P, A), dtype=np.int32)
 
+    game_stat_ids = {name: i for i, name in enumerate(program.game_stat_names)}
+    init_game_stats = np.zeros((P, max(len(program.game_stat_names), 1)), dtype=np.float32)
+
     for p, cells in enumerate(parsed):
         agent_slot = 0
         obj_slot = A
+        # "objects.<cell>" counts use the reference's REWRITTEN map: teams
+        # with >1 agent rename their cells to "agent.<group>.<idx>" in
+        # encounter order, with a counter per raw cell string
+        # (mettagrid_c_config.py rename_map_agents); single-agent teams and
+        # non-agent cells keep the raw name.
+        rename_counters: dict[str, int] = {}
         for r, c, name in cells:
+            stat_cell = name
             if name.startswith("agent"):
                 if agent_slot >= A:
                     raise ValueError(f"Map {p} has more than num_agents={A} agent cells")
                 cfg_idx = _agent_cfg_index(program, name, agent_slot)
+                gname, size = program.agent_team_info[cfg_idx]
+                if size > 1:
+                    k = rename_counters.get(name, 0)
+                    rename_counters[name] = k + 1
+                    stat_cell = f"agent.{gname}.{k}"
                 tid = int(program.agent_type_ids[cfg_idx])
                 slot = agent_slot
                 agent_group[p, slot] = program.agent_groups[cfg_idx]
@@ -139,6 +157,9 @@ def build_env_init(
                 tid = program.map_name_to_type[name]
                 slot = obj_slot
                 obj_slot += 1
+            sid = game_stat_ids.get(f"objects.{stat_cell}")
+            if sid is not None:
+                init_game_stats[p, sid] += 1.0
             grid[p, r, c] = slot
             obj_type[p, slot] = tid
             obj_r[p, slot] = r
@@ -163,6 +184,7 @@ def build_env_init(
         agent_cfg=agent_cfg,
         agent_r=agent_r,
         agent_c=agent_c,
+        init_game_stats=init_game_stats,
     )
 
 

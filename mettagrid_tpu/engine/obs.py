@@ -506,7 +506,22 @@ def make_obs_fn(program: EngineProgram, static_bg: jnp.ndarray = None):
     _ALWAYS_VALID_GLOBALS = {"epct", "last_action", "last_action_move", "last_reward"}
     OWS = OW * S
     KS_pad2 = ((G + KS + 127) // 128) * 128  # candidate lanes incl. globals
+    # Every feature id that can enter a v2 packed word must clear the loc
+    # field at bit 15 (narrow) / 14 (wide) — including GLOBAL slots, which
+    # ride the kernel as (fid<<8 | val) words under the same loc table
+    # (_global_plus + loc15_t). last_action_move is assigned LAST in the
+    # id map (config/id_map.py), so a config whose cell fids all fit can
+    # still carry a global fid past the bound (ADVICE r4 medium).
+    _GLOBAL_SLOT_FIDS = {
+        "epct": feat.episode_completion_pct,
+        "last_action": feat.last_action,
+        "last_action_move": feat.last_action_move,
+        "last_reward": feat.last_reward,
+        "lp_ew": max(feat.lp_east, feat.lp_west),
+        "lp_ns": max(feat.lp_north, feat.lp_south),
+    }
     feat_max = 0 if C_cell == 0 else int(cand_feat.max())
+    feat_max = max([feat_max] + [int(_GLOBAL_SLOT_FIDS[s]) for s in global_slots])
     _v2_common = (
         not has_aoe_mask
         and not program.value_obs

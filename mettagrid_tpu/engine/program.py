@@ -207,6 +207,12 @@ class EngineProgram:
     priorities_desc: tuple[int, ...]
     action_success_stat: np.ndarray  # int32[n_actions] agent-stat id of action.<base>.success
     action_fail_stat: np.ndarray  # int32[n_actions] agent-stat id of action.<base>.failed
+    # Reference priority-level count: the Attack handler is constructed with
+    # priority 1 even when disabled (action_handler_factory.cpp:50-52,
+    # attack.hpp:77), so the action loop always runs >= 2 levels and an
+    # invalid action index increments "action.invalid_index" once per level
+    # per stream (mettagrid_c.cpp:966-998, 914-918).
+    num_priority_levels: int
 
     # --- per-type tables ---
     type_tags: np.ndarray  # bool[n_types, n_tags]
@@ -233,6 +239,35 @@ class EngineProgram:
     stat_action_failed: int  # agent stat id of "action.failed"
     stat_action_invalid: int  # agent stat id of "action.invalid_index"
     stat_max_swm: int  # agent stat id of "status.max_steps_without_motion"
+    # Auto-emitted families (gameplay state — Stat() game values can read
+    # them): per-resource "<res>.gained/.lost/.amount" + "death" on every
+    # agent inventory change (objects/agent.cpp:100-120), "<res>.deposited"
+    # on agent-sourced transfers (resource_mutation.hpp:80-86), coverage
+    # "cell.unique_visited"/"cell.max_distance_from_spawn" per step
+    # (agent.cpp:41-57), "cell.visited" staleness during the obs scan
+    # (mettagrid_c.cpp:620-628), game-scope token accounting
+    # (mettagrid_c.cpp:134-136,655-661).
+    stat_inv_gained: np.ndarray  # int32[R] agent-stat ids of "<res>.gained"
+    stat_inv_lost: np.ndarray  # int32[R] "<res>.lost"
+    stat_inv_amount: np.ndarray  # int32[R] "<res>.amount"
+    stat_inv_deposited: np.ndarray  # int32[R] "<res>.deposited"
+    stat_death: int  # agent stat id of "death"
+    hp_rid: int  # resource id named "hp" (-1 if absent) — death trigger
+    stat_cell_visited: int
+    stat_cell_unique: int
+    stat_cell_maxdist: int
+    stat_tokens_written: int  # game stat ids (always interned, ctor-touched)
+    stat_tokens_dropped: int
+    stat_tokens_free: int
+    # Stats interned at env construction in the reference (tracker keys
+    # present in to_dict even at value 0): tokens_* (game), coverage pair +
+    # initial-inventory ".amount" + reward-entry Stat reads (per agent cfg).
+    agent_stats_init_touched: np.ndarray  # bool[n_agent_configs, Sa]
+    game_stats_init_touched: np.ndarray  # bool[Sg]
+    # Engine-extension stat names with no reference analog — excluded from
+    # episode-stats export so the stats payload hashes identically to the
+    # reference's get_episode_stats() (e.g. "event.<name>" counters).
+    nonref_game_stats: frozenset
 
     # --- compiled programs ---
     move_handlers: tuple[CompiledMoveHandler, ...]
@@ -254,6 +289,11 @@ class EngineProgram:
     agent_config_names: tuple[str, ...]
     agent_groups: np.ndarray  # int32[n_agent_configs]
     agent_type_ids: np.ndarray  # int32[n_agent_configs] (type id per agent config)
+    # (group_name, team_size) per agent-config index — the reference's map
+    # agent-cell rewrite (mettagrid_c_config.py:745-793 team_names +
+    # rename_map_agents): teams with >1 agent rewrite their map cells to
+    # "agent.<group_name>.<idx>", which is the name "objects.<cell>" counts.
+    agent_team_info: tuple[tuple[str, int], ...]
 
     label: str = "mettagrid"
 
@@ -872,6 +912,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
 
     action_is_vibe = np.array([n.startswith("change_vibe_") for n in action_names], dtype=bool)
     priorities_desc = tuple(sorted(set(action_priority), reverse=True))
+    num_priority_levels = max(max(action_priority, default=0), 1) + 1
 
     # Per-action success/fail stat ids (action_handler.hpp:96-103)
     action_success_stat = np.array(
@@ -883,6 +924,67 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
     stat_action_failed = c.intern_stat("action.failed", game_scope=False)
     stat_action_invalid = c.intern_stat("action.invalid_index", game_scope=False)
     stat_max_swm = c.intern_stat("status.max_steps_without_motion", game_scope=False)
+
+    # ---- auto-emitted stat families (objects/agent.cpp:100-120, 41-57;
+    # resource_mutation.hpp:80-86; mettagrid_c.cpp:620-628, 655-661).
+    # The reference interns these lazily on first touch; here the TABLE is
+    # compile-time fixed and per-(env, agent) touched masks reproduce the
+    # dynamic key-set of StatsTracker::to_dict (see simulator/stats.py). ----
+    stat_inv_gained = np.array(
+        [c.intern_stat(f"{r}.gained", game_scope=False) for r in resource_names], dtype=np.int32
+    )
+    stat_inv_lost = np.array(
+        [c.intern_stat(f"{r}.lost", game_scope=False) for r in resource_names], dtype=np.int32
+    )
+    stat_inv_amount = np.array(
+        [c.intern_stat(f"{r}.amount", game_scope=False) for r in resource_names], dtype=np.int32
+    )
+    stat_inv_deposited = np.array(
+        [c.intern_stat(f"{r}.deposited", game_scope=False) for r in resource_names], dtype=np.int32
+    )
+    # The per-resource families are interned back-to-back before any
+    # handler/event/reward compilation, so each block is CONTIGUOUS —
+    # emission sites update agent_stats[..., base:base+R] as one slice
+    # (handlers.emit_inv_stats relies on this).
+    for block in (stat_inv_gained, stat_inv_lost, stat_inv_amount, stat_inv_deposited):
+        assert R == 0 or (np.diff(block) == 1).all(), "auto-stat block must be contiguous"
+    stat_death = c.intern_stat("death", game_scope=False)
+    hp_rid = c.resource_ids.get("hp", -1)
+    stat_cell_visited = c.intern_stat("cell.visited", game_scope=False)
+    stat_cell_unique = c.intern_stat("cell.unique_visited", game_scope=False)
+    stat_cell_maxdist = c.intern_stat("cell.max_distance_from_spawn", game_scope=False)
+    stat_tokens_written = c.intern_stat("tokens_written", game_scope=True)
+    stat_tokens_dropped = c.intern_stat("tokens_dropped", game_scope=True)
+    stat_tokens_free = c.intern_stat("tokens_free_space", game_scope=True)
+    # Per-map-cell-name object counts at grid init ("objects.<cell>",
+    # mettagrid_c.cpp:244). Counts are map constants filled host-side by
+    # build_env_init. Legal cell names: the map_name_to_type keys, plus the
+    # reference's per-agent rewrite names "agent.<group>.<idx>" for teams
+    # with more than one agent (mettagrid_c_config.py:745-793
+    # rename_map_agents — single-agent teams keep the raw map cell).
+    _TEAM_NAMES = {0: "red", 1: "blue", 2: "green", 3: "yellow", 4: "purple", 5: "orange"}
+    team_order: list[int] = []
+    for acfg in agent_cfgs:
+        if acfg.team_id not in team_order:
+            team_order.append(acfg.team_id)
+    team_sizes = {
+        t: (game.num_agents if len(agent_cfgs) == 1
+            else sum(1 for a in agent_cfgs if a.team_id == t))
+        for t in team_order
+    }
+    agent_team_info = tuple(
+        (
+            _TEAM_NAMES.get(acfg.team_id, f"group_{team_order.index(acfg.team_id)}"),
+            team_sizes[acfg.team_id],
+        )
+        for acfg in agent_cfgs
+    )
+    for map_name in sorted(map_name_to_type):
+        c.intern_stat(f"objects.{map_name}", game_scope=True)
+    for gname, size in sorted(set(agent_team_info)):
+        if size > 1:
+            for i in range(size):
+                c.intern_stat(f"objects.agent.{gname}.{i}", game_scope=True)
 
     # ---- move handler chain: configured handlers + default fallbacks ----
     # (reference: action_handler_factory.cpp:33-45)
@@ -1029,6 +1131,52 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         reward_programs.append(entries)
     num_reward_entries = max((len(p) for p in reward_programs), default=0)
 
+    # ---- construction-time stat interning masks ----
+    # The reference interns (key present in to_dict at 0.0) at env build:
+    # tokens_* via get_or_create_id in the ctor (mettagrid_c.cpp:134-136),
+    # coverage pair via reset_coverage_tracking (agent.cpp:41-46), initial
+    # inventory ".amount" via populate_initial_inventory (agent.cpp:80-84),
+    # and every Stat leaf of a reward entry via resolve_game_value's
+    # get_ptr at init_reward (game_value.cpp StatValueConfig branch).
+    if len(c.agent_stats) > 1024 or len(c.game_stats) > 1024:
+        raise RuntimeError(
+            "Exceeded maximum number of stats (MAX_STATS)"  # stats_tracker.hpp:60
+        )
+    n_cfg = len(agent_cfgs)
+    Sa_total = len(c.agent_stats)
+    Sg_total = len(c.game_stats)
+    agent_stats_init_touched = np.zeros((n_cfg, Sa_total), dtype=bool)
+    game_stats_init_touched = np.zeros(Sg_total, dtype=bool)
+    for sid in (stat_tokens_written, stat_tokens_dropped, stat_tokens_free):
+        game_stats_init_touched[sid] = True
+    agent_stats_init_touched[:, stat_cell_unique] = True
+    agent_stats_init_touched[:, stat_cell_maxdist] = True
+
+    def _stat_leaves(cv):
+        if cv is None:
+            return
+        if cv.kind == "stat":
+            yield cv
+        for ch in getattr(cv, "children", None) or ():
+            yield from _stat_leaves(ch)
+
+    for ci, entries in enumerate(reward_programs):
+        tid = agent_type_ids[ci]
+        for rid in range(R):
+            if type_initial_inv[tid, rid] > 0:
+                agent_stats_init_touched[ci, stat_inv_amount[rid]] = True
+        for entry in entries:
+            for leaf in _stat_leaves(entry.value):
+                if leaf.stat_is_game:
+                    game_stats_init_touched[leaf.stat_id] = True
+                else:
+                    agent_stats_init_touched[ci, leaf.stat_id] = True
+
+    # Engine-extension counters with no reference emission site: excluded
+    # from the episode-stats export (simulator/stats.py) so the payload
+    # matches the reference's get_episode_stats key set.
+    nonref_game_stats = frozenset(f"event.{name}" for name in event_names)
+
     # ---- observation layout ----
     feat = {f.name: f.id for f in c.id_map.features()}
     num_inv_tokens = (
@@ -1117,6 +1265,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         priorities_desc=priorities_desc,
         action_success_stat=action_success_stat,
         action_fail_stat=action_fail_stat,
+        num_priority_levels=num_priority_levels,
         type_tags=type_tags,
         type_initial_vibe=type_initial_vibe,
         type_initial_inv=type_initial_inv,
@@ -1135,6 +1284,21 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         stat_action_failed=stat_action_failed,
         stat_action_invalid=stat_action_invalid,
         stat_max_swm=stat_max_swm,
+        stat_inv_gained=stat_inv_gained,
+        stat_inv_lost=stat_inv_lost,
+        stat_inv_amount=stat_inv_amount,
+        stat_inv_deposited=stat_inv_deposited,
+        stat_death=stat_death,
+        hp_rid=hp_rid,
+        stat_cell_visited=stat_cell_visited,
+        stat_cell_unique=stat_cell_unique,
+        stat_cell_maxdist=stat_cell_maxdist,
+        stat_tokens_written=stat_tokens_written,
+        stat_tokens_dropped=stat_tokens_dropped,
+        stat_tokens_free=stat_tokens_free,
+        agent_stats_init_touched=agent_stats_init_touched,
+        game_stats_init_touched=game_stats_init_touched,
+        nonref_game_stats=nonref_game_stats,
         move_handlers=tuple(move_handlers),
         on_use_handlers=tuple(on_use_handlers),
         on_tick_handlers=tuple(on_tick_handlers),
@@ -1149,6 +1313,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         agent_config_names=tuple(agent_config_names),
         agent_groups=np.array(agent_groups, dtype=np.int32),
         agent_type_ids=np.array(agent_type_ids, dtype=np.int32),
+        agent_team_info=agent_team_info,
         label=label,
     )
     return program

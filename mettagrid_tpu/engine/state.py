@@ -52,6 +52,23 @@ class EnvState(NamedTuple):
     agent_stats: jnp.ndarray  # f32[E, A, Sa]
     game_stats_prev: jnp.ndarray  # f32[E, Sg]: snapshot at step start (delta stats)
     agent_stats_prev: jnp.ndarray  # f32[E, A, Sa]
+    # Touched masks: the reference's StatsTracker interns keys on first
+    # add/set/get_ptr and to_dict emits every interned key (including 0.0
+    # values); the fixed-table engine reproduces that dynamic key set as
+    # touched = (value != 0) | explicit bit. Only writes that can leave a
+    # zero value set the explicit bit ("<res>.amount", stats/game-value SET
+    # mutations, construction-time interns) — incr-style stats derive
+    # touched from value != 0 at export (simulator/stats.py).
+    game_stats_touched: jnp.ndarray  # bool[E, Sg]
+    agent_stats_touched: jnp.ndarray  # bool[E, A, Sa]
+    # Coverage tracking (agent.cpp:41-57): bitmap of visited cells, packed
+    # 32 cells/word; the unique count and max spawn distance live in
+    # agent_stats (stat_cell_unique / stat_cell_maxdist lanes).
+    visit_bitmap: jnp.ndarray  # int32[E, A, ceil(H*W/32)]
+    # Per-object last-claimed step for the "cell.visited" staleness stat
+    # (mettagrid_c.cpp:620-628): the first agent (index order) whose obs
+    # window covers the object each step claims step - obj_visited.
+    obj_visited: jnp.ndarray  # int32[E, N]
 
     # --- rewards / episode ---
     rewards: jnp.ndarray  # f32[E, A]: this step's rewards

@@ -48,11 +48,16 @@ def _fresh_state_from_pool(
     map_idx: jnp.ndarray,
     rng: jnp.ndarray,
     mt: jnp.ndarray = None,
+    init_token_stats: jnp.ndarray = None,
 ) -> EnvState:
     """Gather per-env initial state from the map pool (map_idx: int32[E]).
 
     mt: reference-parity MT19937 state (uint32[E, 625]); defaults to the
-    empty [E, 0] placeholder (reference_rng mode off)."""
+    empty [E, 0] placeholder (reference_rng mode off).
+    init_token_stats: optional f32[P, 3] (written, dropped, free) sums of a
+    fresh env's construction observation per pooled map — the reference's
+    ctor computes initial observations, so its token-accounting game stats
+    start non-zero (mettagrid_c.cpp:271-319, 655-661)."""
     E = map_idx.shape[0]
     A = program.num_agents
     Sa, Sg = stat_dims(program)
@@ -85,6 +90,55 @@ def _fresh_state_from_pool(
 
     agent_r = pick("agent_r")
     agent_c = pick("agent_c")
+    agent_cfg = pick("agent_cfg")
+
+    # --- construction-time stat state (see state.py touched-mask notes) ---
+    H, W = pool["grid"].shape[1], pool["grid"].shape[2]
+    NW = max((H * W + 31) // 32, 1)
+    # Coverage: spawn cell pre-visited, unique_visited=1, max_distance=0
+    # (Agent::reset_coverage_tracking, objects/agent.cpp:41-47).
+    cell = agent_r * W + agent_c  # [E, A]
+    bit_word = jnp.left_shift(1, cell & 31)[..., None] * (
+        (cell >> 5)[..., None] == jnp.arange(NW, dtype=jnp.int32)
+    ).astype(jnp.int32)  # [E, A, NW]
+    obj_inv0 = pick("obj_inv")
+    agent_stats0 = jnp.zeros((E, A, Sa), dtype=jnp.float32)
+    agent_stats0 = agent_stats0.at[..., program.stat_cell_unique].set(1.0)
+    # populate_initial_inventory SETS "<res>.amount" to the initial amount
+    # (objects/agent.cpp:80-84); the init-touched mask limits the exported
+    # keys to initially-present items, but the VALUES must start here.
+    R_ = program.num_resources
+    if R_:
+        a0_ = int(program.stat_inv_amount[0])
+        agent_stats0 = agent_stats0.at[..., a0_ : a0_ + R_].set(
+            obj_inv0[:, :A].astype(jnp.float32)
+        )
+    # Interned-at-construction keys (tokens_*, coverage pair, initial
+    # ".amount", reward-entry Stat reads — program.agent_stats_init_touched).
+    n_cfg = program.agent_stats_init_touched.shape[0]
+    init_t = jnp.asarray(program.agent_stats_init_touched)  # [n_cfg, Sa]
+    if n_cfg == 1:
+        agent_touched0 = jnp.broadcast_to(init_t[None, :1, :], (E, A, init_t.shape[1]))
+    else:
+        cfg_oh = (agent_cfg[..., None] == jnp.arange(n_cfg, dtype=jnp.int32)).astype(jnp.int32)
+        agent_touched0 = (
+            jnp.einsum("eac,cs->eas", cfg_oh, init_t.astype(jnp.int32)) > 0
+        )
+    # "objects.<cell>" init counts are map constants (f32 integral values —
+    # exact through pick's int32 one-hot contraction).
+    game_stats0 = pick("init_game_stats")
+    if init_token_stats is not None:
+        oh_p = (
+            map_idx[:, None] == jnp.arange(init_token_stats.shape[0], dtype=jnp.int32)
+        ).astype(jnp.float32)
+        pts = oh_p @ init_token_stats  # [E, 3]
+        game_stats0 = game_stats0.at[:, program.stat_tokens_written].set(pts[:, 0])
+        game_stats0 = game_stats0.at[:, program.stat_tokens_dropped].set(pts[:, 1])
+        game_stats0 = game_stats0.at[:, program.stat_tokens_free].set(pts[:, 2])
+    game_touched0 = jnp.broadcast_to(
+        jnp.asarray(program.game_stats_init_touched)[None, :], (E, Sg)
+    )
+
     state = EnvState(
         grid=pick("grid"),
         obj_type=pick("obj_type"),
@@ -92,10 +146,10 @@ def _fresh_state_from_pool(
         obj_c=pick("obj_c"),
         obj_vibe=pick("obj_vibe"),
         obj_tags=pick("obj_tags"),
-        obj_inv=pick("obj_inv"),
+        obj_inv=obj_inv0,
         obj_alive=pick("obj_alive"),
         agent_group=pick("agent_group"),
-        agent_cfg=pick("agent_cfg"),
+        agent_cfg=agent_cfg,
         agent_spawn_r=agent_r,
         agent_spawn_c=agent_c,
         agent_prev_r=agent_r,
@@ -115,10 +169,14 @@ def _fresh_state_from_pool(
             if program.territories
             else jnp.full((E, 1, 1), -1, dtype=jnp.int32)
         ),
-        game_stats=jnp.zeros((E, Sg), dtype=jnp.float32),
-        agent_stats=jnp.zeros((E, A, Sa), dtype=jnp.float32),
+        game_stats=game_stats0,
+        agent_stats=agent_stats0,
         game_stats_prev=jnp.zeros((E, Sg), dtype=jnp.float32),
         agent_stats_prev=jnp.zeros((E, A, Sa), dtype=jnp.float32),
+        game_stats_touched=game_touched0,
+        agent_stats_touched=agent_touched0,
+        visit_bitmap=bit_word,
+        obj_visited=jnp.zeros((E, pool["obj_type"].shape[1]), dtype=jnp.int32),
         rewards=jnp.zeros((E, A), dtype=jnp.float32),
         episode_rewards=jnp.zeros((E, A), dtype=jnp.float32),
         reward_prev=jnp.zeros((E, A, max(program.num_reward_entries, 1)), dtype=jnp.float32),
@@ -164,6 +222,9 @@ def make_reset(program: EngineProgram, init: EnvInit, num_envs: int, reference_r
             mt = mt_init(jnp.full((num_envs,), jnp.asarray(seed).astype(jnp.uint32)))
         state = _fresh_state_from_pool(program, pool, map_idx, keys, mt)
         obs, attempted = obs_fn(state)
+        # Construction-time observation token accounting
+        # (mettagrid_c.cpp:271-319 _init_buffers -> _compute_observations).
+        state = _token_stat_update(program, state, attempted)
         out = StepOutputs(
             observations=obs,
             rewards=state.rewards,
@@ -224,6 +285,143 @@ def make_game_tick_phase(program: EngineProgram):
         return state
 
     return game_tick_phase
+
+
+def make_coverage_phase(program: EngineProgram):
+    """Per-step coverage stats (Agent::track_coverage, objects/agent.cpp:49-57,
+    called after the game on_tick — mettagrid_c.cpp:1050-1056): insert the
+    current cell into the visited bitmap, set "cell.unique_visited" to the
+    popcount (maintained incrementally) and "cell.max_distance_from_spawn"
+    to the running max Manhattan distance from spawn."""
+    A = program.num_agents
+
+    def coverage_phase(state: EnvState) -> EnvState:
+        W = state.grid.shape[2]
+        NW = state.visit_bitmap.shape[2]
+        ar = state.obj_r[:, :A]
+        ac = state.obj_c[:, :A]
+        cell = ar * W + ac  # [E, A]
+        bit_word = jnp.left_shift(1, cell & 31)[..., None] * (
+            (cell >> 5)[..., None] == jnp.arange(NW, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        old = state.visit_bitmap
+        newly = jnp.all((old & bit_word) == 0, axis=-1)  # [E, A]
+        stats = state.agent_stats
+        unique = stats[..., program.stat_cell_unique] + newly.astype(stats.dtype)
+        dist = (
+            jnp.abs(ar - state.agent_spawn_r) + jnp.abs(ac - state.agent_spawn_c)
+        ).astype(stats.dtype)
+        maxd = jnp.maximum(stats[..., program.stat_cell_maxdist], dist)
+        stats = stats.at[..., program.stat_cell_unique].set(unique)
+        stats = stats.at[..., program.stat_cell_maxdist].set(maxd)
+        return state._replace(agent_stats=stats, visit_bitmap=old | bit_word)
+
+    return coverage_phase
+
+
+def _vision_covered(dr, dc, hr: int, wr: int):
+    """Elementwise twin of the scan's vision mask
+    (within_observation_shape, core/observation_shape.cpp:19-52): circular
+    dr^2+dc^2 <= r^2 with the cardinal tips widened by one (dist_sq ==
+    r^2+1 on an axis extreme) for square windows; elliptical otherwise."""
+    if hr == 0 and wr == 0:
+        return (dr == 0) & (dc == 0)
+    if hr == 0:
+        return (dr == 0) & (jnp.abs(dc) <= wr)
+    if wr == 0:
+        return (dc == 0) & (jnp.abs(dr) <= hr)
+    r2 = dr * dr
+    c2 = dc * dc
+    if hr == wr:
+        d2 = r2 + c2
+        cov = d2 <= hr * hr
+        if hr >= 2:
+            cov = cov | ((d2 == hr * hr + 1) & ((jnp.abs(dr) == hr) | (jnp.abs(dc) == wr)))
+        return cov
+    return r2 * (wr * wr) + c2 * (hr * hr) <= (hr * hr) * (wr * wr)
+
+
+def make_visited_phase(program: EngineProgram):
+    """"cell.visited" staleness during the obs scan (mettagrid_c.cpp:620-628):
+    each object inside any agent's obs VISION mask (the circular/elliptical
+    shape the scan iterates, not the full rect) is claimed by the FIRST such
+    agent in index order (the serial scan order; the threaded CAS picks one
+    winner), which adds (step - last_claimed_step) to its own stat."""
+    A = program.num_agents
+    hr = (program.obs_height - 1) // 2
+    wr = (program.obs_width - 1) // 2
+
+    def visited_phase(state: EnvState) -> EnvState:
+        ar = state.obj_r[:, :A, None]  # [E, A, 1]
+        ac = state.obj_c[:, :A, None]
+        covered = (
+            _vision_covered(state.obj_r[:, None, :] - ar, state.obj_c[:, None, :] - ac, hr, wr)
+            & state.obj_alive[:, None, :]
+        )  # [E, A, N]
+        a_idx = jnp.arange(A, dtype=jnp.int32)[None, :, None]
+        first = jnp.min(jnp.where(covered, a_idx, A), axis=1)  # [E, N]
+        step = state.step_count[:, None]  # [E, 1]
+        claim = (first < A) & (state.obj_visited < step)
+        stale = jnp.where(claim, step - state.obj_visited, 0)  # [E, N]
+        add = jnp.einsum(
+            "ean,en->ea",
+            (covered & (first[:, None, :] == a_idx)).astype(jnp.int32),
+            stale,
+        ).astype(state.agent_stats.dtype)
+        stats = state.agent_stats.at[..., program.stat_cell_visited].add(add)
+        return state._replace(
+            agent_stats=stats,
+            obj_visited=jnp.where(claim, jnp.broadcast_to(step, claim.shape), state.obj_visited),
+        )
+
+    return visited_phase
+
+
+def _token_stat_update(program: EngineProgram, state: EnvState, attempted: jnp.ndarray) -> EnvState:
+    """Accumulate the game-scope token accounting for one observation pass
+    (mettagrid_c.cpp:640-642, 655-661): written = min(attempted, capacity),
+    dropped = attempted - written, free = capacity - written, summed over
+    agents."""
+    T = program.num_tokens
+    written = jnp.minimum(attempted, T)
+    gs = state.game_stats
+    f = gs.dtype
+    gs = gs.at[:, program.stat_tokens_written].add(written.sum(axis=1).astype(f))
+    gs = gs.at[:, program.stat_tokens_dropped].add((attempted - written).sum(axis=1).astype(f))
+    gs = gs.at[:, program.stat_tokens_free].add((T - written).sum(axis=1).astype(f))
+    return state._replace(game_stats=gs)
+
+
+def _pool_token_stats(program: EngineProgram, pool: dict, obs_fn, init: EnvInit):
+    """f32[P, 3] construction-obs token sums per pooled map, computed once on
+    device (memoized on the EnvInit): auto-reset builds a fresh env whose
+    ctor in the reference computes initial observations and accounts their
+    tokens (mettagrid_c.cpp:271-319)."""
+    cached = getattr(init, "_pool_token_stats", None)
+    if cached is not None:
+        return cached
+    P = init.pool_size
+    T = program.num_tokens
+
+    @jax.jit
+    def compute():
+        map_idx = jnp.arange(P, dtype=jnp.int32)
+        rng = jax.vmap(jax.random.PRNGKey)(jnp.zeros((P,), dtype=jnp.uint32))
+        st = _fresh_state_from_pool(program, pool, map_idx, rng)
+        _, att = obs_fn(st)  # [P, A]
+        written = jnp.minimum(att, T)
+        return jnp.stack(
+            [
+                written.sum(axis=1),
+                (att - written).sum(axis=1),
+                (T - written).sum(axis=1),
+            ],
+            axis=-1,
+        ).astype(jnp.float32)
+
+    val = compute()
+    init._pool_token_stats = val
+    return val
 
 
 def make_step(
@@ -302,6 +500,9 @@ def make_step(
     territory_phase = make_territory_phase(program)
     obs_fn = _make_obs_fn_for(program, init)
     reward_phase = make_reward_phase(program)
+    coverage_phase = make_coverage_phase(program)
+    visited_phase = make_visited_phase(program)
+    pool_token_stats = _pool_token_stats(program, pool, obs_fn, init) if auto_reset else None
 
     def step(
         state: EnvState,
@@ -333,7 +534,10 @@ def make_step(
                 map_idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
                 # reference-parity MT19937 state is carried through resets
                 # (the reference seeds once per env instance).
-                fresh = _fresh_state_from_pool(program, pool, map_idx, rng_next, st.mt)
+                fresh = _fresh_state_from_pool(
+                    program, pool, map_idx, rng_next, st.mt,
+                    init_token_stats=pool_token_stats,
+                )
                 return jax.tree_util.tree_map(
                     lambda new, old: jnp.where(
                         done.reshape((E,) + (1,) * (old.ndim - 1)), new, old
@@ -401,8 +605,16 @@ def make_step(
         if game_tick_phase is not None:
             state = game_tick_phase(state)
 
+        # --- coverage stats (track_coverage, mettagrid_c.cpp:1050-1056) ---
+        state = coverage_phase(state)
+
         # --- observations (before rewards, like the reference) ---
         obs, attempted = obs_fn(state, obs_buf=obs_buf)
+        # obs-scan stat emission: per-object visited staleness + game-scope
+        # token accounting (both precede the rewards phase, so Stat() game
+        # values read post-update values like the reference).
+        state = visited_phase(state)
+        state = _token_stat_update(program, state, attempted)
 
         # --- rewards ---
         state = reward_phase(state)

@@ -686,7 +686,13 @@ def _diff_checkpoint(ours, ref, t: int, num_agents: int) -> List[str]:
 
 
 def _diff_final(ours, ref) -> List[str]:
-    """Full end-state signature: objects + rewards + shared per-agent stats."""
+    """Full end-state signature: objects + rewards + the COMPLETE episode
+    stats payload, exactly as the reference signature script hashes it
+    (scripts/deterministic_episode_signature.py:40-47 — the key SET and all
+    values, game + per-agent). r4's version compared only stat names both
+    engines happened to share; the auto-emitted families (gained/lost/
+    amount, death, coverage, cell.visited, tokens_*, objects.*) are now in
+    the diff."""
     from mettagrid_tpu.parity.cross_engine import _summary_ours, _summary_reference
 
     problems = []
@@ -694,22 +700,20 @@ def _diff_final(ours, ref) -> List[str]:
     for key in ("objects", "episode_rewards"):
         if a[key] != b[key]:
             problems.append(f"final {key} mismatch")
-
-    # Per-agent stats: compare every stat name both engines track.
-    import numpy as np
-
-    stats_ref = ref.episode_stats
-    ref_agent_stats = stats_ref["agent"]  # list of dicts
-    names = ours._program.agent_stat_names
-    ours_stats = np.asarray(ours._state.agent_stats[0])
-    shared = 0
-    for i, ref_d in enumerate(ref_agent_stats):
-        for k, v in ref_d.items():
-            if k in names:
-                shared += 1
-                mine = float(ours_stats[i, names.index(k)])
-                if abs(mine - float(v)) > 1e-6:
-                    problems.append(f"agent {i} stat {k!r}: ours={mine} ref={v}")
-    if shared == 0:
-        problems.append("no shared per-agent stat names — stats comparison vacuous")
+    sa, sb = a["stats"], b["stats"]
+    if sa["game"] != sb["game"]:
+        oa, ob = dict(sa["game"]), dict(sb["game"])
+        bad = [k for k in sorted(set(oa) | set(ob)) if oa.get(k) != ob.get(k)]
+        problems.append(
+            "game stats: "
+            + "; ".join(f"{k}: ours={oa.get(k)} ref={ob.get(k)}" for k in bad[:12])
+        )
+    for i, (pa, pb) in enumerate(zip(sa["agent"], sb["agent"])):
+        if pa != pb:
+            oa, ob = dict(pa), dict(pb)
+            bad = [k for k in sorted(set(oa) | set(ob)) if oa.get(k) != ob.get(k)]
+            problems.append(
+                f"agent {i} stats: "
+                + "; ".join(f"{k}: ours={oa.get(k)} ref={ob.get(k)}" for k in bad[:12])
+            )
     return problems

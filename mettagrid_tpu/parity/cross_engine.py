@@ -375,6 +375,20 @@ def _drive(sim, sc: Scenario, ours: bool) -> Dict[str, Any]:
     return {"steps": steps}
 
 
+def _stats_payload(stats: Dict[str, Any]) -> Dict[str, Any]:
+    """Episode stats as name-sorted (name, rounded value) pair lists — the
+    shape the reference signature script hashes
+    (scripts/deterministic_episode_signature.py:40-47; to_dict is a
+    std::map, so .items() iterates name-sorted)."""
+    return {
+        "game": [(name, round(float(v), 5)) for name, v in sorted(stats["game"].items())],
+        "agent": [
+            [(name, round(float(v), 5)) for name, v in sorted(agent.items())]
+            for agent in stats["agent"]
+        ],
+    }
+
+
 def _summary_ours(sim) -> Dict[str, Any]:
     import numpy as np
 
@@ -407,6 +421,7 @@ def _summary_ours(sim) -> Dict[str, Any]:
     return {
         "objects": objs,
         "episode_rewards": [round(float(x), 5) for x in np.asarray(state.episode_rewards[0])],
+        "stats": _stats_payload(sim.episode_stats),
     }
 
 
@@ -434,6 +449,7 @@ def _summary_reference(ref_sim) -> Dict[str, Any]:
     return {
         "objects": objs,
         "episode_rewards": [round(float(x), 5) for x in np.asarray(ref_sim.episode_rewards)],
+        "stats": _stats_payload(ref_sim._c_sim.get_episode_stats()),
     }
 
 
@@ -456,4 +472,27 @@ def diff_traces(a: Dict[str, Any], b: Dict[str, Any]) -> List[str]:
     for key in ("objects", "episode_rewards"):
         if a["final"][key] != b["final"][key]:
             problems.append(f"final {key}: ours={a['final'][key]} ref={b['final'][key]}")
+    sa, sb = a["final"].get("stats"), b["final"].get("stats")
+    if sa is not None and sb is not None and sa != sb:
+        if sa["game"] != sb["game"]:
+            oa, ob = dict(sa["game"]), dict(sb["game"])
+            keys = sorted(set(oa) | set(ob))
+            problems.append(
+                "final game stats: "
+                + "; ".join(
+                    f"{k}: ours={oa.get(k)} ref={ob.get(k)}" for k in keys if oa.get(k) != ob.get(k)
+                )
+            )
+        for i, (pa, pb) in enumerate(zip(sa["agent"], sb["agent"])):
+            if pa != pb:
+                oa, ob = dict(pa), dict(pb)
+                keys = sorted(set(oa) | set(ob))
+                problems.append(
+                    f"final agent {i} stats: "
+                    + "; ".join(
+                        f"{k}: ours={oa.get(k)} ref={ob.get(k)}"
+                        for k in keys
+                        if oa.get(k) != ob.get(k)
+                    )
+                )
     return problems

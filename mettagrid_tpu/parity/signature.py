@@ -43,6 +43,11 @@ def state_summary(program, state, env: int = 0) -> dict:
         )
     agent_stats = np.asarray(state.agent_stats[env])
     game_stats = np.asarray(state.game_stats[env])
+    agent_touch = np.asarray(state.agent_stats_touched[env])
+    game_touch = np.asarray(state.game_stats_touched[env])
+    # Key-set rule mirrors StatsTracker::to_dict: every interned key exports
+    # (value != 0 OR explicitly touched — see simulator/stats.py); engine
+    # extension stats with no reference analog are excluded.
     return {
         "step": int(np.asarray(state.step_count[env])),
         "objects": objs,
@@ -50,15 +55,15 @@ def state_summary(program, state, env: int = 0) -> dict:
         "agent_stats": [
             {
                 name: round(float(v), 6)
-                for name, v in sorted(zip(program.agent_stat_names, row))
-                if v != 0.0
+                for name, v, t in sorted(zip(program.agent_stat_names, row, trow))
+                if v != 0.0 or t
             }
-            for row in agent_stats
+            for row, trow in zip(agent_stats, agent_touch)
         ],
         "game_stats": {
             name: round(float(v), 6)
-            for name, v in sorted(zip(program.game_stat_names, game_stats))
-            if v != 0.0
+            for name, v, t in sorted(zip(program.game_stat_names, game_stats, game_touch))
+            if (v != 0.0 or t) and name not in program.nonref_game_stats
         },
     }
 

@@ -55,9 +55,11 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
   <h3>Legend</h3><div id="legend"></div>
 </div>
 <script>
-const R = __REPLAY_DATA__;
+// boot(R) renders one replay; returns mutators for live streaming
+// (renderer/live_viewer.py appends timeline entries as the episode runs).
+function boot(R) {
 const [W, H] = R.map_size;
-const maxStep = Math.max(1, (R.max_steps|0));
+let maxStep = Math.max(1, (R.max_steps|0));
 const objects = R.objects || [];
 
 // Resolve a v4 field at step t: bare value, or [[step, value], ...] timeline.
@@ -171,6 +173,31 @@ legend.innerHTML = (R.type_names || []).map(t =>
 document.getElementById("meta").textContent =
   `${W}x${H} · ${R.num_agents} agents · v${R.version}`;
 draw();
+// Live-mode mutators: extend per-object timelines in place and advance the
+// view when it was following the tail.
+return {
+  applyStep(n, newObjects, deltas) {
+    const follow = (step >= maxStep - 1);
+    for (const o of newObjects) objects.push(o);
+    for (const [idx, fields] of deltas) {
+      const o = objects[idx]; if (!o) continue;
+      for (const k in fields) {
+        if (Array.isArray(o[k]) && Array.isArray(o[k][0])) { o[k].push([n, fields[k]]); continue; }
+        // first appearance of a field mid-episode (replay_writer._seq_key_merge)
+        const v = fields[k];
+        const d = Array.isArray(v) ? [] : (typeof v === "boolean" ? false :
+                  (typeof v === "number" ? 0 : ""));
+        o[k] = n === 0 ? [[0, v]] : [[0, d], [n, v]];
+      }
+    }
+    maxStep = Math.max(maxStep, n + 1);
+    scrub.max = maxStep - 1;
+    if (follow) step = maxStep - 1;
+    draw();
+  },
+};
+}
+if (typeof __LIVE__ === "undefined") boot(__REPLAY_DATA__);
 </script>
 </body>
 </html>

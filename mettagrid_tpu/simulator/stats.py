@@ -1,8 +1,16 @@
 """Episode stats export: state arrays -> string-keyed dicts
 (reference: MettaGrid::get_episode_stats, cpp/bindings/mettagrid_py.cpp:161-179).
 
-The reference keeps string->float unordered maps; the TPU engine interns the
-stat names at compile time into fixed arrays, so export is a zip."""
+The reference keeps string->float maps that intern a key on first
+add/set/get_ptr and export EVERY interned key — including 0.0 values —
+sorted by name (StatsTracker::to_dict returns a std::map). The TPU engine
+interns the full table at compile time, so the dynamic key set is
+reproduced as: key present iff (value != 0) OR its explicit touched bit is
+set (construction-time interns, ".amount" writes, set-style mutations —
+see engine/state.py). Engine-extension stats with no reference emission
+site (program.nonref_game_stats) are excluded so the payload hashes like
+the reference's.
+"""
 
 from __future__ import annotations
 
@@ -12,20 +20,26 @@ import numpy as np
 
 
 def episode_stats(program, state, env: int = 0) -> dict[str, Any]:
-    """{"game": {...}, "agent": [{...} per agent]} for one env."""
+    """{"game": {...}, "agent": [{...} per agent]} for one env, name-sorted
+    like StatsTracker::to_dict's std::map iteration order."""
+    gvals = np.asarray(state.game_stats[env])
+    gtouch = np.asarray(state.game_stats_touched[env])
     game = {
         name: float(v)
-        for name, v in zip(program.game_stat_names, np.asarray(state.game_stats[env]))
-        if v != 0.0
+        for name, v, t in sorted(zip(program.game_stat_names, gvals, gtouch))
+        if (v != 0.0 or t) and name not in program.nonref_game_stats
     }
     agents = []
     agent_stats = np.asarray(state.agent_stats[env])  # [A, Sa]
+    agent_touch = np.asarray(state.agent_stats_touched[env])
     for a in range(program.num_agents):
         agents.append(
             {
                 name: float(v)
-                for name, v in zip(program.agent_stat_names, agent_stats[a])
-                if v != 0.0
+                for name, v, t in sorted(
+                    zip(program.agent_stat_names, agent_stats[a], agent_touch[a])
+                )
+                if v != 0.0 or t
             }
         )
     return {"game": game, "agent": agents}

@@ -68,6 +68,13 @@ CELLS: list[tuple[str, dict, str]] = [
     ("static_v2w_combat", {"VERIFY_MODE": "combat"}, "static_v2"),
     ("dynobj_v2w_general_r4", {"VERIFY_MODE": "general",
                                "METTAGRID_TPU_COMPACT": "r4"}, "dynobj_v2"),
+    # ADVICE r4: the XLA-assembled dyn_v2 + r4 compaction combination (the
+    # exact shape that crashed Mosaic mid-r4 — zero-size roll in
+    # _compact_packed_v2_r4 at the general preset's KS_pad2=768, where the
+    # last log-shift distance d*step exceeds C-1 and must be skipped).
+    ("dyn_v2w_general_r4", {"VERIFY_MODE": "general",
+                            "METTAGRID_TPU_OBS_DYNOBJ": "0",
+                            "METTAGRID_TPU_COMPACT": "r4"}, "dyn_v2"),
     ("dyn_v1_general_wide", {"VERIFY_MODE": "general",
                              "METTAGRID_TPU_OBS_V2": "0"}, "dyn_v1"),
     ("combat_static_wide_v1", {"VERIFY_MODE": "combat",

@@ -1,0 +1,103 @@
+"""Live viewer bridge: HTML over HTTP + per-step WebSocket deltas
+(reference live pattern: renderer/mettascope.py:20-120)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from mettagrid_tpu.renderer.live_viewer import LiveViewer
+from mettagrid_tpu.simulator import Simulation
+from mettagrid_tpu.test_support import ObjectNameMapBuilder
+
+
+def _cfg():
+    from mettagrid_tpu.config.game_config import GameConfig, MettaGridConfig, WallConfig
+
+    return MettaGridConfig(
+        game=GameConfig(
+            num_agents=1,
+            max_steps=50,
+            objects={"wall": WallConfig()},
+            map_builder=ObjectNameMapBuilder.Config(
+                map_data=[
+                    ["wall"] * 5,
+                    ["wall", "agent.agent", "empty", "empty", "wall"],
+                    ["wall"] * 5,
+                ]
+            ),
+        )
+    )
+
+
+def test_live_viewer_streams_steps():
+    viewer = LiveViewer(port=0)
+    sim = Simulation(_cfg(), seed=0, event_handlers=[viewer])
+    try:
+        # The page is served over plain HTTP on the same port.
+        html = urllib.request.urlopen(viewer.url, timeout=5).read().decode()
+        assert "boot(" in html and "WebSocket" in html
+
+        from websockets.sync.client import connect
+
+        ws_url = viewer.url.replace("http://", "ws://") + "ws"
+        with connect(ws_url, open_timeout=5) as ws:
+            init = json.loads(ws.recv(timeout=5))
+            assert init["type"] == "init"
+            assert init["replay"]["version"] == 4
+            assert init["replay"]["map_size"] == [5, 3]
+
+            sim.agent(0).set_action("move_east")
+            sim.step()
+            msg = json.loads(ws.recv(timeout=10))
+            assert msg["type"] == "step"
+            assert msg["step"] == 0
+            # Step 0 ships every object as new (full timeline dicts).
+            assert msg["new_objects"], msg
+            agent_objs = [
+                o for o in msg["new_objects"] if o.get("is_agent") == [[0, True]]
+            ]
+            assert agent_objs and agent_objs[0]["location"] == [[0, [2, 1]]]
+
+            sim.agent(0).set_action("move_east")
+            sim.step()
+            msg2 = json.loads(ws.recv(timeout=10))
+            assert msg2["type"] == "step" and msg2["step"] == 1
+            # Only the moved agent changes: a delta entry with the new location.
+            locs = [f.get("location") for _, f in msg2["deltas"] if "location" in f]
+            assert locs == [[3, 1]]
+    finally:
+        sim.close()
+        viewer.close()
+
+
+def test_live_viewer_late_joiner_gets_history():
+    viewer = LiveViewer(port=0)
+    sim = Simulation(_cfg(), seed=0, event_handlers=[viewer])
+    try:
+        for _ in range(3):
+            sim.agent(0).set_action("move_east")
+            sim.step()
+        from websockets.sync.client import connect
+
+        ws_url = viewer.url.replace("http://", "ws://") + "ws"
+        with connect(ws_url, open_timeout=5) as ws:
+            init = json.loads(ws.recv(timeout=5))
+            assert init["type"] == "init"
+            replay = init["replay"]
+            assert replay["max_steps"] == 3
+            agent = next(
+                o for o in replay["objects"] if o.get("is_agent") == [[0, True]]
+            )
+            # Full location timeline is present for scrubbing.
+            steps = [s for s, _ in agent["location"]]
+            assert steps == [0, 1]  # moved east once; then blocked by the wall
+    finally:
+        sim.close()
+        viewer.close()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

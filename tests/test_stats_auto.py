@@ -1,0 +1,161 @@
+"""Auto-emitted stat families vs the reference oracle (VERDICT r4 missing #1).
+
+The reference writes stats the engine never asked for: per-resource
+".gained/.lost/.amount" + "death" on every agent inventory change
+(objects/agent.cpp:100-120), coverage "cell.unique_visited" /
+"cell.max_distance_from_spawn" per step (agent.cpp:41-57), "cell.visited"
+staleness during the obs scan (mettagrid_c.cpp:620-628), game-scope token
+accounting and "objects.<cell>" init counts (mettagrid_c.cpp:134-136, 244),
+and "action.invalid_index[.<idx>]" for out-of-range actions (:914-918).
+These are gameplay state — Stat() game values read them — so every family
+is compared against the C++ oracle here; the full-stats payload is also
+diffed by every cross-engine scenario (parity/cross_engine.py final
+summaries include get_episode_stats()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mettagrid_tpu.parity.cross_engine import Scenario, _Api, _build_config
+from mettagrid_tpu.parity.reference_oracle import reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference oracle not built"
+)
+
+
+def _mine_scenario(**kw):
+    return Scenario(
+        map_data=[
+            ["wall"] * 5,
+            ["wall", "agent.agent", "mine", "empty", "wall"],
+            ["wall"] * 5,
+        ],
+        num_agents=1,
+        objects={"mine": {"kind": "mine", "gives": {"gold": 3}}},
+        resources=["gold", "hp"],
+        scripts=kw.pop("scripts"),
+        **kw,
+    )
+
+
+def _run_pair(sc: Scenario):
+    from mettagrid_tpu.parity.cross_engine import run_ours, run_reference
+
+    return run_ours(sc), run_reference(sc)
+
+
+def _final_stats(trace):
+    return trace["final"]["stats"]
+
+
+def test_gained_amount_stats_match_oracle():
+    sc = _mine_scenario(scripts=[["move_east"], ["move_east"], ["noop"]])
+    ours, ref = _run_pair(sc)
+    assert _final_stats(ours) == _final_stats(ref)
+    agent = dict(_final_stats(ours)["agent"][0])
+    assert agent["gold.gained"] == 6.0  # two uses x 3
+    assert agent["gold.amount"] == 6.0
+    assert "gold.lost" not in agent
+
+
+def test_stat_gained_reward_matches_oracle():
+    """A reference config rewarding Stat("gold.gained") must compute the same
+    rewards here (the r4 silent-zero hole — VERDICT missing #1)."""
+
+    def build(api):
+        cfg = _build_config(api, _mine_scenario(scripts=[]))
+        if api.ours:
+            from mettagrid_tpu.config.game_value import stat
+            from mettagrid_tpu.config.reward_config import reward
+        else:
+            from mettagrid.config.game_value import stat
+            from mettagrid.config.reward_config import reward
+        cfg.game.agent.rewards = {"explore": reward(stat("gold.gained"))}
+        return cfg
+
+    from mettagrid_tpu.parity.reference_oracle import load_reference
+    from mettagrid_tpu.simulator import Simulation
+
+    load_reference()
+    from mettagrid.simulator.simulator import Simulator
+
+    ours = Simulation(build(_Api(ours=True)), seed=0)
+    ref = Simulator().new_simulation(build(_Api(ours=False)), seed=0)
+    for action in ("move_east", "move_east", "noop"):
+        ours.agent(0).set_action(action)
+        ref.agent(0).set_action(action)
+        ours.step()
+        ref.step()
+        assert ours.agent(0).step_reward == pytest.approx(
+            float(np.asarray(ref._c_sim.rewards())[0])
+        ), action
+    assert float(ours.episode_rewards[0]) == pytest.approx(
+        float(np.asarray(ref.episode_rewards)[0])
+    )
+    assert float(ours.episode_rewards[0]) == 6.0
+
+
+def test_invalid_action_stats_match_oracle():
+    sc = _mine_scenario(scripts=[])
+
+    from mettagrid_tpu.parity.reference_oracle import load_reference
+    from mettagrid_tpu.simulator import Simulation
+
+    load_reference()
+    from mettagrid.simulator.simulator import Simulator
+
+    ours = Simulation(_build_config(_Api(ours=True), sc), seed=0)
+    ref = Simulator().new_simulation(_build_config(_Api(ours=False), sc), seed=0)
+    # Feed a raw out-of-range index through both engines' action buffers.
+    ours._pending_actions[0, 0] = -3
+    ours.step()
+    ref_actions = np.asarray(ref._c_sim.actions())
+    ref_actions[:] = -3
+    ref._c_sim.step()
+    ours_stats = dict(ours.episode_stats["agent"][0])
+    ref_stats = dict(ref._c_sim.get_episode_stats()["agent"][0])
+    assert ours_stats.get("action.invalid_index") == ref_stats.get("action.invalid_index")
+    assert ours_stats.get("action.invalid_index.-3") == ref_stats.get(
+        "action.invalid_index.-3"
+    )
+
+
+def test_set_inventory_emission_matches_oracle():
+    sc = _mine_scenario(scripts=[["noop"], ["noop"]], inventories={0: {"gold": 5}})
+    ours, ref = _run_pair(sc)
+    assert _final_stats(ours) == _final_stats(ref)
+
+
+def test_clear_and_death_stats_match_oracle():
+    """DirectAttack driving hp to 0 emits hp.lost + death on the target."""
+    sc = Scenario(
+        map_data=[
+            ["wall"] * 5,
+            ["wall", "agent.agent", "agent.agent", "empty", "wall"],
+            ["wall"] * 5,
+        ],
+        num_agents=2,
+        resources=["laser", "armor", "hp"],
+        inventories={0: {"laser": 9}, 1: {"hp": 2}},
+        move_handlers=[
+            {
+                "name": "melee",
+                "actor_vibe": "angry",
+                "direct_attack": {"weapon": "laser", "armor": "armor", "health": "hp"},
+            }
+        ],
+        scripts=[
+            ["change_vibe_angry", "noop"],
+            ["move_east", "noop"],
+        ],
+        reference_shuffle=True,
+    )
+    ours, ref = _run_pair(sc)
+    assert _final_stats(ours) == _final_stats(ref)
+    target = dict(_final_stats(ours)["agent"][1])
+    assert target.get("hp.lost") == 2.0
+    assert target.get("death") == 1.0
+    assert target.get("hp.amount") == 0.0  # present at zero (touched key)
