@@ -77,6 +77,77 @@ def _apply_query_limits_mt(program, state: EnvState, q, mask: jnp.ndarray, activ
     return state, mask & (pos < cap[:, None]), pos
 
 
+def _apply_event_sequential(program, state: EnvState, ev, env_fire: jnp.ndarray):
+    """reference_rng path for events whose handler CONSUMES ctx.rng: the
+    reference walks the (possibly shuffled) target vector and runs
+    try_apply per target (event.cpp:46-55), so consuming filters/mutations
+    draw once per VISITED target in application order — and targets after
+    the max_targets cap is reached are never visited (the loop breaks, so
+    they never draw). Reproduced as a fori over application positions with
+    [E]-shaped contexts threading the MT twin (the dense [E, N] evaluation
+    would collapse every target's draws into one)."""
+    import jax
+
+    from mettagrid_tpu.engine.exec import MtThread, _eval_query_mask_unlimited
+    from mettagrid_tpu.engine.handlers import apply_mutation
+    from mettagrid_tpu.engine.mt19937 import shuffle_perm
+
+    E, N = state.obj_type.shape
+    mtd = MtThread(state.mt, env_fire)
+    raw = _eval_query_mask_unlimited(program, state, ev.target_query, None, mtd)
+    state = state._replace(mt=mtd.mt)
+    state, targets, t_order = _apply_query_limits_mt(
+        program, state, ev.target_query, raw, env_fire
+    )
+
+    # Application order: query-result order, composed with the event's own
+    # shuffle when the target count exceeds the cap (event.cpp:41-44).
+    pos = jnp.where(targets, t_order, N - 1)
+    if ev.max_targets > 0:
+        n_t = targets.sum(axis=1).astype(jnp.int32)
+        do_shuf = env_fire & (n_t > ev.max_targets)
+        mt, perm = shuffle_perm(state.mt, n_t, N, do_shuf)
+        state = state._replace(mt=mt)
+        inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
+        pos = jnp.where(
+            do_shuf[:, None], jnp.take_along_axis(inv, pos, axis=1), pos
+        )
+    slots_i = jnp.arange(N, dtype=jnp.int32)
+    oh = targets[:, :, None] & (pos[:, :, None] == slots_i[None, None, :])  # [E, s, p]
+    order_slots = (oh * (slots_i[None, :, None] + 1)).sum(axis=1) - 1  # [E, p]
+
+    from mettagrid_tpu.engine.exec import gather
+
+    def body(p, carry):
+        state, applied = carry
+        slot = order_slots[:, p]
+        can = env_fire & (slot >= 0)
+        if ev.max_targets > 0:
+            can = can & (applied < ev.max_targets)
+        s = jnp.clip(slot, 0, N - 1)
+        ctx = Ctx(
+            actor=s,
+            target=s,
+            target_r=gather(state.obj_r, s),
+            target_c=gather(state.obj_c, s),
+            distance=jnp.zeros((E,), dtype=jnp.int32),
+            timestep=state.step_count,
+        )
+        mtd = MtThread(state.mt, can)
+        with mtd.narrowed(can):
+            passed = can & eval_filters(program, state, ctx, ev.handler.filters, mtd)
+            with mtd.narrowed(passed):
+                for m in ev.handler.mutations:
+                    state, _ = apply_mutation(program, state, ctx, m, passed, mtd)
+        state = state._replace(mt=mtd.mt)
+        return state, applied + passed.astype(jnp.int32)
+
+    state, applied = jax.lax.fori_loop(
+        0, N, body, (state, jnp.zeros((E,), dtype=jnp.int32))
+    )
+    return state, applied
+
+
 def _apply_event(
     program, state: EnvState, ev, keys: jnp.ndarray, env_fire: jnp.ndarray,
     reference_rng: bool = False,
@@ -89,6 +160,13 @@ def _apply_event(
     the first max_targets FILTER-PASSING targets in shuffled order.
     Returns (state, applied_count[E])."""
     E, N = state.obj_type.shape
+    if reference_rng:
+        from mettagrid_tpu.engine.rng_dep import handler_consumes
+
+        if handler_consumes(ev.handler, program):
+            # Consuming filters/mutations draw PER VISITED TARGET in
+            # application order — needs the sequential walk.
+            return _apply_event_sequential(program, state, ev, env_fire)
     t_order = None
     if reference_rng:
         from mettagrid_tpu.engine.exec import MtThread, _eval_query_mask_unlimited

@@ -79,8 +79,10 @@ def emit_inv_stats(program, state, slot, delta_rows, new_rows, mask,
     delta_rows/new_rows: [B, R] actual deltas and resulting amounts for the
     batch entries; only agent slots emit (HasInventory's default callback is
     a no-op — chests etc. carry no stats)."""
+    import os as _os
+
     R = program.num_resources
-    if R == 0:
+    if R == 0 or _os.environ.get("METTAGRID_TPU_NO_INVSTATS"):  # probe knob
         return state
     d, m_any = _agent_rows(program, state, slot, delta_rows, mask, dense_identity, actor_prefix)
     n, _ = _agent_rows(program, state, slot, new_rows, mask, dense_identity, actor_prefix)

@@ -143,20 +143,47 @@ def reference_rng_unsupported(program) -> list[str]:
                     "(per-candidate draw order — query_system.cpp:41-49)"
                 )
     for ev in getattr(program, "events", ()) or ():
-        if any(filter_consumes(f, program) for f in ev.handler.filters):
-            problems.append(
-                "event handler filter consuming ctx.rng (per-target draw order)"
-            )
-        if any(mutation_consumes(m, program) for m in ev.handler.mutations):
-            problems.append(
-                "event mutation consuming ctx.rng (dense [E, N] context)"
-            )
+        # Consuming event handler filters/mutations are SUPPORTED since r5:
+        # events.py _apply_event_sequential walks targets in application
+        # order with per-target masked MT draws (incl. the cap break).
+        # Only the per-candidate draw order INSIDE the target query's own
+        # filters remains unreproducible.
         if query_filters_consume(ev.target_query, program):
             problems.append("event target query with consuming filters")
-    for name in ("on_tick_handlers", "agent_tick_handlers", "game_tick_handlers"):
-        for h in getattr(program, name, ()) or ():
+        for q in _handler_queries(ev.handler):
+            if query_filters_consume(q, program):
+                problems.append(
+                    "event-handler query whose own filters consume ctx.rng "
+                    "(per-candidate draw order — query_system.cpp:41-49)"
+                )
+    # Per-agent on_tick handlers are supported via the sequential walk
+    # (step.make_agent_tick_phase); game_on_tick is [E]-per-env (ordered by
+    # construction) — both thread the MT twin since r5. Their nested
+    # per-candidate query-filter draws remain unsupported:
+    for h in list(getattr(program, "on_tick_handlers", ()) or ()) + [
+        getattr(program, "game_on_tick", None)
+    ]:
+        if h is None:
+            continue
+        for q in _handler_queries(h):
+            if query_filters_consume(q, program):
+                problems.append(
+                    "tick-handler query whose own filters consume ctx.rng "
+                    "(per-candidate draw order)"
+                )
+    # AOE / territory handlers evaluate densely over (source, agent) pairs;
+    # the reference's per-pair sequential draws are not reproduced.
+    for spec in getattr(program, "aoe_specs", ()) or ():
+        if any(filter_consumes(f, program) for f in spec.filters) or any(
+            mutation_consumes(m, program) for m in spec.mutations
+        ):
+            problems.append("AOE handler consuming ctx.rng (per-pair draw order)")
+    for terr in getattr(program, "territories", ()) or ():
+        for h in (terr.on_enter, terr.on_exit, terr.presence):
             if h is not None and handler_consumes(h, program):
-                problems.append(f"{name} consuming ctx.rng (dense tick context)")
+                problems.append(
+                    "territory handler consuming ctx.rng (per-pair draw order)"
+                )
     return problems
 
 

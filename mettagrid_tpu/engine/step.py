@@ -238,11 +238,47 @@ def make_reset(program: EngineProgram, init: EnvInit, num_envs: int, reference_r
     return jax.jit(reset)
 
 
-def make_agent_tick_phase(program: EngineProgram):
+def make_agent_tick_phase(program: EngineProgram, reference_rng: bool = False):
     """Per-agent on_tick handlers (mettagrid_c.cpp:1018-1024)."""
     if not any(h is not None for h in program.on_tick_handlers):
         return None
     A = program.num_agents
+
+    consuming = False
+    if reference_rng:
+        from mettagrid_tpu.engine.rng_dep import handler_consumes
+
+        consuming = any(
+            h is not None and handler_consumes(h, program)
+            for h in program.on_tick_handlers
+        )
+
+    def agent_tick_phase_sequential(state: EnvState) -> EnvState:
+        """reference_rng + consuming handlers: the reference loops agents in
+        INDEX order applying each agent's own handler (mettagrid_c.cpp:
+        1018-1024), so consuming filters/values draw once per agent in that
+        order — walk agents with [E] contexts threading the MT twin."""
+        from mettagrid_tpu.engine.exec import MtThread
+
+        E = state.grid.shape[0]
+        for a in range(A):
+            slot = jnp.full((E,), a, dtype=jnp.int32)
+            ctx = Ctx(
+                actor=slot,
+                target=slot,
+                target_r=state.obj_r[:, a],
+                target_c=state.obj_c[:, a],
+                distance=jnp.zeros((E,), dtype=jnp.int32),
+                timestep=state.step_count,
+            )
+            for cfg_idx, handler in enumerate(program.on_tick_handlers):
+                if handler is None:
+                    continue
+                mask = state.agent_cfg[:, a] == cfg_idx  # [E]
+                mtd = MtThread(state.mt, mask)
+                state, _ = try_apply(program, state, ctx, handler, mask, mtd)
+                state = state._replace(mt=mtd.mt)
+        return state
 
     def agent_tick_phase(state: EnvState) -> EnvState:
         E = state.grid.shape[0]
@@ -263,13 +299,19 @@ def make_agent_tick_phase(program: EngineProgram):
             state, _ = try_apply(program, state, ctx, handler, mask)
         return state
 
-    return agent_tick_phase
+    return agent_tick_phase_sequential if consuming else agent_tick_phase
 
 
-def make_game_tick_phase(program: EngineProgram):
+def make_game_tick_phase(program: EngineProgram, reference_rng: bool = False):
     """Game-level on_tick handler (mettagrid_c.cpp:1050-1056)."""
     if program.game_on_tick is None:
         return None
+
+    consuming = False
+    if reference_rng:
+        from mettagrid_tpu.engine.rng_dep import handler_consumes
+
+        consuming = handler_consumes(program.game_on_tick, program)
 
     def game_tick_phase(state: EnvState) -> EnvState:
         E = state.grid.shape[0]
@@ -279,9 +321,17 @@ def make_game_tick_phase(program: EngineProgram):
             actor=none, target=none, target_r=zeros, target_c=zeros,
             distance=zeros, timestep=state.step_count,
         )
-        state, _ = try_apply(
-            program, state, gctx, program.game_on_tick, jnp.ones((E,), dtype=bool)
-        )
+        ones = jnp.ones((E,), dtype=bool)
+        if consuming:
+            # One application per env: already sequential-equivalent; the
+            # MT twin just has to supply the draws (previously they fell to
+            # the salted jax stream — a silent reference_rng gap).
+            from mettagrid_tpu.engine.exec import MtThread
+
+            mtd = MtThread(state.mt, ones)
+            state, _ = try_apply(program, state, gctx, program.game_on_tick, ones, mtd)
+            return state._replace(mt=mtd.mt)
+        state, _ = try_apply(program, state, gctx, program.game_on_tick, ones)
         return state
 
     return game_tick_phase
@@ -294,6 +344,11 @@ def make_coverage_phase(program: EngineProgram):
     popcount (maintained incrementally) and "cell.max_distance_from_spawn"
     to the running max Manhattan distance from spawn."""
     A = program.num_agents
+
+    import os as _os
+
+    if _os.environ.get("METTAGRID_TPU_NO_COVERAGE"):  # probe knob
+        return lambda state: state
 
     def coverage_phase(state: EnvState) -> EnvState:
         W = state.grid.shape[2]
@@ -347,6 +402,11 @@ def make_visited_phase(program: EngineProgram):
     shape the scan iterates, not the full rect) is claimed by the FIRST such
     agent in index order (the serial scan order; the threaded CAS picks one
     winner), which adds (step - last_claimed_step) to its own stat."""
+    import os as _os
+
+    if _os.environ.get("METTAGRID_TPU_NO_VISITED"):  # probe knob
+        return lambda state: state
+
     A = program.num_agents
     hr = (program.obs_height - 1) // 2
     wr = (program.obs_width - 1) // 2
@@ -357,18 +417,21 @@ def make_visited_phase(program: EngineProgram):
         covered = (
             _vision_covered(state.obj_r[:, None, :] - ar, state.obj_c[:, None, :] - ac, hr, wr)
             & state.obj_alive[:, None, :]
-        )  # [E, A, N]
-        a_idx = jnp.arange(A, dtype=jnp.int32)[None, :, None]
-        first = jnp.min(jnp.where(covered, a_idx, A), axis=1)  # [E, N]
+        )  # [E, A, N] bool
+        # First covering agent in index order (int8: A < 128), then the
+        # winner's staleness sum per agent as elementwise multiply+reduce —
+        # NOT an einsum dot (XLA emulates int32 dots on TPU in multiple MXU
+        # passes; the reduce fuses with the compare).
+        a_idx8 = jnp.arange(A, dtype=jnp.int8)[None, :, None]
+        first = jnp.min(jnp.where(covered, a_idx8, jnp.int8(A)), axis=1)  # [E, N] i8
         step = state.step_count[:, None]  # [E, 1]
         claim = (first < A) & (state.obj_visited < step)
-        stale = jnp.where(claim, step - state.obj_visited, 0)  # [E, N]
-        add = jnp.einsum(
-            "ean,en->ea",
-            (covered & (first[:, None, :] == a_idx)).astype(jnp.int32),
-            stale,
-        ).astype(state.agent_stats.dtype)
-        stats = state.agent_stats.at[..., program.stat_cell_visited].add(add)
+        stale = jnp.where(claim, step - state.obj_visited, 0)  # [E, N] i32
+        win = covered & (first[:, None, :] == a_idx8)  # [E, A, N] bool
+        add = jnp.where(win, stale[:, None, :], 0).sum(axis=2)  # [E, A] i32
+        stats = state.agent_stats.at[..., program.stat_cell_visited].add(
+            add.astype(state.agent_stats.dtype)
+        )
         return state._replace(
             agent_stats=stats,
             obj_visited=jnp.where(claim, jnp.broadcast_to(step, claim.shape), state.obj_visited),
@@ -382,6 +445,10 @@ def _token_stat_update(program: EngineProgram, state: EnvState, attempted: jnp.n
     (mettagrid_c.cpp:640-642, 655-661): written = min(attempted, capacity),
     dropped = attempted - written, free = capacity - written, summed over
     agents."""
+    import os as _os
+
+    if _os.environ.get("METTAGRID_TPU_NO_TOKSTATS"):  # probe knob
+        return state
     T = program.num_tokens
     written = jnp.minimum(attempted, T)
     gs = state.game_stats
@@ -419,7 +486,13 @@ def _pool_token_stats(program: EngineProgram, pool: dict, obs_fn, init: EnvInit)
             axis=-1,
         ).astype(jnp.float32)
 
-    val = compute()
+    try:
+        val = compute()
+    except Exception:
+        # The axon tunnel occasionally drops a remote_compile response
+        # mid-body; one retry recovers (the server-side cache makes the
+        # second attempt cheap).
+        val = compute()
     init._pool_token_stats = val
     return val
 
@@ -494,8 +567,8 @@ def make_step(
         else make_action_phase(program, reference_rng=acts_consume)
     )
     event_phase = make_event_phase(program, reference_rng=reference_rng)
-    agent_tick_phase = make_agent_tick_phase(program)
-    game_tick_phase = make_game_tick_phase(program)
+    agent_tick_phase = make_agent_tick_phase(program, reference_rng=reference_rng)
+    game_tick_phase = make_game_tick_phase(program, reference_rng=reference_rng)
     aoe_phase = make_aoe_phase(program)
     territory_phase = make_territory_phase(program)
     obs_fn = _make_obs_fn_for(program, init)

@@ -86,6 +86,7 @@ def _make_configs(
     economy: bool = False,
     pure_attack: bool = False,
     random_query: bool = False,
+    event_filter_rng: bool = False,
 ):
     """Both frameworks' make_arena with the map pinned; combat=True adds a
     vibe-gated move handler carrying the C++-executable attack (the
@@ -208,6 +209,57 @@ def _make_configs(
             )
         ours.game.objects["shrine"] = OurObj(name="shrine", map_name="shrine", **our_shrine_kw)
         ref.game.objects["shrine"] = RefObj(name="shrine", map_name="shrine", **ref_shrine_kw)
+        our_ev_kw: dict = {}
+        ref_ev_kw: dict = {}
+        if event_filter_rng:
+            # A CONSUMING filter on the event handler itself (a former
+            # reference_rng raiser): the GameValueFilter's order_by=random
+            # query draws one std::shuffle PER VISITED TARGET in application
+            # order, and targets past the max_targets cap are never visited
+            # (Event::execute breaks — event.cpp:46-55), so both the draw
+            # COUNT and position depend on the walk. Reproduced by
+            # events._apply_event_sequential; min=0 keeps outcomes identical
+            # to the plain family while the entire downstream MT stream
+            # (next step's agent shuffle, later events) shifts with every
+            # consumed draw — any divergence fails the episode signature.
+            from mettagrid_tpu.config.game_value import QueryInventoryValue as OurQIV3
+            from mettagrid_tpu.config.handler_config import (
+                GameValueFilter as OurGVF3,
+                HandlerTarget as OurHT3,
+            )
+            from mettagrid_tpu.config.query import Query as OurQuery3
+
+            from mettagrid.config.filter import (
+                GameValueFilter as RefGVF3,
+                HandlerTarget as RefHT3,
+            )
+            from mettagrid.config.game_value import QueryInventoryValue as RefQIV3
+            from mettagrid.config.query import Query as RefQuery3
+
+            our_ev_kw["filters"] = [
+                OurGVF3(
+                    target=OurHT3.ACTOR,
+                    value=OurQIV3(
+                        query=OurQuery3(
+                            source=our_type_tag("shrine"), order_by="random", max_items=2
+                        ).model_dump(),
+                        item="heart",
+                    ),
+                    min=0,
+                )
+            ]
+            ref_ev_kw["filters"] = [
+                RefGVF3(
+                    target=RefHT3.ACTOR,
+                    value=RefQIV3(
+                        query=RefQuery3(
+                            source=ref_type_tag("shrine"), order_by="random", max_items=2
+                        ),
+                        item="heart",
+                    ),
+                    min=0,
+                )
+            ]
         ours.game.events = {
             "enrich": OurEvent(
                 name="enrich",
@@ -215,6 +267,7 @@ def _make_configs(
                 timesteps=ts,
                 max_targets=3,
                 mutations=[our_update({"heart": 1})],
+                **our_ev_kw,
             )
         }
         ref.game.events = {
@@ -224,6 +277,7 @@ def _make_configs(
                 timesteps=ts,
                 max_targets=3,
                 mutations=[ref_update({"heart": 1})],
+                **ref_ev_kw,
             )
         }
 
@@ -482,6 +536,7 @@ def run_arena_parity(
     economy: bool = False,
     pure_attack: bool = False,
     random_query: bool = False,
+    event_filter_rng: bool = False,
 ) -> List[str]:
     """Run the arena preset in both engines; return a list of mismatches.
 
@@ -500,12 +555,21 @@ def run_arena_parity(
     from mettagrid_tpu.simulator import Simulation as OurSimulation
 
     map_data = build_arena_map(num_agents, map_seed)
-    if random_query:
-        assert events, "random_query builds on the shrine/event family"
+    if random_query or event_filter_rng:
+        assert events, "random_query/event_filter_rng build on the shrine/event family"
     our_cfg, ref_cfg = _make_configs(
         map_data, num_agents, combat=combat, events=events, economy=economy,
         pure_attack=pure_attack, random_query=random_query,
+        event_filter_rng=event_filter_rng,
     )
+    if event_filter_rng:
+        # The point of this variant: a consuming EVENT-handler filter was a
+        # reference_rng raiser before r5; it must now compile (the
+        # sequential per-target walk) instead of raising.
+        from mettagrid_tpu.engine import compile_program as _compile
+        from mettagrid_tpu.engine.rng_dep import reference_rng_unsupported as _rru
+
+        assert not _rru(_compile(our_cfg)), "event_filter_rng config must be supported"
     if random_query:
         # The point of this variant: order_by=random queries inside an
         # ACTION handler context consume HandlerContext::rng — the step must

@@ -1,0 +1,25 @@
+"""Ablate the r5 auto-stat phases in-bench (flagship + combat) to locate the
+870k/248k regression (r4: 1064k/379k). Probe knobs only — production runs
+keep every phase on."""
+import os, subprocess, sys, json
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARMS = [
+    ("all_on", {}),
+    ("no_visited", {"METTAGRID_TPU_NO_VISITED": "1"}),
+    ("no_coverage", {"METTAGRID_TPU_NO_COVERAGE": "1"}),
+    ("no_invstats", {"METTAGRID_TPU_NO_INVSTATS": "1"}),
+    ("no_tokstats", {"METTAGRID_TPU_NO_TOKSTATS": "1"}),
+    ("all_off", {"METTAGRID_TPU_NO_VISITED": "1", "METTAGRID_TPU_NO_COVERAGE": "1",
+                 "METTAGRID_TPU_NO_INVSTATS": "1", "METTAGRID_TPU_NO_TOKSTATS": "1"}),
+]
+
+variant = sys.argv[1] if len(sys.argv) > 1 else "--flagship-only"
+for name, env in ARMS:
+    full = dict(os.environ); full.update(env)
+    r = subprocess.run([sys.executable, "bench.py", variant, "--chunks=6"],
+                       env=full, capture_output=True, text=True, cwd=HERE)
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    val = json.loads(line[-1])["value"] if line else f"FAIL rc={r.returncode}"
+    print(f"{name:<12} {variant:<16} {val}", flush=True)

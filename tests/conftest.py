@@ -18,4 +18,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the default tier's cost is dominated by CPU
+# XLA compiles of the same step/obs programs on every run — cache them
+# across runs (keyed by HLO hash, so code changes re-compile exactly what
+# they change). Drops the default tier from ~20 min to minutes on reruns.
+_cache_dir = os.environ.get(
+    "METTAGRID_TPU_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+if _cache_dir != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

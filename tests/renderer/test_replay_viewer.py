@@ -32,7 +32,7 @@ def _run(writer):
 
 
 def _embedded(html: str) -> dict:
-    m = re.search(r"const R = (\{.*?\});\n", html, re.DOTALL)
+    m = re.search(r"boot\((\{.*?\})\);\n", html, re.DOTALL)
     assert m, "embedded replay payload not found"
     return json.loads(m.group(1).replace("<\\/", "</"))
 

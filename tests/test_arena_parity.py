@@ -96,3 +96,21 @@ def test_arena_direct_attack_static_bg_signature_parity(map_seed, action_seed):
 
     problems = run_arena_parity(map_seed, action_seed, steps=300, pure_attack=True)
     assert not problems, "\n".join(problems[:20])
+
+
+@pytest.mark.parametrize("map_seed,action_seed", [(2, 31)])
+def test_arena_event_filter_rng_signature_parity(map_seed, action_seed):
+    """Arena-scale parity for ctx.rng consumption inside an EVENT handler
+    FILTER — a reference_rng raiser before r5 (VERDICT r4 missing #3): the
+    enrich event's GameValueFilter sums hearts over an order_by=random
+    max_items=2 shrine query, drawing a std::shuffle PER VISITED TARGET in
+    the event's (shuffled, cap-broken) application order
+    (event.cpp:46-55). events._apply_event_sequential must place every draw
+    at the reference's exact stream position or the whole downstream
+    episode (agent shuffles, later event firings) diverges."""
+    from mettagrid_tpu.parity.arena import run_arena_parity
+
+    problems = run_arena_parity(
+        map_seed, action_seed, steps=200, events=True, event_filter_rng=True
+    )
+    assert not problems, "\n".join(problems[:20])
