@@ -65,7 +65,7 @@ SCHED_UNROLL_WAVES = int(
 # the full EnvState copies ~100MB of untouched arrays per tail iteration).
 _WAVE_MUT_FIELDS = (
     "grid", "obj_r", "obj_c", "obj_vibe", "obj_tags", "obj_inv", "obj_alive",
-    "agent_stats", "agent_stats_touched",
+    "agent_stats", "agent_stats_touched", "auto_stats",
 )
 
 _LOCAL_FILTERS = {
@@ -452,13 +452,14 @@ def make_action_phase_fast(program: EngineProgram, pure_move: bool = False, lazy
         # priority LEVEL (always >= 2 — the Attack handler registers at
         # priority 1 even when disabled) per STREAM
         # (mettagrid_c.cpp:914-918, 966-998; program.num_priority_levels).
-        inv_count = (
-            (~dec[False][0]).astype(state.agent_stats.dtype)
-            + (~dec[True][0]).astype(state.agent_stats.dtype)
-        ) * float(program.num_priority_levels)
-        state = state._replace(
-            agent_stats=state.agent_stats.at[..., program.stat_action_invalid].add(inv_count)
-        )
+        if not _os.environ.get("METTAGRID_TPU_NO_INVALIDSTAT"):  # probe knob
+            inv_count = (
+                (~dec[False][0]).astype(state.agent_stats.dtype)
+                + (~dec[True][0]).astype(state.agent_stats.dtype)
+            ) * float(program.num_priority_levels)
+            state = state._replace(
+                agent_stats=state.agent_stats.at[..., program.stat_action_invalid].add(inv_count)
+            )
 
         for prio in program.priorities_desc:
             for vibe_stream, acts in ((False, actions), (True, vibe_actions)):

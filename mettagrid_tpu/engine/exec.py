@@ -395,11 +395,29 @@ def eval_value(program, state, cv: CompiledValue, slots: jnp.ndarray, ctx: Optio
             prev = prev.reshape((B[0],) + (1,) * (len(B) - 1))
             out = cur - prev if cv.delta else cur
             return jnp.broadcast_to(out, B)
-        # agent scope: entity must be an agent slot
+        # agent scope: entity must be an agent slot. AUTO/AMOUNT-encoded ids
+        # (program.py AUTO_STAT_BASE) route to the compact int32 auto_stats
+        # lanes / live inventory (".amount" always equals current inventory).
+        from mettagrid_tpu.engine.program import AMOUNT_STAT_BASE, AUTO_STAT_BASE
+
         ok = agent_slot_ok(slots, A)
-        cur = gather(state.agent_stats, jnp.clip(slots, 0, A - 1))[..., cv.stat_id]
+        sl = jnp.clip(slots, 0, A - 1)
+        sid = cv.stat_id
+        if sid >= AMOUNT_STAT_BASE:
+            rid = sid - AMOUNT_STAT_BASE
+            cur = gather(state.obj_inv, sl)[..., rid]
+            if cv.delta:
+                cur = cur - gather(state.obj_inv_prev, sl)[..., rid]
+            return jnp.where(ok, cur.astype(jnp.float32), 0.0)
+        if sid >= AUTO_STAT_BASE:
+            lane = sid - AUTO_STAT_BASE
+            cur = gather(state.auto_stats, sl)[..., lane]
+            if cv.delta:
+                cur = cur - gather(state.auto_stats_prev, sl)[..., lane]
+            return jnp.where(ok, cur.astype(jnp.float32), 0.0)
+        cur = gather(state.agent_stats, sl)[..., sid]
         if cv.delta:
-            prev = gather(state.agent_stats_prev, jnp.clip(slots, 0, A - 1))[..., cv.stat_id]
+            prev = gather(state.agent_stats_prev, sl)[..., sid]
             cur = cur - prev
         return jnp.where(ok, cur, 0.0)
 
@@ -460,9 +478,24 @@ def eval_value_agents(program, state, cv: CompiledValue) -> jnp.ndarray:
     if cv.kind == "inventory":
         return state.obj_inv[:, :A, cv.rid].astype(jnp.float32)
     if cv.kind == "stat" and not cv.stat_is_game:
-        cur = state.agent_stats[:, :, cv.stat_id]
+        from mettagrid_tpu.engine.program import AMOUNT_STAT_BASE, AUTO_STAT_BASE
+
+        sid = cv.stat_id
+        if sid >= AMOUNT_STAT_BASE:
+            rid = sid - AMOUNT_STAT_BASE
+            cur = state.obj_inv[:, :A, rid]
+            if cv.delta:
+                cur = cur - state.obj_inv_prev[:, :A, rid]
+            return cur.astype(jnp.float32)
+        if sid >= AUTO_STAT_BASE:
+            lane = sid - AUTO_STAT_BASE
+            cur = state.auto_stats[:, :, lane]
+            if cv.delta:
+                cur = cur - state.auto_stats_prev[:, :, lane]
+            return cur.astype(jnp.float32)
+        cur = state.agent_stats[:, :, sid]
         if cv.delta:
-            cur = cur - state.agent_stats_prev[:, :, cv.stat_id]
+            cur = cur - state.agent_stats_prev[:, :, sid]
         return cur
     if cv.kind == "sum":
         E = state.obj_type.shape[0]

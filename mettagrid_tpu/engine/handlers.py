@@ -84,6 +84,29 @@ def emit_inv_stats(program, state, slot, delta_rows, new_rows, mask,
     R = program.num_resources
     if R == 0 or _os.environ.get("METTAGRID_TPU_NO_INVSTATS"):  # probe knob
         return state
+    if program.stats_compact:
+        # Compact path (program.py AUTO_STAT_BASE): gained/lost/death are
+        # small int32 auto_stats lanes; ".amount" and its touched bit are
+        # DERIVED at export (amount == live inventory; touched iff
+        # gained+lost > 0 or construction-interned) so nothing else is
+        # written — the wave loop carries ~4 MB instead of 5 full
+        # [E, A, Sa] rewrites per inventory change.
+        d, _ = _agent_rows(program, state, slot, delta_rows, mask, dense_identity, actor_prefix)
+        if not bool(d.shape[1]):
+            return state
+        au = state.auto_stats
+        au = au.at[..., 0 : 2 * R].add(
+            jnp.concatenate([jnp.maximum(d, 0), jnp.maximum(-d, 0)], axis=-1)
+        )
+        if program.hp_rid >= 0:
+            hp = program.hp_rid
+            n1, _ = _agent_rows(
+                program, state, slot, new_rows[..., hp : hp + 1], mask,
+                dense_identity, actor_prefix,
+            )
+            died = (d[..., hp] < 0) & (n1[..., 0] == 0)
+            au = au.at[..., 3 * R].add(died.astype(jnp.int32))
+        return state._replace(auto_stats=au)
     d, m_any = _agent_rows(program, state, slot, delta_rows, mask, dense_identity, actor_prefix)
     n, _ = _agent_rows(program, state, slot, new_rows, mask, dense_identity, actor_prefix)
     changed = d != 0  # [E, A, R]
@@ -166,6 +189,10 @@ def set_agent_stat(state, slot, stat_id: int, value, mask, *, mode: str = "set",
     set/add — stats_tracker.hpp get_or_create_id). Defaults to True for
     "set" (a set can leave 0.0, which must still export) and False for
     "add" (incr-family keys derive touched from value != 0 at export)."""
+    # AUTO/AMOUNT-encoded ids never reach the generic writer: configs that
+    # write auto-family names compile with stats_compact=False (regular
+    # ids), and engine emission sites use the compact writers directly.
+    assert stat_id < (1 << 20), "auto-stat id reached the generic stat writer"
     A = state.agent_stats.shape[1]
     ok = mask & agent_slot_ok(slot, A)
     cur = gather(state.agent_stats, jnp.clip(slot, 0, A - 1))  # [B, Sa]
@@ -302,16 +329,22 @@ def apply_mutation(program, state, ctx: Ctx, m: CompiledMutation, mask: jnp.ndar
             # quantity (resource_mutation.hpp:80-86).
             A = program.num_agents
             dep_ok = valid & agent_slot_ok(src, A) & (accepted > 0)
-            dep = int(program.stat_inv_deposited[rid])
             oh = (src[..., None] == jnp.arange(A, dtype=jnp.int32)) & dep_ok[..., None]
             add = jnp.where(oh, accepted[..., None], 0)
             while add.ndim > 2:  # [E, K, A] -> [E, A] (unique slots per call)
                 add = add.sum(axis=1)
-            state = state._replace(
-                agent_stats=state.agent_stats.at[..., dep].add(
-                    add.astype(state.agent_stats.dtype)
+            if program.stats_compact:
+                from mettagrid_tpu.engine.program import AUTO_STAT_BASE
+
+                dep = int(program.stat_inv_deposited[rid]) - AUTO_STAT_BASE
+                state = state._replace(auto_stats=state.auto_stats.at[..., dep].add(add))
+            else:
+                dep = int(program.stat_inv_deposited[rid])
+                state = state._replace(
+                    agent_stats=state.agent_stats.at[..., dep].add(
+                        add.astype(state.agent_stats.dtype)
+                    )
                 )
-            )
         if m.remove_source_when_empty:
             src_inv_after = gather(state.obj_inv, src)
             empty = src_inv_after.sum(axis=-1) == 0

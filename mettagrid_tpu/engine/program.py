@@ -264,6 +264,14 @@ class EngineProgram:
     # initial-inventory ".amount" + reward-entry Stat reads (per agent cfg).
     agent_stats_init_touched: np.ndarray  # bool[n_agent_configs, Sa]
     game_stats_init_touched: np.ndarray  # bool[Sg]
+    # Compact auto-stat storage (see AUTO_STAT_BASE): when True the auto
+    # families above carry AUTO/AMOUNT-encoded ids routed to the int32
+    # state.auto_stats[E, A, num_auto_lanes] tensor / live inventory.
+    stats_compact: bool
+    num_auto_lanes: int  # 3R+4 when compact, 0 in fallback mode
+    auto_init_touched: np.ndarray  # bool[n_agent_configs, max(num_auto_lanes,1)]
+    amount_init_touched: np.ndarray  # bool[n_agent_configs, max(R,1)]
+    needs_inv_prev: bool  # a delta ".amount" read exists -> snapshot obj_inv
     # Engine-extension stat names with no reference analog — excluded from
     # episode-stats export so the stats payload hashes identically to the
     # reference's get_episode_stats() (e.g. "event.<name>" counters).
@@ -302,6 +310,55 @@ class EngineProgram:
 # Compiler
 # =====================================================================
 
+# Compact auto-stat storage (the default): the auto-emitted families live in
+# a small int32 state.auto_stats[E, A, 3R+4] tensor instead of f32
+# agent_stats lanes, so the per-inventory-change emission in the wave loop
+# touches ~4 MB instead of 5 full [E, A, Sa] rewrites (r5 combat bench:
+# the full-table emission alone cost ~4 ms/step at E=4096). Stat ids encode
+# the routing: ids >= AUTO_STAT_BASE index auto_stats lanes; ids >=
+# AMOUNT_STAT_BASE are "<res>.amount" reads DERIVED from live inventory
+# (the reference sets .amount to the post-change amount on every change —
+# objects/agent.cpp:100-120 — so it always equals current inventory).
+# Touched bits are derived too: gained/lost/deposited/death/cell.visited
+# are incr-style (touched iff != 0); amount is touched iff it ever changed
+# (gained+lost > 0) or was interned at construction. A config that WRITES
+# one of these names via a stats/set_game_value mutation falls back to
+# regular f32 interning for ALL of them (program.stats_compact=False) —
+# exactly the pre-compaction path, value-identical either way.
+AUTO_STAT_BASE = 1 << 20
+AMOUNT_STAT_BASE = 1 << 21
+
+
+def _agent_stat_write_names(game: GameConfig) -> set:
+    """Names of agent-scope stats any config mutation can WRITE (stats /
+    set_game_value kinds) — collected from the raw config tree before
+    interning so compile_program can decide compact-vs-fallback storage."""
+    names: set = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            mt = node.get("mutation_type")
+            if mt == "stats" and str(node.get("target")) not in ("game", "StatsTarget.GAME"):
+                if node.get("stat"):
+                    names.add(node["stat"])
+            if mt == "set_game_value":
+                v = node.get("value")
+                if (
+                    isinstance(v, dict)
+                    and v.get("type") == "stat"
+                    and str(v.get("scope")) not in ("game", "Scope.GAME")
+                ):
+                    names.add(v.get("name"))
+            for x in node.values():
+                walk(x)
+        elif isinstance(node, (list, tuple)):
+            for x in node:
+                walk(x)
+
+    walk(game.model_dump())
+    names.discard(None)
+    return names
+
 
 class _Compiler:
     """Holds the name->id maps plus the stat interner during compilation."""
@@ -319,8 +376,15 @@ class _Compiler:
         self.game_stats: dict[str, int] = {}
         self.type_names: list[str] = []
         self.event_index: dict[str, int] = {}
+        # Compact-mode routing: auto-family name -> AUTO/AMOUNT-encoded id
+        # (empty in fallback mode; populated by compile_program before any
+        # handler/value compilation so reads route automatically).
+        self.auto_stat_ids: dict[str, int] = {}
+        self.needs_inv_prev = False
 
     def intern_stat(self, name: str, *, game_scope: bool) -> int:
+        if not game_scope and name in self.auto_stat_ids:
+            return self.auto_stat_ids[name]
         table = self.game_stats if game_scope else self.agent_stats
         if name not in table:
             table[name] = len(table)
@@ -341,6 +405,10 @@ class _Compiler:
         if isinstance(gv, StatValue):
             game_scope = gv.scope.value == "game"
             sid = self.intern_stat(gv.name, game_scope=game_scope)
+            if gv.delta and sid >= AMOUNT_STAT_BASE:
+                # delta ".amount" reads need last step's inventory snapshot
+                # (amount always equals current inventory — see AUTO bases).
+                self.needs_inv_prev = True
             return CompiledValue(kind="stat", stat_id=sid, stat_is_game=game_scope, delta=gv.delta)
         if isinstance(gv, ConstValue):
             return CompiledValue(kind="const", value=gv.value)
@@ -930,6 +998,30 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
     # The reference interns these lazily on first touch; here the TABLE is
     # compile-time fixed and per-(env, agent) touched masks reproduce the
     # dynamic key-set of StatsTracker::to_dict (see simulator/stats.py). ----
+    _auto_names = {"death", "cell.visited", "cell.unique_visited", "cell.max_distance_from_spawn"}
+    for _r in resource_names:
+        _auto_names |= {f"{_r}.gained", f"{_r}.lost", f"{_r}.amount", f"{_r}.deposited"}
+    import os as _os
+
+    stats_compact = not (_agent_stat_write_names(game) & _auto_names)
+    if _os.environ.get("METTAGRID_TPU_STATS_FALLBACK"):  # test/probe knob
+        stats_compact = False
+    if stats_compact:
+        # Compact storage (see AUTO_STAT_BASE notes): auto families get
+        # routed ids BEFORE any read interns them, so CompiledValue stat
+        # leaves carry the routing. Lane layout: gained [0,R), lost [R,2R),
+        # deposited [2R,3R), death 3R, cell.visited 3R+1, unique 3R+2,
+        # maxdist 3R+3 — amount is derived (AMOUNT ids), not stored.
+        for _rid, _r in enumerate(resource_names):
+            c.auto_stat_ids[f"{_r}.gained"] = AUTO_STAT_BASE + _rid
+            c.auto_stat_ids[f"{_r}.lost"] = AUTO_STAT_BASE + R + _rid
+            c.auto_stat_ids[f"{_r}.deposited"] = AUTO_STAT_BASE + 2 * R + _rid
+            c.auto_stat_ids[f"{_r}.amount"] = AMOUNT_STAT_BASE + _rid
+        c.auto_stat_ids["death"] = AUTO_STAT_BASE + 3 * R
+        c.auto_stat_ids["cell.visited"] = AUTO_STAT_BASE + 3 * R + 1
+        c.auto_stat_ids["cell.unique_visited"] = AUTO_STAT_BASE + 3 * R + 2
+        c.auto_stat_ids["cell.max_distance_from_spawn"] = AUTO_STAT_BASE + 3 * R + 3
+    num_auto_lanes = (3 * R + 4) if stats_compact else 0
     stat_inv_gained = np.array(
         [c.intern_stat(f"{r}.gained", game_scope=False) for r in resource_names], dtype=np.int32
     )
@@ -1138,7 +1230,9 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
     # inventory ".amount" via populate_initial_inventory (agent.cpp:80-84),
     # and every Stat leaf of a reward entry via resolve_game_value's
     # get_ptr at init_reward (game_value.cpp StatValueConfig branch).
-    if len(c.agent_stats) > 1024 or len(c.game_stats) > 1024:
+    # Count auto lanes toward the reference's per-tracker cap — they are
+    # interned keys there even though they live in compact storage here.
+    if len(c.agent_stats) + num_auto_lanes + (R if stats_compact else 0) > 1024 or len(c.game_stats) > 1024:
         raise RuntimeError(
             "Exceeded maximum number of stats (MAX_STATS)"  # stats_tracker.hpp:60
         )
@@ -1147,10 +1241,17 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
     Sg_total = len(c.game_stats)
     agent_stats_init_touched = np.zeros((n_cfg, Sa_total), dtype=bool)
     game_stats_init_touched = np.zeros(Sg_total, dtype=bool)
+    # Compact-mode construction-interned auto keys (lanes / amount rids):
+    auto_init_touched = np.zeros((n_cfg, max(num_auto_lanes, 1)), dtype=bool)
+    amount_init_touched = np.zeros((n_cfg, max(R, 1)), dtype=bool)
     for sid in (stat_tokens_written, stat_tokens_dropped, stat_tokens_free):
         game_stats_init_touched[sid] = True
-    agent_stats_init_touched[:, stat_cell_unique] = True
-    agent_stats_init_touched[:, stat_cell_maxdist] = True
+    if stats_compact:
+        auto_init_touched[:, stat_cell_unique - AUTO_STAT_BASE] = True
+        auto_init_touched[:, stat_cell_maxdist - AUTO_STAT_BASE] = True
+    else:
+        agent_stats_init_touched[:, stat_cell_unique] = True
+        agent_stats_init_touched[:, stat_cell_maxdist] = True
 
     def _stat_leaves(cv):
         if cv is None:
@@ -1164,13 +1265,21 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         tid = agent_type_ids[ci]
         for rid in range(R):
             if type_initial_inv[tid, rid] > 0:
-                agent_stats_init_touched[ci, stat_inv_amount[rid]] = True
+                if stats_compact:
+                    amount_init_touched[ci, rid] = True
+                else:
+                    agent_stats_init_touched[ci, stat_inv_amount[rid]] = True
         for entry in entries:
             for leaf in _stat_leaves(entry.value):
+                sid = leaf.stat_id
                 if leaf.stat_is_game:
-                    game_stats_init_touched[leaf.stat_id] = True
+                    game_stats_init_touched[sid] = True
+                elif sid >= AMOUNT_STAT_BASE:
+                    amount_init_touched[ci, sid - AMOUNT_STAT_BASE] = True
+                elif sid >= AUTO_STAT_BASE:
+                    auto_init_touched[ci, sid - AUTO_STAT_BASE] = True
                 else:
-                    agent_stats_init_touched[ci, leaf.stat_id] = True
+                    agent_stats_init_touched[ci, sid] = True
 
     # Engine-extension counters with no reference emission site: excluded
     # from the episode-stats export (simulator/stats.py) so the payload
@@ -1298,6 +1407,11 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         stat_tokens_free=stat_tokens_free,
         agent_stats_init_touched=agent_stats_init_touched,
         game_stats_init_touched=game_stats_init_touched,
+        stats_compact=stats_compact,
+        num_auto_lanes=num_auto_lanes,
+        auto_init_touched=auto_init_touched,
+        amount_init_touched=amount_init_touched,
+        needs_inv_prev=c.needs_inv_prev,
         nonref_game_stats=nonref_game_stats,
         move_handlers=tuple(move_handlers),
         on_use_handlers=tuple(on_use_handlers),

@@ -61,6 +61,20 @@ class EnvState(NamedTuple):
     # touched from value != 0 at export (simulator/stats.py).
     game_stats_touched: jnp.ndarray  # bool[E, Sg]
     agent_stats_touched: jnp.ndarray  # bool[E, A, Sa]
+    # Compact auto-stat storage (program.stats_compact — see
+    # engine/program.py AUTO_STAT_BASE): int32 lanes for the auto-emitted
+    # families [gained R | lost R | deposited R | death | cell.visited |
+    # cell.unique_visited | cell.max_distance_from_spawn], so the
+    # per-inventory-change emission in the action wave loop writes a small
+    # tensor instead of 5 full [E, A, Sa] rewrites. "<res>.amount" is
+    # DERIVED from live inventory (always equal — agent.cpp:100-120 sets it
+    # on every change); touched bits are derived (values != 0 / gained+lost
+    # > 0 / program.auto_init_touched). Shape [E, A, 0] in fallback mode.
+    auto_stats: jnp.ndarray  # int32[E, A, program.num_auto_lanes]
+    auto_stats_prev: jnp.ndarray  # int32[E, A, num_auto_lanes]: step-start snapshot
+    # Step-start inventory snapshot for delta ".amount" reads — [E, 0, R]
+    # dummy unless program.needs_inv_prev.
+    obj_inv_prev: jnp.ndarray  # int32[E, N|0, R]
     # Coverage tracking (agent.cpp:41-57): bitmap of visited cells, packed
     # 32 cells/word; the unique count and max spawn distance live in
     # agent_stats (stat_cell_unique / stat_cell_maxdist lanes).

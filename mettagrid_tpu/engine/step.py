@@ -9,6 +9,7 @@ observations -> rewards -> truncation.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -103,16 +104,26 @@ def _fresh_state_from_pool(
     ).astype(jnp.int32)  # [E, A, NW]
     obj_inv0 = pick("obj_inv")
     agent_stats0 = jnp.zeros((E, A, Sa), dtype=jnp.float32)
-    agent_stats0 = agent_stats0.at[..., program.stat_cell_unique].set(1.0)
-    # populate_initial_inventory SETS "<res>.amount" to the initial amount
-    # (objects/agent.cpp:80-84); the init-touched mask limits the exported
-    # keys to initially-present items, but the VALUES must start here.
-    R_ = program.num_resources
-    if R_:
-        a0_ = int(program.stat_inv_amount[0])
-        agent_stats0 = agent_stats0.at[..., a0_ : a0_ + R_].set(
-            obj_inv0[:, :A].astype(jnp.float32)
-        )
+    K_auto = program.num_auto_lanes
+    auto_stats0 = jnp.zeros((E, A, K_auto), dtype=jnp.int32)
+    if program.stats_compact:
+        # unique_visited starts at 1 (spawn cell pre-visited); ".amount" is
+        # derived from live inventory so needs no init.
+        from mettagrid_tpu.engine.program import AUTO_STAT_BASE
+
+        auto_stats0 = auto_stats0.at[..., program.stat_cell_unique - AUTO_STAT_BASE].set(1)
+    else:
+        agent_stats0 = agent_stats0.at[..., program.stat_cell_unique].set(1.0)
+        # populate_initial_inventory SETS "<res>.amount" to the initial
+        # amount (objects/agent.cpp:80-84); the init-touched mask limits the
+        # exported keys to initially-present items, but the VALUES must
+        # start here.
+        R_ = program.num_resources
+        if R_:
+            a0_ = int(program.stat_inv_amount[0])
+            agent_stats0 = agent_stats0.at[..., a0_ : a0_ + R_].set(
+                obj_inv0[:, :A].astype(jnp.float32)
+            )
     # Interned-at-construction keys (tokens_*, coverage pair, initial
     # ".amount", reward-entry Stat reads — program.agent_stats_init_touched).
     n_cfg = program.agent_stats_init_touched.shape[0]
@@ -175,6 +186,9 @@ def _fresh_state_from_pool(
         agent_stats_prev=jnp.zeros((E, A, Sa), dtype=jnp.float32),
         game_stats_touched=game_touched0,
         agent_stats_touched=agent_touched0,
+        auto_stats=auto_stats0,
+        auto_stats_prev=auto_stats0,
+        obj_inv_prev=(obj_inv0 if program.needs_inv_prev else obj_inv0[:, :0]),
         visit_bitmap=bit_word,
         obj_visited=jnp.zeros((E, pool["obj_type"].shape[1]), dtype=jnp.int32),
         rewards=jnp.zeros((E, A), dtype=jnp.float32),
@@ -361,12 +375,19 @@ def make_coverage_phase(program: EngineProgram):
         ).astype(jnp.int32)
         old = state.visit_bitmap
         newly = jnp.all((old & bit_word) == 0, axis=-1)  # [E, A]
+        dist = jnp.abs(ar - state.agent_spawn_r) + jnp.abs(ac - state.agent_spawn_c)
+        if program.stats_compact:
+            from mettagrid_tpu.engine.program import AUTO_STAT_BASE
+
+            lu = program.stat_cell_unique - AUTO_STAT_BASE
+            lm = program.stat_cell_maxdist - AUTO_STAT_BASE
+            au = state.auto_stats
+            au = au.at[..., lu].add(newly.astype(jnp.int32))
+            au = au.at[..., lm].set(jnp.maximum(au[..., lm], dist))
+            return state._replace(auto_stats=au, visit_bitmap=old | bit_word)
         stats = state.agent_stats
         unique = stats[..., program.stat_cell_unique] + newly.astype(stats.dtype)
-        dist = (
-            jnp.abs(ar - state.agent_spawn_r) + jnp.abs(ac - state.agent_spawn_c)
-        ).astype(stats.dtype)
-        maxd = jnp.maximum(stats[..., program.stat_cell_maxdist], dist)
+        maxd = jnp.maximum(stats[..., program.stat_cell_maxdist], dist.astype(stats.dtype))
         stats = stats.at[..., program.stat_cell_unique].set(unique)
         stats = stats.at[..., program.stat_cell_maxdist].set(maxd)
         return state._replace(agent_stats=stats, visit_bitmap=old | bit_word)
@@ -429,11 +450,18 @@ def make_visited_phase(program: EngineProgram):
         stale = jnp.where(claim, step - state.obj_visited, 0)  # [E, N] i32
         win = covered & (first[:, None, :] == a_idx8)  # [E, A, N] bool
         add = jnp.where(win, stale[:, None, :], 0).sum(axis=2)  # [E, A] i32
-        stats = state.agent_stats.at[..., program.stat_cell_visited].add(
-            add.astype(state.agent_stats.dtype)
-        )
+        if program.stats_compact:
+            from mettagrid_tpu.engine.program import AUTO_STAT_BASE
+
+            lv = program.stat_cell_visited - AUTO_STAT_BASE
+            state = state._replace(auto_stats=state.auto_stats.at[..., lv].add(add))
+        else:
+            state = state._replace(
+                agent_stats=state.agent_stats.at[..., program.stat_cell_visited].add(
+                    add.astype(state.agent_stats.dtype)
+                )
+            )
         return state._replace(
-            agent_stats=stats,
             obj_visited=jnp.where(claim, jnp.broadcast_to(step, claim.shape), state.obj_visited),
         )
 
@@ -598,7 +626,7 @@ def make_step(
         # it — envs/mettagrid_puffer_env.py:296-302). The rebuild + merge
         # touches every state array, so it runs under a cond and is skipped
         # entirely on the (common) steps where no env finished. ---
-        if auto_reset:
+        if auto_reset and not os.environ.get("METTAGRID_TPU_NO_AUTORESET"):  # probe knob
             done = jnp.any(state.terminals | state.truncations, axis=1)  # [E]
 
             def _do_reset(st):
@@ -652,6 +680,8 @@ def make_step(
             agent_last_action=jnp.zeros_like(state.agent_last_action),
             game_stats_prev=state.game_stats,
             agent_stats_prev=state.agent_stats,
+            auto_stats_prev=state.auto_stats,
+            obj_inv_prev=(state.obj_inv if program.needs_inv_prev else state.obj_inv_prev),
             step_count=state.step_count + 1,
         )
 

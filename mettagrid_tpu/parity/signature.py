@@ -41,13 +41,14 @@ def state_summary(program, state, env: int = 0) -> dict:
                 },
             }
         )
-    agent_stats = np.asarray(state.agent_stats[env])
     game_stats = np.asarray(state.game_stats[env])
-    agent_touch = np.asarray(state.agent_stats_touched[env])
     game_touch = np.asarray(state.game_stats_touched[env])
+    from mettagrid_tpu.simulator.stats import merged_agent_rows
+
     # Key-set rule mirrors StatsTracker::to_dict: every interned key exports
     # (value != 0 OR explicitly touched — see simulator/stats.py); engine
-    # extension stats with no reference analog are excluded.
+    # extension stats with no reference analog are excluded. Compact-mode
+    # auto lanes + derived ".amount" merge in via merged_agent_rows.
     return {
         "step": int(np.asarray(state.step_count[env])),
         "objects": objs,
@@ -55,10 +56,10 @@ def state_summary(program, state, env: int = 0) -> dict:
         "agent_stats": [
             {
                 name: round(float(v), 6)
-                for name, v, t in sorted(zip(program.agent_stat_names, row, trow))
+                for name, v, t in sorted(row)
                 if v != 0.0 or t
             }
-            for row, trow in zip(agent_stats, agent_touch)
+            for row in merged_agent_rows(program, state, env)
         ],
         "game_stats": {
             name: round(float(v), 6)

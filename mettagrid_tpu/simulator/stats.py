@@ -19,6 +19,51 @@ from typing import Any
 import numpy as np
 
 
+def merged_agent_rows(program, state, env: int) -> list:
+    """Per-agent [(name, value, touched)] lists covering the regular f32
+    lanes PLUS, in compact mode (program.stats_compact — see
+    engine/program.py AUTO_STAT_BASE), the int32 auto_stats lanes and the
+    derived "<res>.amount" keys (value = live inventory; touched iff the
+    item ever changed — gained+lost > 0 — or was construction-interned)."""
+    agent_stats = np.asarray(state.agent_stats[env])  # [A, Sa]
+    agent_touch = np.asarray(state.agent_stats_touched[env])
+    A = program.num_agents
+    rows = [
+        list(zip(program.agent_stat_names, agent_stats[a].tolist(), agent_touch[a].tolist()))
+        for a in range(A)
+    ]
+    if not program.stats_compact:
+        return rows
+    R = len(program.resource_names)
+    lane_names = (
+        [f"{r}.gained" for r in program.resource_names]
+        + [f"{r}.lost" for r in program.resource_names]
+        + [f"{r}.deposited" for r in program.resource_names]
+        + ["death", "cell.visited", "cell.unique_visited", "cell.max_distance_from_spawn"]
+    )
+    auto = np.asarray(state.auto_stats[env])  # [A, K]
+    inv = np.asarray(state.obj_inv[env, :A])  # [A, R]
+    cfg = np.asarray(state.agent_cfg[env, :A])
+    for a in range(A):
+        ci = int(cfg[a])
+        init_t = program.auto_init_touched[ci]
+        rows[a] += [
+            (name, float(auto[a, lane]), bool(init_t[lane]))
+            for lane, name in enumerate(lane_names)
+        ]
+        rows[a] += [
+            (
+                f"{rname}.amount",
+                float(inv[a, rid]),
+                bool(program.amount_init_touched[ci, rid])
+                or auto[a, rid] > 0
+                or auto[a, R + rid] > 0,
+            )
+            for rid, rname in enumerate(program.resource_names)
+        ]
+    return rows
+
+
 def episode_stats(program, state, env: int = 0) -> dict[str, Any]:
     """{"game": {...}, "agent": [{...} per agent]} for one env, name-sorted
     like StatsTracker::to_dict's std::map iteration order."""
@@ -29,17 +74,8 @@ def episode_stats(program, state, env: int = 0) -> dict[str, Any]:
         for name, v, t in sorted(zip(program.game_stat_names, gvals, gtouch))
         if (v != 0.0 or t) and name not in program.nonref_game_stats
     }
-    agents = []
-    agent_stats = np.asarray(state.agent_stats[env])  # [A, Sa]
-    agent_touch = np.asarray(state.agent_stats_touched[env])
-    for a in range(program.num_agents):
-        agents.append(
-            {
-                name: float(v)
-                for name, v, t in sorted(
-                    zip(program.agent_stat_names, agent_stats[a], agent_touch[a])
-                )
-                if v != 0.0 or t
-            }
-        )
+    agents = [
+        {name: float(v) for name, v, t in sorted(row) if v != 0.0 or t}
+        for row in merged_agent_rows(program, state, env)
+    ]
     return {"game": game, "agent": agents}

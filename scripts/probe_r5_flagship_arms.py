@@ -1,0 +1,42 @@
+"""Locate the r5 flagship regression (r4 replay: 1058k; head: ~824-870k).
+
+Knob-ablation arms on the flagship bench (same methodology): the stat
+phases, the auto-reset cond, and the invalid-index stat. If the final
+all-off arm still trails the r4 replay, the residue is the enlarged state
+through the scan carry / reset merge itself."""
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ALL_STATS = {
+    "METTAGRID_TPU_NO_VISITED": "1",
+    "METTAGRID_TPU_NO_COVERAGE": "1",
+    "METTAGRID_TPU_NO_INVSTATS": "1",
+    "METTAGRID_TPU_NO_TOKSTATS": "1",
+}
+ARMS = [
+    ("baseline", {}),
+    ("no_autoreset", {"METTAGRID_TPU_NO_AUTORESET": "1"}),
+    ("no_invalid", {"METTAGRID_TPU_NO_INVALIDSTAT": "1"}),
+    ("stats_off", dict(ALL_STATS)),
+    (
+        "all_off",
+        dict(ALL_STATS, METTAGRID_TPU_NO_AUTORESET="1", METTAGRID_TPU_NO_INVALIDSTAT="1"),
+    ),
+]
+
+reps = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+for rep in range(reps):
+    for name, env in ARMS:
+        full = dict(os.environ)
+        full.update(env)
+        r = subprocess.run(
+            [sys.executable, "bench.py", "--flagship-only", "--chunks=6"],
+            env=full, capture_output=True, text=True, cwd=HERE,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        val = json.loads(line[-1])["value"] if line else f"FAIL rc={r.returncode}"
+        print(f"rep{rep} {name:<14} {val}", flush=True)

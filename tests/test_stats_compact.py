@@ -1,0 +1,141 @@
+"""Compact auto-stat storage (engine/program.py AUTO_STAT_BASE).
+
+The auto-emitted families live in int32 state.auto_stats lanes with
+".amount" and touched bits DERIVED (amount == live inventory —
+objects/agent.cpp:100-120 sets it on every change), so the wave-loop
+emission writes ~4 MB instead of five full [E, A, Sa] rewrites. These tests
+pin: (1) the compact export is identical to the fallback full-table path on
+a config exercising gains/losses/death/coverage/deposits, (2) a config that
+WRITES an auto-family name via a stats mutation demotes to fallback storage
+and still computes, (3) Stat() reads of auto lanes route correctly in both
+eval paths (reward entries + filters).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+from mettagrid_tpu.config.game_config import AgentConfig, GridObjectConfig
+from mettagrid_tpu.config.handler_config import (
+    Handler,
+    StatsEntity,
+    StatsMutation,
+    StatsTarget,
+)
+from tests.test_handlers import make_env
+
+
+def _mine_env(agent=None, objects_extra=None):
+    from mettagrid_tpu.config.handler_config import updateActor
+
+    mine = GridObjectConfig(
+        name="mine",
+        map_name="m",
+        on_use_handler=Handler(
+            name="give",
+            mutations=[updateActor({"gold": 3})],
+        ),
+    )
+    objects = {"mine": mine}
+    if objects_extra:
+        objects.update(objects_extra)
+    char_map = {"m": "m"}
+    return make_env(
+        ["#####", "#@m.#", "#####"],
+        objects=objects,
+        agent=agent,
+        char_map=char_map,
+        resource_names=["gold", "hp"],
+    )
+
+
+def test_compact_mode_on_by_default():
+    env = _mine_env()
+    assert env.program.stats_compact
+    assert env.program.num_auto_lanes == 3 * len(env.program.resource_names) + 4
+
+
+def test_compact_matches_fallback_export():
+    """The same scripted episode exports byte-identical episode stats under
+    compact and forced-fallback storage."""
+    script = textwrap.dedent(
+        """
+        import os, json, sys
+        import jax; jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, %r)
+        from tests.test_stats_compact import _mine_env
+        from mettagrid_tpu.simulator.stats import episode_stats
+        env = _mine_env()
+        for a in ["move_east", "move_east", "noop", "move_west"]:
+            env.step({0: a})
+        print(json.dumps(episode_stats(env.program, env.state, 0), sort_keys=True))
+        """
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {}
+    for mode, extra in (("compact", {}), ("fallback", {"METTAGRID_TPU_STATS_FALLBACK": "1"})):
+        envv = dict(os.environ)
+        envv.update(extra)
+        envv.setdefault("JAX_PLATFORMS", "cpu")
+        r = subprocess.run(
+            [sys.executable, "-c", script], env=envv, capture_output=True, text=True
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[mode] = r.stdout.strip().splitlines()[-1]
+    assert outs["compact"] == outs["fallback"]
+
+
+def test_auto_name_write_demotes_to_fallback():
+    """A config stats-mutation writing 'gold.gained' must disable compact
+    storage (the generic writer cannot hit derived lanes) and still run."""
+    bell = GridObjectConfig(
+        name="bell",
+        map_name="b",
+        on_use_handler=Handler(
+            name="ring",
+            mutations=[
+                StatsMutation(
+                    stat="gold.gained",
+                    target=StatsTarget.AGENT,
+                    entity=StatsEntity.ACTOR,
+                    source=__import__(
+                        "mettagrid_tpu.config.game_value", fromlist=["val"]
+                    ).val(7.0),
+                )
+            ],
+        ),
+    )
+    env = make_env(
+        ["#####", "#@b.#", "#####"],
+        objects={"bell": bell},
+        char_map={"b": "b"},
+        resource_names=["gold", "hp"],
+    )
+    assert not env.program.stats_compact
+    assert env.program.num_auto_lanes == 0
+    env.step({0: "move_east"})  # use the bell -> sets gold.gained = 7
+    from mettagrid_tpu.simulator.stats import episode_stats
+
+    agent = episode_stats(env.program, env.state, 0)["agent"][0]
+    assert agent["gold.gained"] == 7.0
+
+
+def test_stat_reward_reads_compact_lane():
+    """A reward entry on Stat('gold.gained') reads the compact lane."""
+    from mettagrid_tpu.config.game_value import stat
+    from mettagrid_tpu.config.reward_config import reward
+
+    agent = AgentConfig(rewards={"g": reward(stat("gold.gained"))})
+    env = _mine_env(agent=agent)
+    assert env.program.stats_compact
+    out = env.step({0: "move_east"})  # use mine: +3 gold -> gained 3
+    assert float(out.rewards[0, 0]) == 3.0
+    from mettagrid_tpu.simulator.stats import episode_stats as ep
+
+    d = ep(env.program, env.state, 0)["agent"][0]
+    assert d["gold.gained"] == 3.0
+    assert d["gold.amount"] == 3.0
