@@ -272,6 +272,7 @@ class EngineProgram:
     auto_init_touched: np.ndarray  # bool[n_agent_configs, max(num_auto_lanes,1)]
     amount_init_touched: np.ndarray  # bool[n_agent_configs, max(R,1)]
     needs_inv_prev: bool  # a delta ".amount" read exists -> snapshot obj_inv
+    needs_auto_prev: bool  # a delta auto-lane read exists -> snapshot auto_stats
     # Engine-extension stat names with no reference analog — excluded from
     # episode-stats export so the stats payload hashes identically to the
     # reference's get_episode_stats() (e.g. "event.<name>" counters).
@@ -381,6 +382,7 @@ class _Compiler:
         # handler/value compilation so reads route automatically).
         self.auto_stat_ids: dict[str, int] = {}
         self.needs_inv_prev = False
+        self.needs_auto_prev = False
 
     def intern_stat(self, name: str, *, game_scope: bool) -> int:
         if not game_scope and name in self.auto_stat_ids:
@@ -409,6 +411,8 @@ class _Compiler:
                 # delta ".amount" reads need last step's inventory snapshot
                 # (amount always equals current inventory — see AUTO bases).
                 self.needs_inv_prev = True
+            elif gv.delta and sid >= AUTO_STAT_BASE:
+                self.needs_auto_prev = True
             return CompiledValue(kind="stat", stat_id=sid, stat_is_game=game_scope, delta=gv.delta)
         if isinstance(gv, ConstValue):
             return CompiledValue(kind="const", value=gv.value)
@@ -1412,6 +1416,7 @@ def compile_program(cfg: MettaGridConfig | GameConfig) -> EngineProgram:
         auto_init_touched=auto_init_touched,
         amount_init_touched=amount_init_touched,
         needs_inv_prev=c.needs_inv_prev,
+        needs_auto_prev=c.needs_auto_prev,
         nonref_game_stats=nonref_game_stats,
         move_handlers=tuple(move_handlers),
         on_use_handlers=tuple(on_use_handlers),

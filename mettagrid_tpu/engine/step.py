@@ -43,6 +43,39 @@ def _device_init(init: EnvInit):
     }
 
 
+# In-step auto-reset merge classes (see the merge comment in make_step.step):
+# fields whose fresh value is a broadcastable constant, and the map-derived
+# pool tables. Every other EnvState field is either dead at the merge point
+# (rewards/action_success/agent_last_action/agent_prev_r/c/*_prev — the
+# reset phase overwrites them before any read), specially handled
+# (rng/map_idx/agent_stats/auto_stats/game_stats_touched), or carried
+# through resets (mt). A NEW EnvState field must be added to one of these
+# classes or auto-reset silently stops resetting it
+# (tests/test_step.py::test_auto_reset_merge_covers_every_field pins this).
+_CONST_RESETS = dict(
+    agent_swm=0,
+    episode_rewards=0.0,
+    reward_prev=0.0,
+    obj_visited=0,
+    terminals=False,
+    truncations=False,
+    step_count=0,
+    aoe_inside=False,
+    territory_inside=-1,
+)
+_POOL_RESET_FIELDS = (
+    "grid", "obj_type", "obj_r", "obj_c", "obj_vibe", "obj_tags", "obj_inv",
+    "obj_alive", "agent_group", "agent_cfg", "agent_spawn_r", "agent_spawn_c",
+    "agent_action_prev_r", "agent_action_prev_c", "agent_stats_touched",
+    "visit_bitmap", "game_stats",
+)
+_DEAD_AT_RESET_MERGE = (
+    "rewards", "action_success", "agent_last_action", "agent_prev_r",
+    "agent_prev_c", "game_stats_prev", "agent_stats_prev", "auto_stats_prev",
+    "obj_inv_prev",
+)
+
+
 def _fresh_state_from_pool(
     program: EngineProgram,
     pool: dict,
@@ -187,7 +220,7 @@ def _fresh_state_from_pool(
         game_stats_touched=game_touched0,
         agent_stats_touched=agent_touched0,
         auto_stats=auto_stats0,
-        auto_stats_prev=auto_stats0,
+        auto_stats_prev=(auto_stats0 if program.needs_auto_prev else auto_stats0[:, :, :0]),
         obj_inv_prev=(obj_inv0 if program.needs_inv_prev else obj_inv0[:, :0]),
         visit_bitmap=bit_word,
         obj_visited=jnp.zeros((E, pool["obj_type"].shape[1]), dtype=jnp.int32),
@@ -623,31 +656,82 @@ def make_step(
 
         # --- auto-reset envs whose episode ended last step (PufferEnv
         # semantics: a fresh sim is built, then this step's actions apply to
-        # it — envs/mettagrid_puffer_env.py:296-302). The rebuild + merge
-        # touches every state array, so it runs under a cond and is skipped
-        # entirely on the (common) steps where no env finished. ---
+        # it — envs/mettagrid_puffer_env.py:296-302). The merge is SPLIT by
+        # field class (a whole-state lax.cond measured 0.71 ms/step at
+        # E=4096 — the identity branch copies every output buffer):
+        #   dead: fields the reset phase below overwrites before any read
+        #     (rewards, action_success, agent_last_action, agent_prev_r/c,
+        #     every *_prev snapshot) are not merged at all;
+        #   const: fields whose fresh value is a broadcastable constant
+        #     merge via fused masked selects, no cond;
+        #   pool: map-derived tables. With a single pooled map the fresh
+        #     value is one loop-invariant template row — another fused
+        #     select; multi-map pools keep a lax.cond over ONLY this subset.
+        # mt is carried through resets (the reference seeds per env once).
         if auto_reset and not os.environ.get("METTAGRID_TPU_NO_AUTORESET"):  # probe knob
             done = jnp.any(state.terminals | state.truncations, axis=1)  # [E]
+            keys = jax.vmap(jax.random.split, in_axes=0)(state.rng)
+            rng_next, k_map = keys[:, 0], keys[:, 1]
+            map_new = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
 
-            def _do_reset(st):
-                keys = jax.vmap(jax.random.split, in_axes=0)(st.rng)
-                rng_next, k_map = keys[:, 0], keys[:, 1]
-                map_idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, P))(k_map).astype(jnp.int32)
-                # reference-parity MT19937 state is carried through resets
-                # (the reference seeds once per env instance).
-                fresh = _fresh_state_from_pool(
-                    program, pool, map_idx, rng_next, st.mt,
+            def mrg(new, old):
+                return jnp.where(done.reshape((E,) + (1,) * (old.ndim - 1)), new, old)
+
+            # per-env RNG/map draws consume iff done[e] — same stream as the
+            # old in-cond formulation (non-done envs keep their key).
+            upd = {"rng": mrg(rng_next, state.rng), "map_idx": mrg(map_new, state.map_idx)}
+            for f, v in _CONST_RESETS.items():
+                old = getattr(state, f)
+                upd[f] = mrg(jnp.full_like(old, v), old)
+            upd["game_stats_touched"] = mrg(
+                jnp.broadcast_to(
+                    jnp.asarray(program.game_stats_init_touched)[None, :],
+                    state.game_stats_touched.shape,
+                ),
+                state.game_stats_touched,
+            )
+            if program.stats_compact:
+                upd["agent_stats"] = mrg(
+                    jnp.zeros_like(state.agent_stats), state.agent_stats
+                )
+                if program.num_auto_lanes:
+                    from mettagrid_tpu.engine.program import AUTO_STAT_BASE
+
+                    row = np.zeros((program.num_auto_lanes,), dtype=np.int32)
+                    row[program.stat_cell_unique - AUTO_STAT_BASE] = 1
+                    upd["auto_stats"] = mrg(
+                        jnp.broadcast_to(jnp.asarray(row), state.auto_stats.shape),
+                        state.auto_stats,
+                    )
+            pool_fields = _POOL_RESET_FIELDS + (
+                () if program.stats_compact else ("agent_stats", "auto_stats")
+            )
+            if P == 1:
+                # fresh == the template row for every env: loop-invariant
+                # (XLA hoists it out of the scan) and the merge fuses.
+                tmpl = _fresh_state_from_pool(
+                    program, pool, jnp.zeros((1,), jnp.int32),
+                    jnp.zeros((1, 2), jnp.uint32), None,
                     init_token_stats=pool_token_stats,
                 )
-                return jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(
-                        done.reshape((E,) + (1,) * (old.ndim - 1)), new, old
-                    ),
-                    fresh,
-                    st,
-                )
+                for f in pool_fields:
+                    upd[f] = mrg(getattr(tmpl, f), getattr(state, f))
+            else:
+                def _fresh_pool(ops):
+                    fresh = _fresh_state_from_pool(
+                        program, pool, upd["map_idx"], rng_next, None,
+                        init_token_stats=pool_token_stats,
+                    )
+                    return tuple(
+                        mrg(getattr(fresh, f), o) for f, o in zip(pool_fields, ops)
+                    )
 
-            state = jax.lax.cond(jnp.any(done), _do_reset, lambda st: st, state)
+                ops = tuple(getattr(state, f) for f in pool_fields)
+                new_ops = jax.lax.cond(
+                    jnp.any(done), _fresh_pool, lambda ops: ops, ops
+                )
+                upd.update(dict(zip(pool_fields, new_ops)))
+            state = state._replace(**upd)
 
         # --- per-step RNG: agent order shuffle + event shuffles ---
         keys = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(state.rng)
@@ -680,7 +764,9 @@ def make_step(
             agent_last_action=jnp.zeros_like(state.agent_last_action),
             game_stats_prev=state.game_stats,
             agent_stats_prev=state.agent_stats,
-            auto_stats_prev=state.auto_stats,
+            auto_stats_prev=(
+                state.auto_stats if program.needs_auto_prev else state.auto_stats_prev
+            ),
             obj_inv_prev=(state.obj_inv if program.needs_inv_prev else state.obj_inv_prev),
             step_count=state.step_count + 1,
         )
@@ -708,14 +794,16 @@ def make_step(
         if game_tick_phase is not None:
             state = game_tick_phase(state)
 
-        # --- coverage stats (track_coverage, mettagrid_c.cpp:1050-1056) ---
-        state = coverage_phase(state)
-
         # --- observations (before rewards, like the reference) ---
         obs, attempted = obs_fn(state, obs_buf=obs_buf)
-        # obs-scan stat emission: per-object visited staleness + game-scope
-        # token accounting (both precede the rewards phase, so Stat() game
-        # values read post-update values like the reference).
+        # Stat emission around the obs scan: coverage (track_coverage,
+        # mettagrid_c.cpp:1050-1056 — the reference runs it just BEFORE the
+        # scan, but the scan reads no stats, so it is scheduled here next to
+        # the visited phase and the two auto_stats writes fuse into one
+        # pass), per-object visited staleness, and game-scope token
+        # accounting. All precede the rewards phase, so Stat() game values
+        # read post-update values like the reference.
+        state = coverage_phase(state)
         state = visited_phase(state)
         state = _token_stat_update(program, state, attempted)
 

@@ -189,3 +189,48 @@ def test_obs_dtypes_and_shapes():
     assert out.rewards.dtype == np.float32
     assert out.terminals.dtype == bool
     assert out.truncations.dtype == bool
+
+
+def test_auto_reset_merge_covers_every_field():
+    """Every EnvState field must be classified by the in-step auto-reset
+    merge (engine/step.py): const-reset, pool-derived, dead-at-merge
+    (overwritten by the reset phase before any read), or specially handled.
+    A new field missing from all classes would silently stop resetting."""
+    from mettagrid_tpu.engine.state import EnvState
+    from mettagrid_tpu.engine.step import (
+        _CONST_RESETS,
+        _DEAD_AT_RESET_MERGE,
+        _POOL_RESET_FIELDS,
+    )
+
+    special = {
+        "rng", "map_idx", "mt",  # merged/carried explicitly
+        "agent_stats", "auto_stats", "game_stats_touched",  # mode-dependent
+    }
+    covered = (
+        set(_CONST_RESETS) | set(_POOL_RESET_FIELDS) | set(_DEAD_AT_RESET_MERGE) | special
+    )
+    missing = set(EnvState._fields) - covered
+    assert not missing, f"unclassified EnvState fields for auto-reset: {missing}"
+
+
+def test_auto_reset_equivalent_to_full_reset():
+    """After an episode ends, the auto-reset state must match a fresh
+    reset's state field-for-field (single-map pool exercises the template
+    path; stats/coverage/visit bitmaps must all re-initialize)."""
+    import jax.numpy as jnp
+
+    env = ascii_env(["#####", "#@..#", "#####"], num_agents=1, max_steps=2)
+    env.step({0: "move_east"})
+    out = env.step({0: "move_east"})
+    assert out.terminals.all()
+    env.step({0: "noop"})  # auto-reset fires, then noop applies
+    fresh = ascii_env(["#####", "#@..#", "#####"], num_agents=1, max_steps=2)
+    fresh.step({0: "noop"})
+    skip = {"rng", "mt"}  # per-env streams advanced differently by design
+    for f in type(env.state)._fields:
+        if f in skip:
+            continue
+        a, b = getattr(env.state, f), getattr(fresh.state, f)
+        assert a.shape == b.shape, f
+        assert jnp.array_equal(a, b), f"auto-reset state diverges in {f}"
