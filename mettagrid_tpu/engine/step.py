@@ -637,6 +637,16 @@ def make_step(
     coverage_phase = make_coverage_phase(program)
     visited_phase = make_visited_phase(program)
     pool_token_stats = _pool_token_stats(program, pool, obs_fn, init) if auto_reset else None
+    # Single-map pools: the auto-reset fresh value is one template row,
+    # built ONCE here (a jit closure constant — not rebuilt or re-hoisted
+    # per scan iteration) and broadcast into the fused merge selects.
+    reset_template = None
+    if auto_reset and P == 1:
+        reset_template = _fresh_state_from_pool(
+            program, pool, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 2), jnp.uint32), None,
+            init_token_stats=pool_token_stats,
+        )
 
     def step(
         state: EnvState,
@@ -707,15 +717,10 @@ def make_step(
                 () if program.stats_compact else ("agent_stats", "auto_stats")
             )
             if P == 1:
-                # fresh == the template row for every env: loop-invariant
-                # (XLA hoists it out of the scan) and the merge fuses.
-                tmpl = _fresh_state_from_pool(
-                    program, pool, jnp.zeros((1,), jnp.int32),
-                    jnp.zeros((1, 2), jnp.uint32), None,
-                    init_token_stats=pool_token_stats,
-                )
+                # fresh == the template row for every env (a closure
+                # constant built at make_step time) and the merge fuses.
                 for f in pool_fields:
-                    upd[f] = mrg(getattr(tmpl, f), getattr(state, f))
+                    upd[f] = mrg(getattr(reset_template, f), getattr(state, f))
             else:
                 def _fresh_pool(ops):
                     fresh = _fresh_state_from_pool(

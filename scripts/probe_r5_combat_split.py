@@ -1,0 +1,90 @@
+"""Phase attribution for the combat/general bench configs at r5 HEAD
+(combat 317k = 12.9 ms, general 272k = 15.1 ms vs flagship 958k = 4.3 ms).
+
+Arms (timing.time_fn_carry — the only trusted methodology on axon; outputs
+incl. observations fold into the carry so no phase can be DCE'd):
+  full        the real step
+  no_action   action phase patched to identity (cost of actions incl. wave)
+  no_obstail  the fused obs tail kernel stubbed (in-context tail cost)
+  stats_off   the four stat phases knob-ablated
+"""
+import os
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn_carry
+
+from bench import make_combat_cfg, make_general_cfg
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+import mettagrid_tpu.engine.actions_fast as af
+import mettagrid_tpu.engine.pallas_kernels as pk
+
+E = 4096
+which = sys.argv[1] if len(sys.argv) > 1 else "combat"
+cfg = make_combat_cfg(24) if which == "combat" else make_general_cfg(24)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.asarray(rng.integers(0, 3, size=(E, A)), dtype=jnp.int32)
+
+
+def measure(label, make):
+    step = make()
+    t = time_fn_carry(lambda st: step(st, actions, vibes), state, k=8)
+    print(f"{which} {label:<10} {t*1e3:7.2f} ms  ({E/t/1e3:.0f}k env-steps/s)", flush=True)
+    return t
+
+
+def plain():
+    return step_mod.make_step(program, init, auto_reset=True, donate=False)
+
+
+t_full = measure("full", plain)
+
+orig_fast = af.make_action_phase_fast
+try:
+    def no_action(*a, **kw):
+        return lambda state, actions, vibe_actions, perm: state
+    step_mod.make_action_phase_fast = no_action
+    measure("no_action", plain)
+finally:
+    step_mod.make_action_phase_fast = orig_fast
+
+orig_v2 = pk.obs_tail_static_v2_pallas
+orig_dynobj = getattr(pk, "obs_tail_dynobj_v2_pallas", None)
+
+
+def stub_v2(imgp, map_idx, row0, lane0, *rest, out_w=None, **kw):
+    Ep, Aa = row0.shape
+    s = (imgp.sum() + map_idx.sum()).astype(jnp.int32)
+    words = jnp.full((Ep, Aa, out_w), -1, dtype=jnp.int32) + jnp.minimum(jnp.abs(s), 0)
+    return words, jnp.zeros((Ep, Aa), dtype=jnp.int32)
+
+
+try:
+    pk.obs_tail_static_v2_pallas = stub_v2
+    if orig_dynobj is not None:
+        def stub_dynobj(rext, lext, words_in, row0, lane0, *rest, out_w=0, **kw):
+            Ep, Aa = row0.shape
+            s = (rext.sum() + words_in.sum()).astype(jnp.int32)
+            words = jnp.full((Ep, Aa, out_w), -1, dtype=jnp.int32) + jnp.minimum(jnp.abs(s), 0)
+            return words, jnp.zeros((Ep, Aa), dtype=jnp.int32)
+        pk.obs_tail_dynobj_v2_pallas = stub_dynobj
+    measure("no_obstail", plain)
+finally:
+    pk.obs_tail_static_v2_pallas = orig_v2
+    if orig_dynobj is not None:
+        pk.obs_tail_dynobj_v2_pallas = orig_dynobj
+
+for k in ("NO_VISITED", "NO_COVERAGE", "NO_INVSTATS", "NO_TOKSTATS"):
+    os.environ[f"METTAGRID_TPU_{k}"] = "1"
+measure("stats_off", plain)
