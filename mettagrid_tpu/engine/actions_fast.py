@@ -236,6 +236,33 @@ def apply_move_batch(
     ~0.7 ms each at E=4096, docs/perf_findings.md).
 
     Returns (state, success[E, A])."""
+    from mettagrid_tpu.engine.handlers import (
+        begin_inv_stat_batch,
+        flush_inv_stat_batch,
+        inv_stat_batch_ok,
+    )
+
+    # One auto_stats flush per wave instead of one full-tensor rewrite per
+    # entity_inv_update (4-6 per attack chain — see handlers._INV_BATCH).
+    batch_ok = inv_stat_batch_ok(program, [mh.handler for mh in program.move_handlers])
+    prev_batch = begin_inv_stat_batch(enabled=batch_ok)
+    try:
+        state, success = _apply_move_batch_inner(program, state, active, arg, drdc)
+        state = flush_inv_stat_batch(program, state, prev_batch)
+    finally:
+        from mettagrid_tpu.engine import handlers as _handlers
+
+        _handlers._INV_BATCH = prev_batch  # scope restore even on trace errors
+    return state, success
+
+
+def _apply_move_batch_inner(
+    program: EngineProgram,
+    state: EnvState,
+    active: jnp.ndarray,
+    arg: jnp.ndarray,
+    drdc=None,
+):
     E, A = active.shape
     H, W = state.grid.shape[1], state.grid.shape[2]
     slots = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (E, A))
