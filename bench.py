@@ -294,7 +294,7 @@ def main() -> None:
     else:
         variant = "single-chip"
     record = {
-        "metric": f"env_steps_per_s {variant} ({num_envs} envs x {num_agents} agents); vs_baseline = x8 chips projection vs 10M assuming {num_envs} envs PER CHIP (per-env throughput varies with E — docs/perf_findings.md)",
+        "metric": f"env_steps_per_s {variant} ({num_envs} envs x {num_agents} agents); vs_baseline = x8 chips projection vs 10M; measured per-chip throughput is FLAT across E=512..8192 (bench_logs/probe_r5_esweep.log — 911k at the baseline's faithful 512 envs/chip, 866k at 4096), so the projection holds at the target shape",
         "value": round(sps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(sps * 8 / BASELINE_STEPS_PER_S, 4),

@@ -395,6 +395,13 @@ def _par_grid_params(interpret: bool = False):
 # "r4" = 4 radix-4 digit steps + 1 radix-2 top bit (half the loop-carried
 # dependency depth at ~1.4x the rolls; bench A/B hook).
 _COMPACT_RADIX = os.environ.get("METTAGRID_TPU_COMPACT", _TUNED.get("compact", "r2"))
+# Gap-rank formulation in the v2-family epilogue: "tri" = the
+# [KS_pad, KS_pad] int8 tri matmul (default), "hs" = Hillis-Steele prefix
+# shifts. Hardware A/B (bench_r5_hsrank.log): hs measured SLOWER on every
+# path (flagship 952->858k, combat 319->299k) — 10 lane-roll VPU passes
+# lose to one MXU matmul the MXU had spare capacity for. Byte-verified
+# equivalent either way (verify_r5_hsrank.log).
+_RANK_MODE = os.environ.get("METTAGRID_TPU_RANK", _TUNED.get("rank", "tri"))
 
 
 def _compact_packed_v2_r4(v, C, wide: bool = False):
@@ -463,8 +470,23 @@ def _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
     BA = cells.shape[0]
     ok = cells > 0
     att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
-    inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
-    g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
+    if _RANK_MODE == "tri":
+        inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
+        g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
+    else:
+        # Exclusive prefix count of invalid slots via Hillis-Steele shifts:
+        # log2(KS_pad) roll+masked-add VPU passes instead of the
+        # [KS_pad, KS_pad] int8 tri matmul (the rank was the kernel's
+        # second-largest MXU term and scales quadratically with the packed
+        # lane count — 896 lanes on the combat preset).
+        inv32 = jnp.where(ok, 0, 1).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, inv32.shape, 1)
+        p = inv32
+        d = 1
+        while d < KS_pad:
+            p = p + jnp.where(lane >= d, pltpu_roll(p, d), 0)
+            d <<= 1
+        g = p - inv32
     loc = jnp.broadcast_to(loc_ref[0:1, :], (BA, KS_pad))
     g_sh = 22 if wide else 23
     inv_const = _V2_INV_W if wide else _V2_INV
