@@ -182,17 +182,19 @@ def emit_inv_stats(program, state, slot, delta_rows, new_rows, mask,
         # gained+lost > 0 or construction-interned) so nothing else is
         # written — the wave loop carries ~4 MB instead of 5 full
         # [E, A, Sa] rewrites per inventory change.
-        d, _ = _agent_rows(program, state, slot, delta_rows, mask, dense_identity, actor_prefix)
-        if not bool(d.shape[1]):
+        # One routing pass covers the deltas AND the post-change hp lane
+        # (the death check needs it): route [B, R(+1)] rows together.
+        hp = program.hp_rid
+        rows = delta_rows
+        if hp >= 0:
+            rows = jnp.concatenate([delta_rows, new_rows[..., hp : hp + 1]], axis=-1)
+        routed, _ = _agent_rows(program, state, slot, rows, mask, dense_identity, actor_prefix)
+        if not bool(routed.shape[1]):
             return state
+        d = routed[..., :R]
         died = None
-        if program.hp_rid >= 0:
-            hp = program.hp_rid
-            n1, _ = _agent_rows(
-                program, state, slot, new_rows[..., hp : hp + 1], mask,
-                dense_identity, actor_prefix,
-            )
-            died = ((d[..., hp] < 0) & (n1[..., 0] == 0)).astype(jnp.int32)
+        if hp >= 0:
+            died = ((d[..., hp] < 0) & (routed[..., R] == 0)).astype(jnp.int32)
         b = _INV_BATCH
         if b is not None:
             g, l = jnp.maximum(d, 0), jnp.maximum(-d, 0)
