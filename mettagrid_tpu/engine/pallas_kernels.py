@@ -291,10 +291,8 @@ def obs_tail_pallas(
 
         lhs = winf[:].reshape(BA, RP * LP)
         rhs = perm_ref[:].reshape(RP * LP, KS_pad)
-        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs, preferred_element_type=jnp.int32)
-        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs, preferred_element_type=jnp.int32)
         cr = corr_ref[0:1, :]
-        cells = ((hi + cr) << 8) | (lo + cr)  # [BA, KS_pad]
+        cells = _perm_cells(lhs, rhs, cr)  # [BA, KS_pad]
         gw = gw_ref[:].reshape(BA, GP)
         cand = jnp.concatenate([gw, cells], axis=-1)  # [BA, C]
         ok = cand > 0
@@ -402,6 +400,31 @@ _COMPACT_RADIX = os.environ.get("METTAGRID_TPU_COMPACT", _TUNED.get("compact", "
 # lose to one MXU matmul the MXU had spare capacity for. Byte-verified
 # equivalent either way (verify_r5_hsrank.log).
 _RANK_MODE = os.environ.get("METTAGRID_TPU_RANK", _TUNED.get("rank", "tri"))
+# Permute-contraction operand type in the v2-family kernels: "i8" = signed
+# int8 planes (value-128, +128 column correction), "f32" = f32 planes at
+# DEFAULT precision (ONE bf16 MXU pass). The f32 variant is EXACT despite
+# DEFAULT: both planes are <= 255 (exact in bf16) and every perm column is
+# one-hot, so each output is a single product — no accumulation at all.
+_PERM_DOT = os.environ.get("METTAGRID_TPU_PERM_DOT", _TUNED.get("perm_dot", "i8"))
+
+
+def _perm_cells(lhs, rhs2, cr):
+    """hi/lo plane Manhattan-permute contraction -> packed cell words+1
+    ([BA, KS_pad]; 0 = empty). See _PERM_DOT for the two operand modes."""
+    if _PERM_DOT == "f32":
+        hi = jnp.dot(
+            (lhs >> 8).astype(jnp.float32), rhs2[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        lo = jnp.dot(
+            (lhs & 0xFF).astype(jnp.float32), rhs2[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        # Padding columns contract to 0 naturally (all-zero perm column).
+        return (hi << 8) | lo
+    hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2[:], preferred_element_type=jnp.int32)
+    lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2[:], preferred_element_type=jnp.int32)
+    return ((hi + cr) << 8) | (lo + cr)
 
 
 def _compact_packed_v2_r4(v, C, wide: bool = False):
@@ -659,11 +682,9 @@ def obs_tail_static_v2_pallas(
         # dropped lanes are guaranteed-zero permute columns).
         lhs = winraw[:].reshape(BA, RPE * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
-        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
-        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
         cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
-        cells = ((hi + cr) << 8) | (lo + cr)  # [BA, KS_pad] word+1 (0 = empty)
+        cells = _perm_cells(lhs, rhs2, cr)  # [BA, KS_pad] word+1 (0 = empty)
         # Globals ride as G always-valid front lanes: compaction leaves them
         # at output positions 0..G-1 (they contribute no gaps).
         g2 = g_ref[:].reshape(BA, G)
@@ -846,11 +867,9 @@ def obs_tail_static_v3_pallas(
         # that many 128-lane row blocks — slice the contraction to match.
         lhs = winraw[:].reshape(BA, 8 * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
-        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
-        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
         cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
-        cells = ((hi + cr) << 8) | (lo + cr)
+        cells = _perm_cells(lhs, rhs2, cr)
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
         _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
@@ -988,11 +1007,9 @@ def obs_tail_dyn_v2_pallas(
         # Slice to the perm table's K_mat = OH*128 rows (see static v2).
         lhs = winraw[:].reshape(BA, RPE * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
-        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
-        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
         cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
-        cells = ((hi + cr) << 8) | (lo + cr)
+        cells = _perm_cells(lhs, rhs2, cr)
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
         _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
@@ -1142,11 +1159,9 @@ def obs_tail_dynobj_v2_pallas(
 
         lhs = winraw[:].reshape(BA, RPE * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
-        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
-        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
         cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
-        cells = ((hi + cr) << 8) | (lo + cr)
+        cells = _perm_cells(lhs, rhs2, cr)
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
         _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
@@ -1264,11 +1279,9 @@ def obs_tail_dyn_v3_pallas(
         # Slice to the perm table's (OH+1)//2 row blocks (see static v3).
         lhs = winraw[:].reshape(BA, 8 * 128)[:, :K_mat]
         rhs2 = perm_ref[:]
-        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
-        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         col = jax.lax.broadcasted_iota(jnp.int32, (BA, KS_pad), 1)
         cr = jnp.where((col >= G) & (col < G + KS), 128, 0)
-        cells = ((hi + cr) << 8) | (lo + cr)
+        cells = _perm_cells(lhs, rhs2, cr)
         g2 = g_ref[:].reshape(BA, G)
         cells = cells + jnp.pad(g2, ((0, 0), (0, KS_pad - G)))
         _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
@@ -1403,10 +1416,8 @@ def obs_tail_static_pallas(
 
         lhs = winf[:].reshape(BA, RP * LP)
         rhs2 = perm_ref[:].reshape(RP * LP, KS_pad)
-        hi = jnp.dot(((lhs >> 8) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
-        lo = jnp.dot(((lhs & 0xFF) - 128).astype(jnp.int8), rhs2, preferred_element_type=jnp.int32)
         cr = corr_ref[0:1, :]
-        cells = ((hi + cr) << 8) | (lo + cr)
+        cells = _perm_cells(lhs, rhs2, cr)
         gw = gw_ref[:].reshape(BA, GP)
         cand = jnp.concatenate([gw, cells], axis=-1)
         ok = cand > 0

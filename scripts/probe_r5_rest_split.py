@@ -1,0 +1,46 @@
+"""Isolate the combat 'rest' (~3.7 ms): time obs_fn alone (glue+kernel+
+unpack), obs_fn with the kernel stubbed (glue+unpack), and the full step,
+via the carried-dependence harness."""
+import sys
+sys.path.insert(0, "."); sys.path.insert(0, "scripts")
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn_carry, time_fn
+
+from bench import make_combat_cfg
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+import mettagrid_tpu.engine.pallas_kernels as pk
+
+E = 4096
+cfg = make_combat_cfg(24)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.asarray(rng.integers(0, 3, size=(E, A)), dtype=jnp.int32)
+
+obs_fn = step_mod._make_obs_fn_for(program, init)
+
+def t(label, fn, st):
+    v = time_fn_carry(fn, st, k=8)
+    print(f"combat {label:<18} {v*1e3:7.2f} ms", flush=True)
+
+step = step_mod.make_step(program, init, auto_reset=True, donate=False)
+t("full_step", lambda st: step(st, actions, vibes), state)
+t("obs_fn", lambda st: (st, obs_fn(st)), state)
+
+orig = pk.obs_tail_static_v2_pallas
+def stub_v2(imgp, map_idx, row0, lane0, *rest, out_w=None, **kw):
+    Ep, Aa = row0.shape
+    s = (imgp.sum() + map_idx.sum()).astype(jnp.int32)
+    words = jnp.full((Ep, Aa, out_w), -1, dtype=jnp.int32) + jnp.minimum(jnp.abs(s), 0)
+    return words, jnp.zeros((Ep, Aa), dtype=jnp.int32)
+pk.obs_tail_static_v2_pallas = stub_v2
+obs_fn2 = step_mod._make_obs_fn_for(program, init)
+t("obs_glue_unpack", lambda st: (st, obs_fn2(st)), state)
+pk.obs_tail_static_v2_pallas = orig
