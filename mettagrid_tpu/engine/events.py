@@ -248,7 +248,9 @@ def make_event_phase(program: EngineProgram, reference_rng: bool = False):
     events first, so a config where a falling-back event precedes another
     RNG-consuming event in the same step cannot be signature-matched. No
     shipped preset does this; revisit if one appears."""
-    if not program.events:
+    import os as _os
+
+    if not program.events or _os.environ.get("METTAGRID_TPU_NO_EVENTS"):  # probe knob
         return None
 
     tables = [jnp.asarray(_fire_table(program, ev.timesteps)) for ev in program.events]
