@@ -1,0 +1,145 @@
+"""Static analysis: which pool-reset state fields can this program write?
+
+Used by the auto-reset merge in step.make_step: with a single pooled map
+(P == 1) every env's fresh value for a pool field IS the template row, which
+is also the value the field was initialized with. If NO phase of the
+compiled program can ever write the field, current == initial == fresh, so
+the per-step masked-select merge for it is the identity and is skipped
+entirely (the r5 merge measured ~0.49 ms/step at E=4096 — mostly bandwidth
+over fields like `grid` and `obj_inv` that pure-move programs never touch).
+
+Soundness contract (same shape as obs._mutation_bg_inert): this is a
+WHITELIST. A mutation kind not listed here marks EVERY pool field mutable —
+adding a new kind that writes state must either be classified below or
+accept the conservative default. tests/test_merge_skip.py pins both the
+classification and step-level bit-equivalence across reset boundaries.
+
+Caveat (documented, not load-bearing today): the skip assumes nothing
+OUTSIDE the compiled step writes skipped fields between steps. The only
+host-mutation surface (simulator.set_inventory) lives on Simulation, which
+builds its step with auto_reset=False and therefore never takes this path.
+"""
+
+from __future__ import annotations
+
+from mettagrid_tpu.engine.ir import CompiledHandler
+from mettagrid_tpu.engine.program import EngineProgram
+
+# The candidate set — must mirror step._POOL_RESET_FIELDS (asserted there).
+POOL_FIELDS = frozenset(
+    {
+        "grid", "obj_type", "obj_r", "obj_c", "obj_vibe", "obj_tags",
+        "obj_inv", "obj_alive", "agent_group", "agent_cfg", "agent_spawn_r",
+        "agent_spawn_c", "agent_action_prev_r", "agent_action_prev_c",
+        "agent_stats_touched", "visit_bitmap", "game_stats",
+    }
+)
+
+# Written unconditionally by the step itself, independent of config:
+# game_stats (token accounting each obs pass), visit_bitmap + the touched
+# masks (coverage / action success-fail stats), and the action-move
+# last-position records. All small; never worth proving otherwise.
+_ALWAYS_MUTABLE = frozenset(
+    {
+        "game_stats", "agent_stats_touched", "visit_bitmap",
+        "agent_action_prev_r", "agent_action_prev_c",
+    }
+)
+
+# agent_group / agent_cfg / agent_spawn_r / agent_spawn_c have no engine
+# write site at all (per-map constants, init-only): no classification below
+# ever produces them, so any program with a single pooled map skips them.
+
+_OBJ_FIELDS = frozenset(
+    {"grid", "obj_type", "obj_r", "obj_c", "obj_vibe", "obj_tags", "obj_inv", "obj_alive"}
+)
+# Inventory writes can cascade to object removal (remove_when_empty clears
+# the object AND its grid cell — handlers.py clear path), so they taint
+# aliveness and the grid conservatively.
+_INV_FIELDS = frozenset({"obj_inv", "obj_alive", "grid"})
+_MOVE_FIELDS = frozenset({"obj_r", "obj_c", "grid"})
+
+_MUTATION_FIELDS = {
+    "relocate": _MOVE_FIELDS,
+    "swap": _MOVE_FIELDS,
+    "push_object": _MOVE_FIELDS,
+    "resource_delta": _INV_FIELDS,
+    "resource_transfer": _INV_FIELDS,
+    "clear_inventory": _INV_FIELDS,
+    "attack": _INV_FIELDS,
+    "direct_attack": _INV_FIELDS,
+    "query_inventory": _INV_FIELDS,
+    "change_vibe": frozenset({"obj_vibe"}),
+    "add_tag": frozenset({"obj_tags"}),
+    "remove_tag": frozenset({"obj_tags"}),
+    "remove_tags_with_prefix": frozenset({"obj_tags"}),
+    "stats": frozenset(),  # game/agent stat tables are _ALWAYS_MUTABLE
+    "spawn_object": _OBJ_FIELDS,
+    "raycast_spawn": _OBJ_FIELDS,
+    # recompute_materialized_query rewrites query caches carried in state;
+    # treat as fully tainting until someone needs the precision.
+    "recompute_materialized_query": POOL_FIELDS,
+}
+
+
+def _mutation_fields(m, any_usable: bool = True) -> frozenset:
+    base = _MUTATION_FIELDS.get(m.kind, POOL_FIELDS)  # unknown kind => all
+    if m.kind == "set_game_value":
+        # A stat write is covered by _ALWAYS_MUTABLE; an inventory write
+        # (write_rid >= 0) taints the inventory family.
+        base = _INV_FIELDS if getattr(m, "write_rid", -1) >= 0 else frozenset()
+    elif m.kind == "use_target":
+        # The always-appended default UseTarget handler can only fire a
+        # target type's on_use chain (walked separately); with no usable
+        # types it provably no-ops (same argument as obs._mutation_bg_inert).
+        base = _INV_FIELDS if any_usable else frozenset()
+    out = set(base)
+    for s in getattr(m, "on_success", ()) or ():
+        out |= _mutation_fields(s, any_usable)
+    return frozenset(out)
+
+
+def _handler_fields(h, any_usable: bool = True) -> frozenset:
+    if h is None:
+        return frozenset()
+    if isinstance(h, CompiledHandler):
+        out = set()
+        for m in h.mutations:
+            out |= _mutation_fields(m, any_usable)
+        return frozenset(out)
+    out = set()
+    for c in getattr(h, "handlers", ()):
+        out |= _handler_fields(c, any_usable)
+    return frozenset(out)
+
+
+def maybe_written_pool_fields(program: EngineProgram, lazy_grid: bool = False) -> frozenset:
+    """Upper bound on the pool-reset fields any step phase can write.
+
+    lazy_grid: the pure-move + static-background specialization skips all
+    grid maintenance (CLAUDE.md lazy-grid invariant), so `grid` is unwritten
+    even though relocates are present.
+    """
+    import numpy as np
+
+    any_usable = bool(np.asarray(program.type_usable).any())
+    out = set(_ALWAYS_MUTABLE)
+    sites = [mh.handler for mh in program.move_handlers]
+    sites += list(program.on_use_handlers or ())
+    sites += list(program.on_tick_handlers or ())
+    sites += list(getattr(program, "on_after_use_handlers", ()) or ())
+    sites += [getattr(program, "game_on_tick", None)]
+    sites += [ev.handler for ev in (program.events or ())]
+    for h in sites:
+        out |= _handler_fields(h, any_usable)
+    for spec in program.aoe_specs or ():
+        for m in spec.mutations:
+            out |= _mutation_fields(m, any_usable)
+    # Territory effects write territory_inside (const-reset, not a pool
+    # field) and rewards via GameValues; nothing in the pool set.
+    # change_vibe ACTION streams write agent vibes outside any handler.
+    if any(n.startswith("change_vibe") for n in program.action_names):
+        out.add("obj_vibe")
+    if lazy_grid:
+        out.discard("grid")
+    return frozenset(out & POOL_FIELDS)

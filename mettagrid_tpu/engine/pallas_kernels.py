@@ -406,11 +406,25 @@ _RANK_MODE = os.environ.get("METTAGRID_TPU_RANK", _TUNED.get("rank", "tri"))
 # DEFAULT: both planes are <= 255 (exact in bf16) and every perm column is
 # one-hot, so each output is a single product — no accumulation at all.
 _PERM_DOT = os.environ.get("METTAGRID_TPU_PERM_DOT", _TUNED.get("perm_dot", "i8"))
+# PROBE-ONLY in-kernel stage ablation for the fused v2-family tails:
+# comma-set of {assemble, extract, perm, rank, compact, emit}. Each named
+# stage is replaced by a shape-preserving stub, so the kernel's OUTPUT IS
+# WRONG — never set outside scripts/probe_r5b_tailstage.py timing runs
+# (byte-verify and tests would fail loudly).
+_TAIL_ABLATE = frozenset(
+    s for s in os.environ.get("METTAGRID_TPU_TAIL_ABLATE", "").split(",") if s
+)
 
 
 def _perm_cells(lhs, rhs2, cr):
     """hi/lo plane Manhattan-permute contraction -> packed cell words+1
     ([BA, KS_pad]; 0 = empty). See _PERM_DOT for the two operand modes."""
+    if "perm" in _TAIL_ABLATE:
+        # probe: skip both MXU passes; keep lhs live through one lane so the
+        # upstream assembly is not DCE'd (output is garbage words).
+        return jnp.broadcast_to(
+            lhs[:, :1], (lhs.shape[0], rhs2.shape[1])
+        ).astype(jnp.int32)
     if _PERM_DOT == "f32":
         hi = jnp.dot(
             (lhs >> 8).astype(jnp.float32), rhs2[:].astype(jnp.float32),
@@ -493,7 +507,9 @@ def _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
     BA = cells.shape[0]
     ok = cells > 0
     att_ref[:, :] = jnp.sum(ok.astype(jnp.int32), axis=-1).reshape(BE, A)
-    if _RANK_MODE == "tri":
+    if "rank" in _TAIL_ABLATE:
+        g = jnp.zeros(cells.shape, jnp.int32)
+    elif _RANK_MODE == "tri":
         inv8 = jnp.where(ok, 0, 1).astype(jnp.int8)
         g = jnp.dot(inv8, tri_ref[:], preferred_element_type=jnp.int32)
     else:
@@ -520,8 +536,11 @@ def _v2_finish(cells, tri_ref, loc_ref, sel_ref, out_ref, att_ref,
         b1 = (w >> 8) & 0xFF   # feature
         b2 = (w >> 16) & 0xFF  # value
         lhs = jnp.concatenate([b0, b1, b2], axis=-1)  # plane-major [BA, 3*OW]
-        lhs8 = (lhs - 128).astype(jnp.int8)
-        inter = jnp.dot(lhs8, sel_ref[:], preferred_element_type=jnp.int32) + 128
+        if "emit" in _TAIL_ABLATE:
+            inter = lhs  # plane-major, NOT interleaved — probe timing only
+        else:
+            lhs8 = (lhs - 128).astype(jnp.int8)
+            inter = jnp.dot(lhs8, sel_ref[:], preferred_element_type=jnp.int32) + 128
         out_ref[:, :, :] = inter.astype(jnp.uint8).reshape(BE, A, 3 * OW_out)
     else:
         out_ref[:, :, :] = w.reshape(BE, A, OW_out)
@@ -541,7 +560,9 @@ def _compact_packed_v2(v, C, wide: bool = False):
     n_bits = 10 if wide else 9
     inv = _V2_INV_W if wide else _V2_INV
     assert C <= (1 << n_bits)
-    if _COMPACT_RADIX == "r4":
+    if "compact" in _TAIL_ABLATE:
+        pass  # probe: skip the move loop entirely (output stays in place)
+    elif _COMPACT_RADIX == "r4":
         v = _compact_packed_v2_r4(v, C, wide=wide)
     else:
         bitconsts = [np.int32(np.uint32(1 << (g_sh + b))) for b in range(n_bits)]
@@ -622,6 +643,14 @@ def obs_tail_static_v2_pallas(
         for e in range(BE):
             m = m_ref[blk * BE + e]
             base = static_ref[m]  # [HP, WPC]
+            if "assemble" in _TAIL_ABLATE:
+                # probe: static image only, no agent overlay
+                if NT == 1:
+                    imgs[e] = base
+                else:
+                    for t in range(NT):
+                        imgs_t[e, t * HP : (t + 1) * HP, :] = base[:, t * 128 : (t + 1) * 128]
+                continue
             r_oh = (
                 jax.lax.broadcasted_iota(jnp.int32, (HP, A), 0) == rext_ref[e][None, :]
             ).astype(jnp.float32)
@@ -650,7 +679,20 @@ def obs_tail_static_v2_pallas(
                     imgs_t[e, t * HP : (t + 1) * HP, :] = full[:, t * 128 : (t + 1) * 128]
 
         # ---- per-agent window extraction (ds + roll only) ----
-        if NT == 1:
+        if "extractall" in _TAIL_ABLATE:
+            # probe: ONE bulk store — isolates the per-iteration loop/store
+            # overhead itself (vs "extract", which keeps the BA-iteration
+            # loop but drops the dynamic loads + rolls).
+            src = imgs if NT == 1 else imgs_t
+            winraw[:] = jnp.broadcast_to(src[0, :RPE, :128][None], (BA, RPE, 128))
+        elif "extract" in _TAIL_ABLATE:
+            # probe: static reads keep the assembly live; the dynamic
+            # ds loads + rolls + select are skipped, the loop remains.
+            src = imgs if NT == 1 else imgs_t
+            for e in range(BE):
+                for a in range(A):
+                    winraw[e * A + a] = src[e, :RPE, :128]
+        elif NT == 1:
             for e in range(BE):
                 for a in range(A):
                     idx = (blk * BE + e) * A + a

@@ -716,6 +716,24 @@ def make_step(
             pool_fields = _POOL_RESET_FIELDS + (
                 () if program.stats_compact else ("agent_stats", "auto_stats")
             )
+            if P == 1 and not os.environ.get("METTAGRID_TPU_NO_MERGE_SKIP"):
+                # With one pooled map, fresh == template == the value every
+                # unwritten field has held since init, so fields no phase of
+                # THIS program can write merge as the identity — skip them
+                # (engine/mutfields.py; equivalence pinned in
+                # tests/test_merge_skip.py).
+                from mettagrid_tpu.engine.mutfields import (
+                    POOL_FIELDS,
+                    maybe_written_pool_fields,
+                )
+
+                assert POOL_FIELDS == frozenset(_POOL_RESET_FIELDS)
+                mutable = maybe_written_pool_fields(program, lazy_grid=lazy_grid)
+                pool_fields = tuple(
+                    f
+                    for f in pool_fields
+                    if f in mutable or f not in POOL_FIELDS
+                )
             if P == 1:
                 # fresh == the template row for every env (a closure
                 # constant built at make_step time) and the merge fuses.
@@ -756,10 +774,13 @@ def make_step(
             state = state._replace(mt=mt)
         elif external_perm:
             perm = perm_in
+        elif os.environ.get("METTAGRID_TPU_IOTA_PERM"):  # probe knob: no shuffle
+            perm = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None], (E, A))
         else:
             perm = jax.vmap(lambda k: jax.random.permutation(k, A))(k_perm).astype(jnp.int32)
 
         # --- reset phase (mettagrid_c.cpp:929-952) ---
+        snap = not os.environ.get("METTAGRID_TPU_NO_PREVSNAP")  # probe knob
         state = state._replace(
             rng=rng_next,
             agent_prev_r=state.obj_r[:, :A],
@@ -767,12 +788,16 @@ def make_step(
             rewards=jnp.zeros_like(state.rewards),
             action_success=jnp.zeros_like(state.action_success),
             agent_last_action=jnp.zeros_like(state.agent_last_action),
-            game_stats_prev=state.game_stats,
-            agent_stats_prev=state.agent_stats,
+            game_stats_prev=state.game_stats if snap else state.game_stats_prev,
+            agent_stats_prev=state.agent_stats if snap else state.agent_stats_prev,
             auto_stats_prev=(
-                state.auto_stats if program.needs_auto_prev else state.auto_stats_prev
+                state.auto_stats
+                if (program.needs_auto_prev and snap)
+                else state.auto_stats_prev
             ),
-            obj_inv_prev=(state.obj_inv if program.needs_inv_prev else state.obj_inv_prev),
+            obj_inv_prev=(
+                state.obj_inv if (program.needs_inv_prev and snap) else state.obj_inv_prev
+            ),
             step_count=state.step_count + 1,
         )
 

@@ -1,0 +1,93 @@
+"""Attribute the non-obs 'base machinery' of the combat step (r5b).
+
+probe_r5b_rest leaves ~3.5 ms unattributed inside the no-obs step
+(5.56 ms total vs ~2.0 accounted: stats 1.6 + reset 0.25 + prevsnap 0.1 +
+action 0.05). Suspects: the per-env agent-shuffle draw (vmapped
+jax.random.permutation = an XLA sort), the 2x vmapped key splits, and the
+StepOutputs/carry traffic. All arms run with the obs fn STUBBED so the
+kernel can't mask overlap effects.
+
+  no_obs             baseline (obs stubbed)
+  no_obs+iota_perm   agent shuffle replaced by a constant iota
+  no_obs+stats_off   the four stat phases knob-ablated
+  no_obs+floor       iota perm + stats off + no reset + no prevsnap
+  micro_perm         standalone: split(3) + vmapped permutation at E=4096
+"""
+import os
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+import jax
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn, time_fn_carry
+
+from bench import make_combat_cfg
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+
+E = 4096
+cfg = make_combat_cfg(24)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.asarray(rng.integers(0, 3, size=(E, A)), dtype=jnp.int32)
+
+T = program.num_tokens
+
+
+def stub_obs_factory(prog, init_):
+    def stub(st, obs_buf=None):
+        s = jnp.minimum(jnp.abs(st.obj_r.sum()).astype(jnp.uint8), jnp.uint8(0))
+        obs = jnp.full((E, A, T, 3), 255, dtype=jnp.uint8) + s
+        return obs, jnp.zeros((E, A), dtype=jnp.int32)
+
+    return stub
+
+
+step_mod._make_obs_fn_for = stub_obs_factory
+
+
+def measure(label):
+    step = step_mod.make_step(program, init, auto_reset=True, donate=False)
+    t = time_fn_carry(lambda st: step(st, actions, vibes), state, k=8)
+    print(f"combat {label:<22} {t*1e3:7.2f} ms", flush=True)
+    return t
+
+
+measure("no_obs")
+
+os.environ["METTAGRID_TPU_IOTA_PERM"] = "1"
+measure("no_obs+iota_perm")
+del os.environ["METTAGRID_TPU_IOTA_PERM"]
+
+for k in ("NO_VISITED", "NO_COVERAGE", "NO_INVSTATS", "NO_TOKSTATS"):
+    os.environ[f"METTAGRID_TPU_{k}"] = "1"
+measure("no_obs+stats_off")
+
+os.environ["METTAGRID_TPU_IOTA_PERM"] = "1"
+os.environ["METTAGRID_TPU_NO_AUTORESET"] = "1"
+os.environ["METTAGRID_TPU_NO_PREVSNAP"] = "1"
+measure("no_obs+floor")
+for k in ("IOTA_PERM", "NO_AUTORESET", "NO_PREVSNAP", "NO_VISITED", "NO_COVERAGE",
+          "NO_INVSTATS", "NO_TOKSTATS"):
+    os.environ.pop(f"METTAGRID_TPU_{k}", None)
+
+# standalone micro: the per-step RNG machinery exactly as step() does it
+keys0 = state.rng
+
+
+def rng_micro(keys):
+    ks = jax.vmap(lambda k: jax.random.split(k, 3), in_axes=0)(keys)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, A))(ks[:, 1]).astype(jnp.int32)
+    return ks[:, 0], perm
+
+
+t = time_fn(jax.jit(rng_micro), keys0, k=16)
+print(f"combat micro_perm            {t*1e3:7.2f} ms", flush=True)

@@ -1,0 +1,100 @@
+"""Finish the combat/general 'rest' attribution (r5b).
+
+probe_r5_combat_split leaves ~4.3 ms of the 12.7 ms combat step
+unattributed (full 12.66 = tail 6.7 + stats 1.6 + action 0.05 + rest).
+This probe ablates the remaining phases one at a time IN-STEP and times
+the full step with time_fn_carry (obs + outputs folded into the carry):
+
+  full         the real step
+  no_obs       the WHOLE obs_fn stubbed (glue + kernel + unpack) — minus
+               the known kernel-only 6.7 gives the glue/unpack share
+  no_rewards   reward phase -> identity
+  no_ticks     agent/game on_tick phases dropped
+  no_reset     METTAGRID_TPU_NO_AUTORESET=1 (merge selects)
+  no_prevsnap  METTAGRID_TPU_NO_PREVSNAP=1 (step-start stat/inv snapshots)
+
+Usage: python scripts/probe_r5b_rest.py [combat|general]
+"""
+import os
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn_carry
+
+from bench import make_combat_cfg, make_general_cfg
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+import mettagrid_tpu.engine.step as step_mod
+
+E = 4096
+which = sys.argv[1] if len(sys.argv) > 1 else "combat"
+cfg = make_combat_cfg(24) if which == "combat" else make_general_cfg(24)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.asarray(rng.integers(0, 3, size=(E, A)), dtype=jnp.int32)
+
+
+def measure(label, make):
+    step = make()
+    t = time_fn_carry(lambda st: step(st, actions, vibes), state, k=8)
+    print(f"{which} {label:<12} {t*1e3:7.2f} ms", flush=True)
+    return t
+
+
+def plain():
+    return step_mod.make_step(program, init, auto_reset=True, donate=False)
+
+
+measure("full", plain)
+
+# no_obs: stub the entire obs fn (glue + kernel + unpack); keep a state
+# dependence so the scan body cannot hoist it.
+orig_obs = step_mod._make_obs_fn_for
+T = program.num_tokens
+
+
+def stub_obs_factory(prog, init_):
+    def stub(st, obs_buf=None):
+        s = jnp.minimum(jnp.abs(st.obj_r.sum()).astype(jnp.uint8), jnp.uint8(0))
+        obs = jnp.full((E, A, T, 3), 255, dtype=jnp.uint8) + s
+        return obs, jnp.zeros((E, A), dtype=jnp.int32)
+
+    return stub
+
+
+try:
+    step_mod._make_obs_fn_for = stub_obs_factory
+    measure("no_obs", plain)
+finally:
+    step_mod._make_obs_fn_for = orig_obs
+
+orig_rew = step_mod.make_reward_phase
+try:
+    step_mod.make_reward_phase = lambda prog: (lambda st: st)
+    measure("no_rewards", plain)
+finally:
+    step_mod.make_reward_phase = orig_rew
+
+orig_at, orig_gt = step_mod.make_agent_tick_phase, step_mod.make_game_tick_phase
+try:
+    step_mod.make_agent_tick_phase = lambda prog, **kw: None
+    step_mod.make_game_tick_phase = lambda prog, **kw: None
+    measure("no_ticks", plain)
+finally:
+    step_mod.make_agent_tick_phase, step_mod.make_game_tick_phase = orig_at, orig_gt
+
+os.environ["METTAGRID_TPU_NO_AUTORESET"] = "1"
+measure("no_reset", plain)
+del os.environ["METTAGRID_TPU_NO_AUTORESET"]
+
+os.environ["METTAGRID_TPU_NO_PREVSNAP"] = "1"
+measure("no_prevsnap", plain)
+del os.environ["METTAGRID_TPU_NO_PREVSNAP"]

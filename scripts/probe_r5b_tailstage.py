@@ -1,0 +1,51 @@
+"""In-kernel stage attribution for the fused v2-family obs tails (r5b).
+
+The r5 split probes put combat's obs tail at ~6.7 ms of the 12.7 ms step
+(shapes: S=7 G=3 KS=847 KS_pad=896 K_mat=1664 out_w=384 NT=3) but could
+only stub the WHOLE kernel. This probe uses the METTAGRID_TPU_TAIL_ABLATE
+knob (pallas_kernels._TAIL_ABLATE — probe-only, output is wrong) to stub
+one stage at a time inside the kernel and runs the full combat bench per
+arm in a subprocess (module-level knob -> fresh process per arm).
+
+Reading: baseline_ms - arm_ms ~= in-context cost of that stage (fusion
+caveats apply; "all" is the kernel floor: loads + stores only).
+"""
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARMS = [
+    ("baseline", ""),
+    ("assemble", "assemble"),
+    ("extract", "extract"),
+    ("extractall", "extractall"),
+    ("perm", "perm"),
+    ("rank", "rank"),
+    ("compact", "compact"),
+    ("emit", "emit"),
+    ("all", "assemble,extractall,perm,rank,compact,emit"),
+]
+
+which = sys.argv[1] if len(sys.argv) > 1 else "combat"
+reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+flag = {"combat": "--combat", "general": "--general", "flagship": "--flagship-only"}[which]
+for rep in range(reps):
+    for name, ablate in ARMS:
+        full = dict(os.environ)
+        if ablate:
+            full["METTAGRID_TPU_TAIL_ABLATE"] = ablate
+        r = subprocess.run(
+            [sys.executable, "bench.py", flag, "--chunks=6"],
+            env=full, capture_output=True, text=True, cwd=HERE,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if line:
+            d = json.loads(line[-1])
+            v = d["value"]
+            ms = 4096 / v * 1e3 if v else 0.0
+            print(f"rep{rep} {which} {name:<11} {v:>9.0f} env-steps/s  {ms:6.2f} ms", flush=True)
+        else:
+            print(f"rep{rep} {which} {name:<11} FAIL rc={r.returncode}\n{r.stderr[-800:]}", flush=True)

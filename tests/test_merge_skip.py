@@ -1,0 +1,80 @@
+"""The auto-reset merge-skip analysis (engine/mutfields.py): pool fields no
+phase can write are excluded from the P==1 reset merge. Pins (a) the
+per-kind classification incl. the unknown-kind unsafe default, and (b)
+step-level bit-equivalence with the skip disabled across reset boundaries."""
+
+from types import SimpleNamespace
+
+import jax.numpy as jnp
+import numpy as np
+
+from tests.helpers import TinyEnv, ascii_env
+
+from mettagrid_tpu.engine.mutfields import (
+    POOL_FIELDS,
+    _mutation_fields,
+    maybe_written_pool_fields,
+)
+
+MAP = ["#####", "#@..#", "#.@.#", "#####"]
+
+
+def test_pure_move_classification():
+    env = ascii_env(MAP, num_agents=2)
+    mutable = maybe_written_pool_fields(env.program, lazy_grid=False)
+    assert {"obj_r", "obj_c", "grid"} <= mutable
+    for f in ("obj_inv", "obj_type", "obj_tags", "agent_group", "agent_cfg",
+              "agent_spawn_r", "agent_spawn_c"):
+        assert f not in mutable, f
+    # always-mutable step-level writes stay in
+    assert {"game_stats", "visit_bitmap", "agent_stats_touched"} <= mutable
+    # lazy-grid drops the only grid writer (pure relocation)
+    assert "grid" not in maybe_written_pool_fields(env.program, lazy_grid=True)
+
+
+def test_unknown_mutation_kind_taints_everything():
+    m = SimpleNamespace(kind="hyperspace_jump", on_success=())
+    assert _mutation_fields(m) == POOL_FIELDS
+
+
+def test_spawn_taints_object_tables():
+    m = SimpleNamespace(kind="spawn_object", on_success=())
+    assert {"obj_type", "obj_alive", "grid", "obj_inv"} <= _mutation_fields(m)
+    # on_success chains propagate
+    outer = SimpleNamespace(kind="stats", on_success=(m,))
+    assert "obj_type" in _mutation_fields(outer)
+
+
+def test_set_game_value_inventory_write():
+    stat_only = SimpleNamespace(kind="set_game_value", write_rid=-1, on_success=())
+    assert _mutation_fields(stat_only) == frozenset()
+    inv = SimpleNamespace(kind="set_game_value", write_rid=2, on_success=())
+    assert {"obj_inv", "obj_alive", "grid"} <= _mutation_fields(inv)
+
+
+def test_step_equivalence_across_resets(monkeypatch):
+    """Skip-on vs skip-off must be bit-identical through several auto-reset
+    boundaries (max_steps=2 forces a reset every other step)."""
+
+    def run(disable: bool):
+        if disable:
+            monkeypatch.setenv("METTAGRID_TPU_NO_MERGE_SKIP", "1")
+        else:
+            monkeypatch.delenv("METTAGRID_TPU_NO_MERGE_SKIP", raising=False)
+        env = ascii_env(MAP, num_agents=2, num_envs=3, max_steps=2)
+        rng = np.random.default_rng(7)
+        outs, states = [], []
+        for _ in range(6):
+            acts = rng.integers(0, len(env.program.action_names), size=(3, 2))
+            outs.append(env.step(acts.astype(np.int32)))
+            states.append(env.state)
+        return outs, states
+
+    outs_a, states_a = run(False)
+    outs_b, states_b = run(True)
+    for t, (oa, ob) in enumerate(zip(outs_a, outs_b)):
+        for f in type(oa)._fields:
+            assert jnp.array_equal(getattr(oa, f), getattr(ob, f)), (t, f)
+    for t, (sa, sb) in enumerate(zip(states_a, states_b)):
+        for f in type(sa)._fields:
+            assert jnp.array_equal(getattr(sa, f), getattr(sb, f)), (t, f)
