@@ -1,0 +1,92 @@
+"""Find the combat step's 4.0 ms no-obs floor (r5b, after probe_r5b_base).
+
+All arms stub the obs fn. Arms:
+  floor            iota perm + stats off + no reset + no prevsnap (=4.01 ms)
+  floor+no_action  ... and the wave action phase -> identity
+  harness          the measurement harness alone: step = step_count+1 with
+                   the same stub outputs (carry + obs-buffer + readback cost)
+"""
+import os
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+import jax.numpy as jnp
+import numpy as np
+from timing import time_fn_carry
+
+from bench import make_combat_cfg
+from mettagrid_tpu.engine import build_env_init, compile_program, make_reset
+from mettagrid_tpu.engine.step import StepOutputs
+import mettagrid_tpu.engine.step as step_mod
+
+E = 4096
+cfg = make_combat_cfg(24)
+program = compile_program(cfg)
+b = cfg.game.map_builder.create()
+init = build_env_init(program, [b.build_for_num_agents(24)])
+reset = make_reset(program, init, E)
+state, _ = reset(0)
+A = program.num_agents
+rng = np.random.default_rng(0)
+actions = jnp.asarray(rng.integers(0, len(program.action_names), size=(E, A)), dtype=jnp.int32)
+vibes = jnp.asarray(rng.integers(0, 3, size=(E, A)), dtype=jnp.int32)
+T = program.num_tokens
+
+
+def stub_obs_factory(prog, init_):
+    def stub(st, obs_buf=None):
+        s = jnp.minimum(jnp.abs(st.obj_r.sum()).astype(jnp.uint8), jnp.uint8(0))
+        obs = jnp.full((E, A, T, 3), 255, dtype=jnp.uint8) + s
+        return obs, jnp.zeros((E, A), dtype=jnp.int32)
+
+    return stub
+
+
+step_mod._make_obs_fn_for = stub_obs_factory
+
+for k in ("IOTA_PERM", "NO_AUTORESET", "NO_PREVSNAP", "NO_VISITED", "NO_COVERAGE",
+          "NO_INVSTATS", "NO_TOKSTATS"):
+    os.environ[f"METTAGRID_TPU_{k}"] = "1"
+
+
+def measure(label, fn):
+    t = time_fn_carry(fn, state, k=8)
+    print(f"combat {label:<18} {t*1e3:7.2f} ms", flush=True)
+
+
+step = step_mod.make_step(program, init, auto_reset=True, donate=False)
+measure("floor", lambda st: step(st, actions, vibes))
+
+# NOTE: make_step imports make_action_phase_fast from actions_fast INSIDE
+# the function body, so the patch must hit the actions_fast module attr —
+# probe_r5_combat_split patched step_mod.<name>, which is inert (its
+# "action 0.05 ms" reading measured nothing).
+import mettagrid_tpu.engine.actions_fast as af
+
+orig_fast = af.make_action_phase_fast
+af.make_action_phase_fast = lambda *a, **kw: (lambda st, acts, va, perm: st)
+step2 = step_mod.make_step(program, init, auto_reset=True, donate=False)
+measure("floor+no_action", lambda st: step2(st, actions, vibes))
+af.make_action_phase_fast = orig_fast
+
+obs_stub = stub_obs_factory(program, init)
+
+
+def harness_step(st):
+    st = st._replace(step_count=st.step_count + 1)
+    obs, att = obs_stub(st)
+    out = StepOutputs(
+        observations=obs,
+        rewards=st.rewards,
+        terminals=st.terminals,
+        truncations=st.truncations,
+        action_success=st.action_success,
+        tokens_attempted=att,
+    )
+    return st, out
+
+
+import jax
+
+measure("harness", jax.jit(harness_step))
