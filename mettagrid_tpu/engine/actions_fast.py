@@ -256,6 +256,34 @@ def apply_move_batch(
     return state, success
 
 
+def gridless_batch_ok(program: EngineProgram) -> bool:
+    """True when the wave batch can run WITHOUT the grid: target resolution
+    by position-compare and no agent-layer grid maintenance at all.
+
+    Argument: under static_background_ok every non-agent object's position/
+    aliveness is frozen, so "slot at cell" is exactly "the alive object
+    whose obj_r/obj_c equals the cell" — the [E, A, N] compare replaces the
+    [E, A] grid gather (the XLA:TPU penalty class) AND makes every grid
+    write dead code for the engine (nothing else reads the agent layer
+    under the gate: the obs path is static-bg/position-based, events/AOE/
+    territory/ticks are absent, and every filter/value in reach is
+    wave-local, hence grid-free — query kinds, the only grid readers in
+    filter space, are excluded by _filter_local/_value_local). Extends the
+    CLAUDE.md lazy-grid invariant to non-pure programs; exec.true_grid
+    remains the canonical reconstruction.
+    """
+    from mettagrid_tpu.engine.obs import static_background_ok
+
+    if _os.environ.get("METTAGRID_TPU_NO_GRIDLESS"):
+        return False
+    if not (static_background_ok(program) and footprint_schedule_ok(program)):
+        return False
+    for mh in program.move_handlers:
+        if not _handler_local(mh.handler):
+            return False
+    return True
+
+
 def _apply_move_batch_inner(
     program: EngineProgram,
     state: EnvState,
@@ -299,17 +327,41 @@ def _apply_move_batch_inner(
         return all(_all_or_nothing(c) for c in h.handlers)
 
     shared = None
+    gridless = False
     if all(mh.max_range == 1 for mh in program.move_handlers) and all(
         _all_or_nothing(mh.handler) for mh in program.move_handlers[:-1]
     ):
         cr1 = ar + dr
         cc1 = ac + dc
         inb1 = (cr1 >= 0) & (cr1 < H) & (cc1 >= 0) & (cc1 < W)
-        slot1 = jnp.where(inb1, grid_read(state.grid, cr1, cc1), -1)
+        gridless = gridless_batch_ok(program)
+        if gridless:
+            # Position-compare target resolution (see gridless_batch_ok):
+            # [E, A, N] equality instead of the [E, A] grid gather; cells
+            # are exclusive, so max-of-matches is THE slot (-1 = empty).
+            N = state.obj_type.shape[1]
+            ocell = jnp.where(state.obj_alive, state.obj_r * W + state.obj_c, -7)
+            tc1 = jnp.where(inb1, cr1 * W + cc1, -1)
+            eqm = tc1[:, :, None] == ocell[:, None, :]
+            slot1 = jnp.max(
+                jnp.where(eqm, jnp.arange(N, dtype=jnp.int32)[None, None, :], -1),
+                axis=-1,
+            )
+        else:
+            slot1 = jnp.where(inb1, grid_read(state.grid, cr1, cc1), -1)
         shared = (cr1, cc1, inb1, slot1)
 
     success = jnp.zeros((E, A), dtype=bool)
+    # PROBE-ONLY attribution knobs (wrong semantics when set — never outside
+    # scripts/probe_r5b_batch.py): skip whole named handler chains, or apply
+    # filters but stub every mutation.
+    _skip_h = {
+        s for s in _os.environ.get("METTAGRID_TPU_SKIP_HANDLERS", "").split(",") if s
+    }
+    _skip_mut = bool(_os.environ.get("METTAGRID_TPU_SKIP_MUTATIONS"))
     for mh in program.move_handlers:
+        if getattr(mh.handler, "name", "") in _skip_h:
+            continue
         if shared is not None:
             cr1, cc1, inb1, slot1 = shared
             cand_r, cand_c = cr1, cc1
@@ -354,10 +406,14 @@ def _apply_move_batch_inner(
             distance=cand_dist,
             timestep=state.step_count,
             actor_prefix=True,  # actor IS the agent-prefix identity here
+            lazy_grid=gridless,
         )
         try_mask = found & ~success
         passed = try_mask & eval_filters(program, state, ctx, mh.handler.filters)
-        state, applied = apply_mutations(program, state, ctx, mh.handler, passed)
+        if _skip_mut:  # probe: filters live, mutations stubbed
+            applied = passed
+        else:
+            state, applied = apply_mutations(program, state, ctx, mh.handler, passed)
         success = success | applied
 
     return state, success

@@ -40,6 +40,12 @@ class Ctx(NamedTuple):
     # contexts. Actor-side entity reads collapse to [:, :A] slices and
     # writes to prefix sets (each saves a ~0.26 ms one-hot pass at E=4096).
     actor_prefix: bool = False
+    # Static hint: the caller maintains NO grid agent layer (gridless wave
+    # batches under actions_fast.gridless_batch_ok — target resolution is
+    # position-based and nothing in the program reads the agent layer), so
+    # agent-layer grid writes are skipped (extends the CLAUDE.md lazy-grid
+    # invariant beyond pure-move; reconstruct via exec.true_grid).
+    lazy_grid: bool = False
 
     def bcast_timestep(self) -> jnp.ndarray:
         t = self.timestep

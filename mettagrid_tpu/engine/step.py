@@ -728,7 +728,10 @@ def make_step(
                 )
 
                 assert POOL_FIELDS == frozenset(_POOL_RESET_FIELDS)
-                mutable = maybe_written_pool_fields(program, lazy_grid=lazy_grid)
+                from mettagrid_tpu.engine.actions_fast import gridless_batch_ok
+
+                grid_unwritten = lazy_grid or (use_fast and gridless_batch_ok(program))
+                mutable = maybe_written_pool_fields(program, lazy_grid=grid_unwritten)
                 pool_fields = tuple(
                     f
                     for f in pool_fields

@@ -1,0 +1,44 @@
+"""Per-handler attribution of the combat apply_move_batch (~2.0 ms/wave x
+~2 waves = the 4.0 ms action phase found by probe_r5b_floor).
+
+Combat move handlers: melee (direct_attack), move (relocate), use_target.
+Arms run the full combat bench in subprocesses with the probe knobs
+(WRONG semantics — timing only):
+  baseline        the real step
+  no_melee        METTAGRID_TPU_SKIP_HANDLERS=melee
+  no_move         ...=move
+  no_use          ...=use_target
+  filters_only    METTAGRID_TPU_SKIP_MUTATIONS=1 (all chains, filters live)
+  sched_only      all three handlers skipped (schedule + decode + bookkeeping)
+"""
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARMS = [
+    ("baseline", {}),
+    ("no_melee", {"METTAGRID_TPU_SKIP_HANDLERS": "melee"}),
+    ("no_move", {"METTAGRID_TPU_SKIP_HANDLERS": "move"}),
+    ("no_use", {"METTAGRID_TPU_SKIP_HANDLERS": "use_target"}),
+    ("filters_only", {"METTAGRID_TPU_SKIP_MUTATIONS": "1"}),
+    ("sched_only", {"METTAGRID_TPU_SKIP_HANDLERS": "melee,move,use_target"}),
+]
+
+reps = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+for rep in range(reps):
+    for name, env in ARMS:
+        full = dict(os.environ)
+        full.update(env)
+        r = subprocess.run(
+            [sys.executable, "bench.py", "--combat", "--chunks=6"],
+            env=full, capture_output=True, text=True, cwd=HERE,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if line:
+            v = json.loads(line[-1])["value"]
+            print(f"rep{rep} combat {name:<13} {v:>9.0f} env-steps/s  {4096/v*1e3:6.2f} ms", flush=True)
+        else:
+            print(f"rep{rep} combat {name:<13} FAIL rc={r.returncode}\n{r.stderr[-500:]}", flush=True)
