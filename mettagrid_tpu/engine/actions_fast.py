@@ -256,31 +256,130 @@ def apply_move_batch(
     return state, success
 
 
+# Mutation kinds that change object POSITIONS or read/scan the grid; any of
+# these outside a move-handler relocate disqualifies the gridless batch
+# (position-compare resolution requires non-agent positions frozen).
+_POSITION_MUTATIONS = {"relocate", "swap", "push_object", "spawn_object", "raycast_spawn"}
+# Kinds proven to neither read the grid nor move any object (WHITELIST —
+# unknown kinds are unsafe, the repo's classification-gate convention).
+_GRIDSAFE_MUTATIONS = {
+    "direct_attack", "resource_delta", "resource_transfer", "clear_inventory",
+    "change_vibe", "add_tag", "remove_tag", "remove_tags_with_prefix",
+    "stats", "set_game_value", "use_target", "query_inventory",
+}
+
+
+def _q_gridfree(q) -> bool:
+    if q is None:
+        return True
+    if q.kind == "raycast":  # the only query kind that scans grid cells
+        return False
+    return (
+        all(_f_gridfree(f) for f in q.filters)
+        and all(_f_gridfree(f) for f in q.edge_filters)
+        and _q_gridfree(q.source)
+        and _q_gridfree(q.candidates)
+        and _v_gridfree(q.max_items_value)
+        and _v_gridfree(q.max_range_value)
+    )
+
+
+def _v_gridfree(v) -> bool:
+    if v is None:
+        return True
+    return _q_gridfree(getattr(v, "query", None)) and all(
+        _v_gridfree(c) for c in v.children
+    )
+
+
+def _f_gridfree(f) -> bool:
+    return (
+        _q_gridfree(f.query)
+        and _v_gridfree(f.value)
+        and _v_gridfree(f.threshold)
+        and all(_f_gridfree(i) for i in f.inner)
+    )
+
+
+def _m_gridsafe(m, move_ctx: bool) -> bool:
+    if m.kind == "relocate":
+        ok = move_ctx  # batch relocates move the ACTOR agent and honor
+        # ctx.lazy_grid; anywhere else they move arbitrary targets
+    elif m.kind in _GRIDSAFE_MUTATIONS:
+        ok = True
+    else:
+        return False  # position/spawn/push/attack/unknown: unsafe default
+    return (
+        ok
+        and _v_gridfree(getattr(m, "source", None))
+        and _q_gridfree(getattr(m, "query", None))
+        and _v_gridfree(getattr(m, "max_range_value", None))
+        and all(_f_gridfree(f) for f in getattr(m, "blocker", ()) or ())
+        and all(_m_gridsafe(s, move_ctx) for s in m.on_success)
+    )
+
+
+def _h_gridsafe(h, move_ctx: bool) -> bool:
+    if h is None:
+        return True
+    if isinstance(h, CompiledHandler):
+        return all(_f_gridfree(f) for f in h.filters) and all(
+            _m_gridsafe(m, move_ctx) for m in h.mutations
+        )
+    return all(_h_gridsafe(c, move_ctx) for c in h.handlers)
+
+
 def gridless_batch_ok(program: EngineProgram) -> bool:
     """True when the wave batch can run WITHOUT the grid: target resolution
     by position-compare and no agent-layer grid maintenance at all.
 
-    Argument: under static_background_ok every non-agent object's position/
-    aliveness is frozen, so "slot at cell" is exactly "the alive object
-    whose obj_r/obj_c equals the cell" — the [E, A, N] compare replaces the
-    [E, A] grid gather (the XLA:TPU penalty class) AND makes every grid
-    write dead code for the engine (nothing else reads the agent layer
-    under the gate: the obs path is static-bg/position-based, events/AOE/
-    territory/ticks are absent, and every filter/value in reach is
-    wave-local, hence grid-free — query kinds, the only grid readers in
-    filter space, are excluded by _filter_local/_value_local). Extends the
-    CLAUDE.md lazy-grid invariant to non-pure programs; exec.true_grid
-    remains the canonical reconstruction.
+    Argument: when no reachable construct can move/spawn/remove-and-respawn
+    a NON-agent object (position mutations confined to move-handler
+    relocates of the actor agent), "slot at cell" is exactly "the alive
+    object whose obj_r/obj_c equals the cell" — an [E, A, N] compare
+    replaces the [E, A] grid gather (the XLA:TPU penalty class). And when
+    no reachable filter/value/query reads the grid (raycast is the only
+    grid-scanning query kind; every engine phase — obs, events, AOE,
+    territory, coverage, visited — derives from positions, never grid
+    values), the agent-layer grid writes are dead code and are skipped via
+    Ctx.lazy_grid (relocate + remove-when-empty honor it). Extends the
+    CLAUDE.md lazy-grid invariant to non-pure programs, including
+    event-bearing ones; exec.true_grid remains the canonical
+    reconstruction, and non-batch contexts (events, ticks) keep writing
+    the grid's static layer so it stays correct for external readers.
     """
-    from mettagrid_tpu.engine.obs import static_background_ok
-
     if _os.environ.get("METTAGRID_TPU_NO_GRIDLESS"):
         return False
-    if not (static_background_ok(program) and footprint_schedule_ok(program)):
+    if not footprint_schedule_ok(program):
         return False
     for mh in program.move_handlers:
-        if not _handler_local(mh.handler):
+        if not (_handler_local(mh.handler) and _h_gridsafe(mh.handler, True)):
             return False
+    # on_use chains execute inside the batch (use_target), same ctx.
+    for h in list(program.on_use_handlers or ()):
+        if not _h_gridsafe(h, True):
+            return False
+    for h in (
+        list(program.on_tick_handlers or ())
+        + list(getattr(program, "on_after_use_handlers", ()) or ())
+        + [getattr(program, "game_on_tick", None)]
+    ):
+        if not _h_gridsafe(h, False):
+            return False
+    for ev in program.events or ():
+        if not (_h_gridsafe(ev.handler, False) and _q_gridfree(ev.target_query)):
+            return False
+    for spec in program.aoe_specs or ():
+        if not all(_f_gridfree(f) for f in spec.filters):
+            return False
+        if not all(_m_gridsafe(m, False) for m in spec.mutations):
+            return False
+    # Reward/value programs can embed queries (query_count/query_inventory).
+    # reward_programs: tuple[per-agent-config tuple[CompiledRewardEntry]].
+    for rp in getattr(program, "reward_programs", ()) or ():
+        for entry in rp:
+            if not _v_gridfree(entry.value):
+                return False
     return True
 
 

@@ -80,9 +80,16 @@ _MUTATION_FIELDS = {
     # treat as fully tainting until someone needs the precision.
     "recompute_materialized_query": POOL_FIELDS,
 }
+# Kinds whose only grid taint is the batch-skippable agent-layer write
+# (relocate vacate/occupy, remove-when-empty cell clear — both honor
+# Ctx.lazy_grid). set_game_value/use_target resolve their base dynamically,
+# so they are listed here rather than matched on `base`.
+_INV_KINDS = frozenset(
+    k for k, v in _MUTATION_FIELDS.items() if v is _INV_FIELDS
+) | frozenset({"set_game_value", "use_target"})
 
 
-def _mutation_fields(m, any_usable: bool = True) -> frozenset:
+def _mutation_fields(m, any_usable: bool = True, lazy: bool = False) -> frozenset:
     base = _MUTATION_FIELDS.get(m.kind, POOL_FIELDS)  # unknown kind => all
     if m.kind == "set_game_value":
         # A stat write is covered by _ALWAYS_MUTABLE; an inventory write
@@ -93,40 +100,51 @@ def _mutation_fields(m, any_usable: bool = True) -> frozenset:
         # target type's on_use chain (walked separately); with no usable
         # types it provably no-ops (same argument as obs._mutation_bg_inert).
         base = _INV_FIELDS if any_usable else frozenset()
+    if lazy and (m.kind == "relocate" or base is _INV_FIELDS or m.kind in _INV_KINDS):
+        # Batch contexts under the lazy/gridless gates skip every
+        # agent-layer grid write (relocate + remove-when-empty honor
+        # Ctx.lazy_grid); swap/push keep theirs and stay tainting.
+        base = base - {"grid"}
     out = set(base)
     for s in getattr(m, "on_success", ()) or ():
-        out |= _mutation_fields(s, any_usable)
+        out |= _mutation_fields(s, any_usable, lazy)
     return frozenset(out)
 
 
-def _handler_fields(h, any_usable: bool = True) -> frozenset:
+def _handler_fields(h, any_usable: bool = True, lazy: bool = False) -> frozenset:
     if h is None:
         return frozenset()
     if isinstance(h, CompiledHandler):
         out = set()
         for m in h.mutations:
-            out |= _mutation_fields(m, any_usable)
+            out |= _mutation_fields(m, any_usable, lazy)
         return frozenset(out)
     out = set()
     for c in getattr(h, "handlers", ()):
-        out |= _handler_fields(c, any_usable)
+        out |= _handler_fields(c, any_usable, lazy)
     return frozenset(out)
 
 
 def maybe_written_pool_fields(program: EngineProgram, lazy_grid: bool = False) -> frozenset:
     """Upper bound on the pool-reset fields any step phase can write.
 
-    lazy_grid: the pure-move + static-background specialization skips all
-    grid maintenance (CLAUDE.md lazy-grid invariant), so `grid` is unwritten
-    even though relocates are present.
+    lazy_grid: batch contexts (move waves + their on_use chains) skip every
+    agent-layer grid write — the pure-move lazy invariant or the gridless
+    batch (actions_fast.gridless_batch_ok). Only BATCH-site grid taint is
+    discarded; events/ticks/AOE keep writing the grid's static layer and
+    keep it in the merge.
     """
     import numpy as np
 
     any_usable = bool(np.asarray(program.type_usable).any())
     out = set(_ALWAYS_MUTABLE)
-    sites = [mh.handler for mh in program.move_handlers]
-    sites += list(program.on_use_handlers or ())
-    sites += list(program.on_tick_handlers or ())
+    # Batch sites: move handlers + on_use chains fired from them.
+    for mh in program.move_handlers:
+        out |= _handler_fields(mh.handler, any_usable, lazy_grid)
+    for h in program.on_use_handlers or ():
+        out |= _handler_fields(h, any_usable, lazy_grid)
+    # Non-batch sites: grid writes are never skipped there.
+    sites = list(program.on_tick_handlers or ())
     sites += list(getattr(program, "on_after_use_handlers", ()) or ())
     sites += [getattr(program, "game_on_tick", None)]
     sites += [ev.handler for ev in (program.events or ())]
@@ -140,6 +158,4 @@ def maybe_written_pool_fields(program: EngineProgram, lazy_grid: bool = False) -
     # change_vibe ACTION streams write agent vibes outside any handler.
     if any(n.startswith("change_vibe") for n in program.action_names):
         out.add("obj_vibe")
-    if lazy_grid:
-        out.discard("grid")
     return frozenset(out & POOL_FIELDS)

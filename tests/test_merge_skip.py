@@ -78,3 +78,29 @@ def test_step_equivalence_across_resets(monkeypatch):
     for t, (sa, sb) in enumerate(zip(states_a, states_b)):
         for f in type(sa)._fields:
             assert jnp.array_equal(getattr(sa, f), getattr(sb, f)), (t, f)
+
+
+def test_gridless_gate_pins():
+    """gridless_batch_ok soundness: the bench combat/general configs
+    qualify; position mutations outside move relocates, raycast queries,
+    and unknown kinds disqualify (whitelist defaults)."""
+    from bench import make_combat_cfg
+    from mettagrid_tpu.engine import compile_program
+    from mettagrid_tpu.engine.actions_fast import (
+        _m_gridsafe,
+        _q_gridfree,
+        gridless_batch_ok,
+    )
+
+    assert gridless_batch_ok(compile_program(make_combat_cfg(4)))
+    # relocate is only safe as a batch (move-handler) mutation
+    reloc = SimpleNamespace(kind="relocate", on_success=())
+    assert _m_gridsafe(reloc, True) and not _m_gridsafe(reloc, False)
+    for kind in ("swap", "push_object", "spawn_object", "raycast_spawn",
+                 "something_new"):
+        assert not _m_gridsafe(SimpleNamespace(kind=kind, on_success=()), True), kind
+    ray = SimpleNamespace(
+        kind="raycast", filters=(), edge_filters=(), source=None,
+        candidates=None, max_items_value=None, max_range_value=None,
+    )
+    assert not _q_gridfree(ray)
